@@ -1,0 +1,115 @@
+"""kNN golden tests ported from the reference suite.
+
+Reference fixtures: eye(10) basis vectors with docs {"k{i}": "v{i}"}; golden
+distances float32(0.5) and float32(1.118034) (tests.py:195-224, 226-275).
+Spark computes in double → compare with 1e-5 tolerance (FIXTURES.md §5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_at_home_spark.operators.knn import knn_join_payload, knn_search
+from vector_db_at_home_spark.schema import QUERY_SCHEMA, VECTOR_SCHEMA
+
+DIM = 10
+
+
+def make_store(spark, vecs, docs=None):
+    vecs = np.asarray(vecs, dtype=np.float32)
+    if docs is None:
+        docs = ["{}"] * len(vecs)
+    rows = [(i, [float(x) for x in v], d) for i, (v, d) in enumerate(zip(vecs, docs))]
+    return spark.createDataFrame(rows, VECTOR_SCHEMA)
+
+
+def make_queries(spark, qvecs):
+    rows = [(i, [float(x) for x in q]) for i, q in enumerate(np.asarray(qvecs))]
+    return spark.createDataFrame(rows, QUERY_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def eye_store(spark):
+    docs = ['{"k%d": "v%d"}' % (i, i) for i in range(DIM)]
+    return make_store(spark, np.eye(DIM), docs)
+
+
+@pytest.mark.parametrize("impl", ["expr", "pandas"])
+def test_single_query_goldens(spark, eye_store, impl):
+    # tests.py:195-224: query [0,0,0,.5,0,0,0,0,0,1], k=2 → ids [9, 3]
+    q = np.zeros(DIM)
+    q[3] = 0.5
+    q[9] = 1.0
+    res = knn_search(eye_store, make_queries(spark, [q]), k=2, impl=impl).collect()
+    assert [r.id for r in res] == [9, 3]
+    assert res[0].distance == pytest.approx(0.5, rel=1e-5)
+    assert res[1].distance == pytest.approx(1.118034, rel=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["expr", "pandas"])
+def test_batch_query_goldens(spark, eye_store, impl):
+    # tests.py:226-275: queries [[1,.5,0...],[0,1,.5,0...]] → ids [0,1]/[1,2]
+    q0 = np.zeros(DIM); q0[0] = 1.0; q0[1] = 0.5
+    q1 = np.zeros(DIM); q1[1] = 1.0; q1[2] = 0.5
+    res = knn_search(eye_store, make_queries(spark, [q0, q1]), k=2, impl=impl).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert [r.id for r in by_q[0]] == [0, 1]
+    assert [r.id for r in by_q[1]] == [1, 2]
+    for qid in (0, 1):
+        assert by_q[qid][0].distance == pytest.approx(0.5, rel=1e-5)
+        assert by_q[qid][1].distance == pytest.approx(1.118034, rel=1e-5)
+
+
+def test_identical_vector_distance_zero(spark, eye_store):
+    # tests.py:309: distance of an identical vector is 0
+    q = np.zeros(DIM); q[0] = 1.0
+    res = knn_search(eye_store, make_queries(spark, [q]), k=1, impl="expr").collect()
+    assert res[0].id == 0
+    assert res[0].distance == 0.0
+
+
+def test_k_greater_than_n_raises(spark, eye_store):
+    # vector_store.py:279-284 — no -1 padding, eager ValueError
+    with pytest.raises(ValueError, match="must not exceed"):
+        knn_search(eye_store, make_queries(spark, [np.zeros(DIM)]), k=11,
+                   check_k=True)
+
+
+def test_k_nonpositive_raises(spark, eye_store):
+    with pytest.raises(ValueError, match="positive"):
+        knn_search(eye_store, make_queries(spark, [np.zeros(DIM)]), k=0)
+
+
+def test_payload_join(spark, eye_store):
+    q = np.zeros(DIM); q[3] = 0.5; q[9] = 1.0
+    res = knn_search(eye_store, make_queries(spark, [q]), k=2, impl="expr")
+    full = knn_join_payload(res, eye_store).orderBy("distance").collect()
+    assert full[0].doc == '{"k9": "v9"}'
+    assert full[1].doc == '{"k3": "v3"}'
+    assert full[1].vec[3] == 1.0
+
+
+def test_impls_agree_on_real_data(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = (emb.orderBy("vec_id").limit(3)
+          .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")))
+    a = knn_search(emb, qs, k=4, id_col="vec_id", vec_col="embedding",
+                   impl="expr").collect()
+    b = knn_search(emb, qs, k=4, id_col="vec_id", vec_col="embedding",
+                   impl="pandas").collect()
+    assert [(r.query_id, r.id) for r in a] == [(r.query_id, r.id) for r in b]
+    for ra, rb in zip(a, b):
+        assert ra.distance == pytest.approx(rb.distance, abs=1e-6)
+
+
+def test_cosine_metric(spark, eye_store):
+    q = np.zeros(DIM); q[0] = 2.0  # scaled copy of basis 0 → cosine dist 0
+    res = knn_search(eye_store, make_queries(spark, [q]), k=2, metric="cosine",
+                     impl="expr").collect()
+    assert res[0].id == 0
+    assert res[0].distance == pytest.approx(0.0, abs=1e-9)
+    assert res[1].distance == pytest.approx(1.0, abs=1e-9)

@@ -1,0 +1,166 @@
+"""Exact k-nearest-neighbor search — the flagship operator.
+
+Reference semantics (``vector_store.py:275-332``): per query, exact L2
+distance against every stored vector, top-k ascending, ids resolved
+positionally, payloads fetched once per distinct hit id.  Guards: empty index
+returns empty; ``k > N`` raises ValueError (``vector_store.py:279-284``).
+Tie-break among equal distances is unspecified in the reference (unstable
+argsort); we pin ``(distance ASC, id ASC)`` (SURVEY.md §2.2).
+
+Two physical strategies, same logical result:
+
+``impl="expr"`` — pure Catalyst: ``crossJoin(broadcast(queries))`` +
+``zip_with/aggregate`` distance + window top-k.  Whole-stage codegen, no
+Python.  Best when m (queries) is small and you want a fully declarative plan
+the optimizer can reason about.
+
+``impl="pandas"`` — scalable kernel: ``mapInPandas`` over the index
+partitions; each task computes the full m×rows distance block with NumPy
+matrix math (the reference's own kernel, vectorized over queries too) and
+emits only its LOCAL top-k per query.  A final window top-k merges the
+``partitions × m × k`` candidates.  At 100 TB this is the right shape: the
+shuffle carries O(P·m·k) rows instead of O(N·m); queries are a broadcast
+variable, not a join side.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.distance import l2_distance, squared_l2_distance
+from .topk import top_k_per_group
+
+
+def _check_k(index_count: int, k: int) -> None:
+    # Parity with vector_store.py:279-284: no FAISS-style -1 padding.
+    if k > index_count:
+        raise ValueError(
+            f"k ({k}) must not exceed the number of stored vectors ({index_count})"
+        )
+
+
+def knn_search(index: DataFrame, queries: DataFrame, k: int,
+               id_col: str = "id", vec_col: str = "vec",
+               query_id_col: str = "query_id", query_vec_col: str = "qvec",
+               metric: str = "l2", impl: str = "pandas",
+               check_k: bool = False) -> DataFrame:
+    """Exact kNN of every query against the whole index.
+
+    Returns ``(query_id, id, distance)`` with ``distance`` ascending per
+    query, tie-broken by id.  Join payloads back on ``id`` afterwards if the
+    caller needs them (late materialization, reference vector_store.py:303-313).
+
+    ``check_k=True`` reproduces the reference's eager ``k > N`` ValueError at
+    the cost of a count job; leave False inside lazy pipelines.
+    """
+    if metric not in ("l2", "sqeuclidean", "cosine"):
+        raise ValueError(f"unknown metric: {metric}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if check_k:
+        _check_k(index.count(), k)
+
+    if impl == "expr":
+        return _knn_expr(index, queries, k, id_col, vec_col,
+                         query_id_col, query_vec_col, metric)
+    if impl == "pandas":
+        return _knn_pandas(index, queries, k, id_col, vec_col,
+                           query_id_col, query_vec_col, metric)
+    raise ValueError(f"unknown impl: {impl}")
+
+
+def _distance_expr(metric: str, vec_col: str, query_vec_col: str):
+    if metric == "l2":
+        return l2_distance(vec_col, query_vec_col)
+    if metric == "sqeuclidean":
+        return squared_l2_distance(vec_col, query_vec_col)
+    # cosine *distance* = 1 - cosine similarity, so ascending = most similar
+    from ..functions.distance import cosine_similarity
+
+    return 1.0 - cosine_similarity(vec_col, query_vec_col)
+
+
+def _knn_expr(index, queries, k, id_col, vec_col, query_id_col, query_vec_col,
+              metric) -> DataFrame:
+    joined = index.crossJoin(F.broadcast(queries))
+    dist = joined.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("id"),
+        _distance_expr(metric, vec_col, query_vec_col).alias("distance"),
+    )
+    return top_k_per_group(
+        dist, ["query_id"], [F.col("distance").asc(), F.col("id").asc()], k
+    ).orderBy("query_id", "distance", "id")
+
+
+def _knn_pandas(index, queries, k, id_col, vec_col, query_id_col,
+                query_vec_col, metric) -> DataFrame:
+    """Partition-local NumPy top-k, then a global merge.
+
+    The query batch is shipped to executors as a broadcast variable (small
+    side), so the big side never shuffles before the k-row-per-query-per-
+    partition candidate set.
+    """
+    spark = index.sparkSession
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame([], "query_id long, id long, distance double")
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((qids, qmat, metric, k))
+
+    def score_partition(batches):
+        b_qids, b_qmat, b_metric, b_k = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            vecs = np.asarray(pdf["__vec"].tolist(), dtype=np.float64)
+            if b_metric in ("l2", "sqeuclidean"):
+                # ||v||^2 + ||q||^2 - 2 v·q : one GEMM for the whole block
+                sq = (
+                    (vecs * vecs).sum(axis=1)[None, :]
+                    + (b_qmat * b_qmat).sum(axis=1)[:, None]
+                    - 2.0 * (b_qmat @ vecs.T)
+                )
+                np.maximum(sq, 0.0, out=sq)
+                dist = np.sqrt(sq) if b_metric == "l2" else sq
+            else:  # cosine distance
+                vn = np.linalg.norm(vecs, axis=1)
+                qn = np.linalg.norm(b_qmat, axis=1)
+                denom = qn[:, None] * vn[None, :]
+                sim = np.divide(b_qmat @ vecs.T, denom, out=np.zeros_like(denom),
+                                where=denom != 0)
+                dist = 1.0 - sim
+            kk = min(b_k, dist.shape[1])
+            # partial selection (argpartition), not a full sort — local top-k
+            part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+            out_qid = np.repeat(b_qids, kk)
+            out_id = ids[part].ravel()
+            out_d = np.take_along_axis(dist, part, axis=1).ravel()
+            yield pd.DataFrame(
+                {"query_id": out_qid, "id": out_id, "distance": out_d}
+            )
+
+    narrow = index.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    candidates = narrow.mapInPandas(
+        score_partition, schema="query_id long, id long, distance double"
+    )
+    return top_k_per_group(
+        candidates, ["query_id"], [F.col("distance").asc(), F.col("id").asc()], k
+    ).orderBy("query_id", "distance", "id")
+
+
+def knn_join_payload(result: DataFrame, store: DataFrame,
+                     id_col: str = "id") -> DataFrame:
+    """Late-materialize payload columns for kNN hits (vector_store.py:303-313).
+
+    The join deduplicates payload fetches across queries exactly like the
+    reference's ``np.unique`` + single IN-lookup.
+    """
+    return result.join(store, on=id_col, how="left")
