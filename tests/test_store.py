@@ -1,0 +1,209 @@
+"""VectorStore parity tests — ported from the reference suite
+(/root/reference/test/tests.py, see FIXTURES.md).
+
+Covers CRUD round-trips, dtype coercion/rejection, id allocation with holes,
+delete warnings, persistence across reopen, kNN + fuzzy goldens through the
+eager API, and the search/search_by_doc error asymmetry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vector_db_at_home_spark.store import VectorStore
+
+DIM = 10
+
+
+def gen_docs(ns):
+    # reference tests.py:25-27
+    return [{f"k{n}": f"v{n}"} for n in ns]
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return VectorStore(spark, tmp_path / "store", dim=DIM)
+
+
+def test_insert_one_and_count(store):
+    store.insert(np.ones((1, DIM), dtype=np.float32))
+    assert store.count() == 1
+
+
+def test_insert_many_and_head(store):
+    store.insert(np.ones((5, DIM), dtype=np.float32), gen_docs(range(5)))
+    assert store.count() == 5
+    h = store.head(3)
+    assert [r["id"] for r in h] == [0, 1, 2]
+    assert h[1]["doc"] == {"k1": "v1"}
+    np.testing.assert_array_equal(h[0]["vec"], np.ones(DIM, dtype=np.float32))
+
+
+def test_insert_1d_reshape(store):
+    # vector_store.py:112 — 1-D inputs auto-reshape to (-1, dim)
+    store.insert(np.ones(DIM, dtype=np.float32))
+    assert store.count() == 1
+
+
+def test_insert_wrong_width_raises(store):
+    with pytest.raises(ValueError):
+        store.insert(np.ones((2, DIM + 1), dtype=np.float32))
+
+
+def test_insert_doc_count_mismatch_raises(store):
+    with pytest.raises(ValueError):
+        store.insert(np.ones((2, DIM), dtype=np.float32), gen_docs([0]))
+
+
+@pytest.mark.parametrize(
+    "dtype", [np.float64, np.int32, np.int64, np.uint8, np.bool_, np.float16]
+)
+def test_coercible_dtypes_warn(store, dtype):
+    # vector_store.py:34-55 — numeric dtypes coerce with UserWarning
+    with pytest.warns(UserWarning, match="casting"):
+        store.insert(np.ones((1, DIM), dtype=dtype))
+    assert store.count() == 1
+
+
+@pytest.mark.parametrize("bad", ["U5", "S5", np.complex64, object])
+def test_rejected_dtypes_raise(store, bad):
+    # vector_store.py:105-106 — str/bytes/complex/object raise ValueError
+    arr = np.ones((1, DIM), dtype=bad) if bad != object else np.array(
+        [[{"x": 1}] * DIM], dtype=object
+    )
+    with pytest.raises(ValueError):
+        store.insert(arr)
+
+
+def test_insert_dicts(store):
+    store.insert_dicts(
+        [{"vec": np.ones(DIM, dtype=np.float32), "doc": {"a": 1}},
+         {"vec": np.zeros(DIM, dtype=np.float32), "doc": None}]
+    )
+    recs = store.select_ids([0, 1])
+    assert recs[0].doc == {"a": 1}
+    assert recs[1].doc == {}
+
+
+def test_insert_dicts_non_serializable_raises(store):
+    with pytest.raises(TypeError):
+        store.insert_dicts(
+            [{"vec": np.ones(DIM, dtype=np.float32), "doc": {"x": object()}}]
+        )
+
+
+def test_id_allocation_holes_never_reused(store):
+    # reference tests.py:383-407 — delete middle, reinsert → max+1
+    store.insert(np.ones((4, DIM), dtype=np.float32))
+    store.delete([1, 2])
+    store.insert(np.zeros((1, DIM), dtype=np.float32))
+    ids = [r["id"] for r in store.head(10)]
+    assert ids == [0, 3, 4]
+
+
+def test_delete_missing_id_warns(store):
+    store.insert(np.ones((2, DIM), dtype=np.float32))
+    with pytest.warns(UserWarning, match="not present"):
+        store.delete([0, 99])
+    assert store.count() == 1
+
+
+def test_delete_all(store):
+    store.insert(np.ones((3, DIM), dtype=np.float32))
+    store.delete([0, 1, 2])
+    assert store.count() == 0
+    assert store.dump_vecs().shape == (0, DIM)
+
+
+def test_persistence_round_trip(spark, tmp_path):
+    # reference tests.py:277-294 — reopen on same path preserves contents
+    root = tmp_path / "persist"
+    s1 = VectorStore(spark, root, dim=DIM)
+    s1.insert(np.eye(DIM, dtype=np.float32), gen_docs(range(DIM)))
+    s2 = VectorStore(spark, root, dim=DIM)
+    assert s2.count() == DIM
+    assert s2.select_ids([3])[0].doc == {"k3": "v3"}
+
+
+def test_dump_vecs_id_order(store):
+    # reference tests.py:516-543 — dump order == id order across delete+insert
+    store.insert(np.array([[0] * DIM, [1] * DIM, [2] * DIM], dtype=np.float32))
+    store.delete([1])
+    store.insert(np.array([[3] * DIM], dtype=np.float32))
+    out = store.dump_vecs()
+    np.testing.assert_array_equal(out[:, 0], np.array([0, 2, 3], dtype=np.float32))
+
+
+def test_search_goldens_through_api(store):
+    # reference tests.py:195-224
+    store.insert(np.eye(DIM, dtype=np.float32), gen_docs(range(DIM)))
+    q = np.zeros(DIM, dtype=np.float32)
+    q[3] = 0.5
+    q[9] = 1.0
+    res = store.search(q, k=2)
+    assert len(res) == 1
+    assert [r.id for r in res[0]] == [9, 3]
+    assert res[0][0].distance == pytest.approx(0.5, rel=1e-5)
+    assert res[0][1].distance == pytest.approx(1.118034, rel=1e-5)
+    assert res[0][0].doc == {"k9": "v9"}
+
+
+def test_search_k_gt_n_raises(store):
+    store.insert(np.eye(DIM, dtype=np.float32))
+    with pytest.raises(ValueError):
+        store.search(np.zeros(DIM, dtype=np.float32), k=DIM + 1)
+
+
+def test_search_empty_store_returns_empty(store):
+    assert store.search(np.zeros(DIM, dtype=np.float32), k=1) == []
+
+
+def test_query_by_doc_string_values(store):
+    # reference tests.py:466-476
+    store.insert(np.ones((5, DIM), dtype=np.float32), gen_docs(range(5)))
+    recs = store.query_by_doc(["k1"], ["v1"])
+    assert [r.id for r in recs] == [1]
+
+
+def test_query_by_doc_int_values(store):
+    # reference tests.py:478-486 — int values match JSON numbers
+    store.insert(
+        np.ones((4, DIM), dtype=np.float32), [{"id": i + 1} for i in range(4)]
+    )
+    recs = store.query_by_doc(["id"], [2, 4])
+    assert [r.id for r in recs] == [1, 3]
+
+
+def test_search_by_doc_goldens(store):
+    # reference tests.py:545-565: store docs {"k0":"v0"}..{"k4":"v4"},
+    # query {"1": "1"} → best hit id 1 at 9.0909..., others 27.2727...
+    store.insert(np.ones((5, DIM), dtype=np.float32), gen_docs(range(5)))
+    res = store.search_by_doc([{"1": "1"}], k=3)
+    assert len(res) == 1
+    assert res[0][0].id == 1
+    assert res[0][0].distance == pytest.approx(100 * 2 / 22, abs=1e-9)
+    assert res[0][1].distance == pytest.approx(100 * 6 / 22, abs=1e-9)
+
+
+def test_search_by_doc_bare_string(store):
+    # reference tests.py:589-598: 'v4' → id 4 at 71.4285..., next 85.7142...
+    store.insert(np.ones((5, DIM), dtype=np.float32), gen_docs(range(5)))
+    res = store.search_by_doc(["v4"], k=2)
+    assert res[0][0].id == 4
+    assert res[0][0].distance == pytest.approx(100 * 10 / 14, abs=1e-9)
+    assert res[0][1].distance == pytest.approx(100 * 12 / 14, abs=1e-9)
+
+
+def test_search_by_doc_k_zero_raises(store):
+    # reference tests.py:600-607
+    store.insert(np.ones((2, DIM), dtype=np.float32))
+    with pytest.raises(ValueError):
+        store.search_by_doc(["x"], k=0)
+
+
+def test_search_by_doc_k_gt_n_truncates(store):
+    # reference tests.py:609-617 — asymmetry with search: no error
+    store.insert(np.ones((3, DIM), dtype=np.float32), gen_docs(range(3)))
+    res = store.search_by_doc(["x"], k=10)
+    assert len(res[0]) == 3

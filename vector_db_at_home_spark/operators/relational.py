@@ -1,0 +1,352 @@
+"""Relational bench queries over the TPC-H-ish test tables.
+
+The reference has no multi-table features (SURVEY.md §1.1) — these queries
+exist to (a) cover the standard operator taxonomy (§2.5: joins, aggregations,
+windows, sorts, set ops, grouping sets, date/math functions) as first-class,
+oracle-checked operators, and (b) populate BENCH with shuffle-heavy plans
+whose physical strategy matters at 100 TB.
+
+Cross-engine float determinism: double SUMs depend on partition order (a
+``repartition(7)`` changes the 15th digit), so every oracle-checked aggregate
+is computed as ``SUM(CAST(expr AS DECIMAL(25,6)))`` — exact, associative,
+identical in Spark and DuckDB — then cast back to double and rounded.  The
+per-row ``expr`` itself is IEEE-deterministic in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+DEC = "decimal(25,6)"
+
+
+def dsum(col: Column, digits: int = 4) -> Column:
+    """Deterministic cross-engine sum: exact decimal accumulate → double."""
+    return F.round(F.sum(col.cast(DEC)).cast("double"), digits)
+
+
+def davg(col: Column, digits: int = 6) -> Column:
+    """Deterministic cross-engine mean: exact decimal sum / count(*)."""
+    return F.round(F.sum(col.cast(DEC)).cast("double") / F.count(F.lit(1)), digits)
+
+
+def _sql_dsum(expr: str, digits: int = 4) -> str:
+    return f"round(CAST(sum(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE), {digits})"
+
+
+def _sql_davg(expr: str, digits: int = 6) -> str:
+    return (
+        f"round(CAST(sum(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+        f" / count(*), {digits})"
+    )
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy partial aggregation.
+
+    One wide scan of lineitem with a date filter pushed to Parquet, partial
+    (map-side) aggregation into a handful of groups → the shuffle carries
+    only |groups| × partitions rows.  No join, no skew risk; the plan shape
+    that dominates at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_dsum('l_quantity')} AS sum_qty,
+       {_sql_dsum('l_extendedprice')} AS sum_base_price,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_sql_davg('l_quantity')} AS avg_qty,
+       {_sql_davg('l_extendedprice')} AS avg_price,
+       {_sql_davg('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters + two joins + agg + top-k.
+
+    customer is a dim → broadcast into orders; orders⋈lineitem shuffles on
+    the natural orderkey.  The final top-10 (ordered by the rounded revenue
+    so both engines rank identical values) is TakeOrderedAndProject.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join.
+
+    region/nation/supplier/customer are dims → all broadcast; the only big
+    shuffle is orders⋈lineitem.  At 100 TB this plan touches the fact table
+    once and ships no dim rows across the network beyond the broadcasts.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = f"""
+SELECT n_name, {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem, orders, customer, supplier, nation, region
+WHERE l_orderkey = o_orderkey
+  AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group: rank orders by totalprice within customer.
+
+    WindowGroupLimit (rank-limit pushdown, Spark 3.5+/4.x) keeps only 3 rows
+    per customer per map task before the shuffle — the scalable per-key
+    top-k (same shape the kNN merge uses).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("totalprice"),
+            "rank",
+        )
+        .orderBy("o_custkey", "rank")
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice, rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+)
+WHERE rank <= 3
+ORDER BY o_custkey, rank
+"""
+
+
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over events (batch form of the
+    Structured Streaming windowed agg in ``streaming/``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+EVENTS_WINDOWED_AGG_SQL = f"""
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(*) AS n_events,
+       {_sql_dsum('value')} AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join shape (TPC-H Q4): EXISTS via left_semi — no row blowup."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > F.lit("1999-06-01").cast("timestamp"))
+    return (
+        orders.join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_COUNTS_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1999-06-01'
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join + two-level aggregation (TPC-H Q13 shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+CUSTOMER_DISTRIBUTION_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def nation_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customer vs supplier nation keys, tagged — covers the
+    §2.5 set-ops row (intersect/except/union)."""
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    c_n = cust.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s_n = sup.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = c_n.intersect(s_n).withColumn("tag", F.lit("both"))
+    cust_only = c_n.exceptAll(s_n).withColumn("tag", F.lit("customer_only"))
+    sup_only = s_n.exceptAll(c_n).withColumn("tag", F.lit("supplier_only"))
+    return both.unionByName(cust_only).unionByName(sup_only).orderBy(
+        "tag", "nationkey"
+    )
+
+
+NATION_SETOPS_SQL = """
+WITH c_n AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     s_n AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS tag FROM (SELECT nationkey FROM c_n INTERSECT SELECT nationkey FROM s_n)
+UNION ALL
+SELECT nationkey, 'customer_only' AS tag FROM (SELECT nationkey FROM c_n EXCEPT SELECT nationkey FROM s_n)
+UNION ALL
+SELECT nationkey, 'supplier_only' AS tag FROM (SELECT nationkey FROM s_n EXCEPT SELECT nationkey FROM c_n)
+ORDER BY tag, nationkey
+"""
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP over (returnflag, linestatus) — §2.5 row.
+    NULL group markers coalesced to 'ALL' for stable cross-engine output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_extendedprice")).alias("revenue"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+REVENUE_ROLLUP_SQL = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       {_sql_dsum('l_extendedprice')} AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""

@@ -137,6 +137,26 @@ def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("distance", F.round("distance", 6))
 
 
+@register("search_by_doc")  # no oracle: InDel ratio not SQL-expressible
+def q_search_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy InDel top-k over documents.text (vector_store.py:358-401);
+    rows-only driver check — DuckDB has no insert/delete-only edit distance
+    (its levenshtein allows substitutions, SURVEY.md §2.3)."""
+    from .operators.fuzzysearch import fuzzy_search_by_doc
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries_txt = [
+        "spark window merge sort",
+        "the fast key order sort table",
+    ]
+    res = fuzzy_search_by_doc(
+        docs, queries_txt, k=5, doc_col="text", id_col="doc_id"
+    )
+    return res.select(
+        "query_id", "doc_id", F.round("distance", 6).alias("distance")
+    )
+
+
 @register(
     "query_by_doc",
     # vector_store.py:334-356 — JSON-path equality-set filter over the raw
@@ -160,3 +180,35 @@ def q_query_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Relational operator coverage (SURVEY.md §2.5 taxonomy) — joins, aggs,
+# windows, semi/anti joins, set ops, grouping sets.  Also the BENCH queries.
+# --------------------------------------------------------------------------
+
+def _register_relational() -> None:
+    from .operators import relational as R
+
+    pairs = [
+        ("q1_pricing_summary", R.pricing_summary, R.PRICING_SUMMARY_SQL),
+        ("q3_shipping_priority", R.shipping_priority, R.SHIPPING_PRIORITY_SQL),
+        ("q5_local_supplier_volume", R.local_supplier_volume,
+         R.LOCAL_SUPPLIER_VOLUME_SQL),
+        ("q4_order_priority", R.order_priority_counts,
+         R.ORDER_PRIORITY_COUNTS_SQL),
+        ("q13_customer_distribution", R.customer_distribution,
+         R.CUSTOMER_DISTRIBUTION_SQL),
+        ("window_top_orders", R.top_orders_per_customer,
+         R.TOP_ORDERS_PER_CUSTOMER_SQL),
+        ("events_windowed_agg", R.events_windowed_agg,
+         R.EVENTS_WINDOWED_AGG_SQL),
+        ("nation_setops", R.nation_setops, R.NATION_SETOPS_SQL),
+        ("revenue_rollup", R.revenue_rollup, R.REVENUE_ROLLUP_SQL),
+    ]
+    for name, fn, sql in pairs:
+        _QUERIES[name] = fn
+        _ORACLES[name] = sql
+
+
+_register_relational()
