@@ -1,0 +1,109 @@
+"""Dedup-suite tests: exactness, LSH recall/precision, synthetic near-dups."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_at_home_spark.operators.dedup import (
+    cosine_topk_pairs,
+    exact_dedup,
+    exact_dedup_stats,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("gamma", "lambda")),  # near dup of 0
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "completely different words entirely unrelated content here now"),
+        (5, base + " extra tail tokens appended here"),  # near dup, longer
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(0, "a b"), (1, "a b c"), (2, "")],
+                               "doc_id long, text string")
+    sh = word_shingles(df, "text", "doc_id", n=3).collect()
+    # doc 0 has 2 tokens < n → no shingles; doc 1 exactly one
+    assert [(r.id, r.shingle) for r in sh] == [(1, "a b c")]
+
+
+def test_exact_dedup_map(corpus):
+    m = {r.id: r.canonical_id for r in exact_dedup(corpus, "text", "doc_id").collect()}
+    assert m[1] == 0 and m[0] == 0
+    assert m[2] == 2 and m[3] == 3
+
+
+def test_exact_dedup_stats(corpus):
+    r = exact_dedup_stats(corpus, "text").first()
+    assert (r.n_rows, r.n_distinct, r.n_dup_rows) == (6, 5, 1)
+
+
+def test_ngram_jaccard_finds_near_dups(corpus):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(corpus, "text", "doc_id",
+                                          threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0          # exact dup
+    assert 0.3 <= pairs[(0, 2)] < 1.0    # near dup
+    assert (0, 3) not in pairs           # unrelated
+    assert (0, 5) in pairs               # prefix-shared
+
+
+def test_minhash_subset_of_exact_and_full_recall_on_high_j(corpus):
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(corpus, "text", "doc_id",
+                                          threshold=0.3).collect()}
+    lsh = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_lsh_pairs(corpus, "text", "doc_id",
+                                      threshold=0.3).collect()}
+    # verified output ⊆ exact (no false positives), identical jaccard values
+    for pair, j in lsh.items():
+        assert pair in exact
+        assert j == exact[pair]
+    # pairs with very high jaccard must be recalled (16 bands of 4 rows →
+    # p(catch) = 1-(1-j^4)^16 > 0.9999 at j >= 0.9)
+    for pair, j in exact.items():
+        if j >= 0.9:
+            assert pair in lsh
+
+
+def test_minhash_on_real_data_matches_exact(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {(r.id_a, r.id_b) for r in
+             ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    assert lsh <= exact
+    high = {(r.id_a, r.id_b) for r in
+            ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.9).collect()}
+    assert high <= lsh  # planted ~0.99 dups always recalled
+
+
+def test_simhash_finds_exact_dup(corpus):
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_pairs(corpus, "text", "doc_id",
+                                    max_hamming=7).collect()}
+    assert pairs.get((0, 1)) == 0  # identical text → identical simhash
+
+
+def test_cosine_topk_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # very close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = cosine_topk_pairs(df, "embedding", "vec_id", k=2).collect()
+    assert (top[0].id_a, top[0].id_b) == (0, 1)
+    assert top[0].cosine > 0.99

@@ -212,3 +212,277 @@ def _register_relational() -> None:
 
 
 _register_relational()
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators: dedup, similarity, text analysis.
+# --------------------------------------------------------------------------
+
+_STOP_SQL = "('the','a','of','and','to','in','is','that','it','for')"
+
+_SHINGLE_CTE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+       FROM toks, unnest(range(1, len(t) - 1)) AS r(i)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+"""
+
+
+@register(
+    "dedup_exact_stats",
+    "SELECT count(*) AS n_rows, count(DISTINCT text) AS n_distinct, "
+    "count(*) - count(DISTINCT text) AS n_dup_rows FROM documents",
+)
+def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup_stats
+
+    return exact_dedup_stats(load_table(spark, sf_dir, "documents"), "text")
+
+
+@register(
+    "dedup_exact_map",
+    """
+WITH d AS (SELECT doc_id AS id, md5(text) AS digest FROM documents),
+c AS (SELECT digest, min(id) AS canonical_id FROM d GROUP BY digest)
+SELECT d.id, c.canonical_id FROM d JOIN c USING (digest) ORDER BY id
+""",
+)
+def q_dedup_exact_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").orderBy("id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _SHINGLE_CTE
+    + """
+SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+@register("dedup_minhash_lsh")  # no oracle: xxhash64 not available in DuckDB
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard-verified (no false
+    positives; recall bounded by banding).  Rows-only driver check; the
+    pytest suite asserts LSH pairs ⊆ exact pairs and full recall on the
+    planted ~0.99-Jaccard dups."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+@register("dedup_simhash")  # no oracle: xxhash64 not available in DuckDB
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=7)
+
+
+@register(
+    "cosine_topk_pairs",
+    """
+WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         (SELECT sum(x.xa * x.xb)
+          FROM (SELECT unnest(a.v) AS xa, unnest(b.v) AS xb) x) AS dot,
+         sqrt((SELECT sum(x.xa * x.xa) FROM (SELECT unnest(a.v) AS xa) x)) AS na,
+         sqrt((SELECT sum(x.xb * x.xb) FROM (SELECT unnest(b.v) AS xb) x)) AS nb
+  FROM v a JOIN v b ON a.id < b.id
+)
+SELECT id_a, id_b,
+       round(CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END, 6) AS cosine
+FROM p ORDER BY cosine DESC, id_a, id_b LIMIT 20
+""",
+)
+def q_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import cosine_topk_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_pairs(emb, "embedding", "vec_id", k=20)
+
+
+@register(
+    "ann_cosine_topk",
+    """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v ORDER BY vec_id LIMIT 4),
+d AS (
+  SELECT q.query_id, e.vec_id AS id,
+         (SELECT sum(x.a * x.b) FROM (SELECT unnest(e.v) AS a, unnest(q.qv) AS b) x) AS dot,
+         sqrt((SELECT sum(x.a * x.a) FROM (SELECT unnest(e.v) AS a) x)) AS na,
+         sqrt((SELECT sum(x.b * x.b) FROM (SELECT unnest(q.qv) AS b) x)) AS nb
+  FROM v e CROSS JOIN q
+), s AS (
+  SELECT query_id, id,
+         1.0 - CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS dist
+  FROM d
+), r AS (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM s
+)
+SELECT query_id, id, round(dist, 6) AS distance
+FROM r WHERE rn <= 5 ORDER BY query_id, distance, id
+""",
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k — the exactness baseline for ANN; the
+    IVF/LSH variants in operators/ann.py are graded against this."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qs = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qvec"))
+    )
+    res = knn_search(
+        emb, qs, k=5, id_col="vec_id", vec_col="v", metric="cosine", impl="expr"
+    )
+    return res.withColumn("distance", F.round("distance", 6))
+
+
+@register(
+    "token_stats",
+    """
+SELECT doc_id AS id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       length(text) AS n_chars,
+       round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS mean_token_len
+FROM documents ORDER BY id
+""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import token_stats
+
+    return token_stats(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "quality_score",
+    f"""
+SELECT doc_id AS id,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS distinct_ratio,
+       round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS punct_ratio,
+       round(CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       round((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')))
+             * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                      / length(text))
+             * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0),
+             6) AS quality
+FROM documents ORDER BY id
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import quality_score
+
+    return quality_score(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _langid_union_sql() -> str:
+    from .operators.textstats import STOPWORDS
+
+    parts = []
+    for lang, words in sorted(STOPWORDS.items()):
+        inlist = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(string_split(text, ' '), t -> t IN ({inlist}))) AS score "
+            "FROM documents"
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH s AS ({union}),
+r AS (SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+      FROM s)
+SELECT doc_id AS id, lang AS pred_lang, score FROM r WHERE rn = 1 ORDER BY id
+"""
+
+
+@register("language_id")
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import language_id
+
+    return language_id(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_ORACLES["language_id"] = _langid_union_sql()
+
+
+@register(
+    "doc_fingerprint",
+    """
+SELECT doc_id AS id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(text) + 1),
+                                     i -> CAST(unicode(text[i]) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+FROM documents ORDER BY id
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "tokenize_bpeish",
+    r"""
+SELECT doc_id AS id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces,
+       len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                       p -> regexp_full_match(p, '[A-Za-z]+'))) AS n_word_pieces,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+       - len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                         p -> regexp_full_match(p, '[A-Za-z]+'))) AS n_other_pieces
+FROM documents ORDER BY id
+""",
+)
+def q_tokenize_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import tokenize_bpeish
+
+    return tokenize_bpeish(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "corpus_lang_summary",
+    """
+SELECT lang, count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS total_tokens,
+       round(CAST(sum(length(text)) AS DOUBLE) / count(*), 6) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
+def q_corpus_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import corpus_lang_summary
+
+    return corpus_lang_summary(load_table(spark, sf_dir, "documents"), "text", "lang")
