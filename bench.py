@@ -1,0 +1,130 @@
+"""BENCH harness — headline queries at sf0.1 on local[N].
+
+Prints ONE JSON line:
+``{"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}``
+
+Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+``SPARK_GRAFT_CPUS`` (default 32).
+
+Each query is a full action (collect/count of the final result) including
+plan+execute, excluding session startup and a one-time warmup that touches
+each input file so OS page cache and Spark codegen caches don't bias the
+first-measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_value(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_queries(spark):
+    """Headline set: the flagship kNN (fast kernel), the shuffle-heavy
+    relational plans, dedup at scale, fuzzy top-k, and text analytics."""
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.operators.dedup import (
+        cosine_topk_pairs_fast,
+        minhash_lsh_pairs,
+    )
+    from vector_db_at_home_spark.operators.fuzzysearch import fuzzy_search_by_doc
+    from vector_db_at_home_spark.operators.knn import knn_search
+    from vector_db_at_home_spark.registry import queries as registry_queries
+    from vector_db_at_home_spark.sources import load_table
+
+    reg = registry_queries()
+
+    def knn_batch(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        qs = (
+            emb.orderBy("vec_id")
+            .limit(32)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qvec"))
+        )
+        return knn_search(emb, qs, k=10, id_col="vec_id", vec_col="embedding",
+                          impl="pandas")
+
+    def fuzzy_topk(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return fuzzy_search_by_doc(
+            docs,
+            ["spark window merge sort", "the fast key order sort table"],
+            k=10, doc_col="text", id_col="doc_id",
+        )
+
+    def cosine_pairs_fast(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return cosine_topk_pairs_fast(emb, "embedding", "vec_id", k=20)
+
+    def minhash(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+
+    return {
+        "knn_batch32_k10": knn_batch,
+        "q1_pricing_summary": reg["q1_pricing_summary"],
+        "q3_shipping_priority": reg["q3_shipping_priority"],
+        "q5_local_supplier_volume": reg["q5_local_supplier_volume"],
+        "window_top_orders": reg["window_top_orders"],
+        "events_windowed_agg": reg["events_windowed_agg"],
+        "dedup_minhash_lsh": minhash,
+        "cosine_topk_pairs": cosine_pairs_fast,
+        "fuzzy_topk": fuzzy_topk,
+        "token_stats": reg["token_stats"],
+        "query_by_doc": reg["query_by_doc"],
+    }
+
+
+def main() -> None:
+    from vector_db_at_home_spark.schema import TESTDATA_TABLES
+    from vector_db_at_home_spark.session import get_spark
+    from vector_db_at_home_spark.sources import load_table
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch every table once (page cache + codegen warm)
+    for t in TESTDATA_TABLES:
+        load_table(spark, SF_DIR, t).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in bench_queries(spark).items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = len(df.collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_value(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
