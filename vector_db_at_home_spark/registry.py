@@ -473,6 +473,40 @@ def q_tokenize_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_bpeish(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+@register("multimodal_stats")  # no oracle: entropy UDF not SQL-expressible
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: synthesize binary media from the
+    documents table, Arrow-batched feature extraction via mapInPandas,
+    aggregate by modality (operators/multimodal.py; decode is stubbed,
+    plumbing is real)."""
+    from .operators.multimodal import (
+        extract_media_features,
+        media_stats_by_modality,
+        synthesize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "text", "doc_id")
+    return media_stats_by_modality(extract_media_features(media))
+
+
+@register("ann_ivf_topk")  # no oracle: KMeans centroids not SQL-expressible
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate kNN (operators/ann.py): KMeans cells, 4 probes.
+    Rows-only driver check; pytest measures recall vs the exact oracle."""
+    from .operators.ann import ivf_build, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    ivf = ivf_build(emb, id_col="vec_id", vec_col="embedding", n_cells=16)
+    res = ivf_search(ivf, qs, k=5, n_probes=4)
+    return res.withColumn("distance", F.round("distance", 6))
+
+
 @register(
     "corpus_lang_summary",
     """
