@@ -1,0 +1,100 @@
+"""Physical-plan regression tests — the 100 TB design brief, enforced.
+
+Each test pins a scale-critical property of a headline plan; a Catalyst
+regression (lost pushdown, dropped broadcast, missing rank-limit) fails
+here rather than as a cluster-scale slowdown.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_db_at_home_spark.operators.relational import (
+    local_supplier_volume,
+    pricing_summary,
+    shipping_priority,
+    top_orders_per_customer,
+)
+from vector_db_at_home_spark.plans.explain import (
+    broadcast_join_count,
+    formatted_plan,
+    has_pushed_filters,
+    has_window_group_limit,
+    scan_read_schema,
+    whole_stage_codegen_spans,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_filter_pushed_to_parquet_scan(spark):
+    df = pricing_summary(spark, SF)
+    assert has_pushed_filters(df, "l_shipdate")
+
+
+def test_q1_column_pruning(spark):
+    df = pricing_summary(spark, SF)
+    cols = set(scan_read_schema(df))
+    # only the 7 referenced columns are read, not the full 11-col lineitem
+    assert cols == {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }
+
+
+def test_q1_whole_stage_codegen(spark):
+    df = pricing_summary(spark, SF)
+    df.collect()  # AQE finalizes the plan (and codegen markers) on execution
+    assert whole_stage_codegen_spans(df) >= 1
+
+
+def test_q1_partial_aggregation(spark):
+    # map-side combine: the shuffle carries partial_sum state, not rows
+    assert "partial_sum" in formatted_plan(pricing_summary(spark, SF))
+
+
+def test_q3_broadcasts_customer(spark):
+    df = shipping_priority(spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert has_pushed_filters(df, "l_shipdate")
+    assert has_pushed_filters(df, "o_orderdate")
+
+
+def test_q5_star_join_broadcasts_all_dims(spark):
+    df = local_supplier_volume(spark, SF)
+    # customer, supplier, nation, region all broadcast → ≥4 broadcast joins
+    assert broadcast_join_count(df) >= 4
+
+
+def test_window_topk_uses_group_limit_pushdown(spark):
+    df = top_orders_per_customer(spark, SF)
+    # rank-limit pushdown: per-partition top-k before the shuffle
+    assert has_window_group_limit(df)
+
+
+def test_knn_expr_plan_shape(spark):
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.operators.knn import knn_search
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = (emb.orderBy("vec_id").limit(2)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qvec")))
+    df = knn_search(emb, qs, k=3, id_col="vec_id", vec_col="embedding",
+                    impl="expr")
+    plan = formatted_plan(df)
+    # queries are the broadcast side of the distance pass
+    assert "BroadcastNestedLoopJoin" in plan
+    # index scan reads only (vec_id, embedding)
+    assert "label" not in plan.split("ReadSchema")[1].split("\n")[0]
+    # per-query top-k has the rank-limit pushdown
+    assert "WindowGroupLimit" in plan
+
+
+def test_select_ids_filter_pushdown(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = emb.filter(F.col("vec_id").isin([1, 5, 10])).select("vec_id", "label")
+    assert has_pushed_filters(df, "vec_id")

@@ -1,0 +1,119 @@
+"""Source/format tests: SQLite compat bridge, multi-format round-trips,
+SQL UDF surface."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_at_home_spark.functions.register import (
+    register_sql_functions,
+    sql_macro,
+)
+from vector_db_at_home_spark.schema import VECTOR_SCHEMA
+from vector_db_at_home_spark.sources.formats import read_store, write_store
+from vector_db_at_home_spark.sources.sqlite_compat import (
+    blob_to_vec,
+    export_sqlite,
+    import_sqlite,
+    vec_to_blob,
+)
+
+DIM = 6
+
+
+def make_store_df(spark, n=5):
+    rows = [
+        (i, [float(i) + j * 0.5 for j in range(DIM)], '{"k%d": "v%d"}' % (i, i))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, VECTOR_SCHEMA)
+
+
+def test_blob_codec_roundtrip():
+    vec = [1.5, -2.25, 0.0, 3.75]
+    blob = vec_to_blob(vec)
+    assert len(blob) == 4 * 4  # float32 little-endian, dim*4 bytes
+    assert blob_to_vec(blob) == vec
+
+
+def test_blob_codec_matches_reference_layout():
+    # the reference stores raw little-endian float32; byte-level check
+    blob = vec_to_blob([1.0])
+    assert blob == b"\x00\x00\x80\x3f"
+
+
+def test_sqlite_roundtrip(spark, tmp_path):
+    db = str(tmp_path / "store.sqlite3")
+    df = make_store_df(spark)
+    n = export_sqlite(df, db)
+    assert n == 5
+    # file is readable by plain sqlite3 in the reference's schema
+    con = sqlite3.connect(db)
+    rows = con.execute("SELECT id, vec, doc FROM vector ORDER BY id").fetchall()
+    con.close()
+    assert len(rows) == 5
+    assert np.frombuffer(rows[2][1], dtype="<f4").shape == (DIM,)
+    back = import_sqlite(spark, db, expected_dim=DIM)
+    orig = sorted(df.collect(), key=lambda r: r.id)
+    got = sorted(back.collect(), key=lambda r: r.id)
+    assert [(r.id, r.vec, r.doc) for r in orig] == [(r.id, r.vec, r.doc) for r in got]
+
+
+def test_sqlite_null_doc_becomes_empty_json(spark, tmp_path):
+    db = str(tmp_path / "nulldoc.sqlite3")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE vector (id INTEGER PRIMARY KEY, vec BLOB NOT NULL, doc TEXT)")
+    con.execute("INSERT INTO vector VALUES (0, ?, NULL)", (vec_to_blob([1.0] * DIM),))
+    con.commit()
+    con.close()
+    df = import_sqlite(spark, db)
+    assert df.first().doc == "{}"
+
+
+def test_sqlite_dim_mismatch_raises(spark, tmp_path):
+    db = str(tmp_path / "baddim.sqlite3")
+    export_sqlite(make_store_df(spark), db)
+    with pytest.raises(ValueError, match="dim"):
+        import_sqlite(spark, db, expected_dim=DIM + 1)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_format_roundtrip(spark, tmp_path, fmt):
+    df = make_store_df(spark)
+    path = str(tmp_path / f"store_{fmt}")
+    write_store(df, path, fmt)
+    back = read_store(spark, path, fmt)
+    orig = sorted([(r.id, r.vec, r.doc) for r in df.collect()])
+    got = sorted([(r.id, r.vec, r.doc) for r in back.collect()])
+    assert orig == got
+    assert back.schema["vec"].dataType.simpleString() == "array<float>"
+
+
+def test_sql_udf_surface(spark):
+    register_sql_functions(spark)
+    r = spark.sql(
+        """SELECT indel_ratio('{"1": "1"}', '{"k1": "v1"}') AS sim,
+                  indel_distance('v4', '{"k4": "v4"}') AS dist"""
+    ).first()
+    assert r.sim == pytest.approx(100 * 20 / 22, abs=1e-9)
+    assert r.dist == pytest.approx(100 * 10 / 14, abs=1e-9)
+
+
+def test_sql_macros(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.createOrReplaceTempView("emb_macro_test")
+    expr = sql_macro("l2_distance", a="a.embedding", b="b.embedding")
+    r = spark.sql(
+        f"""SELECT {expr} AS d
+            FROM emb_macro_test a JOIN emb_macro_test b
+            ON a.vec_id = 0 AND b.vec_id = 0"""
+    ).first()
+    assert r.d == 0.0
+    fp_expr = sql_macro("rolling_fingerprint", s="'abc'")
+    fp = spark.sql(f"SELECT {fp_expr} AS fp").first().fp
+    # ((0*31+97)*31+98)*31+99 mod 1e9+7
+    assert fp == ((97 * 31 + 98) * 31 + 99) % 1_000_000_007
