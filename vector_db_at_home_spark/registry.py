@@ -205,6 +205,9 @@ def _register_relational() -> None:
          R.EVENTS_WINDOWED_AGG_SQL),
         ("nation_setops", R.nation_setops, R.NATION_SETOPS_SQL),
         ("revenue_rollup", R.revenue_rollup, R.REVENUE_ROLLUP_SQL),
+        ("q6_forecast_revenue", R.forecast_revenue, R.FORECAST_REVENUE_SQL),
+        ("q10_returned_items", R.returned_items, R.RETURNED_ITEMS_SQL),
+        ("q18_large_orders", R.large_orders, R.LARGE_ORDERS_SQL),
     ]
     for name, fn, sql in pairs:
         _QUERIES[name] = fn
