@@ -152,7 +152,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     self-join, one for the verify join.  The full cross product never forms.
     """
     rows = num_perm // bands
-    sh = word_shingles(df, text_col, id_col, n)
+    # shingles feed both the signature pass and the exact-verify pass —
+    # cache so the explode+distinct runs once, not twice
+    sh = word_shingles(df, text_col, id_col, n).cache()
     sig = minhash_signatures(sh, num_perm)
     band_rows = sig.select(
         "id",

@@ -476,6 +476,79 @@ def q_tokenize_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_bpeish(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+@register("tfidf_top_terms")
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smooth idf, top-3 characteristic terms per doc
+    (operators/tfidf.py) — pure DataFrame, exact cross-engine arithmetic."""
+    from .operators.tfidf import top_terms_per_doc
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_terms_per_doc(docs, "text", "doc_id", k=3)
+
+
+def _attach_tfidf_oracle() -> None:
+    from .operators.tfidf import TFIDF_TOP_TERMS_SQL_TEMPLATE
+
+    _ORACLES["tfidf_top_terms"] = TFIDF_TOP_TERMS_SQL_TEMPLATE.format(k=3)
+
+
+_attach_tfidf_oracle()
+
+
+@register(
+    "events_percentiles",
+    # exact linear-interpolation percentile: verified bit-identical between
+    # Spark percentile() and DuckDB quantile_cont()
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.round(F.min("value"), 6).alias("vmin"),
+            F.round(F.max("value"), 6).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PIVOT_SOURCES = [f"src{i}" for i in range(20)]
+
+
+@register(
+    "lang_source_pivot",
+    "SELECT lang, "
+    + ", ".join(
+        f"sum(CASE WHEN source = '{s}' THEN 1 ELSE 0 END) AS {s}"
+        for s in _PIVOT_SOURCES
+    )
+    + " FROM documents GROUP BY lang ORDER BY lang",
+)
+def q_lang_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/crosstab: doc counts per (lang × source) — covers the pivot
+    operator; fixed pivot values keep the schema deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .pivot("source", _PIVOT_SOURCES)
+        .count()
+        .na.fill(0, _PIVOT_SOURCES)
+        .orderBy("lang")
+    )
+
+
 @register("multimodal_stats")  # no oracle: entropy UDF not SQL-expressible
 def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthesize binary media from the

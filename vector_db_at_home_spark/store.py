@@ -165,6 +165,24 @@ class VectorStore:
             self._snapshot_dir(self._current_version())
         )
 
+    def versions(self) -> list[int]:
+        """All retained snapshot versions (time travel).  Deletes create new
+        versions; inserts append to the current one — the Delta-style
+        history the reference's single SQLite file cannot offer."""
+        out = []
+        for name in sorted(os.listdir(self.root)):
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return out
+
+    def df_at_version(self, version: int) -> DataFrame:
+        """Read a historical snapshot (state as of that version)."""
+        if version not in self.versions():
+            raise ValueError(f"unknown version {version}; have {self.versions()}")
+        return self.spark.read.schema(VECTOR_SCHEMA).parquet(
+            self._snapshot_dir(version)
+        )
+
     def index_df(self) -> DataFrame:
         """Cached (id, vec) projection — the analog of the reference's
         in-memory NumPy index (vector_store.py:64-67)."""
