@@ -27,6 +27,13 @@ def normalize_cell(v):
         return v
     if isinstance(v, (list, tuple)):
         return tuple(normalize_cell(x) for x in v)
+    try:  # pandas NaT / NA scalars (e.g. null timestamps)
+        import pandas as pd
+
+        if v is pd.NaT or (not isinstance(v, (str, bytes)) and pd.isna(v)):
+            return None
+    except (TypeError, ValueError):
+        pass
     return v
 
 

@@ -584,6 +584,77 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_events",
+    # DuckDB's NATIVE ASOF JOIN is the oracle for our union+window impl
+    """
+WITH upd AS (SELECT user_id, ts AS upd_ts, value AS upd_value FROM events
+             WHERE event_id % 7 = 0)
+SELECT e.event_id, e.user_id,
+       coalesce(u.upd_ts, TIMESTAMP '1970-01-01') AS upd_ts_asof,
+       coalesce(round(u.upd_value, 6), -1.0) AS upd_value_asof
+FROM (SELECT event_id, user_id, ts FROM events) e
+ASOF LEFT JOIN upd u ON e.user_id = u.user_id AND e.ts >= u.upd_ts
+ORDER BY event_id
+""",
+)
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): every event gets the most recent
+    per-user update at-or-before its timestamp — one shuffle on the key via
+    the union+window plan, no inequality join."""
+    from .operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    upd = (
+        ev.filter(F.col("event_id") % 7 == 0)
+        .select("user_id", F.col("ts").alias("upd_ts"),
+                F.col("value").alias("upd_value"))
+    )
+    res = asof_join(ev.select("event_id", "user_id", "ts"), upd,
+                    key="user_id", left_time="ts", right_time="upd_ts")
+    # nulls (no prior update) → sentinels: the driver's hash compare may
+    # not treat NaT/None uniformly across engines
+    return res.select(
+        "event_id",
+        "user_id",
+        F.coalesce("upd_ts_asof", F.lit("1970-01-01").cast("timestamp")).alias(
+            "upd_ts_asof"
+        ),
+        F.coalesce(F.round("upd_value_asof", 6), F.lit(-1.0)).alias(
+            "upd_value_asof"
+        ),
+    ).orderBy("event_id")
+
+
+@register(
+    "range_join_windows",
+    """
+WITH w AS (SELECT event_id AS win_id, ts AS s, ts + INTERVAL 6 HOUR AS e
+           FROM events WHERE event_id % 50 = 0)
+SELECT ev.event_id, w.win_id
+FROM events ev JOIN w ON w.s <= ev.ts AND ev.ts < w.e
+ORDER BY event_id, win_id
+""",
+)
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (operators/temporal.py): events × 6-hour windows
+    as a hash join on time bins + exact filter — no nested loop."""
+    from .operators.temporal import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    windows = (
+        ev.filter(F.col("event_id") % 50 == 0)
+        .select(
+            F.col("event_id").alias("win_id"),
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end"),
+        )
+    )
+    res = range_join_binned(ev.select("event_id", "ts"), windows,
+                            "ts", "start", "end", bin_seconds=3600)
+    return res.select("event_id", "win_id").orderBy("event_id", "win_id")
+
+
+@register(
     "corpus_lang_summary",
     """
 SELECT lang, count(*) AS n_docs,
