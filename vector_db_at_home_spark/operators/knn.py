@@ -114,38 +114,49 @@ def _knn_pandas(index, queries, k, id_col, vec_col, query_id_col,
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     bc = spark.sparkContext.broadcast((qids, qmat, metric, k))
 
+    # cap the per-task distance block at ~64 MB (m × chunk doubles) so huge
+    # partitions stream through in chunks instead of materializing m × rows
+    chunk_rows = max(1024, int(8_000_000 / max(len(qrows), 1)))
+
     def score_partition(batches):
         b_qids, b_qmat, b_metric, b_k = bc.value
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf["__id"].to_numpy(dtype=np.int64)
-            vecs = np.asarray(pdf["__vec"].tolist(), dtype=np.float64)
-            if b_metric in ("l2", "sqeuclidean"):
-                # ||v||^2 + ||q||^2 - 2 v·q : one GEMM for the whole block
-                sq = (
-                    (vecs * vecs).sum(axis=1)[None, :]
-                    + (b_qmat * b_qmat).sum(axis=1)[:, None]
-                    - 2.0 * (b_qmat @ vecs.T)
+            for start in range(0, len(pdf), chunk_rows):
+                yield from _score_chunk(
+                    pdf.iloc[start:start + chunk_rows], b_qids, b_qmat,
+                    b_metric, b_k
                 )
-                np.maximum(sq, 0.0, out=sq)
-                dist = np.sqrt(sq) if b_metric == "l2" else sq
-            else:  # cosine distance
-                vn = np.linalg.norm(vecs, axis=1)
-                qn = np.linalg.norm(b_qmat, axis=1)
-                denom = qn[:, None] * vn[None, :]
-                sim = np.divide(b_qmat @ vecs.T, denom, out=np.zeros_like(denom),
-                                where=denom != 0)
-                dist = 1.0 - sim
-            kk = min(b_k, dist.shape[1])
-            # partial selection (argpartition), not a full sort — local top-k
-            part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
-            out_qid = np.repeat(b_qids, kk)
-            out_id = ids[part].ravel()
-            out_d = np.take_along_axis(dist, part, axis=1).ravel()
-            yield pd.DataFrame(
-                {"query_id": out_qid, "id": out_id, "distance": out_d}
+
+    def _score_chunk(pdf, b_qids, b_qmat, b_metric, b_k):
+        if len(pdf) == 0:
+            return
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        vecs = np.asarray(pdf["__vec"].tolist(), dtype=np.float64)
+        if b_metric in ("l2", "sqeuclidean"):
+            # ||v||^2 + ||q||^2 - 2 v·q : one GEMM for the whole block
+            sq = (
+                (vecs * vecs).sum(axis=1)[None, :]
+                + (b_qmat * b_qmat).sum(axis=1)[:, None]
+                - 2.0 * (b_qmat @ vecs.T)
             )
+            np.maximum(sq, 0.0, out=sq)
+            dist = np.sqrt(sq) if b_metric == "l2" else sq
+        else:  # cosine distance
+            vn = np.linalg.norm(vecs, axis=1)
+            qn = np.linalg.norm(b_qmat, axis=1)
+            denom = qn[:, None] * vn[None, :]
+            sim = np.divide(b_qmat @ vecs.T, denom, out=np.zeros_like(denom),
+                            where=denom != 0)
+            dist = 1.0 - sim
+        kk = min(b_k, dist.shape[1])
+        # partial selection (argpartition), not a full sort — local top-k
+        part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+        out_qid = np.repeat(b_qids, kk)
+        out_id = ids[part].ravel()
+        out_d = np.take_along_axis(dist, part, axis=1).ravel()
+        yield pd.DataFrame(
+            {"query_id": out_qid, "id": out_id, "distance": out_d}
+        )
 
     narrow = index.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
     candidates = narrow.mapInPandas(

@@ -458,3 +458,47 @@ GROUP BY o_orderkey, o_orderdate, o_totalprice
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 20
 """
+
+
+def rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window breadth: per-customer running revenue + lag/lead over
+    order dates (RANGE/ROWS frames, lag, dense ranking in one pass over one
+    shuffle on custkey)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_order = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w_running = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(w_running)
+                    .cast("double"), 4).alias("running_total"),
+            F.coalesce(
+                F.round(F.lag("o_totalprice", 1).over(w_order), 4), F.lit(-1.0)
+            ).alias("prev_price"),
+            F.dense_rank().over(w_order).alias("order_seq"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+ROLLING_REVENUE_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE), 4) AS running_total,
+       coalesce(round(lag(o_totalprice, 1)
+                      OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey),
+                      4), -1.0) AS prev_price,
+       dense_rank()
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS order_seq
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""

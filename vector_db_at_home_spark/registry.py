@@ -208,6 +208,7 @@ def _register_relational() -> None:
         ("q6_forecast_revenue", R.forecast_revenue, R.FORECAST_REVENUE_SQL),
         ("q10_returned_items", R.returned_items, R.RETURNED_ITEMS_SQL),
         ("q18_large_orders", R.large_orders, R.LARGE_ORDERS_SQL),
+        ("rolling_revenue", R.rolling_revenue, R.ROLLING_REVENUE_SQL),
     ]
     for name, fn, sql in pairs:
         _QUERIES[name] = fn
@@ -581,6 +582,27 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ivf_build(emb, id_col="vec_id", vec_col="embedding", n_cells=16)
     res = ivf_search(ivf, qs, k=5, n_probes=4)
     return res.withColumn("distance", F.round("distance", 6))
+
+
+@register(
+    "frequent_items",
+    "SELECT event_type AS item, count(*) AS cnt FROM events "
+    "GROUP BY 1 ORDER BY cnt DESC, item LIMIT 3",
+)
+def q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import frequent_items
+
+    ev = load_table(spark, sf_dir, "events")
+    return frequent_items(ev, "event_type", n=3)
+
+
+@register("sketch_user_cardinality")  # no oracle: HLL estimates are
+def q_sketch_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """engine-specific; tests assert <5% relative error vs exact."""
+    from .operators.sketches import user_cardinality_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return user_cardinality_sketch(ev)
 
 
 @register(
