@@ -1,0 +1,100 @@
+"""Robustness edge cases across operators: empty inputs, single rows,
+degenerate parameters."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_at_home_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from vector_db_at_home_spark.operators.fuzzysearch import fuzzy_search_by_doc
+from vector_db_at_home_spark.operators.knn import knn_search
+from vector_db_at_home_spark.operators.tfidf import tfidf
+from vector_db_at_home_spark.schema import QUERY_SCHEMA, VECTOR_SCHEMA
+
+
+@pytest.fixture()
+def empty_store(spark):
+    return spark.createDataFrame([], VECTOR_SCHEMA)
+
+
+def test_knn_empty_queries(spark, empty_store):
+    one = spark.createDataFrame([(0, [1.0, 0.0], "{}")],
+                                "id long, vec array<float>, doc string")
+    res = knn_search(one, spark.createDataFrame([], QUERY_SCHEMA), k=1,
+                     impl="pandas")
+    assert res.count() == 0
+
+
+def test_knn_empty_index_expr(spark, empty_store):
+    qs = spark.createDataFrame([(0, [1.0, 0.0])], QUERY_SCHEMA)
+    assert knn_search(empty_store, qs, k=1, impl="expr").count() == 0
+
+
+def test_knn_single_row_index(spark):
+    one = spark.createDataFrame([(7, [1.0, 2.0], "{}")],
+                                "id long, vec array<float>, doc string")
+    qs = spark.createDataFrame([(0, [1.0, 2.0])], QUERY_SCHEMA)
+    for impl in ("expr", "pandas"):
+        rows = knn_search(one, qs, k=1, impl=impl).collect()
+        assert [(r.id, r.distance) for r in rows] == [(7, 0.0)]
+
+
+def test_fuzzy_empty_store(spark, empty_store):
+    res = fuzzy_search_by_doc(empty_store, ["x"], k=3)
+    assert res.count() == 0
+
+
+def test_fuzzy_empty_query_string(spark):
+    store = spark.createDataFrame([(0, [1.0], "abc"), (1, [1.0], "")],
+                                  "id long, vec array<float>, doc string")
+    rows = fuzzy_search_by_doc(store, [""], k=2).collect()
+    # empty vs empty = similarity 100 → distance 0; empty vs 'abc' = 0 sim
+    by_id = {r.id: r.distance for r in rows}
+    assert by_id[1] == 0.0
+    assert by_id[0] == 100.0
+
+
+def test_dedup_empty(spark):
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(empty_docs, "text", "doc_id").count() == 0
+    assert ngram_jaccard_pairs(empty_docs, "text", "doc_id").count() == 0
+    assert minhash_lsh_pairs(empty_docs, "text", "doc_id").count() == 0
+
+
+def test_tfidf_single_doc(spark):
+    one = spark.createDataFrame([(0, "a b a")], "doc_id long, text string")
+    rows = {r.token: r for r in tfidf(one, "text", "doc_id").collect()}
+    assert rows["a"].tf == 2 and rows["a"].df_count == 1
+
+
+def test_jaccard_identical_single_tokens(spark):
+    # docs shorter than the shingle width produce no pairs, not errors
+    docs = spark.createDataFrame([(0, "x"), (1, "x")], "doc_id long, text string")
+    assert ngram_jaccard_pairs(docs, "text", "doc_id", n=3).count() == 0
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from vector_db_at_home_spark.streaming.events import (
+        dedup_events_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    d = str(tmp_path / "dup_feed")
+    ev = spark.createDataFrame(
+        [(i % 5, f"2024-01-01 10:00:{i:02d}", 1, "view", 1.0, "{}")
+         for i in range(20)],  # 5 distinct event_ids, heavily duplicated
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ev.coalesce(2).write.parquet(d)
+    stream = read_events_stream(spark, d, max_files_per_trigger=10)
+    run_stream_to_memory(dedup_events_stream(stream), "dedup_ev",
+                         output_mode="append")
+    out = spark.table("dedup_ev").collect()
+    assert sorted(r.event_id for r in out) == [0, 1, 2, 3, 4]

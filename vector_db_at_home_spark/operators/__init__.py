@@ -1,4 +1,36 @@
-from .knn import knn_search
+from .ann import ivf_build, ivf_search, recall_at_k
+from .dedup import (
+    cosine_topk_pairs,
+    cosine_topk_pairs_fast,
+    exact_dedup,
+    exact_dedup_stats,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from .fuzzysearch import fuzzy_search_by_doc
+from .knn import knn_join_payload, knn_search
+from .skew import salted_aggregate, salted_broadcast_left
+from .temporal import asof_join, range_join_binned
 from .topk import top_k_per_group
 
-__all__ = ["knn_search", "top_k_per_group"]
+__all__ = [
+    "asof_join",
+    "cosine_topk_pairs",
+    "cosine_topk_pairs_fast",
+    "exact_dedup",
+    "exact_dedup_stats",
+    "fuzzy_search_by_doc",
+    "ivf_build",
+    "ivf_search",
+    "knn_join_payload",
+    "knn_search",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "range_join_binned",
+    "recall_at_k",
+    "salted_aggregate",
+    "salted_broadcast_left",
+    "simhash_pairs",
+    "top_k_per_group",
+]

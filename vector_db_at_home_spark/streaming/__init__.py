@@ -1,11 +1,15 @@
 from .events import (
+    dedup_events_stream,
     events_stream_windowed_counts,
     read_events_stream,
+    run_stream_to_memory,
     sessionize,
 )
 
 __all__ = [
+    "dedup_events_stream",
     "events_stream_windowed_counts",
     "read_events_stream",
+    "run_stream_to_memory",
     "sessionize",
 ]

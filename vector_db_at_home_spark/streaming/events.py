@@ -152,6 +152,18 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def dedup_events_stream(events: DataFrame,
+                        watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes — the streaming form of the batch exact-dedup
+    operator: state is O(keys within the lateness horizon), not O(stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
                          output_mode: str = "append") -> None:
     """Execute a streaming plan to completion over the available files
