@@ -113,3 +113,19 @@ def test_cosine_metric(spark, eye_store):
     assert res[0].id == 0
     assert res[0].distance == pytest.approx(0.0, abs=1e-9)
     assert res[1].distance == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pandas_impl_tie_break_across_chunks(spark):
+    """Regression: duplicate vectors at the kth boundary — the local
+    argpartition must not drop the lower-id member of a tie group
+    (code-review finding).  Many identical vectors spread over several
+    partitions force ties to straddle every local top-k boundary."""
+    rows = [(i, [1.0, 0.0]) for i in range(40)]  # 40 identical vectors
+    idx = spark.createDataFrame(
+        [(i, v, "{}") for i, v in rows],
+        "id long, vec array<float>, doc string",
+    ).repartition(8)
+    qs = make_queries(spark, [[1.0, 0.0]])
+    for impl in ("expr", "pandas"):
+        got = [r.id for r in knn_search(idx, qs, k=5, impl=impl).collect()]
+        assert got == [0, 1, 2, 3, 4], (impl, got)

@@ -111,3 +111,22 @@ def test_range_join_bin_boundaries(spark):
         r.id for r in range_join_binned(left, right, "ts", "s", "e").collect()
     )
     assert out == [1, 2]  # end bound exclusive, start inclusive
+
+
+def test_asof_null_right_value_not_backfilled(spark):
+    """Regression: a NULL field in the MATCHED right row must stay NULL —
+    carrying columns independently would backfill it from an older row,
+    mixing fields of different rows (code-review finding)."""
+    trades = spark.createDataFrame(
+        [(1, "A", "2024-01-01 10:00:09")], "trade_id long, sym string, t string"
+    ).withColumn("t", F.to_timestamp("t"))
+    quotes = spark.createDataFrame(
+        [("A", "2024-01-01 10:00:01", 100.0),
+         ("A", "2024-01-01 10:00:05", None)],
+        "sym string, qt string, price double",
+    ).withColumn("qt", F.to_timestamp("qt"))
+    row = asof_join(trades, quotes, key="sym", left_time="t",
+                    right_time="qt").first()
+    # matched row is the 10:00:05 one; its NULL price must NOT become 100.0
+    assert row.qt_asof.second == 5
+    assert row.price_asof is None

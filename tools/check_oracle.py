@@ -37,6 +37,15 @@ def normalize_cell(v):
     return v
 
 
+def _sort_key(row):
+    """Round floats inside the sort key so values equal only within
+    tolerance still sort to the same position on both sides (a raw repr
+    sort could misalign the row pairing and report a false FAIL)."""
+    return repr(
+        tuple(round(v, 6) if isinstance(v, float) else v for v in row)
+    )
+
+
 def to_multiset(df):
     """pandas DF -> sorted list of tuples with columns sorted by name."""
     cols = sorted(df.columns)
@@ -44,7 +53,7 @@ def to_multiset(df):
         tuple(normalize_cell(v) for v in row)
         for row in df[cols].itertuples(index=False, name=None)
     ]
-    return cols, sorted(rows, key=repr)
+    return cols, sorted(rows, key=_sort_key)
 
 
 def rows_equal(a, b, tol=1e-9):

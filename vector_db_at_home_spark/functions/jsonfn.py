@@ -31,10 +31,13 @@ def query_by_doc(df: DataFrame, path: Sequence[str],
                  doc_col: str = "doc") -> DataFrame:
     """Filter rows whose JSON doc value at ``path`` is in ``values``.
 
-    ``get_json_object`` yields strings; SQLite's ``json_extract`` compares
-    typed values (int 2 matches JSON number 2, ``tests.py:478-486``), so we
-    compare both the raw string form and the stringified value — this matches
-    SQLite semantics for scalar string/int values (SURVEY.md §2.4).
+    ``get_json_object`` yields strings (JSON numbers and strings both
+    unquoted), so comparison is stringly: int query 2 matches JSON number 2
+    (the reference behavior exercised by ``tests.py:478-486``) AND also
+    matches JSON string "2".  SQLite's typed ``json_extract`` would reject
+    the cross-type case — a documented deviation: Spark has no typed JSON
+    scalar extraction over schemaless docs, and the DuckDB oracle
+    (``json_extract_string``) shares this engine's stringly semantics.
     """
     extracted = json_path_col(doc_col, path)
     str_values = [str(v) for v in values]

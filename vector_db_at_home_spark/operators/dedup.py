@@ -153,7 +153,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     rows = num_perm // bands
     # shingles feed both the signature pass and the exact-verify pass —
-    # cache so the explode+distinct runs once, not twice
+    # cache so the explode+distinct runs once, not twice.  The cache pins
+    # executor memory for the session: the returned DataFrame exposes it as
+    # ``result.cached_shingles`` so long-lived callers can
+    # ``.unpersist()`` once the result is materialized.
     sh = word_shingles(df, text_col, id_col, n).cache()
     sig = minhash_signatures(sh, num_perm)
     band_rows = sig.select(
@@ -194,13 +197,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         F.col("inter").cast("double")
         / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     )
-    return (
+    result = (
         inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
+    result.cached_shingles = sh  # caller may .unpersist() after materializing
+    return result
 
 
 def simhash64(df: DataFrame, text_col: str, id_col: str,
@@ -352,13 +357,19 @@ def cosine_topk_pairs_fast(df: DataFrame, vec_col: str, id_col: str,
             mask = my_ids[:, None] >= b_ids[None, :]
             sims[mask] = -2.0
             kk = min(b_k, sims.shape[1])
+            # keep the full tie group at the kth boundary (same reasoning as
+            # the kNN kernel): otherwise argpartition picks an arbitrary
+            # member and the global (cosine DESC, id_a, id_b) order diverges
+            # from the exact path on duplicate embeddings
             part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            out_a = np.repeat(my_ids, kk)
-            out_b = b_ids[part].ravel()
-            out_s = np.take_along_axis(sims, part, axis=1).ravel()
+            kth = np.take_along_axis(sims, part, axis=1).min(axis=1,
+                                                            keepdims=True)
+            emit = sims >= kth
+            rows_idx, cols_idx = np.nonzero(emit)
+            out_s = sims[rows_idx, cols_idx]
             keep = out_s > -2.0
             yield pd.DataFrame(
-                {"id_a": out_a[keep], "id_b": out_b[keep],
+                {"id_a": my_ids[rows_idx][keep], "id_b": b_ids[cols_idx][keep],
                  "cosine": np.round(out_s[keep], 6)}
             )
 

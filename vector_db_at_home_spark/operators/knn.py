@@ -149,13 +149,21 @@ def _knn_pandas(index, queries, k, id_col, vec_col, query_id_col,
                             where=denom != 0)
             dist = 1.0 - sim
         kk = min(b_k, dist.shape[1])
-        # partial selection (argpartition), not a full sort — local top-k
+        # partial selection (argpartition), not a full sort — local top-k.
+        # Ties at the kth boundary: argpartition keeps an ARBITRARY member of
+        # the tie group, but the contract tie-break is (distance, id) — so
+        # also emit every candidate whose distance equals the kth kept
+        # distance; the global merge then ranks the full tie group.
         part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
-        out_qid = np.repeat(b_qids, kk)
-        out_id = ids[part].ravel()
-        out_d = np.take_along_axis(dist, part, axis=1).ravel()
+        kth = np.take_along_axis(dist, part, axis=1).max(axis=1, keepdims=True)
+        emit = dist <= kth
+        rows_idx, cols_idx = np.nonzero(emit)
         yield pd.DataFrame(
-            {"query_id": out_qid, "id": out_id, "distance": out_d}
+            {
+                "query_id": b_qids[rows_idx],
+                "id": ids[cols_idx],
+                "distance": dist[rows_idx, cols_idx],
+            }
         )
 
     narrow = index.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))

@@ -40,32 +40,31 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         # usually need to know WHICH right row matched
         right_cols = [c for c in right.columns if c != key]
     lt = F.col(left_time)
-    l_tagged = left.withColumn("__t", lt).withColumn("__tag", F.lit(1))
-    for c in right_cols:
-        l_tagged = l_tagged.withColumn(f"__r_{c}", F.lit(None).cast(
-            dict(right.dtypes)[c]
-        ))
+    # The matched right row is carried as ONE struct with a single
+    # last(ignorenulls) — carrying columns independently would let a NULL
+    # field inside the matched row be back-filled from an OLDER right row,
+    # mixing fields of different rows (diverges from ASOF JOIN semantics).
+    rtypes = dict(right.dtypes)
+    struct_type = (
+        "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_cols) + ">"
+    )
+    l_tagged = left.withColumn("__t", lt).withColumn("__tag", F.lit(1)) \
+        .withColumn("__r", F.lit(None).cast(struct_type))
     r_tagged = right.select(
         F.col(key),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__tag"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
     )
     # align schemas: left carries its own columns; right side gets NULLs
     l_cols = [c for c in left.columns]
+    ltypes = dict(left.dtypes)
     r_full = r_tagged
     for c in l_cols:
         if c != key:
-            r_full = r_full.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    unioned = l_tagged.select(
-        key, "__t", "__tag", *[c for c in l_cols if c != key],
-        *[f"__r_{c}" for c in right_cols],
-    ).unionByName(
-        r_full.select(
-            key, "__t", "__tag", *[c for c in l_cols if c != key],
-            *[f"__r_{c}" for c in right_cols],
-        )
-    )
+            r_full = r_full.withColumn(c, F.lit(None).cast(ltypes[c]))
+    cols = [key, "__t", "__tag", *[c for c in l_cols if c != key], "__r"]
+    unioned = l_tagged.select(*cols).unionByName(r_full.select(*cols))
     # right rows (tag 0) sort before left rows (tag 1) at equal timestamps →
     # a right row AT the left timestamp is visible (<= semantics)
     w = (
@@ -73,15 +72,13 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         .orderBy(F.col("__t").asc(), F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned
-    for c in right_cols:
-        carried = carried.withColumn(
-            f"__r_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
-        )
+    carried = unioned.withColumn(
+        "__r", F.last(F.col("__r"), ignorenulls=True).over(w)
+    )
     out = carried.filter(F.col("__tag") == 1).drop("__tag", "__t")
     for c in right_cols:
-        out = out.withColumnRenamed(f"__r_{c}", f"{c}{suffix}")
-    return out
+        out = out.withColumn(f"{c}{suffix}", F.col("__r")[c])
+    return out.drop("__r")
 
 
 def range_join_binned(left: DataFrame, right: DataFrame,

@@ -55,9 +55,8 @@ def scan_read_schema(df: DataFrame) -> list[str]:
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("BroadcastHashJoin") + formatted_plan(
-        df
-    ).count("BroadcastNestedLoopJoin")
+    plan = formatted_plan(df)
+    return plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
 
 
 def shuffle_exchange_count(df: DataFrame) -> int:

@@ -36,7 +36,6 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.fuzzy import indel_ratio
 from .operators.knn import knn_search
 from .schema import VECTOR_SCHEMA
 
