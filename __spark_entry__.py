@@ -7,11 +7,16 @@ SURVEY.md §2 with DuckDB oracles (see ``vector_db_at_home_spark/registry.py``).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from vector_db_at_home_spark import registry
+# the driver may import this file from any CWD — make the package resolvable
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vector_db_at_home_spark import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

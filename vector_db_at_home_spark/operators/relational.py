@@ -502,3 +502,41 @@ SELECT o_custkey, o_orderkey, o_orderdate,
 FROM orders
 ORDER BY o_custkey, o_orderkey
 """
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average) -
+    decorrelated into an aggregate + broadcast join; the fact table is
+    touched once, the per-part averages are a tiny broadcast side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    avg_qty = (
+        li.groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.8).alias("qty_bar"))
+    )
+    return (
+        li.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_bar"))
+        .agg(
+            F.round(
+                (F.sum(F.col("l_extendedprice").cast(DEC)) / F.lit(7.0))
+                .cast("double"),
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0,
+             4) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.8 * avg(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""

@@ -209,6 +209,8 @@ def _register_relational() -> None:
         ("q10_returned_items", R.returned_items, R.RETURNED_ITEMS_SQL),
         ("q18_large_orders", R.large_orders, R.LARGE_ORDERS_SQL),
         ("rolling_revenue", R.rolling_revenue, R.ROLLING_REVENUE_SQL),
+        ("q17_small_qty_revenue", R.small_quantity_revenue,
+         R.SMALL_QUANTITY_REVENUE_SQL),
     ]
     for name, fn, sql in pairs:
         _QUERIES[name] = fn
