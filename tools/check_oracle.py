@@ -122,8 +122,17 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
             failures += 1
             continue
         exact = srows == drows
+        # dtype drift (e.g. DuckDB HUGEINT sums → float64 vs Spark int64)
+        # passes the value compare here but may break the driver's hash
+        dtype_warn = ""
+        sdt = {c: str(sdf[c].dtype) for c in sdf.columns}
+        ddt = {c: str(ddf[c].dtype) for c in ddf.columns}
+        drift = {c: (sdt[c], ddt.get(c)) for c in sdt if sdt[c] != ddt.get(c)}
+        if drift:
+            dtype_warn = f"  [dtype drift: {drift}]"
         print(f"PASS {name}: {len(srows)} rows, cols {scols}"
-              + ("" if exact else "  [tolerance match, not bit-exact]"))
+              + ("" if exact else "  [tolerance match, not bit-exact]")
+              + dtype_warn)
     spark.stop()
     return failures
 

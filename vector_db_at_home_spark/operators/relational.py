@@ -110,7 +110,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .groupBy("l_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                 "o_orderpriority")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
@@ -122,7 +124,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SHIPPING_PRIORITY_SQL = f"""
-SELECT l_orderkey, o_orderdate, o_orderpriority,
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
        {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'
@@ -130,7 +132,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND l_orderkey = o_orderkey
   AND o_orderdate < TIMESTAMP '1998-03-15'
   AND l_shipdate  > TIMESTAMP '1998-03-15'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """
@@ -195,7 +197,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        orders.withColumn("rank", F.row_number().over(w))
+        orders.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select(
             "o_custkey",
@@ -208,7 +210,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOP_ORDERS_PER_CUSTOMER_SQL = """
-SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice, rank
+SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice, CAST(rank AS BIGINT) AS rank
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey
@@ -225,7 +227,10 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Structured Streaming windowed agg in ``streaming/``)."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.date_trunc("day", "ts").alias("day"), F.col("event_type"))
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.col("event_type"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             dsum(F.col("value")).alias("sum_value"),
@@ -236,7 +241,7 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_WINDOWED_AGG_SQL = f"""
-SELECT date_trunc('day', ts) AS day, event_type,
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
        count(*) AS n_events,
        {_sql_dsum('value')} AS sum_value,
        count(DISTINCT user_id) AS n_users
@@ -432,7 +437,9 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
         )
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .groupBy("o_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                 "o_totalprice")
         .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
@@ -446,7 +453,7 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LARGE_ORDERS_SQL = f"""
-SELECT o_orderkey, o_orderdate, round(o_totalprice, 4) AS totalprice,
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, round(o_totalprice, 4) AS totalprice,
        {_sql_dsum('l_quantity')} AS sum_qty
 FROM orders, lineitem
 WHERE o_orderkey IN (
@@ -454,7 +461,7 @@ WHERE o_orderkey IN (
     HAVING sum(l_quantity) > 150
 )
   AND o_orderkey = l_orderkey
-GROUP BY o_orderkey, o_orderdate, o_totalprice
+GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_totalprice
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 20
 """
@@ -473,20 +480,20 @@ def rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_custkey",
             "o_orderkey",
-            "o_orderdate",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(w_running)
                     .cast("double"), 4).alias("running_total"),
             F.coalesce(
                 F.round(F.lag("o_totalprice", 1).over(w_order), 4), F.lit(-1.0)
             ).alias("prev_price"),
-            F.dense_rank().over(w_order).alias("order_seq"),
+            F.dense_rank().over(w_order).cast("long").alias("order_seq"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
 
 
 ROLLING_REVENUE_SQL = """
-SELECT o_custkey, o_orderkey, o_orderdate,
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
                   OVER (PARTITION BY o_custkey
                         ORDER BY o_orderdate, o_orderkey
@@ -496,9 +503,9 @@ SELECT o_custkey, o_orderkey, o_orderdate,
                       OVER (PARTITION BY o_custkey
                             ORDER BY o_orderdate, o_orderkey),
                       4), -1.0) AS prev_price,
-       dense_rank()
+       CAST(dense_rank()
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-         AS order_seq
+         AS BIGINT) AS order_seq
 FROM orders
 ORDER BY o_custkey, o_orderkey
 """

@@ -47,9 +47,9 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     n_chars = F.length(F.col(text_col))
     return df.select(
         F.col(id_col).alias("id"),
-        n_tokens.alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        n_chars.alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        n_chars.cast("long").alias("n_chars"),
         # mean token length = (chars - separators) / tokens, exact rational
         F.round(
             (n_chars - (n_tokens - 1)).cast("double") / n_tokens, 6
@@ -80,7 +80,7 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     length_factor = F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
     return df.select(
         F.col(id_col).alias("id"),
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_hits.cast("double") / n_tokens, 6).alias("stopword_ratio"),
@@ -120,7 +120,7 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("id"),
         best["lang"].alias("pred_lang"),
-        best["score"].alias("score"),
+        best["score"].cast("long").alias("score"),
     )
 
 
@@ -148,9 +148,9 @@ def tokenize_bpeish(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     words = F.filter(pieces, lambda p: p.rlike("^[A-Za-z]+$"))
     return df.select(
         F.col(id_col).alias("id"),
-        F.size(pieces).alias("n_pieces"),
-        F.size(words).alias("n_word_pieces"),
-        (F.size(pieces) - F.size(words)).alias("n_other_pieces"),
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(words).cast("long").alias("n_word_pieces"),
+        (F.size(pieces) - F.size(words)).cast("long").alias("n_other_pieces"),
     )
 
 

@@ -62,7 +62,7 @@ def top_terms_per_doc(df: DataFrame, text_col: str, id_col: str,
         [F.col("tfidf").desc(), F.col("token").asc()],
         k,
         rank_col="rank",
-    ).orderBy("id", "rank")
+    ).withColumn("rank", F.col("rank").cast("long")).orderBy("id", "rank")
 
 
 TFIDF_TOP_TERMS_SQL_TEMPLATE = """
@@ -81,7 +81,8 @@ scored AS (
 ),
 r AS (
   SELECT id, token, tf, df_count, tfidf,
-         row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, token) AS rank
+         CAST(row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, token)
+              AS BIGINT) AS rank
   FROM scored
 )
 SELECT id, token, tf, df_count, tfidf, rank

@@ -96,6 +96,7 @@ def q_dump_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .withColumn("pos", F.col("pos").cast("long"))
         .withColumn("val", F.round(F.col("val").cast("double"), 6))
         .orderBy("vec_id", "pos")
     )
@@ -534,7 +535,7 @@ _PIVOT_SOURCES = [f"src{i}" for i in range(20)]
     "lang_source_pivot",
     "SELECT lang, "
     + ", ".join(
-        f"sum(CASE WHEN source = '{s}' THEN 1 ELSE 0 END) AS {s}"
+        f"CAST(sum(CASE WHEN source = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS {s}"
         for s in _PIVOT_SOURCES
     )
     + " FROM documents GROUP BY lang ORDER BY lang",
@@ -614,7 +615,8 @@ def q_sketch_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH upd AS (SELECT user_id, ts AS upd_ts, value AS upd_value FROM events
              WHERE event_id % 7 = 0)
 SELECT e.event_id, e.user_id,
-       coalesce(u.upd_ts, TIMESTAMP '1970-01-01') AS upd_ts_asof,
+       strftime(coalesce(u.upd_ts, TIMESTAMP '1970-01-01'),
+                '%Y-%m-%d %H:%M:%S.%f') AS upd_ts_asof,
        coalesce(round(u.upd_value, 6), -1.0) AS upd_value_asof
 FROM (SELECT event_id, user_id, ts FROM events) e
 ASOF LEFT JOIN upd u ON e.user_id = u.user_id AND e.ts >= u.upd_ts
@@ -640,9 +642,10 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "event_id",
         "user_id",
-        F.coalesce("upd_ts_asof", F.lit("1970-01-01").cast("timestamp")).alias(
-            "upd_ts_asof"
-        ),
+        F.date_format(
+            F.coalesce("upd_ts_asof", F.lit("1970-01-01").cast("timestamp")),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        ).alias("upd_ts_asof"),
         F.coalesce(F.round("upd_value_asof", 6), F.lit(-1.0)).alias(
             "upd_value_asof"
         ),
@@ -682,7 +685,7 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_lang_summary",
     """
 SELECT lang, count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_tokens,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        round(CAST(sum(length(text)) AS DOUBLE) / count(*), 6) AS avg_chars
 FROM documents GROUP BY lang ORDER BY lang
 """,
