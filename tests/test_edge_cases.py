@@ -98,3 +98,32 @@ def test_streaming_dedup(spark, tmp_path):
                          output_mode="append")
     out = spark.table("dedup_ev").collect()
     assert sorted(r.event_id for r in out) == [0, 1, 2, 3, 4]
+
+
+def test_events_gapfill_zero_fills(spark, tmp_path):
+    """Gap-fill on constructed gaps: drop one full day and one (day, type)
+    slot; the dense calendar must restore them with n_events = 0 (the real
+    test data is gap-free, so this is the only non-vacuous check)."""
+    import os
+
+    from vector_db_at_home_spark.operators.relational import events_gapfill
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "ev_data")
+    (ev.filter(~(F.dayofmonth("ts") == 5))
+       .filter(~((F.dayofmonth("ts") == 7) & (F.col("event_type") == "click")))
+       .write.parquet(d))
+    base = str(tmp_path / "sfdir")
+    os.makedirs(base)
+    os.symlink(d, base + "/events.parquet")
+    out = events_gapfill(spark, base)
+    zeros = out.filter("n_events = 0").collect()
+    zero_days = {(r.day, r.event_type) for r in zeros}
+    assert ("2024-01-07", "click") in zero_days
+    assert sum(1 for day, _ in zero_days if day == "2024-01-05") == 5
+    # non-gap slots keep their true counts
+    total = out.agg(F.sum("n_events")).first()[0]
+    expected = (ev.filter(~(F.dayofmonth("ts") == 5))
+                .filter(~((F.dayofmonth("ts") == 7)
+                          & (F.col("event_type") == "click"))).count())
+    assert total == expected

@@ -547,3 +547,84 @@ WHERE p_partkey = l_partkey
     WHERE l2.l_partkey = lineitem.l_partkey
   )
 """
+
+
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: revenue over all subsets of
+    (returnflag, linestatus) - completes the grouping-sets row next to
+    ROLLUP; NULL markers coalesced for stable cross-engine output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_extendedprice")).alias("revenue"),
+             F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+REVENUE_CUBE_SQL = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       {_sql_dsum('l_extendedprice')} AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (hypertable-style): every (day, event_type)
+    slot in the observed range, zero-filled where no events occurred.
+    Dense dimension = exploded day sequence x distinct types (both tiny,
+    broadcast); sparse counts left-joined on - the standard dense-calendar
+    pattern that stays cheap at any fact-table size."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    dense = days.crossJoin(types)
+    counts = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        dense.join(counts, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+  FROM events
+),
+days AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(days.day, '%Y-%m-%d') AS day, types.event_type AS event_type,
+       CAST(coalesce(counts.n, 0) AS BIGINT) AS n_events
+FROM days CROSS JOIN types
+LEFT JOIN counts ON counts.day = days.day AND counts.event_type = types.event_type
+ORDER BY day, types.event_type
+"""

@@ -212,6 +212,8 @@ def _register_relational() -> None:
         ("rolling_revenue", R.rolling_revenue, R.ROLLING_REVENUE_SQL),
         ("q17_small_qty_revenue", R.small_quantity_revenue,
          R.SMALL_QUANTITY_REVENUE_SQL),
+        ("revenue_cube", R.revenue_cube, R.REVENUE_CUBE_SQL),
+        ("events_gapfill", R.events_gapfill, R.EVENTS_GAPFILL_SQL),
     ]
     for name, fn, sql in pairs:
         _QUERIES[name] = fn
