@@ -207,3 +207,24 @@ def test_search_by_doc_k_gt_n_truncates(store):
     store.insert(np.ones((3, DIM), dtype=np.float32), gen_docs(range(3)))
     res = store.search_by_doc(["x"], k=10)
     assert len(res[0]) == 3
+
+
+def test_compact_reduces_files_preserves_data(spark, tmp_path):
+    import glob
+
+    from vector_db_at_home_spark.store import VectorStore
+
+    vs = VectorStore(spark, tmp_path / "cp", dim=4)
+    for i in range(6):  # 6 separate inserts -> many small files
+        vs.insert(np.full((2, 4), i, dtype=np.float32))
+    before_files = len(glob.glob(str(tmp_path / "cp" / "v*" / "part-*")))
+    before_rows = sorted((r["id"], tuple(r["vec"])) for r in vs.head(100))
+    v = vs.compact(target_partitions=1)
+    new_dir = tmp_path / "cp" / f"v{v:06d}"
+    after_files = len(glob.glob(str(new_dir / "part-*")))
+    assert after_files < before_files
+    assert after_files == 1
+    after_rows = sorted((r["id"], tuple(r["vec"])) for r in vs.head(100))
+    assert before_rows == after_rows
+    # old version still readable (time travel preserved)
+    assert vs.df_at_version(v - 1).count() == 12

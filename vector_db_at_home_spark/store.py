@@ -164,6 +164,25 @@ class VectorStore:
             self._snapshot_dir(self._current_version())
         )
 
+    def compact(self, target_partitions: int | None = None) -> int:
+        """Rewrite the current snapshot into few well-sized files.
+
+        Every ``insert`` appends a small file set; at high insert rates the
+        snapshot accumulates many tiny files (the classic small-files
+        problem — each file costs a task + open at scan time).  Compaction
+        rewrites the snapshot into ``target_partitions`` files (default:
+        sized by row count, ~1M rows per file) as a NEW version with an
+        atomic pointer bump, so readers of the old version are unaffected.
+        Returns the new version number.
+        """
+        df = self.df()
+        if target_partitions is None:
+            target_partitions = max(1, df.count() // 1_000_000)
+        compacted = df.repartition(target_partitions)
+        new_version = self._current_version() + 1
+        self._write_snapshot(compacted, new_version)
+        return new_version
+
     def versions(self) -> list[int]:
         """All retained snapshot versions (time travel).  Deletes create new
         versions; inserts append to the current one — the Delta-style
