@@ -2,8 +2,9 @@
 
 These run without Spark, so they explore thousands of cases cheaply:
 - InDel ratio: metric properties + exact agreement with a reference DP LCS
-- rolling fingerprint: matches the modular-arithmetic definition
-- Jaccard: the formula used by the distributed operators, validated on sets
+(The rolling-fingerprint and Jaccard formulas are validated against the
+ACTUAL Spark expressions in test_textstats.py and test_dedup.py — a pure-
+Python restatement here would be a tautology.)
 """
 
 from __future__ import annotations
@@ -12,7 +13,6 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from vector_db_at_home_spark.functions.fuzzy import _lcs_length, indel_ratio
-from vector_db_at_home_spark.operators.textstats import ROLLING_BASE, ROLLING_MOD
 
 text = st.text(alphabet="abcdef {}:\"',", max_size=60)
 
@@ -57,32 +57,3 @@ def test_indel_ratio_formula(a, b):
     else:
         expected = 100.0 * (1.0 - (total - 2 * lcs_dp(a, b)) / total)
         assert abs(indel_ratio(a, b) - expected) < 1e-9
-
-
-@settings(max_examples=200, deadline=None)
-@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
-               max_size=80))
-def test_rolling_fingerprint_definition(s):
-    # mirror of the Spark aggregate expression, validated as pure math
-    h = 0
-    for c in s:
-        h = (h * ROLLING_BASE + ord(c)) % ROLLING_MOD
-    assert 0 <= h < ROLLING_MOD
-    # appending a char changes the hash deterministically
-    h2 = (h * ROLLING_BASE + ord("x")) % ROLLING_MOD
-    assert h2 == (h * ROLLING_BASE + 120) % ROLLING_MOD
-
-
-@settings(max_examples=200, deadline=None)
-@given(st.sets(st.integers(0, 50)), st.sets(st.integers(0, 50)))
-def test_jaccard_formula_properties(a, b):
-    # the inter/(|A|+|B|-inter) identity the dedup operators rely on
-    inter = len(a & b)
-    union = len(a | b)
-    if union == 0:
-        return
-    j = inter / (len(a) + len(b) - inter)
-    assert j == inter / union
-    assert 0.0 <= j <= 1.0
-    if a == b:
-        assert j == 1.0

@@ -37,13 +37,23 @@ def normalize_cell(v):
     return v
 
 
+def _round_for_sort(v):
+    if isinstance(v, float):
+        r = round(v, 6)
+        return 0.0 if r == 0.0 else r  # fold -0.0 into 0.0
+    if isinstance(v, tuple):
+        return tuple(_round_for_sort(x) for x in v)
+    return v
+
+
 def _sort_key(row):
-    """Round floats inside the sort key so values equal only within
-    tolerance still sort to the same position on both sides (a raw repr
-    sort could misalign the row pairing and report a false FAIL)."""
-    return repr(
-        tuple(round(v, 6) if isinstance(v, float) else v for v in row)
-    )
+    """Round floats (recursively, nested arrays included; -0.0 folded) so
+    values equal only within tolerance still sort to the same position on
+    both sides — a raw repr sort could misalign the row pairing and report
+    a false FAIL.  Boundary-straddling rounds remain theoretically possible;
+    all registry queries pre-round their float outputs, making the sort key
+    exact in practice."""
+    return repr(tuple(_round_for_sort(v) for v in row))
 
 
 def to_multiset(df):

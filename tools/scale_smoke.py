@@ -77,9 +77,11 @@ def main(replicas: int = 100) -> None:
     ).collect()
     timings["knn_expr_200k"] = round(time.time() - t0, 3)
 
-    agree = [(r.query_id, r.id) for r in pandas_rows] == [
-        (r.query_id, r.id) for r in expr_rows
-    ]
+    # set overlap per (query, id) — ordered equality would be ULP-sensitive
+    # at top-k boundaries since the impls sum distances in different orders
+    pset = {(r.query_id, r.id) for r in pandas_rows}
+    eset = {(r.query_id, r.id) for r in expr_rows}
+    overlap = len(pset & eset) / max(len(eset), 1)
 
     print(
         json.dumps(
@@ -89,9 +91,11 @@ def main(replicas: int = 100) -> None:
                 "queries": 32,
                 "k": 10,
                 "timings_sec": timings,
-                "impls_agree": agree,
+                "impls_overlap": round(overlap, 4),
                 "speedup_pandas_vs_expr": round(
-                    timings["knn_expr_200k"] / timings["knn_pandas_200k"], 2
+                    timings["knn_expr_200k"]
+                    / max(timings["knn_pandas_200k"], 1e-3),
+                    2,
                 ),
             }
         )

@@ -357,21 +357,23 @@ def cosine_topk_pairs_fast(df: DataFrame, vec_col: str, id_col: str,
             mask = my_ids[:, None] >= b_ids[None, :]
             sims[mask] = -2.0
             kk = min(b_k, sims.shape[1])
-            # keep the full tie group at the kth boundary (same reasoning as
-            # the kNN kernel): otherwise argpartition picks an arbitrary
-            # member and the global (cosine DESC, id_a, id_b) order diverges
-            # from the exact path on duplicate embeddings
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            kth = np.take_along_axis(sims, part, axis=1).min(axis=1,
-                                                            keepdims=True)
-            emit = sims >= kth
-            rows_idx, cols_idx = np.nonzero(emit)
-            out_s = sims[rows_idx, cols_idx]
-            keep = out_s > -2.0
-            yield pd.DataFrame(
-                {"id_a": my_ids[rows_idx][keep], "id_b": b_ids[cols_idx][keep],
-                 "cosine": np.round(out_s[keep], 6)}
-            )
+            # Local top-k under the full contract order (cosine DESC, id_b
+            # ASC; id_a fixed per row): lexsort keeps exactly kk candidates
+            # per row — bounded emission even when the corpus is mostly
+            # exact duplicates (a dedup input's degenerate-but-expected
+            # case), and ties resolve to the lowest id like the exact path.
+            frames = []
+            for i in range(sims.shape[0]):
+                order = np.lexsort((b_ids, -sims[i]))[:kk]
+                s = sims[i, order]
+                keep = s > -2.0
+                frames.append(pd.DataFrame(
+                    {"id_a": np.full(keep.sum(), my_ids[i]),
+                     "id_b": b_ids[order][keep],
+                     "cosine": np.round(s[keep], 6)}
+                ))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     narrow = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
     cand = narrow.mapInPandas(block_topk, schema="id_a long, id_b long, cosine double")

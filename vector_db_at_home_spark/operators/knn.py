@@ -149,21 +149,22 @@ def _knn_pandas(index, queries, k, id_col, vec_col, query_id_col,
                             where=denom != 0)
             dist = 1.0 - sim
         kk = min(b_k, dist.shape[1])
-        # partial selection (argpartition), not a full sort — local top-k.
-        # Ties at the kth boundary: argpartition keeps an ARBITRARY member of
-        # the tie group, but the contract tie-break is (distance, id) — so
-        # also emit every candidate whose distance equals the kth kept
-        # distance; the global merge then ranks the full tie group.
-        part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
-        kth = np.take_along_axis(dist, part, axis=1).max(axis=1, keepdims=True)
-        emit = dist <= kth
-        rows_idx, cols_idx = np.nonzero(emit)
+        # Local top-k under the FULL contract order (distance, id): a bare
+        # argpartition on distance keeps an arbitrary member of a tie group
+        # at the kth boundary, and emitting whole tie groups is unbounded on
+        # duplicate-heavy data.  Per query row, a lexsort picks exactly kk
+        # candidates by (distance, id) — bounded O(m·k) emission, correct
+        # ties, O(n log n) per query row in C.
+        out_qid = np.empty(dist.shape[0] * kk, dtype=np.int64)
+        out_id = np.empty(dist.shape[0] * kk, dtype=np.int64)
+        out_d = np.empty(dist.shape[0] * kk, dtype=np.float64)
+        for i in range(dist.shape[0]):
+            order = np.lexsort((ids, dist[i]))[:kk]
+            out_qid[i * kk:(i + 1) * kk] = b_qids[i]
+            out_id[i * kk:(i + 1) * kk] = ids[order]
+            out_d[i * kk:(i + 1) * kk] = dist[i, order]
         yield pd.DataFrame(
-            {
-                "query_id": b_qids[rows_idx],
-                "id": ids[cols_idx],
-                "distance": dist[rows_idx, cols_idx],
-            }
+            {"query_id": out_qid, "id": out_id, "distance": out_d}
         )
 
     narrow = index.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))

@@ -39,15 +39,19 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         # carry everything incl. the matched right timestamp — callers
         # usually need to know WHICH right row matched
         right_cols = [c for c in right.columns if c != key]
+    if not right_cols:
+        return left  # nothing to attach — no-op
     lt = F.col(left_time)
     # The matched right row is carried as ONE struct with a single
     # last(ignorenulls) — carrying columns independently would let a NULL
     # field inside the matched row be back-filled from an OLDER right row,
     # mixing fields of different rows (diverges from ASOF JOIN semantics).
-    rtypes = dict(right.dtypes)
-    struct_type = (
-        "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_cols) + ">"
-    )
+    # StructType is built from the actual schema objects, not a DDL string,
+    # so arbitrary column names need no escaping.
+    from pyspark.sql.types import StructType
+
+    rfields = {f.name: f for f in right.schema.fields}
+    struct_type = StructType([rfields[c] for c in right_cols])
     l_tagged = left.withColumn("__t", lt).withColumn("__tag", F.lit(1)) \
         .withColumn("__r", F.lit(None).cast(struct_type))
     r_tagged = right.select(

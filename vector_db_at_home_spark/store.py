@@ -171,14 +171,22 @@ class VectorStore:
         snapshot accumulates many tiny files (the classic small-files
         problem — each file costs a task + open at scan time).  Compaction
         rewrites the snapshot into ``target_partitions`` files (default:
-        sized by row count, ~1M rows per file) as a NEW version with an
-        atomic pointer bump, so readers of the old version are unaffected.
-        Returns the new version number.
+        sized from file metadata at ~128 MB per output file, no data scan)
+        as a NEW version with an atomic pointer bump, so readers of the old
+        version are unaffected.  Returns the new version number.
         """
         df = self.df()
         if target_partitions is None:
-            target_partitions = max(1, df.count() // 1_000_000)
-        compacted = df.repartition(target_partitions)
+            # size from file metadata (no data scan): aim for ~128 MB files
+            snap = self._snapshot_dir(self._current_version())
+            total_bytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, files in os.walk(snap)
+                for f in files
+                if f.endswith(".parquet")
+            )
+            target_partitions = max(1, total_bytes // (128 << 20))
+        compacted = df.repartition(int(target_partitions))
         new_version = self._current_version() + 1
         self._write_snapshot(compacted, new_version)
         return new_version
