@@ -130,3 +130,35 @@ def test_sessionize_stream(spark, events_dir):
         closed[r.user_id] += r.n_events
     for uid, n in closed.items():
         assert n <= ev_counts[uid]
+
+
+def test_stream_ingest_into_store(spark, tmp_path):
+    """Streaming feed -> foreachBatch -> store append -> kNN search works
+    on the ingested vectors (streaming/ingest.py)."""
+    import numpy as np
+
+    from vector_db_at_home_spark.store import VectorStore
+    from vector_db_at_home_spark.streaming.ingest import stream_into_store
+
+    # landing zone with two files of (vec, doc) rows
+    feed = str(tmp_path / "feed")
+    rows1 = [([float(i), 0.0, 0.0], '{"n": %d}' % i) for i in range(3)]
+    rows2 = [([0.0, float(i), 0.0], '{"n": %d}' % (10 + i)) for i in range(2)]
+    spark.createDataFrame(rows1, "vec array<float>, doc string") \
+        .coalesce(1).write.parquet(feed, mode="append")
+    spark.createDataFrame(rows2, "vec array<float>, doc string") \
+        .coalesce(1).write.parquet(feed, mode="append")
+
+    store = VectorStore(spark, tmp_path / "store", dim=3)
+    stream = (spark.readStream.schema("vec array<float>, doc string")
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    q = stream_into_store(stream, store,
+                          checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    assert store.count() == 5
+    ids = [r["id"] for r in store.head(10)]
+    assert ids == [0, 1, 2, 3, 4]  # contiguous max+1 across batches
+    hits = store.search(np.array([2.0, 0.0, 0.0], dtype=np.float32), k=1)
+    assert hits[0][0].distance == 0.0
+    assert hits[0][0].doc in ({"n": 2},)  # the ingested doc payload

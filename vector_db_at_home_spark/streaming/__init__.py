@@ -1,3 +1,4 @@
+from .ingest import stream_into_store
 from .events import (
     dedup_events_stream,
     events_stream_windowed_counts,
@@ -12,4 +13,5 @@ __all__ = [
     "read_events_stream",
     "run_stream_to_memory",
     "sessionize",
+    "stream_into_store",
 ]
