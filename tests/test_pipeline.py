@@ -1,0 +1,46 @@
+"""End-to-end cleaning pipeline invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_at_home_spark.operators.dedup import ngram_jaccard_pairs
+from vector_db_at_home_spark.operators.pipeline import (
+    clean_corpus,
+    clean_corpus_summary,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def cleaned(spark):
+    return clean_corpus(spark, SF).collect()
+
+
+def test_pipeline_attrition_is_real(spark, cleaned):
+    n_in = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert 0 < len(cleaned) < n_in  # something survives, something drops
+
+
+def test_near_dup_pairs_keep_exactly_lower_id(spark, cleaned):
+    kept = {r.doc_id for r in cleaned}
+    pairs = ngram_jaccard_pairs(
+        spark.read.parquet(f"{SF}/documents.parquet"), "text", "doc_id",
+        threshold=0.5,
+    ).collect()
+    for p in pairs:
+        assert p.id_b not in kept  # higher id of every pair dropped
+
+
+def test_language_allowlist_enforced(cleaned):
+    assert {r.lang for r in cleaned} <= {"en", "de", "es", "fr"}
+
+
+def test_summary_consistent_with_docs(spark, cleaned):
+    rows = clean_corpus_summary(spark, SF).collect()
+    by_lang = {r.lang: r for r in rows}
+    assert by_lang["ALL"].n_docs == len(cleaned)
+    assert by_lang["ALL"].total_tokens == sum(r.n_tokens for r in cleaned)
+    assert sum(r.n_docs for r in rows if r.lang != "ALL") == len(cleaned)

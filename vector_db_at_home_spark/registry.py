@@ -555,6 +555,32 @@ def q_lang_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("clean_corpus")
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data cleaning cascade (operators/pipeline.py):
+    exact dedup -> near-dup removal -> quality filter -> language filter."""
+    from .operators.pipeline import clean_corpus
+
+    return clean_corpus(spark, sf_dir)
+
+
+@register("clean_corpus_summary")
+def q_clean_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import clean_corpus_summary
+
+    return clean_corpus_summary(spark, sf_dir)
+
+
+def _attach_pipeline_oracles() -> None:
+    from .operators.pipeline import render_clean_corpus_sql
+
+    _ORACLES["clean_corpus"] = render_clean_corpus_sql(summary=False)
+    _ORACLES["clean_corpus_summary"] = render_clean_corpus_sql(summary=True)
+
+
+_attach_pipeline_oracles()
+
+
 @register("multimodal_stats")  # no oracle: entropy UDF not SQL-expressible
 def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthesize binary media from the
