@@ -628,3 +628,62 @@ FROM days CROSS JOIN types
 LEFT JOIN counts ON counts.day = days.day AND counts.event_type = types.event_type
 ORDER BY day, types.event_type
 """
+
+
+def extreme_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument aggregates (min_by/max_by): per event type, which event had
+    the extreme value - one partial-aggregating pass, no window needed."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.max_by("event_id", "value").alias("max_value_event"),
+            F.min_by("event_id", "value").alias("min_value_event"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXTREME_EVENTS_SQL = """
+SELECT event_type,
+       arg_max(event_id, value) AS max_value_event,
+       arg_min(event_id, value) AS min_value_event,
+       round(max(value), 6) AS max_value,
+       round(min(value), 6) AS min_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def rolling_30d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per user, the sum of event values in the
+    trailing 7-day event-time window (frame = RANGE over epoch seconds, so
+    rows at irregular timestamps still get a true time-based frame)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 4
+            ).alias("value_7d"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ROLLING_30D_USER_VALUE_SQL = """
+SELECT event_id, user_id,
+       round(CAST(sum(CAST(value AS DECIMAL(25,6)))
+                  OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                        RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+             AS DOUBLE), 4) AS value_7d
+FROM events
+ORDER BY event_id
+"""
