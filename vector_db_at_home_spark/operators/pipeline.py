@@ -38,8 +38,13 @@ def clean_corpus(spark: SparkSession, sf_dir: str,
     ).select(F.col("id").alias("doc_id"))
     kept = docs.join(canon, "doc_id", "left_semi")
 
-    # 2. near-dup removal: drop id_b of every qualifying pair (greedy by id)
-    near = ngram_jaccard_pairs(docs, "text", "doc_id",
+    # 2. near-dup removal: drop id_b of every qualifying pair (greedy by
+    # id).  Pairs are computed on the POST-exact-dedup set: identical texts
+    # have identical shingle sets, so any pair through a dropped duplicate
+    # also exists through its canonical representative — same final result,
+    # and exact-dup groups no longer inflate the shingle self-join
+    # quadratically.
+    near = ngram_jaccard_pairs(kept, "text", "doc_id",
                                threshold=jaccard_threshold)
     drop = near.select(F.col("id_b").alias("doc_id")).distinct()
     kept = kept.join(F.broadcast(drop), "doc_id", "left_anti")
@@ -84,7 +89,8 @@ CLEAN_CORPUS_SQL = """
 WITH canon AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ),
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         WHERE doc_id IN (SELECT doc_id FROM canon)),
 sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
        FROM toks, unnest(range(1, len(t) - 1)) AS r(i)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),

@@ -632,13 +632,23 @@ ORDER BY day, types.event_type
 
 def extreme_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argument aggregates (min_by/max_by): per event type, which event had
-    the extreme value - one partial-aggregating pass, no window needed."""
+    the extreme value - one partial-aggregating pass, no window needed.
+
+    Tie-break: among events tied at the extreme value, the LOWEST event_id
+    wins (struct ordering) - bare min_by/max_by is partition-order
+    nondeterministic, and the test data really does have tied minima at
+    sf0.1 (code-review finding)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.max_by("event_id", "value").alias("max_value_event"),
-            F.min_by("event_id", "value").alias("min_value_event"),
+            F.max_by(
+                "event_id",
+                F.struct(F.col("value"), (-F.col("event_id")).alias("nid")),
+            ).alias("max_value_event"),
+            F.min_by(
+                "event_id", F.struct(F.col("value"), F.col("event_id"))
+            ).alias("min_value_event"),
             F.round(F.max("value"), 6).alias("max_value"),
             F.round(F.min("value"), 6).alias("min_value"),
         )
@@ -647,16 +657,24 @@ def extreme_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTREME_EVENTS_SQL = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn_max,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id) AS rn_min
+  FROM events
+)
 SELECT event_type,
-       arg_max(event_id, value) AS max_value_event,
-       arg_min(event_id, value) AS min_value_event,
+       max(CASE WHEN rn_max = 1 THEN event_id END) AS max_value_event,
+       max(CASE WHEN rn_min = 1 THEN event_id END) AS min_value_event,
        round(max(value), 6) AS max_value,
        round(min(value), 6) AS min_value
-FROM events GROUP BY event_type ORDER BY event_type
+FROM r GROUP BY event_type ORDER BY event_type
 """
 
 
-def rolling_30d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: per user, the sum of event values in the
     trailing 7-day event-time window (frame = RANGE over epoch seconds, so
     rows at irregular timestamps still get a true time-based frame)."""
@@ -678,7 +696,7 @@ def rolling_30d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ROLLING_30D_USER_VALUE_SQL = """
+ROLLING_7D_USER_VALUE_SQL = """
 SELECT event_id, user_id,
        round(CAST(sum(CAST(value AS DECIMAL(25,6)))
                   OVER (PARTITION BY user_id ORDER BY epoch(ts)

@@ -215,8 +215,8 @@ def _register_relational() -> None:
         ("revenue_cube", R.revenue_cube, R.REVENUE_CUBE_SQL),
         ("events_gapfill", R.events_gapfill, R.EVENTS_GAPFILL_SQL),
         ("extreme_events", R.extreme_events, R.EXTREME_EVENTS_SQL),
-        ("rolling_7d_user_value", R.rolling_30d_user_value,
-         R.ROLLING_30D_USER_VALUE_SQL),
+        ("rolling_7d_user_value", R.rolling_7d_user_value,
+         R.ROLLING_7D_USER_VALUE_SQL),
     ]
     for name, fn, sql in pairs:
         _QUERIES[name] = fn

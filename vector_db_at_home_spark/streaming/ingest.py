@@ -2,58 +2,96 @@
 vector feed to searchable storage.
 
 ``stream_into_store`` runs a Structured Streaming query whose sink is the
-store's append path via ``foreachBatch``: each micro-batch allocates
-contiguous ids (max+1, preserving the reference's allocation semantics
-under the stream's serialized batch execution) and appends parquet files to
-the current snapshot.  Searches on the store see each batch as soon as its
-files land; ``store.compact()`` handles the accumulated small files.
+store's append path via ``foreachBatch``: each micro-batch validates its
+vectors, allocates contiguous ids (max+1, preserving the reference's
+allocation semantics under the stream's serialized batch execution), and
+appends parquet files to the current snapshot.  Searches see each batch as
+soon as its files land; ``store.compact()`` handles accumulated small files.
 
-At production scale the same pattern holds with the feed on Kafka and the
-store on object storage — foreachBatch is the canonical exactly-once-per-
-batch bridge from streams to non-streaming sinks.
+Delivery semantics: foreachBatch replays a batch if the driver dies between
+the sink write and the checkpoint commit.  A per-batch marker file recorded
+AFTER the append makes replays of fully-committed batches no-ops; a crash in
+the narrow window between append and marker can still duplicate that one
+batch (an honest at-least-once edge — a transactional table format closes
+it).  The batch data itself never moves through the driver: ids are assigned
+distributed (scalar max + row_number) and written executor-side.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..schema import VECTOR_SCHEMA
 from ..store import VectorStore
 
 
 def stream_into_store(stream_df: DataFrame, store: VectorStore,
                       vec_col: str = "vec", doc_col: str = "doc",
-                      checkpoint_dir: str | None = None):
+                      checkpoint_dir: str | None = None,
+                      trigger: dict | None = None):
     """Start a streaming query appending ``(vec, doc)`` rows to the store.
 
-    ``stream_df`` must carry an ``array<float>`` vector column and a string
-    doc column.  Returns the StreamingQuery; callers trigger/await it.
+    ``stream_df`` must carry an ``array<float>`` vector column of the
+    store's dimensionality (validated per batch — a bad row fails the batch
+    loudly instead of corrupting the store) and a string doc column.
+    ``trigger`` is passed to ``writeStream.trigger`` (default
+    ``{"availableNow": True}`` — drain-and-stop; pass e.g.
+    ``{"processingTime": "10 seconds"}`` for a continuous feed).
+    Returns the StreamingQuery; callers await it.
+
     Batches execute serially, so max(id)+1 allocation stays race-free — the
     same single-writer model as the reference (vector_store.py:195-212).
     """
+    # Markers must be scoped to the CHECKPOINT, not the store: batch ids
+    # restart from 0 for every new checkpoint, so a second stream into the
+    # same store would collide with the first stream's markers and silently
+    # skip its own batches.  Without a checkpoint there are no cross-restart
+    # replays to detect — scope by a fresh uuid so markers only dedupe
+    # within this query run.
+    import hashlib
+    import uuid
+
+    scope = (
+        hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
+        if checkpoint_dir is not None
+        else uuid.uuid4().hex[:16]
+    )
+    marker_dir = os.path.join(store.root, "_ingested_batches", scope)
+    os.makedirs(marker_dir, exist_ok=True)
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, str(batch_id))
+        if os.path.exists(marker):  # replay of a fully-committed batch
+            return
         prepared = batch_df.select(
             F.col(vec_col).cast("array<float>").alias("vec"),
             F.coalesce(F.col(doc_col), F.lit("{}")).alias("doc"),
         )
-        rows = prepared.collect()
-        if not rows:
-            return
+        # validation: same guarantees as store.insert, but distributed
+        bad = prepared.filter(
+            F.col("vec").isNull() | (F.size("vec") != store.dim)
+        ).count()
+        if bad:
+            raise ValueError(
+                f"batch {batch_id}: {bad} rows with null or wrong-dimension "
+                f"vectors (store dim = {store.dim})"
+            )
         max_id = store.df().agg(F.max("id")).first()[0]
         start = 0 if max_id is None else max_id + 1
-        out = store.spark.createDataFrame(
-            [(start + i, [float(x) for x in r.vec], r.doc)
-             for i, r in enumerate(rows)],
-            VECTOR_SCHEMA,
-        )
+        w = Window.orderBy(F.monotonically_increasing_id())
+        out = prepared.withColumn(
+            "id", F.row_number().over(w).cast("long") + F.lit(start - 1)
+        ).select("id", "vec", "doc")
         out.write.mode("append").parquet(
             store._snapshot_dir(store._current_version())
         )
         store._invalidate_cache()
+        with open(marker, "w") as f:
+            f.write("done")
 
     writer = stream_df.writeStream.foreachBatch(append_batch).outputMode("append")
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer.trigger(availableNow=True).start()
+    return writer.trigger(**(trigger or {"availableNow": True})).start()
