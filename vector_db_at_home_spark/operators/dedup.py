@@ -158,7 +158,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # ``result.cached_shingles`` so long-lived callers can
     # ``.unpersist()`` once the result is materialized.
     sh = word_shingles(df, text_col, id_col, n).cache()
-    sig = minhash_signatures(sh, num_perm)
+    # signatures AND set sizes in ONE partial-aggregating groupBy — the
+    # verify stage needs |shingles(doc)| anyway, and a separate count pass
+    # would re-shuffle the whole shingle set
+    agg_cols = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ] + [F.count(F.lit(1)).alias("sz")]
+    sig_sz = sh.groupBy("id").agg(*agg_cols)
+    sig = sig_sz.select(
+        "id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig")
+    )
+    sizes = sig_sz.select("id", "sz")
     band_rows = sig.select(
         "id",
         F.explode(
@@ -184,7 +195,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         .distinct()
     )
     # exact-Jaccard verification restricted to candidates
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     sa = sh.select(F.col("id").alias("id_a"), "shingle")
     sb = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (
