@@ -228,3 +228,28 @@ def test_compact_reduces_files_preserves_data(spark, tmp_path):
     assert before_rows == after_rows
     # old version still readable (time travel preserved)
     assert vs.df_at_version(v - 1).count() == 12
+
+
+def test_upsert_updates_and_inserts(store):
+    store.insert(np.ones((3, DIM), dtype=np.float32), gen_docs(range(3)))
+    # update id 1, insert id 7 (explicit-id semantics, hole allowed)
+    store.upsert(
+        [1, 7],
+        np.full((2, DIM), 9.0, dtype=np.float32),
+        [{"updated": True}, {"new": True}],
+    )
+    recs = {r.id: r for r in store.select_ids([0, 1, 2, 7])}
+    assert recs[0].doc == {"k0": "v0"}          # untouched
+    assert recs[1].doc == {"updated": True}      # replaced
+    assert recs[1].vec[0] == 9.0
+    assert recs[7].doc == {"new": True}          # inserted at explicit id
+    assert store.count() == 4
+    # next max+1 insert continues after the explicit id
+    store.insert(np.zeros((1, DIM), dtype=np.float32))
+    assert [r["id"] for r in store.head(10)] == [0, 1, 2, 7, 8]
+
+
+def test_upsert_length_mismatch_raises(store):
+    store.insert(np.ones((1, DIM), dtype=np.float32))
+    with pytest.raises(ValueError):
+        store.upsert([1, 2], np.ones((1, DIM), dtype=np.float32))

@@ -162,3 +162,68 @@ def test_stream_ingest_into_store(spark, tmp_path):
     hits = store.search(np.array([2.0, 0.0, 0.0], dtype=np.float32), k=1)
     assert hits[0][0].distance == 0.0
     assert hits[0][0].doc in ({"n": 2},)  # the ingested doc payload
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two streams (views, clicks) joined per user where the click lands
+    within 30 min after the view; result checked against the equivalent
+    batch join (closed input => identical answers)."""
+    from vector_db_at_home_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    schema = "event_id long, ts string, user_id long"
+    views_rows = [
+        (1, "2024-01-01 10:00:00", 1),
+        (2, "2024-01-01 11:00:00", 1),
+        (3, "2024-01-01 10:00:00", 2),
+    ]
+    clicks_rows = [
+        (101, "2024-01-01 10:10:00", 1),  # matches view 1
+        (102, "2024-01-01 11:25:00", 1),  # matches view 2
+        (103, "2024-01-01 12:00:00", 2),  # too late for view 3
+    ]
+    vd, cd = str(tmp_path / "views"), str(tmp_path / "clicks")
+    spark.createDataFrame(views_rows, schema) \
+        .withColumn("ts", F.to_timestamp("ts")).write.parquet(vd)
+    spark.createDataFrame(clicks_rows, schema) \
+        .withColumn("ts", F.to_timestamp("ts")) \
+        .withColumnRenamed("event_id", "click_id") \
+        .withColumnRenamed("ts", "click_ts").write.parquet(cd)
+
+    views = (spark.readStream.schema("event_id long, ts timestamp, user_id long")
+             .parquet(vd))
+    clicks = (spark.readStream
+              .schema("click_id long, click_ts timestamp, user_id long")
+              .parquet(cd))
+    joined = stream_stream_interval_join(
+        views, clicks, key="user_id", left_time="ts",
+        right_time="click_ts", max_lag="30 minutes",
+    )
+    from vector_db_at_home_spark.streaming.events import run_stream_to_memory
+
+    run_stream_to_memory(joined, "ss_join", output_mode="append")
+    got = sorted(
+        (r.event_id, r.click_id) for r in spark.table("ss_join").collect()
+    )
+    assert got == [(1, 101), (2, 102)]
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    from vector_db_at_home_spark.streaming.events import run_stream_to_memory
+    from vector_db_at_home_spark.streaming.joins import stream_static_enrich
+
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 10)], "event_id long, user_id long"
+    ).write.parquet(d)
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "silver")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema("event_id long, user_id long").parquet(d)
+    run_stream_to_memory(
+        stream_static_enrich(stream, dim, "user_id"), "enriched",
+        output_mode="append",
+    )
+    got = {r.event_id: r.tier for r in spark.table("enriched").collect()}
+    assert got == {1: "gold", 2: "silver", 3: "gold"}

@@ -265,6 +265,37 @@ class VectorStore:
             _json_dump(d)
         self.insert(vecs, docs)
 
+    def upsert(self, ids: list[int], arr: Any,
+               docs: list[dict] | None = None) -> None:
+        """MERGE-style update-or-insert by explicit id (engine extension —
+        the reference has no update path at all).
+
+        Rows whose id exists are replaced; new ids are inserted as given
+        (they may create holes or exceed max+1 — explicit-id semantics).
+        Implemented as the classic snapshot MERGE: anti-join out the
+        matched ids, union the new rows, write a NEW version atomically.
+        """
+        vecs = _float32_row_vecs(arr, self.dim)
+        if len(ids) != len(vecs):
+            raise ValueError(f"got {len(vecs)} vectors but {len(ids)} ids")
+        if docs is not None and len(docs) != len(vecs):
+            raise ValueError(f"got {len(vecs)} vectors but {len(docs)} docs")
+        doc_strs = (
+            [_json_dump(d) for d in docs] if docs is not None
+            else ["{}"] * len(vecs)
+        )
+        rows = [
+            (int(ids[i]), [float(x) for x in vecs[i]], doc_strs[i])
+            for i in range(len(vecs))
+        ]
+        new_df = self.spark.createDataFrame(rows, VECTOR_SCHEMA)
+        ids_df = self.spark.createDataFrame(
+            [(int(i),) for i in ids], "id long"
+        )
+        merged = self.df().join(F.broadcast(ids_df), "id", "left_anti") \
+            .unionByName(new_df)
+        self._write_snapshot(merged, self._current_version() + 1)
+
     def delete(self, ids: list[int]) -> None:
         # vector_store.py:236-254 — warn on missing ids, then remove.
         # No SQLITE_MAX_VARIABLE_NUMBER bound here (documented deviation);

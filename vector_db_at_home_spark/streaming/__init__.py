@@ -1,4 +1,5 @@
 from .ingest import stream_into_store
+from .joins import stream_static_enrich, stream_stream_interval_join
 from .events import (
     dedup_events_stream,
     events_stream_windowed_counts,
@@ -14,4 +15,6 @@ __all__ = [
     "run_stream_to_memory",
     "sessionize",
     "stream_into_store",
+    "stream_static_enrich",
+    "stream_stream_interval_join",
 ]
