@@ -705,3 +705,115 @@ SELECT event_id, user_id,
 FROM events
 ORDER BY event_id
 """
+
+
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel: users who did view -> click -> purchase in
+    strict temporal order (greedy earliest-match semantics: t1 = first view,
+    t2 = first click after t1, t3 = first purchase after t2 - deterministic
+    and equivalent to EXISTS for the reached-stage question).  Three
+    broadcast-joined conditional aggregations; no self-cross-product."""
+    ev = load_table(spark, sf_dir, "events")
+    t1 = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    hour = F.expr("INTERVAL 24 HOUR")
+    t2 = (ev.filter(F.col("event_type") == "click")
+          .join(F.broadcast(t1), "user_id")
+          .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + hour))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    t3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(F.broadcast(t2), "user_id")
+          .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + hour))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    n_users = ev.select("user_id").distinct().count()
+    return spark.createDataFrame(
+        [(n_users,)], "total_users long"
+    ).crossJoin(
+        t1.agg(F.count(F.lit(1)).alias("reached_view"))
+    ).crossJoin(
+        t2.agg(F.count(F.lit(1)).alias("reached_click"))
+    ).crossJoin(
+        t3.agg(F.count(F.lit(1)).alias("reached_purchase"))
+    )
+
+
+USER_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 AND e.ts <= t2.t2 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS total_users,
+       (SELECT count(*) FROM t1) AS reached_view,
+       (SELECT count(*) FROM t2) AS reached_click,
+       (SELECT count(*) FROM t3) AS reached_purchase
+"""
+
+
+def neardup_cosine_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal consistency: for every text near-dup pair (n-gram
+    Jaccard >= 0.5), the cosine similarity of the corresponding embeddings
+    (doc_id == vec_id join).  Composes the dedup and vector subsystems in
+    one plan; at sf0.01 the planted text near-dups turn out to be
+    embedding-independent - exactly the kind of fact this query surfaces."""
+    from .dedup import ngram_jaccard_pairs
+    from ..functions.distance import cosine_similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        pairs.join(ea, "id_a").join(eb, "id_b")
+        .select(
+            "id_a", "id_b", "jaccard",
+            F.round(cosine_similarity("va", "vb"), 6).alias("emb_cosine"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+NEARDUP_COSINE_CHECK_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+       FROM toks, unnest(range(1, len(t) - 1)) AS r(i)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b,
+         round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT p.id_a, p.id_b, p.jaccard,
+       round(CASE WHEN na.n * nb.n = 0 THEN 0.0 ELSE d.dot / (na.n * nb.n) END,
+             6) AS emb_cosine
+FROM pairs p
+JOIN v a ON a.vec_id = p.id_a
+JOIN v b ON b.vec_id = p.id_b,
+LATERAL (SELECT sum(x.xa * x.xb) AS dot
+         FROM (SELECT unnest(a.v) AS xa, unnest(b.v) AS xb) x) d,
+LATERAL (SELECT sqrt(sum(x.xa * x.xa)) AS n
+         FROM (SELECT unnest(a.v) AS xa) x) na,
+LATERAL (SELECT sqrt(sum(x.xb * x.xb)) AS n
+         FROM (SELECT unnest(b.v) AS xb) x) nb
+ORDER BY id_a, id_b
+"""

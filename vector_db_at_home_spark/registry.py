@@ -217,6 +217,9 @@ def _register_relational() -> None:
         ("extreme_events", R.extreme_events, R.EXTREME_EVENTS_SQL),
         ("rolling_7d_user_value", R.rolling_7d_user_value,
          R.ROLLING_7D_USER_VALUE_SQL),
+        ("user_funnel", R.user_funnel, R.USER_FUNNEL_SQL),
+        ("neardup_cosine_check", R.neardup_cosine_check,
+         R.NEARDUP_COSINE_CHECK_SQL),
     ]
     for name, fn, sql in pairs:
         _QUERIES[name] = fn
