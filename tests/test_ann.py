@@ -55,3 +55,23 @@ def test_ivf_deterministic(spark, emb, queries):
     a = ivf_search(ivf_a, queries, k=3, n_probes=2).collect()
     b = ivf_search(ivf_b, queries, k=3, n_probes=2).collect()
     assert [(r.query_id, r.id) for r in a] == [(r.query_id, r.id) for r in b]
+
+
+def test_ivf_partitioned_store_prunes_partitions(spark, tmp_path, emb):
+    """The IVF scale story made concrete: persist assignments partitioned
+    by cell; a probe filter on cell prunes partitions at the SCAN (the plan
+    carries the partition filter), so each probe reads only matching cells."""
+    from vector_db_at_home_spark.operators.ann import ivf_build
+    from vector_db_at_home_spark.plans.explain import formatted_plan
+
+    ivf = ivf_build(emb, id_col="vec_id", vec_col="embedding", n_cells=8)
+    path = str(tmp_path / "ivf_store")
+    ivf.assigned.write.partitionBy("cell").parquet(path)
+    stored = spark.read.parquet(path)
+    probe = stored.filter(F.col("cell").isin([1, 3]))
+    plan = formatted_plan(probe)
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1].split("]")[0]
+    # only the probed cells' rows are read
+    expected = ivf.assigned.filter(F.col("cell").isin([1, 3])).count()
+    assert probe.count() == expected

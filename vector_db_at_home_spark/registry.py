@@ -728,3 +728,46 @@ def q_corpus_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import corpus_lang_summary
 
     return corpus_lang_summary(load_table(spark, sf_dir, "documents"), "text", "lang")
+
+
+@register(
+    "knn_with_payload",
+    # late materialization (vector_store.py:303-313): payload columns join
+    # AFTER top-k resolves, deduped by the join itself
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings ORDER BY vec_id LIMIT 4
+), d AS (
+  SELECT q.query_id, e.vec_id AS id,
+         sqrt((SELECT sum((u.a - u.b) * (u.a - u.b))
+               FROM (SELECT unnest(e.embedding) AS a,
+                            unnest(q.qvec) AS b) u)) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT r.query_id, r.id, round(r.dist, 6) AS distance, emb.label
+FROM r JOIN embeddings emb ON emb.vec_id = r.id
+WHERE rn <= 5 ORDER BY query_id, distance, id
+""",
+)
+def q_knn_with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship kNN + late-materialized payload (the reference's dedup'd
+    point-lookup after top-k, expressed as a join)."""
+    from .operators.knn import knn_join_payload
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    hits = knn_search(emb, qs, k=5, id_col="vec_id", vec_col="embedding",
+                      impl="expr")
+    payload = emb.select(F.col("vec_id").alias("id"), "label")
+    return knn_join_payload(hits, payload).select(
+        "query_id", "id", F.round("distance", 6).alias("distance"), "label"
+    ).orderBy("query_id", "distance", "id")
