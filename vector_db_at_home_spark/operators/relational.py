@@ -817,3 +817,56 @@ LATERAL (SELECT sqrt(sum(x.xb * x.xb)) AS n
          FROM (SELECT unnest(b.v) AS xb) x) nb
 ORDER BY id_a, id_b
 """
+
+
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical functions: z-score outliers per event type.
+
+    Variance is derived from decimal-exact sums (sum, sum of squares) so
+    both engines compute identical doubles - built-in stddev() accumulates
+    in engine-specific order and would drift in the last bits.  Outlier =
+    |value - mean| > 3 * sample stddev."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC)).cast("double").alias("s2"),
+    ).select(
+        "event_type",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mean")) > 3.0 * F.col("std"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round((F.col("value") - F.col("mean")) / F.col("std"), 4).alias(
+                "zscore"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+VALUE_OUTLIERS_SQL = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS mean,
+         sqrt((CAST(sum(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE)
+               - CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                 * CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*))
+              / (count(*) - 1)) AS std
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+       round((e.value - s.mean) / s.std, 4) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs(e.value - s.mean) > 3.0 * s.std
+ORDER BY e.event_id
+"""

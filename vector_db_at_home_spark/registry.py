@@ -220,6 +220,7 @@ def _register_relational() -> None:
         ("user_funnel", R.user_funnel, R.USER_FUNNEL_SQL),
         ("neardup_cosine_check", R.neardup_cosine_check,
          R.NEARDUP_COSINE_CHECK_SQL),
+        ("value_outliers", R.value_outliers, R.VALUE_OUTLIERS_SQL),
     ]
     for name, fn, sql in pairs:
         _QUERIES[name] = fn
