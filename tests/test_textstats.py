@@ -75,3 +75,20 @@ def test_tokenize_bpeish(docs):
     assert r[1].n_pieces == 7
     assert r[1].n_word_pieces == 3
     assert r[1].n_other_pieces == 4
+
+
+def test_corpus_lang_summary(spark):
+    """corpus_lang_summary lost its registry slot to the driver's 50-query
+    cap — pinned here instead: per-lang doc counts, token totals, avg chars."""
+    from vector_db_at_home_spark.operators.textstats import corpus_lang_summary
+
+    rows = [
+        (0, "aa bb cc", "en"),
+        (1, "dd ee", "en"),
+        (2, "ff", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.lang: r for r in corpus_lang_summary(df, "text", "lang").collect()}
+    assert out["en"].n_docs == 2 and out["en"].total_tokens == 5
+    assert out["en"].avg_chars == (8 + 5) / 2
+    assert out["de"].n_docs == 1 and out["de"].total_tokens == 1

@@ -725,9 +725,10 @@ def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
           .join(F.broadcast(t2), "user_id")
           .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + hour))
           .groupBy("user_id").agg(F.min("ts").alias("t3")))
-    n_users = ev.select("user_id").distinct().count()
-    return spark.createDataFrame(
-        [(n_users,)], "total_users long"
+    # total_users is a lazy aggregate subplan like the other three legs —
+    # no Spark job fires until the caller's own action
+    return ev.agg(
+        F.countDistinct("user_id").alias("total_users")
     ).crossJoin(
         t1.agg(F.count(F.lit(1)).alias("reached_view"))
     ).crossJoin(
