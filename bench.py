@@ -74,7 +74,8 @@ def bench_queries(spark):
 
     def minhash(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
-        return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+        return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5,
+                                 max_doc_freq=100, max_band_bucket=200)
 
     return {
         "knn_batch32_k10": knn_batch,
@@ -110,6 +111,9 @@ def main() -> None:
         n = len(df.collect())
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        cached = getattr(df, "cached_shingles", None)
+        if cached is not None:  # release per-query cache between queries
+            cached.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(

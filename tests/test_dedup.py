@@ -63,13 +63,14 @@ def test_minhash_subset_of_exact_and_full_recall_on_high_j(corpus):
     exact = {(r.id_a, r.id_b): r.jaccard
              for r in ngram_jaccard_pairs(corpus, "text", "doc_id",
                                           threshold=0.3).collect()}
-    lsh = {(r.id_a, r.id_b): r.jaccard
+    lsh = {(r.id_a, r.id_b): r.jaccard_e6
            for r in minhash_lsh_pairs(corpus, "text", "doc_id",
                                       threshold=0.3).collect()}
     # verified output ⊆ exact (no false positives), identical jaccard values
-    for pair, j in lsh.items():
+    # (exact path rounds to 6 decimals; LSH path emits floor(j*1e6+0.5))
+    for pair, j_e6 in lsh.items():
         assert pair in exact
-        assert j == exact[pair]
+        assert abs(j_e6 - exact[pair] * 1e6) <= 1
     # pairs with very high jaccard must be recalled (16 bands of 4 rows →
     # p(catch) = 1-(1-j^4)^16 > 0.9999 at j >= 0.9)
     for pair, j in exact.items():
@@ -92,8 +93,20 @@ def test_minhash_on_real_data_matches_exact(spark):
 def test_simhash_finds_exact_dup(corpus):
     pairs = {(r.id_a, r.id_b): r.hamming
              for r in simhash_pairs(corpus, "text", "doc_id",
-                                    max_hamming=7).collect()}
+                                    max_hamming=5).collect()}
     assert pairs.get((0, 1)) == 0  # identical text → identical simhash
+
+
+def test_minhash_band_bucket_cap_drops_hot_buckets(spark):
+    """With max_band_bucket=1 every bucket of ≥2 docs is skipped, so no
+    candidates survive — the hot-bucket guard's degenerate extreme."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert minhash_lsh_pairs(df, "text", "doc_id",
+                             max_band_bucket=1).count() == 0
+    # and with a permissive cap the exact dups are all found
+    assert minhash_lsh_pairs(df, "text", "doc_id",
+                             max_band_bucket=10).count() == 6
 
 
 def test_cosine_topk_pairs(spark):

@@ -360,24 +360,53 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
 
 
-@register("dedup_minhash_lsh")  # no oracle: xxhash64 not available in DuckDB
+@register("dedup_minhash_lsh")
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard-verified (no false
-    positives; recall bounded by banding).  Rows-only driver check; the
-    pytest suite asserts LSH pairs ⊆ exact pairs and full recall on the
-    planted ~0.99-Jaccard dups."""
+    positives; recall bounded by banding).  The permutation hashes are
+    md5-derived (Kirsch–Mitzenmacher over two 32-bit md5 halves), so the
+    DuckDB oracle replicates the ENTIRE pipeline — signatures, banding,
+    bucket cap, verify — value-for-value.  Both 100 TB levers are exercised:
+    ``max_doc_freq`` (stop-shingle cap) and ``max_band_bucket`` (hot-bucket
+    guard)."""
     from .operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5,
+        max_doc_freq=100, max_band_bucket=200,
+    )
 
 
-@register("dedup_simhash")  # no oracle: xxhash64 not available in DuckDB
+def _attach_minhash_oracle() -> None:
+    from .operators.dedup import render_minhash_lsh_sql
+
+    _ORACLES["dedup_minhash_lsh"] = render_minhash_lsh_sql(
+        n=3, threshold=0.5, max_doc_freq=100, max_band_bucket=200
+    )
+
+
+_attach_minhash_oracle()
+
+
+@register("dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash near-dup pairs (pigeonhole-banded hamming join).
+    md5-derived bit hash → the DuckDB oracle computes identical
+    fingerprints, bands and hamming distances."""
     from .operators.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "text", "doc_id", max_hamming=7)
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=5)
+
+
+def _attach_simhash_oracle() -> None:
+    from .operators.dedup import render_simhash_sql
+
+    _ORACLES["dedup_simhash"] = render_simhash_sql(n=3, max_hamming=5)
+
+
+_attach_simhash_oracle()
 
 
 @register(
