@@ -39,7 +39,8 @@ def bench_queries(spark):
     from pyspark.sql import functions as F
 
     from vector_db_at_home_spark.operators.dedup import (
-        cosine_topk_pairs_fast,
+        cosine_neardup_bucketed,
+        cosine_topk_pairs_blocked,
         minhash_lsh_pairs,
     )
     from vector_db_at_home_spark.operators.fuzzysearch import fuzzy_search_by_doc
@@ -68,9 +69,19 @@ def bench_queries(spark):
             k=10, doc_col="text", id_col="doc_id",
         )
 
-    def cosine_pairs_fast(spark, sf_dir):
+    def cosine_pairs_blocked(spark, sf_dir):
+        # exact distributed block-GEMM: no driver collect, no cartesian
         emb = load_table(spark, sf_dir, "embeddings")
-        return cosine_topk_pairs_fast(emb, "embedding", "vec_id", k=20)
+        return cosine_topk_pairs_blocked(emb, "embedding", "vec_id", k=20,
+                                         n_blocks=8)
+
+    def cosine_neardup_lsh(spark, sf_dir):
+        # the sub-quadratic near-dup path: LSH candidates + exact re-rank
+        emb = load_table(spark, sf_dir, "embeddings")
+        return cosine_neardup_bucketed(emb, "embedding", "vec_id",
+                                       min_cosine=0.45, k=50,
+                                       n_planes=6, n_tables=8,
+                                       max_bucket=2000)
 
     def minhash(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
@@ -85,7 +96,8 @@ def bench_queries(spark):
         "window_top_orders": reg["window_top_orders"],
         "events_windowed_agg": reg["events_windowed_agg"],
         "dedup_minhash_lsh": minhash,
-        "cosine_topk_pairs": cosine_pairs_fast,
+        "cosine_topk_pairs": cosine_pairs_blocked,
+        "cosine_neardup_lsh": cosine_neardup_lsh,
         "fuzzy_topk": fuzzy_topk,
         "token_stats": reg["token_stats"],
         "query_by_doc": reg["query_by_doc"],

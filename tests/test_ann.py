@@ -75,3 +75,17 @@ def test_ivf_partitioned_store_prunes_partitions(spark, tmp_path, emb):
     # only the probed cells' rows are read
     expected = ivf.assigned.filter(F.col("cell").isin([1, 3])).count()
     assert probe.count() == expected
+
+
+def test_ivf_sampled_fit_recall(spark, emb, queries):
+    """The KMeans fit runs on a bounded sample (fit_sample_rows < N); the
+    full assign pass still covers every row, and recall at n_probes=4 stays
+    >= 0.85 even on this tiny table (the 200k scale smoke pins >= 0.9
+    with a far larger sample-to-cell ratio)."""
+    n = emb.count()
+    ivf = ivf_build(emb, id_col="vec_id", vec_col="embedding", n_cells=8,
+                    fit_sample_rows=max(50, n // 4))
+    assert ivf.assigned.count() == n  # every vector assigned, none sampled away
+    exact = knn_search(emb, queries, k=5, id_col="vec_id", vec_col="embedding",
+                       impl="expr")
+    assert recall_at_k(ivf_search(ivf, queries, k=5, n_probes=4), exact) >= 0.85

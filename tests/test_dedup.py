@@ -120,3 +120,97 @@ def test_cosine_topk_pairs(spark):
     top = cosine_topk_pairs(df, "embedding", "vec_id", k=2).collect()
     assert (top[0].id_a, top[0].id_b) == (0, 1)
     assert top[0].cosine > 0.99
+
+
+def _pseudo_random_matrix(n: int, dim: int, seed: int = 1):
+    """Deterministic pseudo-random matrix without RNG state (hash-style)."""
+    import numpy as np
+
+    ids = np.arange(n, dtype=np.float64) + 1 + seed * 1000
+    cols = np.arange(dim, dtype=np.float64) + 1
+    arg = np.sin(np.outer(ids, cols * 12.9898)) * 43758.5453
+    # true fract (not modf: modf keeps the sign and would bias the mean)
+    return arg - np.floor(arg) - 0.5
+
+
+def test_cosine_blocked_matches_exact(spark):
+    """The distributed block-GEMM returns the identical pair set (and
+    cosines to rounding) as the O(N^2) expression path, including pairs
+    whose smaller id lands in the 'right' block of an off-diagonal group."""
+    from vector_db_at_home_spark.operators.dedup import cosine_topk_pairs_blocked
+
+    mat = _pseudo_random_matrix(300, 16)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = cosine_topk_pairs(df, "embedding", "vec_id", k=15).collect()
+    blk = cosine_topk_pairs_blocked(df, "embedding", "vec_id", k=15,
+                                    n_blocks=4).collect()
+    assert [(r.id_a, r.id_b) for r in exact] == [(r.id_a, r.id_b) for r in blk]
+    for e, b in zip(exact, blk):
+        assert b.cosine == pytest.approx(e.cosine, abs=2e-6)
+
+
+def test_cosine_blocked_no_cartesian_no_collect(spark):
+    """Plan audit: the blocked path's physical plan contains no
+    CartesianProduct node — the replication join is a broadcast of the
+    B-row block-target list, never of the data."""
+    from vector_db_at_home_spark.operators.dedup import cosine_topk_pairs_blocked
+
+    mat = _pseudo_random_matrix(50, 8)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = cosine_topk_pairs_blocked(
+        df, "embedding", "vec_id", k=5, n_blocks=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_neardup_bucketed_recall_and_precision(spark):
+    """Planted near-dups: 400 base vectors + 40 perturbed copies
+    (cosine >= ~0.99).  The LSH-bucketed path must recover >= 90% of the
+    planted pairs (recall) and, because candidates are exactly re-ranked,
+    return no pair below the threshold (exact precision)."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.dedup import cosine_neardup_bucketed
+
+    base = _pseudo_random_matrix(400, 16)
+    noise = _pseudo_random_matrix(40, 16, seed=7) * 0.02
+    dup = base[:40] + noise
+    rows = [(i, [float(x) for x in base[i]]) for i in range(400)]
+    rows += [(1000 + i, [float(x) for x in dup[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = cosine_neardup_bucketed(
+        df, "embedding", "vec_id", min_cosine=0.95,
+        n_planes=12, n_tables=4,
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    planted = {(i, 1000 + i) for i in range(40)}
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.9
+    # exact precision: every returned cosine is genuinely >= threshold
+    norm = base / np.linalg.norm(base, axis=1, keepdims=True)
+    nd = dup / np.linalg.norm(dup, axis=1, keepdims=True)
+    full = np.vstack([norm, nd])
+    ids = [i for i in range(400)] + [1000 + i for i in range(40)]
+    pos = {v: p for p, v in enumerate(ids)}
+    for r in got:
+        true_cos = float(full[pos[r.id_a]] @ full[pos[r.id_b]])
+        assert true_cos >= 0.95 - 1e-6
+        assert r.cosine == pytest.approx(true_cos, abs=2e-6)
+
+
+def test_cosine_neardup_hot_bucket_cap(spark):
+    """max_bucket=1 drops every bucket with >= 2 members, so even exact
+    duplicates yield no candidates — the hot-bucket guard's extreme."""
+    from vector_db_at_home_spark.operators.dedup import cosine_neardup_bucketed
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert cosine_neardup_bucketed(
+        df, "embedding", "vec_id", min_cosine=0.5, max_bucket=1
+    ).count() == 0
+    assert cosine_neardup_bucketed(
+        df, "embedding", "vec_id", min_cosine=0.5, max_bucket=100
+    ).count() == 10

@@ -74,3 +74,68 @@ def test_entropy_formula():
     assert feats == [0.0, 1.0] or sum(feats) == 1.0
     ent0, feats0 = _extract_features_bytes(b"", 4)
     assert ent0 == 0.0 and feats0 == [0.0] * 4
+
+
+def test_png_header_roundtrip(spark, media):
+    """Image payloads are REAL PNGs; attach_image_meta recovers the exact
+    width/height from the IHDR bytes (width = 4 + id % 29 by construction,
+    height = ceil(n_text_bytes / width))."""
+    from vector_db_at_home_spark.operators.multimodal import attach_image_meta
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    text_len = {r.doc_id: len(r.text.encode("utf-8")) for r in docs.collect()}
+    out = attach_image_meta(media).collect()
+    n_images = 0
+    for r in out:
+        if r.modality == "image":
+            n_images += 1
+            w = 4 + r.media_id % 29
+            assert r.meta.mime == "image/png"
+            assert r.meta.width == w
+            assert r.meta.height == max(1, math.ceil(text_len[r.media_id] / w))
+        else:
+            assert r.meta.mime == "application/octet-stream"
+            assert r.meta.width == text_len[r.media_id]  # untouched stand-in
+    assert n_images > 0
+
+
+def test_png_payload_is_decodable():
+    """The synthesized PNG is a *valid* PNG end-to-end: zlib-decompressing
+    IDAT recovers the original pixel bytes (stdlib-only decode)."""
+    import struct
+    import zlib
+
+    from vector_db_at_home_spark.operators.multimodal import (
+        _png_bytes,
+        parse_image_header,
+    )
+
+    pixels = bytes(range(50))
+    png = _png_bytes(pixels, width=10)
+    assert parse_image_header(png) == ("image/png", 10, 5)
+    # walk chunks to IDAT, inflate, strip per-row filter bytes
+    pos, idat = 8, b""
+    while pos < len(png):
+        (length,) = struct.unpack(">I", png[pos:pos + 4])
+        typ = png[pos + 4:pos + 8]
+        if typ == b"IDAT":
+            idat += png[pos + 8:pos + 8 + length]
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    rows = [raw[r * 11 + 1:r * 11 + 11] for r in range(5)]
+    assert b"".join(rows) == pixels
+
+
+def test_parse_jpeg_and_gif_headers():
+    import struct
+
+    from vector_db_at_home_spark.operators.multimodal import parse_image_header
+
+    jfif = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 480, 640) + b"\x01\x11\x00"
+    assert parse_image_header(jfif + sof0) == ("image/jpeg", 640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert parse_image_header(gif) == ("image/gif", 320, 200)
+    assert parse_image_header(b"not an image at all") is None
+    assert parse_image_header(None) is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\x08rest") is None

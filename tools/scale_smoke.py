@@ -43,6 +43,132 @@ def augmented_embeddings(spark, base_dir: str, replicas: int):
     )
 
 
+def synthetic_vectors(spark, n_rows: int, dim: int, n_dups: int):
+    """(vec_id, embedding): hash-derived pseudo-random vectors (no RNG
+    state — fract(sin(id·c)) per component, the classic shader hash), plus
+    ``n_dups`` planted near-duplicates: ids >= n_rows are small-noise copies
+    of id − n_rows (cosine ≈ 0.99+).  Fully distributed generation."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cols = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if cols is None:
+                cols = np.arange(dim, dtype=np.float64) + 1.0
+            ids = pdf["id"].to_numpy(np.int64)
+            src = np.where(ids < n_rows, ids, ids - n_rows)
+            # centered (mean-0) components via true fract (x - floor(x),
+            # NOT modf — modf keeps the sign, which would bias every
+            # component and correlate all vectors): random pairs then sit
+            # near 90°, so LSH collisions track true similarity
+            arg = np.sin(np.outer(src + 1.0, cols * 12.9898)) * 43758.5453
+            mat = arg - np.floor(arg) - 0.5
+            dup = ids >= n_rows
+            if dup.any():
+                noise = np.modf(
+                    np.sin(np.outer(ids[dup] + 3.0, cols * 7.131)) * 24634.6345
+                )[0] * 0.01
+                mat[dup] += noise
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": list(mat.astype(np.float32))}
+            )
+
+    base = spark.range(0, n_rows + n_dups, 1, 64)
+    return base.mapInPandas(gen, "vec_id long, embedding array<float>")
+
+
+def cosine_sections(spark, timings: dict, results: dict) -> None:
+    """200k-vector evidence for the two cosine scale paths: LSH-bucketed
+    near-dup (sub-quadratic, recall vs planted pairs) and the exact
+    distributed block-GEMM top-k (no driver collect)."""
+    import time as _t
+
+    from vector_db_at_home_spark.operators.dedup import (
+        cosine_neardup_bucketed,
+        cosine_topk_pairs_blocked,
+    )
+
+    n_rows, n_dups = 200_000, 1_000
+    vecs = synthetic_vectors(spark, n_rows, 64, n_dups).cache()
+    vecs.count()
+
+    t0 = _t.time()
+    nd = cosine_neardup_bucketed(
+        vecs, "embedding", "vec_id", min_cosine=0.95,
+        n_planes=16, n_tables=4, max_bucket=1000,
+    ).collect()
+    print(f"# neardup_lsh_200k done {round(_t.time()-t0,1)}s", file=sys.stderr)
+    timings["cosine_neardup_lsh_200k"] = round(_t.time() - t0, 3)
+    planted = {(i, n_rows + i) for i in range(n_dups)}
+    got = {(r.id_a, r.id_b) for r in nd}
+    results["neardup_lsh_200k_rows"] = len(nd)
+    results["neardup_lsh_200k_recall"] = round(
+        len(got & planted) / len(planted), 4
+    )
+
+    t0 = _t.time()
+    blk = cosine_topk_pairs_blocked(
+        vecs, "embedding", "vec_id", k=20, n_blocks=32
+    ).collect()
+    print(f"# blocked_200k done {round(_t.time()-t0,1)}s", file=sys.stderr)
+    timings["cosine_blocked_200k"] = round(_t.time() - t0, 3)
+    # planted dups dominate the global top-k — every top pair must be real
+    results["cosine_blocked_200k_top_planted"] = sum(
+        1 for r in blk if (r.id_a, r.id_b) in planted
+    )
+    vecs.unpersist()
+
+
+def ivf_section(spark, emb, qs, exact_rows, timings: dict,
+                results: dict) -> None:
+    """IVF at 200k end-to-end: sampled KMeans fit, assignments persisted
+    partitioned by cell, probes against the RELOADED store (partition
+    pruning on cell), recall >= 0.9 vs the exact kNN at n_probes=4.
+
+    ``qs`` must be the SAME query DataFrame the exact baseline used —
+    recall against different query vectors is meaningless."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from vector_db_at_home_spark.operators.ann import (
+        IVFIndex,
+        ivf_build,
+        ivf_search,
+    )
+
+    t0 = _t.time()
+    ivf = ivf_build(emb, id_col="vec_id", vec_col="embedding", n_cells=64,
+                    fit_sample_rows=20_000)
+    print(f"# ivf_build done {round(_t.time()-t0,1)}s", file=sys.stderr)
+    timings["ivf_build_200k_fit20k"] = round(_t.time() - t0, 3)
+
+    tmp = tempfile.mkdtemp(prefix="ivf_store_")
+    try:
+        t0 = _t.time()
+        ivf.assigned.write.partitionBy("cell").mode("overwrite").parquet(tmp)
+        timings["ivf_store_write_200k"] = round(_t.time() - t0, 3)
+        stored = IVFIndex(
+            assigned=spark.read.parquet(tmp),
+            centroids=ivf.centroids,
+            n_cells=ivf.n_cells,
+        )
+        t0 = _t.time()
+        approx = ivf_search(stored, qs, k=10, n_probes=4).collect()
+        timings["ivf_search_200k_probe4"] = round(_t.time() - t0, 3)
+        exact = {(r.query_id, r.id) for r in exact_rows}
+        got = {(r.query_id, r.id) for r in approx}
+        results["ivf_recall_at_10_probe4"] = round(
+            len(got & exact) / max(len(exact), 1), 4
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main(replicas: int = 100) -> None:
     from pyspark.sql import functions as F
 
@@ -83,6 +209,10 @@ def main(replicas: int = 100) -> None:
     eset = {(r.query_id, r.id) for r in expr_rows}
     overlap = len(pset & eset) / max(len(eset), 1)
 
+    results: dict = {}
+    ivf_section(spark, emb, qs, pandas_rows, timings, results)
+    cosine_sections(spark, timings, results)
+
     print(
         json.dumps(
             {
@@ -97,6 +227,7 @@ def main(replicas: int = 100) -> None:
                     / max(timings["knn_pandas_200k"], 1e-3),
                     2,
                 ),
+                **results,
             }
         )
     )

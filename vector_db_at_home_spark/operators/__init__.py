@@ -1,8 +1,10 @@
 from .ann import ivf_build, ivf_search, recall_at_k
 from .dedup import (
+    cosine_neardup_bucketed,
     cosine_topk_pairs,
-    cosine_topk_pairs_fast,
+    cosine_topk_pairs_blocked,
     exact_dedup,
+    hyperplane_bucket_candidates,
     exact_dedup_stats,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -16,9 +18,11 @@ from .topk import top_k_per_group
 
 __all__ = [
     "asof_join",
+    "cosine_neardup_bucketed",
     "cosine_topk_pairs",
-    "cosine_topk_pairs_fast",
+    "cosine_topk_pairs_blocked",
     "exact_dedup",
+    "hyperplane_bucket_candidates",
     "exact_dedup_stats",
     "fuzzy_search_by_doc",
     "ivf_build",

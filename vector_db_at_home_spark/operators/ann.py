@@ -36,11 +36,16 @@ class IVFIndex:
 
 def ivf_build(index: DataFrame, id_col: str = "id", vec_col: str = "vec",
               n_cells: int = 16, seed: int = 42,
-              max_iter: int = 20) -> IVFIndex:
+              max_iter: int = 20,
+              fit_sample_rows: int = 100_000) -> IVFIndex:
     """Build an IVF index with KMeans centroids (pyspark.ml, seeded).
 
-    One pass to fit (sampled at scale), one broadcast-assign pass — the
-    assignment is itself a tiny exact-kNN (k=1) against the centroid set.
+    The KMeans fit runs on at most ``fit_sample_rows`` rows (seeded
+    ``sample`` above that threshold — centroid quality is insensitive to
+    uniform sampling, so fit cost stays bounded while the table grows),
+    then one full assign pass — the assignment is itself a tiny exact-kNN
+    (k=1) against the centroid set.  Index build is eager by contract
+    (fitting is an action); searches against the returned index are lazy.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -51,8 +56,14 @@ def ivf_build(index: DataFrame, id_col: str = "id", vec_col: str = "vec",
         F.col(vec_col).alias("vec"),
         array_to_vector(F.col(vec_col)).alias("features"),
     )
+    n_rows = ml_df.count()
+    fit_df = ml_df
+    if n_rows > fit_sample_rows:
+        # oversample 10% then cap: Bernoulli sampling is approximate
+        frac = min(1.0, 1.1 * fit_sample_rows / n_rows)
+        fit_df = ml_df.sample(fraction=frac, seed=seed).limit(fit_sample_rows)
     km = KMeans(k=n_cells, seed=seed, maxIter=max_iter)
-    model = km.fit(ml_df)
+    model = km.fit(fit_df)
     assigned = model.transform(ml_df).select(
         "id", "vec", F.col("prediction").alias("cell")
     )

@@ -10,8 +10,13 @@ candidate-pair set, not the full cross product:
                              generation, verified with exact Jaccard.
 - ``simhash_pairs``        — 64-bit SimHash + banded hamming candidates.
 - ``cosine_topk_pairs``    — embedding near-dup by cosine, exact pairwise
-                             (the LSH-bucketed scale path is
-                             ``random_hyperplane_buckets``).
+                             (small-sf oracle baseline only).
+- ``cosine_topk_pairs_blocked`` — the exact distributed path: block-GEMM
+                             over cogrouped block pairs; no driver collect,
+                             no full cartesian product.
+- ``cosine_neardup_bucketed`` — the sub-quadratic near-dup path: multi-table
+                             random-hyperplane LSH candidates + exact
+                             re-rank (candidate volume ∝ colliding pairs).
 
 Scale notes: the inverted-index join is the classic "similarity join via
 prefix/inverted index" — at 100 TB add a document-frequency cap on shingles
@@ -22,6 +27,7 @@ sub-quadratic; band width trades recall vs candidates.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -568,65 +574,224 @@ def cosine_topk_pairs(df: DataFrame, vec_col: str, id_col: str,
     )
 
 
-def cosine_topk_pairs_fast(df: DataFrame, vec_col: str, id_col: str,
-                           k: int = 20) -> DataFrame:
-    """GEMM path for ``cosine_topk_pairs``: the full normalized matrix is a
-    broadcast variable; each partition computes its block × matrix product
-    with NumPy and emits only its local top-k pairs, merged by a global
-    top-k.  Same result as the expression path (oracle-checked there), ~50×
-    faster at 10^3-10^5 rows.  Beyond that, restrict candidates with
-    ``random_hyperplane_buckets`` first — the broadcast matrix is the
-    limiting factor, not the compute.
+def cosine_topk_pairs_blocked(df: DataFrame, vec_col: str, id_col: str,
+                              k: int = 20, n_blocks: int = 8) -> DataFrame:
+    """Exact top-k cosine pairs, fully distributed — the mid-scale path.
+
+    The all-pairs GEMM is decomposed into block pairs: rows hash into
+    ``n_blocks`` blocks; each block is PACKED once into a single row
+    holding its normalized matrix as a binary blob (so the Arrow/pandas
+    per-vector conversion cost is paid once, not once per block pair);
+    every unordered block pair joins its two blobs and computes one NumPy
+    block×block product, emitting only its local top-k; a global top-k
+    merges.  Nothing touches the driver and the plan contains no cartesian
+    product of the full table — the shuffles are N narrow rows (pack) plus
+    ``B(B+1)/2`` blob rows (≈ the matrix replicated B times, in coarse
+    blobs rather than per-row).  Pick ``n_blocks`` so a block
+    (≈N/n_blocks rows × dim doubles) fits an executor's memory.  O(N²)
+    FLOPs remain inherent to *exact* all-pairs; beyond ~10⁶ rows use
+    ``cosine_neardup_bucketed``.
     """
     import numpy as np
-    import pandas as pd
 
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+
+    # Stage 1 — pack: each block becomes ONE row holding its ids and its
+    # L2-normalized matrix as binary blobs.  The expensive Arrow/pandas
+    # conversion of N array rows happens exactly once, here.
+    def pack(key, pdf):
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        return pd.DataFrame({
+            "blk": [int(key[0])],
+            "n": [len(ids)],
+            "dim": [int(mat.shape[1])],
+            "ids": [ids.tobytes()],
+            "mat": [mat.tobytes()],
+        })
+
+    packed = v.groupBy("blk").applyInPandas(
+        pack, schema="blk int, n long, dim long, ids binary, mat binary"
+    )
+
+    # Stage 2 — every unordered block pair (gi <= gj) picks up its two
+    # blobs via equi-joins against the tiny key table: B(B+1)/2 rows total,
+    # never a per-vector replication.
     spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    bc = spark.sparkContext.broadcast((ids, mat / norms, k))
+    keys = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "gi int, gj int",
+    )
+    a = packed.select(
+        F.col("blk").alias("gi"), F.col("n").alias("a_n"),
+        F.col("dim").alias("a_dim"), F.col("ids").alias("a_ids"),
+        F.col("mat").alias("a_mat"),
+    )
+    b = packed.select(
+        F.col("blk").alias("gj"), F.col("n").alias("b_n"),
+        F.col("dim").alias("b_dim"), F.col("ids").alias("b_ids"),
+        F.col("mat").alias("b_mat"),
+    )
+    pairs = a.join(F.broadcast(keys), "gi").join(b, "gj")
 
-    def block_topk(batches):
-        b_ids, b_nmat, b_k = bc.value
-        pos = {int(i): p for p, i in enumerate(b_ids)}
+    # Stage 3 — per-pair NumPy GEMM, local top-k only.
+    def gemm(batches):
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            my_ids = pdf["__id"].to_numpy(dtype=np.int64)
-            my_pos = np.asarray([pos[int(i)] for i in my_ids])
-            block = b_nmat[my_pos]
-            sims = block @ b_nmat.T                     # (m, N)
-            # mask self and enforce id_a < id_b (pair counted once, on the
-            # partition holding the smaller id)
-            mask = my_ids[:, None] >= b_ids[None, :]
-            sims[mask] = -2.0
-            kk = min(b_k, sims.shape[1])
-            # Local top-k under the full contract order (cosine DESC, id_b
-            # ASC; id_a fixed per row): lexsort keeps exactly kk candidates
-            # per row — bounded emission even when the corpus is mostly
-            # exact duplicates (a dedup input's degenerate-but-expected
-            # case), and ties resolve to the lowest id like the exact path.
-            frames = []
-            for i in range(sims.shape[0]):
-                order = np.lexsort((b_ids, -sims[i]))[:kk]
-                s = sims[i, order]
-                keep = s > -2.0
-                frames.append(pd.DataFrame(
-                    {"id_a": np.full(keep.sum(), my_ids[i]),
-                     "id_b": b_ids[order][keep],
-                     "cosine": np.round(s[keep], 6)}
-                ))
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            for r in pdf.itertuples(index=False):
+                ia = np.frombuffer(r.a_ids, dtype=np.int64)
+                a_m = np.frombuffer(r.a_mat, dtype=np.float64).reshape(
+                    r.a_n, r.a_dim)
+                ib = np.frombuffer(r.b_ids, dtype=np.int64)
+                b_m = np.frombuffer(r.b_mat, dtype=np.float64).reshape(
+                    r.b_n, r.b_dim)
+                # chunked GEMM: the sims tile stays cache-sized instead of
+                # materializing the full |A|×|B| matrix (memory-bandwidth,
+                # not FLOPs, dominates this kernel at block sizes ~10⁴)
+                buf = max(4 * k, k)
+                chunk = max(1, (1 << 22) // max(1, b_m.shape[0]))
+                c_vals, c_ra, c_rb = [], [], []
+                for s in range(0, a_m.shape[0], chunk):
+                    sims = a_m[s:s + chunk] @ b_m.T
+                    if r.gi == r.gj:
+                        # self pair: keep each unordered pair once
+                        # (strict upper triangle) via a -2 sentinel
+                        sims[ia[s:s + chunk, None] >= ib[None, :]] = -2.0
+                    flat = sims.ravel()
+                    nbuf = min(flat.size, buf)
+                    part = (
+                        np.argpartition(flat, flat.size - nbuf)[-nbuf:]
+                        if nbuf < flat.size else np.arange(flat.size)
+                    )
+                    svals = flat[part]
+                    keep = svals > -1.5  # drop sentinel cells
+                    part, svals = part[keep], svals[keep]
+                    if svals.size == 0:
+                        continue
+                    cra, crb = np.unravel_index(part, sims.shape)
+                    c_vals.append(svals)
+                    c_ra.append(cra + s)
+                    c_rb.append(crb)
+                if not c_vals:
+                    continue
+                svals = np.concatenate(c_vals)
+                ra = np.concatenate(c_ra)
+                rb = np.concatenate(c_rb)
+                # exact (−cosine, id_a, id_b) lexsort of the buffered
+                # candidates so boundary ties resolve identically to the
+                # expression path
+                pa = np.minimum(ia[ra], ib[rb])
+                pb = np.maximum(ia[ra], ib[rb])
+                order = np.lexsort((pb, pa, -svals))[:k]
+                yield pd.DataFrame({
+                    "id_a": pa[order],
+                    "id_b": pb[order],
+                    "cosine": np.round(svals[order], 6),
+                })
 
-    narrow = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
-    cand = narrow.mapInPandas(block_topk, schema="id_a long, id_b long, cosine double")
-    return cand.orderBy(
+    out = pairs.repartition(n_blocks * (n_blocks + 1) // 2).mapInPandas(
+        gemm, schema="id_a long, id_b long, cosine double"
+    )
+    return out.orderBy(
         F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
     ).limit(k)
+
+
+def hyperplane_bucket_candidates(df: DataFrame, vec_col: str, id_col: str,
+                                 n_planes: int = 16, n_tables: int = 4,
+                                 seed: int = 42,
+                                 max_bucket: int | None = None) -> DataFrame:
+    """Multi-table sign-LSH candidate pairs ``(id_a, id_b)`` for cosine.
+
+    Each table projects onto ``n_planes`` Gaussian hyperplanes (seeded NumPy,
+    vectorized GEMM in an Arrow-batched pandas UDF — no per-row Python); the
+    sign pattern is the bucket.  A pair at angle θ collides in one table with
+    probability ``(1 − θ/π)^n_planes``; ``n_tables`` independent tables turn
+    per-table recall r into ``1 − (1−r)^T``.  Candidates = distinct
+    same-bucket pairs, so volume tracks actual collisions, never N².
+
+    ``max_bucket`` drops buckets larger than the cap (the hot-bucket guard —
+    a degenerate bucket of B rows alone contributes O(B²) pairs).
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        dim = mat.shape[1]
+        out = np.zeros((mat.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            rng = np.random.default_rng(seed + 7919 * t)
+            planes = rng.standard_normal((n_planes, dim))
+            bits = (mat @ planes.T) > 0
+            out[:, t] = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series(list(out))
+
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("tbl", "bucket")
+        b = b.withColumn("__n", F.count(F.lit(1)).over(w)) \
+             .filter(F.col("__n") <= max_bucket).drop("__n")
+    left = b.select(F.col("tbl"), F.col("bucket"), F.col("id").alias("id_a"))
+    right = b.select(F.col("tbl"), F.col("bucket"), F.col("id").alias("id_b"))
+    return (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def cosine_neardup_bucketed(df: DataFrame, vec_col: str, id_col: str,
+                            min_cosine: float = 0.9, k: int | None = None,
+                            n_planes: int = 16, n_tables: int = 4,
+                            seed: int = 42,
+                            max_bucket: int | None = 10_000) -> DataFrame:
+    """Embedding near-dup pairs at scale: LSH candidates + exact re-rank.
+
+    ``hyperplane_bucket_candidates`` restricts the pair space to same-bucket
+    collisions, then each candidate is re-scored with the exact cosine
+    expression and filtered at ``min_cosine`` — so precision is exact and
+    only recall depends on (n_planes, n_tables).  This is the 100 TB shape:
+    every stage is a keyed join or aggregation, shuffle ∝ candidates, no
+    driver-side data, no cartesian product.  Tune n_planes up to thin random
+    collisions (fewer candidates) and n_tables up to recover recall.
+    """
+    cand = hyperplane_bucket_candidates(
+        df, vec_col, id_col, n_planes=n_planes, n_tables=n_tables,
+        seed=seed, max_bucket=max_bucket,
+    )
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    scored = (
+        cand.join(vecs.select(F.col("id").alias("id_a"),
+                              F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"),
+                          F.col("v").alias("vb")), "id_b")
+        .select("id_a", "id_b",
+                F.round(cosine_similarity("va", "vb"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+    )
+    out = scored.orderBy(
+        F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    )
+    return out.limit(k) if k is not None else out
 
 
 def random_hyperplane_buckets(df: DataFrame, vec_col: str, id_col: str,

@@ -694,18 +694,25 @@ _attach_pipeline_oracles()
 @register("multimodal_stats")  # no oracle: entropy UDF not SQL-expressible
 def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthesize binary media from the
-    documents table, Arrow-batched feature extraction via mapInPandas,
-    aggregate by modality (operators/multimodal.py; decode is stubbed,
-    plumbing is real)."""
+    documents table (image rows carry REAL decodable PNG payloads), parse
+    genuine header dimensions from the bytes (attach_image_meta),
+    Arrow-batched feature extraction via mapInPandas, aggregate by modality
+    (operators/multimodal.py; only pixel decode is stubbed)."""
     from .operators.multimodal import (
+        attach_image_meta,
         extract_media_features,
         media_stats_by_modality,
         synthesize_media,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    media = synthesize_media(docs, "text", "doc_id")
-    return media_stats_by_modality(extract_media_features(media))
+    media = attach_image_meta(synthesize_media(docs, "text", "doc_id"))
+    stats = media_stats_by_modality(extract_media_features(media))
+    dims = media.groupBy("modality").agg(
+        F.round(F.avg(F.col("meta.width")), 3).alias("avg_px_width"),
+        F.round(F.avg(F.col("meta.height")), 3).alias("avg_px_height"),
+    )
+    return stats.join(dims, "modality").orderBy("modality")
 
 
 @register("ann_ivf_topk")  # no oracle: KMeans centroids not SQL-expressible
