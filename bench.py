@@ -120,8 +120,10 @@ def main() -> None:
     # warm the same way.
     for t in TESTDATA_TABLES:
         load_table(spark, SF_DIR, t).count()
+    # sf0.01 (not sf0.001) so AQE's runtime re-planned stages compile the
+    # same code shapes the sf0.1 runs will execute
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR",
-                              "/root/testdata/sf0.001")
+                              "/root/testdata/sf0.01")
     benches = bench_queries(spark)
     for name, fn in benches.items():
         df = fn(spark, warm_dir)

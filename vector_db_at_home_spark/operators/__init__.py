@@ -12,6 +12,12 @@ from .dedup import (
 )
 from .fuzzysearch import fuzzy_search_by_doc
 from .knn import knn_join_payload, knn_search
+from .sampling import (
+    hash_sample,
+    hash_split,
+    pack_documents,
+    stratified_hash_sample,
+)
 from .skew import salted_aggregate, salted_broadcast_left
 from .temporal import asof_join, range_join_binned
 from .topk import top_k_per_group
@@ -25,12 +31,15 @@ __all__ = [
     "hyperplane_bucket_candidates",
     "exact_dedup_stats",
     "fuzzy_search_by_doc",
+    "hash_sample",
+    "hash_split",
     "ivf_build",
     "ivf_search",
     "knn_join_payload",
     "knn_search",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "pack_documents",
     "range_join_binned",
     "recall_at_k",
     "salted_aggregate",
