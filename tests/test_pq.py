@@ -1,0 +1,86 @@
+"""Product-quantization tests: compression, determinism, recall vs exact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_at_home_spark.operators.ann import recall_at_k
+from vector_db_at_home_spark.operators.knn import knn_search
+from vector_db_at_home_spark.operators.pq import pq_build, pq_search
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    return (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+    )
+
+
+@pytest.fixture(scope="module")
+def pq(emb):
+    return pq_build(emb, id_col="vec_id", vec_col="embedding", m=8,
+                    fit_sample_rows=400)
+
+
+def test_codes_are_m_bytes(pq, emb):
+    rows = pq.codes.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r.code) == 8 for r in rows)  # 64-dim float32 → 8 bytes
+
+
+def test_build_deterministic(emb, pq):
+    again = pq_build(emb, id_col="vec_id", vec_col="embedding", m=8,
+                     fit_sample_rows=400)
+    a = {r.id: bytes(r.code) for r in pq.codes.collect()}
+    b = {r.id: bytes(r.code) for r in again.codes.collect()}
+    assert a == b
+
+
+def test_adc_recall_and_refined_recall(emb, queries, pq):
+    exact = knn_search(emb, queries, k=10, id_col="vec_id",
+                       vec_col="embedding", impl="expr")
+    adc = pq_search(pq, queries, k=10)
+    r_adc = recall_at_k(adc, exact)
+    refined = pq_search(pq, queries, k=10, refine_with=emb,
+                        refine_factor=4, id_col="vec_id", vec_col="embedding")
+    r_ref = recall_at_k(refined, exact)
+    # ADC alone is lossy; exact re-rank over 4k candidates recovers most
+    assert r_adc >= 0.4
+    assert r_ref >= 0.8
+    assert r_ref >= r_adc
+    # the query vector itself (distance 0) must always be found
+    top1 = {(r.query_id, r.id) for r in refined.collect()
+            if r.distance == pytest.approx(0.0, abs=1e-9)}
+    assert {(q, q) for q in range(8)} <= top1
+
+
+def test_refined_distances_are_exact(emb, queries, pq):
+    refined = pq_search(pq, queries, k=5, refine_with=emb,
+                        refine_factor=4, id_col="vec_id", vec_col="embedding")
+    exact = knn_search(emb, queries, k=5, id_col="vec_id",
+                       vec_col="embedding", impl="expr")
+    edist = {(r.query_id, r.id): r.distance for r in exact.collect()}
+    for r in refined.collect():
+        key = (r.query_id, r.id)
+        if key in edist:  # shared hits carry the true distance
+            assert r.distance == pytest.approx(edist[key], abs=1e-9)
+
+
+def test_bad_m_raises(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_build(emb, id_col="vec_id", vec_col="embedding", m=7)
+
+
+def test_empty_table_raises(spark):
+    empty = spark.createDataFrame([], "id long, vec array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        pq_build(empty)

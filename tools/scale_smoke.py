@@ -81,6 +81,39 @@ def synthetic_vectors(spark, n_rows: int, dim: int, n_dups: int):
     return base.mapInPandas(gen, "vec_id long, embedding array<float>")
 
 
+def pq_section(spark, emb, qs, exact_rows, timings: dict,
+               results: dict) -> None:
+    """PQ at 200k: 8-byte codes (32× compression of 64-dim float32), ADC
+    scan, and exact re-rank recall vs the exact kNN baseline."""
+    import time as _t
+
+    from vector_db_at_home_spark.operators.pq import pq_build, pq_search
+
+    t0 = _t.time()
+    pq = pq_build(emb, id_col="vec_id", vec_col="embedding", m=8,
+                  fit_sample_rows=20_000)
+    pq.codes.cache().count()
+    timings["pq_build_encode_200k"] = round(_t.time() - t0, 3)
+
+    exact = {(r.query_id, r.id) for r in exact_rows}
+    t0 = _t.time()
+    adc = pq_search(pq, qs, k=10).collect()
+    timings["pq_adc_scan_200k"] = round(_t.time() - t0, 3)
+    got = {(r.query_id, r.id) for r in adc}
+    results["pq_adc_recall_at_10"] = round(len(got & exact) / len(exact), 4)
+
+    t0 = _t.time()
+    ref = pq_search(pq, qs, k=10, refine_with=emb, refine_factor=8,
+                    id_col="vec_id", vec_col="embedding").collect()
+    timings["pq_refined_200k"] = round(_t.time() - t0, 3)
+    got_r = {(r.query_id, r.id) for r in ref}
+    results["pq_refined_recall_at_10"] = round(
+        len(got_r & exact) / len(exact), 4
+    )
+    print(f"# pq done {round(_t.time()-t0,1)}s", file=sys.stderr)
+    pq.codes.unpersist()
+
+
 def cosine_sections(spark, timings: dict, results: dict) -> None:
     """200k-vector evidence for the two cosine scale paths: LSH-bucketed
     near-dup (sub-quadratic, recall vs planted pairs) and the exact
@@ -211,6 +244,7 @@ def main(replicas: int = 100) -> None:
 
     results: dict = {}
     ivf_section(spark, emb, qs, pandas_rows, timings, results)
+    pq_section(spark, emb, qs, pandas_rows, timings, results)
     cosine_sections(spark, timings, results)
 
     print(

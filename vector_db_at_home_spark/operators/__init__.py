@@ -12,6 +12,7 @@ from .dedup import (
 )
 from .fuzzysearch import fuzzy_search_by_doc
 from .knn import knn_join_payload, knn_search
+from .pq import pq_build, pq_search
 from .sampling import (
     hash_sample,
     hash_split,
@@ -40,6 +41,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "pack_documents",
+    "pq_build",
+    "pq_search",
     "range_join_binned",
     "recall_at_k",
     "salted_aggregate",

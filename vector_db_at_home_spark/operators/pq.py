@@ -1,0 +1,221 @@
+"""Product quantization (PQ) for vector search at 100 TB scale.
+
+Exact kNN (``operators.knn``) scans full float vectors: N·d·4 bytes of I/O
+per query batch.  PQ (Jégou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011 — public knowledge) compresses each
+vector to ``m`` bytes: split d dims into m subspaces, k-means each subspace
+into 256 centroids, store the centroid index per subspace.  A 64-dim float32
+vector (256 B) becomes 8 B — 32× less scan I/O, which is what makes a
+billion-vector index scannable at all.
+
+Search uses asymmetric distance computation (ADC): per query, precompute an
+``m × 256`` lookup table of squared distances from the query's subvectors to
+every centroid; a vector's approximate distance is then m table lookups and
+adds — no float vector is ever touched during the scan.  An optional exact
+re-rank refines the top ``k·refine`` ADC candidates with true distances
+(late materialization: the float vectors are joined back only for the
+candidate set).
+
+Spark mapping:
+
+- **fit** — codebooks train on a driver-side SAMPLE (bounded by
+  ``fit_sample_rows`` via the deterministic ``hash_sample``; seeded NumPy
+  Lloyd iterations).  Sample-to-driver is the standard PQ recipe (faiss
+  does the same) and is O(sample), never O(N).
+- **encode** — one ``mapInPandas`` pass with broadcast codebooks; vectorized
+  argmin per subspace; codes stored as a ``binary`` column (m bytes/row).
+- **search** — broadcast the per-query LUTs; each partition gathers+sums
+  LUT entries for its codes (NumPy fancy-indexing, no Python loop per row)
+  and emits its local top-k; global top-k merges.  Shuffle is O(P·q·k).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PQIndex:
+    codes: DataFrame          # (id, code binary[m])
+    codebooks: object         # np.ndarray (m, 256, dsub) float64
+    m: int
+    dim: int
+
+
+def _lloyd(data, k: int, iters: int, seed: int):
+    """Seeded NumPy k-means (Lloyd); deterministic, kmeans++-free (random
+    distinct init is fine for 256-way subspace codebooks)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = data.shape[0]
+    k = min(k, n)
+    centers = data[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        # (n, k) squared distances via ||x||² − 2x·c + ||c||²
+        d2 = (
+            (data * data).sum(1)[:, None]
+            - 2.0 * data @ centers.T
+            + (centers * centers).sum(1)[None, :]
+        )
+        assign = d2.argmin(1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                centers[j] = data[mask].mean(0)
+    return centers
+
+
+def pq_build(index: DataFrame, id_col: str = "id", vec_col: str = "vec",
+             m: int = 8, seed: int = 42, fit_sample_rows: int = 20_000,
+             kmeans_iters: int = 12) -> PQIndex:
+    """Train per-subspace codebooks on a bounded sample, then encode every
+    vector to ``m`` bytes in one distributed pass.  ``dim % m`` must be 0.
+    """
+    import numpy as np
+
+    from .sampling import hash_sample
+
+    first = index.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot build a PQ index over an empty table")
+    dim = int(first.d)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+
+    sample = hash_sample(
+        index.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "id", fit_sample_rows, salt="pq_fit",
+    ).collect()
+    mat = np.asarray([r.v for r in sample], dtype=np.float64)
+    books = np.zeros((m, 256, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        cb = _lloyd(sub, 256, kmeans_iters, seed + j)
+        books[j, :cb.shape[0]] = cb
+        if cb.shape[0] < 256:  # tiny tables: repeat last centroid
+            books[j, cb.shape[0]:] = cb[-1]
+
+    spark = index.sparkSession
+    bc = spark.sparkContext.broadcast(books)
+
+    def encode(batches):
+        books_l = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            codes = np.zeros((len(pdf), m), dtype=np.uint8)
+            for j in range(m):
+                sub = vecs[:, j * dsub:(j + 1) * dsub]
+                cb = books_l[j]
+                d2 = (
+                    (sub * sub).sum(1)[:, None]
+                    - 2.0 * sub @ cb.T
+                    + (cb * cb).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "code": [c.tobytes() for c in codes],
+            })
+
+    narrow = index.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    codes = narrow.mapInPandas(encode, schema="id long, code binary")
+    return PQIndex(codes=codes, codebooks=books, m=m, dim=dim)
+
+
+def pq_search(pq: PQIndex, queries: DataFrame, k: int,
+              query_id_col: str = "query_id", query_vec_col: str = "qvec",
+              refine_with: DataFrame | None = None,
+              refine_factor: int = 4,
+              id_col: str = "id", vec_col: str = "vec") -> DataFrame:
+    """ADC top-k per query: ``(query_id, id, distance)`` with approximate
+    (quantized) L2 distances — or exact distances over the re-ranked
+    ``k·refine_factor`` ADC candidates when ``refine_with`` (the original
+    ``(id, vec)`` table) is given."""
+    import numpy as np
+
+    spark = pq.codes.sparkSession
+    m, dim = pq.m, pq.dim
+    dsub = dim // m
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    ).collect()  # queries are small by contract (same as exact kNN)
+    if not q_rows:
+        raise ValueError("empty query set")
+    qids = np.asarray([r.query_id for r in q_rows], dtype=np.int64)
+    qmat = np.asarray([r.qv for r in q_rows], dtype=np.float64)
+    # per-query LUT: (nq, m, 256) squared subdistances
+    luts = np.zeros((len(qids), m, 256), dtype=np.float64)
+    for j in range(m):
+        sub = qmat[:, j * dsub:(j + 1) * dsub]          # (nq, dsub)
+        cb = pq.codebooks[j]                             # (256, dsub)
+        luts[:, j, :] = (
+            (sub * sub).sum(1)[:, None]
+            - 2.0 * sub @ cb.T
+            + (cb * cb).sum(1)[None, :]
+        )
+    kk = k * refine_factor if refine_with is not None else k
+    bc = spark.sparkContext.broadcast((qids, luts, kk))
+
+    def scan(batches):
+        b_qids, b_luts, b_k = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["code"]), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            ids = pdf["id"].to_numpy(np.int64)
+            # (nq, n): sum over subspaces of LUT gathers
+            dists = np.zeros((len(b_qids), len(ids)), dtype=np.float64)
+            for j in range(m):
+                dists += b_luts[:, j, codes[:, j]]
+            nk = min(b_k, len(ids))
+            frames = []
+            for qi in range(len(b_qids)):
+                row = dists[qi]
+                part = (np.argpartition(row, nk - 1)[:nk]
+                        if nk < len(ids) else np.arange(len(ids)))
+                order = part[np.lexsort((ids[part], row[part]))][:nk]
+                frames.append(pd.DataFrame({
+                    "query_id": np.full(len(order), b_qids[qi]),
+                    "id": ids[order],
+                    "distance": np.sqrt(np.maximum(row[order], 0.0)),
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    cand = pq.codes.mapInPandas(
+        scan, schema="query_id long, id long, distance double"
+    )
+    from .topk import top_k_per_group
+
+    approx = top_k_per_group(
+        cand, ["query_id"], [F.col("distance").asc(), F.col("id").asc()], kk
+    )
+    if refine_with is None:
+        return approx.orderBy("query_id", "distance", "id")
+
+    # exact re-rank: join true vectors for the candidate set only
+    from ..functions.distance import l2_distance
+
+    qdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    )
+    vecs = refine_with.select(F.col(id_col).alias("id"),
+                              F.col(vec_col).alias("tv"))
+    exact = (
+        approx.select("query_id", "id")
+        .join(vecs, "id")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "id", l2_distance("tv", "qv").alias("distance"))
+    )
+    return top_k_per_group(
+        exact, ["query_id"], [F.col("distance").asc(), F.col("id").asc()], k
+    ).orderBy("query_id", "distance", "id")
