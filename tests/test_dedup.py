@@ -214,3 +214,74 @@ def test_cosine_neardup_hot_bucket_cap(spark):
     assert cosine_neardup_bucketed(
         df, "embedding", "vec_id", min_cosine=0.5, max_bucket=100
     ).count() == 10
+
+
+def test_cross_corpus_contamination(spark):
+    """Planted contamination: corpus doc 0 embeds benchmark doc 100's text
+    verbatim; doc 1 shares nothing; doc 2 contains half of it."""
+    from vector_db_at_home_spark.operators.dedup import (
+        cross_corpus_contamination,
+        decontaminate,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog again today"
+    corpus = spark.createDataFrame(
+        [
+            (0, "intro words " + bench_text + " trailing words"),
+            (1, "completely unrelated content with different tokens only"),
+            (2, "prefix " + " ".join(bench_text.split()[:7]) + " suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)],
+                                  "doc_id long, text string")
+    hits = cross_corpus_contamination(corpus, bench, n=5, threshold=0.5)
+    rows = {(r.corpus_id, r.bench_id): r.containment_e6 for r in hits.collect()}
+    assert (0, 100) in rows and rows[(0, 100)] == 1_000_000  # full containment
+    assert (1, 100) not in rows
+    assert (2, 100) not in rows  # 3/7 shingles < 0.5
+    # cleaning form removes exactly the flagged doc
+    kept = {r.doc_id for r in
+            decontaminate(corpus, bench, n=5, threshold=0.5).collect()}
+    assert kept == {1, 2}
+
+
+def test_contamination_matches_duckdb(spark):
+    """Engine-portable: DuckDB reproduces overlap and containment exactly
+    from the same md5 shingle hashes."""
+    import duckdb
+
+    from vector_db_at_home_spark.operators.dedup import (
+        cross_corpus_contamination,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    bench = docs.filter(F.col("doc_id") % 2 == 1).limit(10)
+    got = {(r.corpus_id, r.bench_id, r.overlap, r.containment_e6)
+           for r in cross_corpus_contamination(corpus, bench, n=3,
+                                               threshold=0.2).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    want = set(con.execute("""
+WITH ctoks AS (SELECT doc_id, string_split(text, ' ') AS t
+               FROM documents WHERE doc_id % 2 = 0),
+btoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM
+          (SELECT * FROM documents WHERE doc_id % 2 = 1
+           ORDER BY doc_id LIMIT 10)),
+csh AS (SELECT DISTINCT doc_id AS corpus_id,
+               CAST(('0x' || substr(md5(array_to_string(list_slice(t, i, i + 2), ' ')), 1, 15)) AS BIGINT) AS h60
+        FROM ctoks, unnest(range(1, len(t) - 1)) AS r(i)),
+bsh AS (SELECT DISTINCT doc_id AS bench_id,
+               CAST(('0x' || substr(md5(array_to_string(list_slice(t, i, i + 2), ' ')), 1, 15)) AS BIGINT) AS h60
+        FROM btoks, unnest(range(1, len(t) - 1)) AS r(i)),
+bsz AS (SELECT bench_id, count(*) AS bench_sz FROM bsh GROUP BY bench_id),
+inter AS (SELECT corpus_id, bench_id, count(*) AS overlap
+          FROM csh JOIN bsh USING (h60) GROUP BY corpus_id, bench_id)
+SELECT corpus_id, bench_id, overlap,
+       CAST(floor(overlap * 1000000.0 / bench_sz + 0.5) AS BIGINT)
+FROM inter JOIN bsz USING (bench_id)
+WHERE overlap * 1.0 / bench_sz >= 0.2
+""").fetchall())
+    assert got == want and len(got) > 0

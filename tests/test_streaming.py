@@ -227,3 +227,63 @@ def test_stream_static_enrich(spark, tmp_path):
     )
     got = {r.event_id: r.tier for r in spark.table("enriched").collect()}
     assert got == {1: "gold", 2: "silver", 3: "gold"}
+
+
+def test_dedup_stream_by_content_digest(spark, tmp_path):
+    """Content-digest streaming dedup: re-delivered document text is
+    dropped even when ids/timestamps differ (streaming/dedup.py)."""
+    from vector_db_at_home_spark.streaming.dedup import dedup_stream
+    from vector_db_at_home_spark.streaming.events import run_stream_to_memory
+
+    d = str(tmp_path / "docs")
+    rows1 = [(1, "2024-01-01 00:00:00", "alpha beta"),
+             (2, "2024-01-01 00:01:00", "gamma delta")]
+    rows2 = [(3, "2024-01-01 00:02:00", "alpha beta"),     # re-delivery
+             (4, "2024-01-01 00:03:00", "epsilon zeta")]
+    schema = "doc_id long, ts_s string, text string"
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, schema) \
+            .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s") \
+            .coalesce(1).write.parquet(d, mode="append")
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    out = dedup_stream(stream, "text", ts_col="ts",
+                       watermark_delay="10 minutes")
+    run_stream_to_memory(out, "dedup_content")
+    got = spark.sql("SELECT text FROM dedup_content").collect()
+    texts = sorted(r.text for r in got)
+    assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+
+
+def test_dedup_stream_counts_duplicate_rate(spark, tmp_path):
+    from vector_db_at_home_spark.streaming.dedup import dedup_stream_counts
+    from vector_db_at_home_spark.streaming.events import run_stream_to_memory
+
+    d = str(tmp_path / "docs2")
+    rows = [(i, "2024-01-01 00:%02d:00" % (i % 50), "doc %d" % (i % 10))
+            for i in range(40)]
+    spark.createDataFrame(rows, "doc_id long, ts_s string, text string") \
+        .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s") \
+        .coalesce(1).write.parquet(d, mode="append")
+    stream = (spark.readStream
+              .schema("doc_id long, text string, ts timestamp").parquet(d))
+    out = dedup_stream_counts(stream, "text", "ts", window="1 hour")
+    run_stream_to_memory(out, "dup_rate", output_mode="update")
+    res = spark.sql("SELECT * FROM dup_rate").collect()
+    assert len(res) == 1
+    assert res[0].n_rows == 40
+    # HLL estimate of 10 distinct digests within standard error
+    assert abs(res[0].n_distinct_approx - 10) <= 2
+
+
+def test_dedup_stream_requires_ts_with_watermark(spark, tmp_path):
+    from vector_db_at_home_spark.streaming.dedup import dedup_stream
+
+    d = str(tmp_path / "docs3")
+    spark.createDataFrame([(1, "x")], "doc_id long, text string") \
+        .write.parquet(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    with pytest.raises(ValueError, match="requires ts_col"):
+        dedup_stream(stream, "text", watermark_delay="5 minutes")

@@ -3,6 +3,8 @@ from .dedup import (
     cosine_neardup_bucketed,
     cosine_topk_pairs,
     cosine_topk_pairs_blocked,
+    cross_corpus_contamination,
+    decontaminate,
     exact_dedup,
     hyperplane_bucket_candidates,
     exact_dedup_stats,
@@ -28,6 +30,8 @@ __all__ = [
     "cosine_neardup_bucketed",
     "cosine_topk_pairs",
     "cosine_topk_pairs_blocked",
+    "cross_corpus_contamination",
+    "decontaminate",
     "exact_dedup",
     "hyperplane_bucket_candidates",
     "exact_dedup_stats",

@@ -550,6 +550,66 @@ FROM cand WHERE hamming <= {max_hamming} ORDER BY id_a, id_b
 """
 
 
+def cross_corpus_contamination(corpus: DataFrame, bench: DataFrame,
+                               n: int = 8, threshold: float = 0.5,
+                               corpus_text: str = "text",
+                               corpus_id: str = "doc_id",
+                               bench_text: str = "text",
+                               bench_id: str = "doc_id",
+                               max_doc_freq: int | None = None) -> DataFrame:
+    """Benchmark decontamination: flag training docs that overlap an eval
+    set.  The standard recipe (long n-grams, containment scoring — public
+    knowledge from GPT-2/3 and The Pile decontamination write-ups): a
+    corpus doc is contaminated when a large fraction of some benchmark
+    doc's n-grams appear inside it.
+
+    Output: ``(corpus_id, bench_id, overlap, containment)`` for pairs with
+    ``containment = |shared n-grams| / |bench n-grams| >= threshold``.
+
+    Plan: both sides go through the same md5-hashed shingle projection as
+    the dedup suite (strings never shuffle), then an inverted-index join on
+    the shingle hash — work ∝ matching shingles, never |corpus|×|bench|.
+    ``max_doc_freq`` caps ubiquitous corpus shingles, the same scale lever
+    as near-dup.  The benchmark side is typically tiny → its shingle set
+    broadcasts.
+    """
+    csh = hashed_shingles(corpus, corpus_text, corpus_id, n, max_doc_freq) \
+        .select(F.col("id").alias("corpus_id"), "h60")
+    bsh = hashed_shingles(bench, bench_text, bench_id, n, None) \
+        .select(F.col("id").alias("bench_id"), "h60")
+    bsz = bsh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_sz"))
+    inter = (
+        csh.join(F.broadcast(bsh), "h60")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    containment = F.col("overlap").cast("double") / F.col("bench_sz")
+    return (
+        inter.join(F.broadcast(bsz), "bench_id")
+        .filter(containment >= threshold)
+        .select(
+            "corpus_id", "bench_id", "overlap",
+            F.floor(containment * 1e6 + F.lit(0.5)).cast("long")
+            .alias("containment_e6"),
+        )
+        .orderBy("corpus_id", "bench_id")
+    )
+
+
+def decontaminate(corpus: DataFrame, bench: DataFrame, n: int = 8,
+                  threshold: float = 0.5, corpus_text: str = "text",
+                  corpus_id: str = "doc_id", bench_text: str = "text",
+                  bench_id: str = "doc_id",
+                  max_doc_freq: int | None = None) -> DataFrame:
+    """The cleaning form: corpus minus contaminated docs (left anti join
+    on the flagged ids)."""
+    flagged = cross_corpus_contamination(
+        corpus, bench, n, threshold, corpus_text, corpus_id,
+        bench_text, bench_id, max_doc_freq,
+    ).select(F.col("corpus_id").alias(corpus_id)).distinct()
+    return corpus.join(flagged, corpus_id, "left_anti")
+
+
 def cosine_topk_pairs(df: DataFrame, vec_col: str, id_col: str,
                       k: int = 20) -> DataFrame:
     """Top-k most-similar embedding pairs by cosine — exact pairwise.

@@ -1,3 +1,4 @@
+from .dedup import dedup_stream, dedup_stream_counts
 from .ingest import stream_into_store
 from .joins import stream_static_enrich, stream_stream_interval_join
 from .events import (
@@ -10,6 +11,8 @@ from .events import (
 
 __all__ = [
     "dedup_events_stream",
+    "dedup_stream",
+    "dedup_stream_counts",
     "events_stream_windowed_counts",
     "read_events_stream",
     "run_stream_to_memory",
