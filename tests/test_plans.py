@@ -98,3 +98,48 @@ def test_select_ids_filter_pushdown(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     df = emb.filter(F.col("vec_id").isin([1, 5, 10])).select("vec_id", "label")
     assert has_pushed_filters(df, "vec_id")
+
+
+def test_fuzzy_prefilter_plan_shape(spark):
+    """The banded fuzzy plan: provisional top-k via WindowGroupLimit,
+    thresholds and query table broadcast, and exactly two Arrow scorer
+    passes (provisional + banded) — never one per doc·query."""
+    from vector_db_at_home_spark.operators.fuzzysearch import fuzzy_search_by_doc
+    from vector_db_at_home_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    df = fuzzy_search_by_doc(docs, ["alpha beta", "gamma"], k=5,
+                             doc_col="text", id_col="doc_id")
+    import re
+
+    plan = formatted_plan(df)
+    assert has_window_group_limit(df)
+    assert broadcast_join_count(df) >= 2
+    # formatted mode lists each node once in the tree and once in the
+    # details; two distinct scorer nodes = exactly two detail headers
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan,
+                          re.MULTILINE)) == 2
+
+
+def test_cosine_neardup_bucketed_no_cartesian(spark):
+    """The LSH near-dup plan is all keyed joins — no cartesian product and
+    no nested-loop join anywhere."""
+    from vector_db_at_home_spark.operators.dedup import cosine_neardup_bucketed
+    from vector_db_at_home_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    df = cosine_neardup_bucketed(emb, "embedding", "vec_id",
+                                 min_cosine=0.5, n_planes=8, n_tables=2)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hash_split_no_shuffle(spark):
+    """Split assignment is a pure projection: zero exchanges in the plan."""
+    from vector_db_at_home_spark.operators.sampling import hash_split
+    from vector_db_at_home_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = formatted_plan(hash_split(docs, "doc_id", {"a": 0.5, "b": 0.5}))
+    assert "Exchange" not in plan
