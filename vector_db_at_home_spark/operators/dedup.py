@@ -135,11 +135,6 @@ BANDS_DEFAULT = 16  # 16 bands x 4 rows over 64 perms
 # ---------------------------------------------------------------------------
 
 
-def _md5_h32(col: Column, off: int) -> Column:
-    """32-bit integer from md5 hex digits [off, off+8) (1-based)."""
-    return F.conv(F.substring(F.md5(col), off, 8), 16, 10).cast("long")
-
-
 def _md5_h60(col: Column) -> Column:
     """60-bit integer from the first 15 md5 hex digits."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
@@ -204,30 +199,6 @@ def hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3,
     else:
         hs = hs.distinct()
     return hs
-
-
-def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM_DEFAULT) -> DataFrame:
-    """MinHash signature per doc from a ``(id, shingle)`` set.
-
-    One md5 per shingle; permutation i is the Kirsch–Mitzenmacher
-    construction ``h1 + i*h2`` over two independent 32-bit md5 halves
-    (values < 2^38 — exact in 64-bit, and 64× cheaper than hashing per
-    permutation).  The signature is the elementwise min — ``num_perm``
-    partial-aggregating ``min()`` columns in ONE groupBy (one shuffle,
-    map-side combined).
-    """
-    h = sh.select(
-        "id", _md5_h32(F.col("shingle"), 1).alias("h1"),
-        _md5_h32(F.col("shingle"), 9).alias("h2"),
-    )
-    mins = [
-        F.min(F.col("h1") + i * F.col("h2")).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
-    sig = h.groupBy("id").agg(*mins)
-    return sig.select(
-        "id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig")
-    )
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -616,8 +587,8 @@ def cosine_topk_pairs(df: DataFrame, vec_col: str, id_col: str,
 
     O(N^2) distances but only the global top-k survives
     (TakeOrderedAndProject — nothing materializes the pair matrix).  For
-    N beyond ~10^5 use ``random_hyperplane_buckets`` to restrict pairs to
-    same-bucket candidates first.
+    N beyond ~10^5 use ``cosine_neardup_bucketed`` (LSH candidates +
+    exact re-rank) or ``cosine_topk_pairs_blocked``.
     """
     vecs = df.select(
         F.col(id_col).alias("id"),
@@ -852,45 +823,3 @@ def cosine_neardup_bucketed(df: DataFrame, vec_col: str, id_col: str,
         F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
     )
     return out.limit(k) if k is not None else out
-
-
-def random_hyperplane_buckets(df: DataFrame, vec_col: str, id_col: str,
-                              n_planes: int = 16, seed: int = 42) -> DataFrame:
-    """Sign-LSH bucketing for cosine similarity: ``(id, bucket)``.
-
-    Hyperplanes are derived deterministically from ``xxhash64(plane_idx,
-    dim_idx, seed)`` mapped to ±1 components (a Rademacher projection —
-    public-knowledge random-hyperplane LSH).  Vectors with high cosine
-    similarity collide with probability ``(1 - θ/π)^n_planes``.  Candidate
-    pairs = same-bucket pairs; at scale run multiple hash tables (vary seed).
-    """
-    sign_bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                        lambda j: (
-                            F.xxhash64(F.lit(p), j, F.lit(seed))
-                            .bitwiseAND(F.lit(1))
-                            .cast("double")
-                            * 2.0
-                            - 1.0
-                        ),
-                    ),
-                    lambda x, r: x.cast("double") * r,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        )
-        .otherwise(F.lit(0).cast("long"))
-        for p in range(n_planes)
-    ]
-    bucket = sign_bits[0]
-    for i, bit in enumerate(sign_bits[1:], start=1):
-        bucket = bucket + F.shiftleft(bit, i)
-    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
