@@ -84,3 +84,28 @@ def test_empty_table_raises(spark):
     empty = spark.createDataFrame([], "id long, vec array<float>")
     with pytest.raises(ValueError, match="empty"):
         pq_build(empty)
+
+
+def test_ivfpq_composed_search(spark, emb, queries, pq):
+    """IVF probing × PQ codes × exact re-rank: the composed index finds
+    most of the exact top-k while scanning only probed cells' codes."""
+    from vector_db_at_home_spark.operators.ann import ivf_build
+    from vector_db_at_home_spark.operators.pq import ivfpq_search
+
+    ivf = ivf_build(emb, id_col="vec_id", vec_col="embedding", n_cells=8)
+    exact = knn_search(emb, queries, k=5, id_col="vec_id",
+                       vec_col="embedding", impl="expr")
+    got = ivfpq_search(ivf, pq, queries, k=5, n_probes=4,
+                       refine_with=emb, refine_factor=8,
+                       id_col="vec_id", vec_col="embedding")
+    r = recall_at_k(got, exact)
+    assert r >= 0.7
+    # probing all cells with generous refine == IVF pruning costs no recall
+    got_all = ivfpq_search(ivf, pq, queries, k=5, n_probes=8,
+                           refine_with=emb, refine_factor=16,
+                           id_col="vec_id", vec_col="embedding")
+    assert recall_at_k(got_all, exact) >= r
+    # every query's own vector (distance 0) survives the composition
+    zero = {(r2.query_id, r2.id) for r2 in got.collect()
+            if abs(r2.distance) < 1e-9}
+    assert {(q, q) for q in range(8)} <= zero

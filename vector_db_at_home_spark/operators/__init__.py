@@ -14,7 +14,7 @@ from .dedup import (
 )
 from .fuzzysearch import fuzzy_search_by_doc
 from .knn import knn_join_payload, knn_search
-from .pq import pq_build, pq_search
+from .pq import ivfpq_search, pq_build, pq_search
 from .sampling import (
     hash_sample,
     hash_split,
@@ -39,6 +39,7 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "ivf_build",
+    "ivfpq_search",
     "ivf_search",
     "knn_join_payload",
     "knn_search",

@@ -219,3 +219,109 @@ def pq_search(pq: PQIndex, queries: DataFrame, k: int,
     return top_k_per_group(
         exact, ["query_id"], [F.col("distance").asc(), F.col("id").asc()], k
     ).orderBy("query_id", "distance", "id")
+
+
+def ivfpq_search(ivf, pq: PQIndex, queries: DataFrame, k: int,
+                 n_probes: int = 4,
+                 query_id_col: str = "query_id",
+                 query_vec_col: str = "qvec",
+                 refine_with: DataFrame | None = None,
+                 refine_factor: int = 4,
+                 id_col: str = "id", vec_col: str = "vec") -> DataFrame:
+    """IVF-PQ — the billion-scale composition (faiss's IndexIVFPQ shape,
+    public knowledge): IVF probing prunes the scan to ``n_probes`` cells,
+    PQ codes make the pruned scan m bytes/row, ADC ranks candidates, and
+    an optional exact re-rank restores precision on the short list.
+
+    ``ivf`` is an ``operators.ann.IVFIndex`` (its ``assigned`` frame may be
+    a reloaded cell-partitioned store — the probe semi-join then prunes
+    parquet partitions); ``pq`` is a ``PQIndex`` over the same ids.  The
+    scan cost per query is ``(N/n_cells)·n_probes·m`` byte lookups instead
+    of ``N·d`` float mults — both pruning levers compose multiplicatively.
+    """
+    from .ann import ivf_search as _  # noqa: F401 (doc cross-ref)
+    from .knn import knn_search
+
+    probe = knn_search(
+        ivf.centroids, queries, k=min(n_probes, ivf.n_cells),
+        id_col="cell", vec_col="cvec",
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        impl="expr",
+    ).select(F.col("query_id"), F.col("id").alias("cell"))
+
+    # candidate ids: rows of probed cells (partition-pruned when the store
+    # is partitioned by cell), then their m-byte codes
+    cand_codes = (
+        ivf.assigned.select("id", "cell")
+        .join(F.broadcast(probe), "cell")
+        .join(pq.codes, "id")
+        .select("query_id", "id", "code")
+    )
+
+    import numpy as np
+
+    m, dim = pq.m, pq.dim
+    dsub = dim // m
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    ).collect()
+    qmat = np.asarray([r.qv for r in q_rows], dtype=np.float64)
+    qpos = {int(r.query_id): i for i, r in enumerate(q_rows)}
+    luts = np.zeros((len(q_rows), m, 256), dtype=np.float64)
+    for j in range(m):
+        sub = qmat[:, j * dsub:(j + 1) * dsub]
+        cb = pq.codebooks[j]
+        luts[:, j, :] = (
+            (sub * sub).sum(1)[:, None]
+            - 2.0 * sub @ cb.T
+            + (cb * cb).sum(1)[None, :]
+        )
+    spark = pq.codes.sparkSession
+    bc = spark.sparkContext.broadcast((qpos, luts))
+
+    def adc(batches):
+        b_qpos, b_luts = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["code"]), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            qidx = pdf["query_id"].map(b_qpos).to_numpy(np.int64)
+            d = np.zeros(len(pdf), dtype=np.float64)
+            for j in range(m):
+                d += b_luts[qidx, j, codes[:, j]]
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"],
+                "id": pdf["id"],
+                "distance": np.sqrt(np.maximum(d, 0.0)),
+            })
+
+    scored = cand_codes.mapInPandas(
+        adc, schema="query_id long, id long, distance double"
+    )
+    from .topk import top_k_per_group
+
+    kk = k * refine_factor if refine_with is not None else k
+    approx = top_k_per_group(
+        scored, ["query_id"], [F.col("distance").asc(), F.col("id").asc()], kk
+    )
+    if refine_with is None:
+        return approx.orderBy("query_id", "distance", "id")
+
+    from ..functions.distance import l2_distance
+
+    qdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    )
+    vecs = refine_with.select(F.col(id_col).alias("id"),
+                              F.col(vec_col).alias("tv"))
+    exact = (
+        approx.select("query_id", "id")
+        .join(vecs, "id")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "id", l2_distance("tv", "qv").alias("distance"))
+    )
+    return top_k_per_group(
+        exact, ["query_id"], [F.col("distance").asc(), F.col("id").asc()], k
+    ).orderBy("query_id", "distance", "id")
