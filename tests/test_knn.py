@@ -129,3 +129,15 @@ def test_pandas_impl_tie_break_across_chunks(spark):
     for impl in ("expr", "pandas"):
         got = [r.id for r in knn_search(idx, qs, k=5, impl=impl).collect()]
         assert got == [0, 1, 2, 3, 4], (impl, got)
+
+
+def test_pandas_impl_rejects_oversized_query_batch(spark, eye_store, monkeypatch):
+    """The pandas kernel broadcasts the query side; a query set past the
+    ceiling must fail loudly with a pointer to the join-based impl instead
+    of silently collecting it to the driver."""
+    import vector_db_at_home_spark.operators.knn as knn_mod
+
+    monkeypatch.setattr(knn_mod, "_MAX_QUERY_ROWS", 3)
+    qs = make_queries(spark, [np.zeros(DIM) for _ in range(5)])
+    with pytest.raises(ValueError, match="query batch exceeds"):
+        knn_search(eye_store, qs, k=1, impl="pandas")

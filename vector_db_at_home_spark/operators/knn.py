@@ -98,6 +98,11 @@ def _knn_expr(index, queries, k, id_col, vec_col, query_id_col, query_vec_col,
     ).orderBy("query_id", "distance", "id")
 
 
+#: broadcast-side ceiling: beyond this the "queries are small" contract
+#: is violated and the join-based impl is the right plan
+_MAX_QUERY_ROWS = 65_536
+
+
 def _knn_pandas(index, queries, k, id_col, vec_col, query_id_col,
                 query_vec_col, metric) -> DataFrame:
     """Partition-local NumPy top-k, then a global merge.
@@ -107,7 +112,14 @@ def _knn_pandas(index, queries, k, id_col, vec_col, query_id_col,
     partition candidate set.
     """
     spark = index.sparkSession
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = queries.select(query_id_col, query_vec_col) \
+        .limit(_MAX_QUERY_ROWS + 1).collect()
+    if len(qrows) > _MAX_QUERY_ROWS:
+        raise ValueError(
+            f"query batch exceeds {_MAX_QUERY_ROWS} rows — the pandas kNN "
+            "broadcasts the query side; for query sets this large use "
+            "impl='expr' (a join plan) or batch the queries"
+        )
     if not qrows:
         return spark.createDataFrame([], "query_id long, id long, distance double")
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
