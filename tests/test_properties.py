@@ -57,3 +57,38 @@ def test_indel_ratio_formula(a, b):
     else:
         expected = 100.0 * (1.0 - (total - 2 * lcs_dp(a, b)) / total)
         assert abs(indel_ratio(a, b) - expected) < 1e-9
+
+
+# --- sequence-packing kernel (operators/sampling.py) ---
+
+from vector_db_at_home_spark.operators.sampling import first_fit_decreasing
+
+sizes_strategy = st.lists(st.integers(min_value=1, max_value=2000),
+                          max_size=200)
+
+
+@settings(max_examples=300, deadline=None)
+@given(sizes_strategy, st.integers(min_value=2, max_value=1024))
+def test_ffd_invariants(sizes, max_tokens):
+    ordered = sorted(sizes, reverse=True)
+    assign = first_fit_decreasing(ordered, max_tokens)
+    assert len(assign) == len(ordered)
+    fill: dict[int, int] = {}
+    singleton: set[int] = set()
+    for t, b in zip(ordered, assign):
+        fill[b] = fill.get(b, 0) + t
+        if t >= max_tokens:
+            singleton.add(b)
+    # oversized items sit alone; every other bin respects the budget
+    for b, total in fill.items():
+        if b in singleton:
+            assert sum(1 for x in assign if x == b) == 1
+        else:
+            assert total <= max_tokens
+    # bin ids are dense 0..n-1 in first-use order
+    assert sorted(set(assign)) == list(range(len(fill)))
+    # bin count is within the FFD guarantee envelope of the volume bound
+    small_total = sum(t for t in ordered if t < max_tokens)
+    lower = -(-small_total // max_tokens) if small_total else 0
+    n_small_bins = len(fill) - len(singleton)
+    assert n_small_bins <= max(2 * lower, lower + 1) or n_small_bins == 0

@@ -109,6 +109,28 @@ def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
     return df.filter(bucket < thresh)
 
 
+def first_fit_decreasing(sizes: list[int], max_tokens: int) -> list[int]:
+    """Bin index per item for an already-sorted (descending) size list:
+    first bin with room wins; items >= max_tokens get a dedicated full bin.
+    Pure kernel of ``pack_documents`` — property-tested without Spark."""
+    bins: list[int] = []  # remaining capacity per bin
+    assign: list[int] = []
+    for t in sizes:
+        if t >= max_tokens:
+            bins.append(0)  # singleton, full
+            assign.append(len(bins) - 1)
+            continue
+        for i, cap in enumerate(bins):
+            if cap >= t:
+                bins[i] = cap - t
+                assign.append(i)
+                break
+        else:
+            bins.append(max_tokens - t)
+            assign.append(len(bins) - 1)
+    return assign
+
+
 def pack_documents(df: DataFrame, id_col: str, tokens_col: str,
                    max_tokens: int, n_groups: int = 64,
                    salt: str = "pack") -> DataFrame:
@@ -143,22 +165,9 @@ def pack_documents(df: DataFrame, id_col: str, tokens_col: str,
         grp = int(key[0])
         # first-fit-decreasing; ties by id for determinism
         pdf = pdf.sort_values(["toks", "id"], ascending=[False, True])
-        bins: list[int] = []  # remaining capacity per bin
-        assign = []
-        for toks in pdf["toks"]:
-            t = int(toks)
-            if t >= max_tokens:
-                bins.append(0)  # singleton, full
-                assign.append(len(bins) - 1)
-                continue
-            for i, cap in enumerate(bins):
-                if cap >= t:
-                    bins[i] = cap - t
-                    assign.append(i)
-                    break
-            else:
-                bins.append(max_tokens - t)
-                assign.append(len(bins) - 1)
+        assign = first_fit_decreasing(
+            [int(t) for t in pdf["toks"]], max_tokens
+        )
         out = pdf.assign(bin_local=assign)
         out["bin_id"] = (grp << 40) + out["bin_local"]
         out["bin_tokens"] = out.groupby("bin_id")["toks"].transform("sum")
