@@ -114,6 +114,66 @@ def pq_section(spark, emb, qs, exact_rows, timings: dict,
     pq.codes.unpersist()
 
 
+def synthetic_docs(spark, n_rows: int, n_dups: int):
+    """(doc_id, text): ~30-token pseudo-random word documents; ids >=
+    n_rows are near-dups of id − n_rows with ONE word substituted
+    (n-gram Jaccard ≈ 0.9) — the banding regime MinHash must recall."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        vocab = ["w%04d" % i for i in range(5000)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(np.int64)
+            src = np.where(ids < n_rows, ids, ids - n_rows)
+            texts = []
+            for sid, rid in zip(src, ids):
+                arg = np.sin((sid + 1.0) * (np.arange(30) + 1.0) * 7.13) \
+                    * 43758.5453
+                widx = ((arg - np.floor(arg)) * len(vocab)).astype(np.int64)
+                words = [vocab[i] for i in widx]
+                if rid >= n_rows:
+                    words[int(sid) % 30] = "sub%d" % rid
+                texts.append(" ".join(words))
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    base = spark.range(0, n_rows + n_dups, 1, 64)
+    return base.mapInPandas(gen, "doc_id long, text string")
+
+
+def minhash_section(spark, timings: dict, results: dict) -> None:
+    """MinHash-LSH at 200k docs (40× the bench corpus): wall time with
+    both scale levers on, and recall of 1000 planted one-word-substitution
+    near-dups (expected ≈1.0: j≈0.9 → banding catch prob > 0.9999)."""
+    import time as _t
+
+    from vector_db_at_home_spark.operators.dedup import minhash_lsh_pairs
+
+    n_rows, n_dups = 200_000, 1_000
+    docs = synthetic_docs(spark, n_rows, n_dups).cache()
+    docs.count()
+    t0 = _t.time()
+    res = minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.5,
+        max_doc_freq=100, max_band_bucket=200,
+    )
+    pairs = res.collect()
+    timings["minhash_lsh_200k_docs"] = round(_t.time() - t0, 3)
+    got = {(r.id_a, r.id_b) for r in pairs}
+    planted = {(i, n_rows + i) for i in range(n_dups)}
+    results["minhash_200k_rows"] = len(pairs)
+    results["minhash_200k_recall"] = round(
+        len(got & planted) / len(planted), 4
+    )
+    print(f"# minhash_200k done {timings['minhash_lsh_200k_docs']}s",
+          file=sys.stderr)
+    res.cached_shingles.unpersist()
+    docs.unpersist()
+
+
 def cosine_sections(spark, timings: dict, results: dict) -> None:
     """200k-vector evidence for the two cosine scale paths: LSH-bucketed
     near-dup (sub-quadratic, recall vs planted pairs) and the exact
@@ -245,6 +305,7 @@ def main(replicas: int = 100) -> None:
     results: dict = {}
     ivf_section(spark, emb, qs, pandas_rows, timings, results)
     pq_section(spark, emb, qs, pandas_rows, timings, results)
+    minhash_section(spark, timings, results)
     cosine_sections(spark, timings, results)
 
     print(

