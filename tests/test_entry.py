@@ -27,3 +27,14 @@ def test_oracle_keys_subset_of_queries():
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
     assert o <= q
+
+
+def test_registry_exactly_fifty_queries_with_oracles():
+    """The driver scores exactly the first 50 registered queries; the
+    registry must hold exactly 50 and every oracle key must name a query."""
+    from vector_db_at_home_spark.registry import oracle_sql, queries
+
+    q, o = queries(), oracle_sql()
+    assert len(q) == 50
+    assert set(o) <= set(q)
+    assert len(o) == 46  # 4 declared rows-only (non-SQL-expressible)

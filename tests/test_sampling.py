@@ -127,3 +127,56 @@ def test_pack_documents_deterministic(rows):
     b = sorted((r.id, r.bin_id) for r in
                pack_documents(rows, "id", "n_tokens", 512).collect())
     assert a == b
+
+
+def test_mixture_resample_hits_target_shares(spark):
+    """Skewed raw corpus (80/15/5) resampled to a 1/3-each mixture of
+    3000 rows: per-domain counts land near 1000 each, deterministic."""
+    from vector_db_at_home_spark.operators.sampling import mixture_resample
+
+    df = spark.range(0, 20_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 20 < 16, "web")
+        .when(F.col("id") % 20 < 19, "code")
+        .otherwise("books").alias("domain"),
+    )
+    out = mixture_resample(df, "id", "domain",
+                           {"web": 1.0, "code": 1.0, "books": 1.0},
+                           target_rows=3000)
+    counts = {r.domain: r["count"]
+              for r in out.groupBy("domain").count().collect()}
+    for d in ("web", "code", "books"):
+        assert abs(counts[d] - 1000) < 120, counts
+    again = mixture_resample(df, "id", "domain",
+                             {"web": 1.0, "code": 1.0, "books": 1.0},
+                             target_rows=3000)
+    assert sorted(r.id for r in out.collect()) == \
+        sorted(r.id for r in again.collect())
+
+
+def test_mixture_resample_caps_at_domain_size(spark):
+    """A domain smaller than its target share keeps ALL its rows (no
+    replacement) instead of duplicating."""
+    from vector_db_at_home_spark.operators.sampling import mixture_resample
+
+    df = spark.range(0, 1_000).select(
+        F.col("id"),
+        F.when(F.col("id") < 950, "big").otherwise("tiny").alias("domain"),
+    )
+    out = mixture_resample(df, "id", "domain",
+                           {"big": 0.5, "tiny": 0.5}, target_rows=800)
+    counts = {r.domain: r["count"]
+              for r in out.groupBy("domain").count().collect()}
+    assert counts["tiny"] == 50            # all of it, capped at size
+    assert abs(counts["big"] - 400) < 60   # its share of the target
+    # dropped domains: absent from weights → absent from output
+    out2 = mixture_resample(df, "id", "domain", {"big": 1.0}, target_rows=100)
+    assert out2.filter(F.col("domain") == "tiny").count() == 0
+
+
+def test_mixture_resample_bad_weights(spark):
+    from vector_db_at_home_spark.operators.sampling import mixture_resample
+
+    df = spark.range(5).select(F.col("id"), F.lit("d").alias("domain"))
+    with pytest.raises(ValueError, match="positive"):
+        mixture_resample(df, "id", "domain", {"d": 0.0}, target_rows=5)

@@ -18,6 +18,7 @@ from .pq import ivfpq_search, pq_build, pq_search
 from .sampling import (
     hash_sample,
     hash_split,
+    mixture_resample,
     pack_documents,
     stratified_hash_sample,
 )
@@ -44,6 +45,7 @@ __all__ = [
     "knn_join_payload",
     "knn_search",
     "minhash_lsh_pairs",
+    "mixture_resample",
     "ngram_jaccard_pairs",
     "pack_documents",
     "pq_build",

@@ -109,6 +109,53 @@ def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
     return df.filter(bucket < thresh)
 
 
+def mixture_resample(df: DataFrame, id_col: str, domain_col: str,
+                     target_weights: dict, target_rows: int,
+                     salt: str = "mixture") -> DataFrame:
+    """Resample a corpus toward a target domain mixture — the standard
+    pretraining-data step (e.g. "40% web, 30% code, 30% books" regardless
+    of the raw crawl's proportions).
+
+    Per domain d the keep fraction is
+    ``target_weights[d] · target_rows / count(d)`` (capped at 1 — this is
+    sampling without replacement, so a domain can't be upsampled past its
+    size; the output then under-fills that domain rather than duplicating
+    rows).  Selection is the deterministic hash threshold, so the chosen
+    row set is stable across runs and engines.
+
+    Fully lazy: domain counts are an aggregate subplan broadcast-joined
+    back — one shuffle of |domains| partial counts, then a scan-side
+    filter.  Domains absent from ``target_weights`` are dropped.
+    """
+    total = sum(target_weights.values())
+    if total <= 0:
+        raise ValueError("target weights must sum to a positive value")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, w / total) for k, w in target_weights.items()],
+        f"{domain_col} string, __w double",
+    ) if isinstance(next(iter(target_weights)), str) else spark.createDataFrame(
+        [(k, w / total) for k, w in target_weights.items()],
+        f"{domain_col} long, __w double",
+    )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    frac = (
+        counts.join(F.broadcast(wdf), domain_col)
+        .select(
+            domain_col,
+            F.least(
+                F.lit(1.0), F.col("__w") * target_rows / F.col("__n")
+            ).alias("__frac"),
+        )
+    )
+    bucket = _hash_bucket(id_col, salt)
+    return (
+        df.join(F.broadcast(frac), domain_col)
+        .filter(bucket < F.round(F.col("__frac") * _BUCKETS))
+        .drop("__frac")
+    )
+
+
 def first_fit_decreasing(sizes: list[int], max_tokens: int) -> list[int]:
     """Bin index per item for an already-sorted (descending) size list:
     first bin with room wins; items >= max_tokens get a dedicated full bin.
