@@ -778,7 +778,8 @@ def hyperplane_bucket_candidates(df: DataFrame, vec_col: str, id_col: str,
 
     Each table projects onto ``n_planes`` Gaussian hyperplanes (seeded NumPy,
     vectorized GEMM in an Arrow-batched pandas UDF — no per-row Python); the
-    sign pattern is the bucket.  A pair at angle θ collides in one table with
+    sign pattern is the bucket (Charikar, "Similarity Estimation Techniques
+    from Rounding Algorithms", STOC 2002 — public knowledge).  A pair at angle θ collides in one table with
     probability ``(1 − θ/π)^n_planes``; ``n_tables`` independent tables turn
     per-table recall r into ``1 − (1−r)^T``.  Candidates = distinct
     same-bucket pairs, so volume tracks actual collisions, never N².
