@@ -44,3 +44,24 @@ def test_summary_consistent_with_docs(spark, cleaned):
     assert by_lang["ALL"].n_docs == len(cleaned)
     assert by_lang["ALL"].total_tokens == sum(r.n_tokens for r in cleaned)
     assert sum(r.n_docs for r in rows if r.lang != "ALL") == len(cleaned)
+
+
+def test_clean_corpus_with_decontamination(spark):
+    """The optional decontamination stage removes docs overlapping a
+    benchmark table; with no bench the cascade is unchanged."""
+    from vector_db_at_home_spark.operators.pipeline import clean_corpus
+    from vector_db_at_home_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    base = clean_corpus(spark, sf)
+    base_ids = {r.doc_id for r in base.collect()}
+    # benchmark = the raw text of one surviving doc → that doc (and any doc
+    # fully containing it) must drop; everything else survives
+    victim = sorted(base_ids)[0]
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") == victim).select("doc_id", "text")
+    cleaned = clean_corpus(spark, sf, decontam_bench=bench, decontam_n=5)
+    got = {r.doc_id for r in cleaned.collect()}
+    assert victim not in got
+    assert got < base_ids
+    assert len(base_ids) - len(got) <= 3  # only genuine overlaps drop

@@ -27,9 +27,19 @@ def clean_corpus(spark: SparkSession, sf_dir: str,
                  jaccard_threshold: float = 0.5,
                  min_distinct_ratio: float = 0.3,
                  max_punct_ratio: float = 0.2,
-                 langs: tuple[str, ...] = ("en", "de", "es", "fr")) -> DataFrame:
+                 langs: tuple[str, ...] = ("en", "de", "es", "fr"),
+                 decontam_bench: DataFrame | None = None,
+                 decontam_n: int = 8,
+                 decontam_threshold: float = 0.5) -> DataFrame:
     """Surviving corpus after the full cleaning cascade: ``(doc_id, lang,
-    n_tokens)`` of every kept doc."""
+    n_tokens)`` of every kept doc.
+
+    ``decontam_bench`` (a ``(doc_id, text)`` benchmark table) inserts a
+    decontamination stage after near-dup removal: docs containing ≥
+    ``decontam_threshold`` of any benchmark doc's ``decontam_n``-grams are
+    dropped (``dedup.decontaminate``).  Default off — the registered
+    oracle-checked query covers the base cascade; the stage is proven by
+    its own oracle-replicated tests."""
     docs = load_table(spark, sf_dir, "documents")
 
     # 1. exact dedup: keep rows that are their own canonical representative
@@ -48,6 +58,17 @@ def clean_corpus(spark: SparkSession, sf_dir: str,
                                threshold=jaccard_threshold)
     drop = near.select(F.col("id_b").alias("doc_id")).distinct()
     kept = kept.join(F.broadcast(drop), "doc_id", "left_anti")
+
+    # 2b. optional benchmark decontamination (training/eval overlap)
+    if decontam_bench is not None:
+        from .dedup import decontaminate
+
+        kept = decontaminate(
+            kept, decontam_bench, n=decontam_n,
+            threshold=decontam_threshold,
+            corpus_text="text", corpus_id="doc_id",
+            bench_text="text", bench_id="doc_id",
+        )
 
     # 3. quality: distinct-token ratio + punctuation density bounds
     toks = F.split(F.col("text"), " ")
