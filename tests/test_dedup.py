@@ -285,3 +285,56 @@ FROM inter JOIN bsz USING (bench_id)
 WHERE overlap * 1.0 / bench_sz >= 0.2
 """).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_minhash_incremental_vs_full(spark, corpus):
+    """Incremental (new-batch × corpus) near-dup must equal the full
+    self-join dedup restricted to cross-side pairs — same signatures,
+    banding and verified Jaccard values."""
+    from vector_db_at_home_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    new = spark.createDataFrame(
+        [
+            (100, base),                                    # exact dup of 0
+            (101, base.replace("delta", "rho")),            # near dup
+            (102, "totally novel content nothing shared here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    inc = {(r.new_id, r.corpus_id): r.jaccard_e6
+           for r in minhash_lsh_pairs_incremental(
+               new, corpus, "text", "doc_id", threshold=0.3).collect()}
+    # ground truth: full dedup over the union, keep cross pairs only
+    union = corpus.unionByName(new)
+    full = {(r.id_b, r.id_a): r.jaccard_e6
+            for r in minhash_lsh_pairs(union, "text", "doc_id",
+                                       threshold=0.3).collect()
+            if r.id_b >= 100 and r.id_a < 100}
+    assert inc == full
+    assert (100, 0) in inc and inc[(100, 0)] == 1_000_000
+    assert (101, 0) in inc
+    assert not any(nid == 102 for nid, _ in inc)
+
+
+def test_minhash_incremental_caps(spark, corpus):
+    from vector_db_at_home_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    new = spark.createDataFrame(
+        [(200, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    # hot-bucket cap of 0-tolerance drops every corpus band bucket → empty
+    assert minhash_lsh_pairs_incremental(
+        new, corpus, "text", "doc_id", max_band_bucket=0).count() == 0
+    # doc-freq cap measured on the corpus: cap=1 keeps only shingles unique
+    # within the corpus — the exact-dup pair (docs 0/1 share all shingles,
+    # df=2) loses its evidence and disappears
+    res = minhash_lsh_pairs_incremental(
+        new, corpus, "text", "doc_id", max_doc_freq=1)
+    assert not any(r.corpus_id in (0, 1) for r in res.collect())

@@ -9,6 +9,7 @@ from .dedup import (
     hyperplane_bucket_candidates,
     exact_dedup_stats,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_incremental,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -45,6 +46,7 @@ __all__ = [
     "knn_join_payload",
     "knn_search",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_incremental",
     "mixture_resample",
     "ngram_jaccard_pairs",
     "pack_documents",

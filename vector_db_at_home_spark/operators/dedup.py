@@ -234,6 +234,44 @@ def hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3,
     return hs
 
 
+def _signature_bands(sh: DataFrame, num_perm: int,
+                     bands: int) -> tuple[DataFrame, DataFrame]:
+    """``(band_rows, sizes)`` from hashed shingles: signatures AND set
+    sizes in ONE partial-aggregating groupBy (the verify stage needs
+    |shingles(doc)| anyway, and a separate count pass would re-shuffle the
+    whole set), then the banded hash explode."""
+    rows = num_perm // bands
+    agg_cols = [
+        F.min(F.col(qa) + mult * F.col(qb)).alias(f"h{i}")
+        for i, (qa, qb, mult) in enumerate(_perm_specs(num_perm))
+    ] + [F.count(F.lit(1)).alias("sz")]
+    sig_sz = sh.groupBy("id").agg(*agg_cols)
+    sizes = sig_sz.select("id", "sz")
+    band_rows = sig_sz.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _md5_h60(
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col(f"h{b * rows + r}").cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bhash")
+    return band_rows, sizes
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       n: int = 3, threshold: float = 0.5,
                       num_perm: int = NUM_PERM_DEFAULT,
@@ -268,39 +306,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # ``.unpersist()`` once the result is materialized.
     from pyspark.sql import Window
 
-    rows = num_perm // bands
     sh = hashed_shingles(df, text_col, id_col, n, max_doc_freq).cache()
-    # signatures AND set sizes in ONE partial-aggregating groupBy — the
-    # verify stage needs |shingles(doc)| anyway, and a separate count pass
-    # would re-shuffle the whole set
-    agg_cols = [
-        F.min(F.col(qa) + mult * F.col(qb)).alias(f"h{i}")
-        for i, (qa, qb, mult) in enumerate(_perm_specs(num_perm))
-    ] + [F.count(F.lit(1)).alias("sz")]
-    sig_sz = sh.groupBy("id").agg(*agg_cols)
-    sizes = sig_sz.select("id", "sz")
-    band_rows = sig_sz.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _md5_h60(
-                            F.concat_ws(
-                                "_",
-                                *[
-                                    F.col(f"h{b * rows + r}").cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bhash")
+    band_rows, sizes = _signature_bands(sh, num_perm, bands)
     if max_band_bucket is not None:
         # hot-bucket guard as a window count — the window's (band, bhash)
         # partitioning is exactly the self-join key, so the exchange is
@@ -345,6 +352,96 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         .orderBy("id_a", "id_b")
     )
     result.cached_shingles = sh  # caller may .unpersist() after materializing
+    return result
+
+
+def minhash_lsh_pairs_incremental(new_df: DataFrame, corpus_df: DataFrame,
+                                  text_col: str, id_col: str,
+                                  n: int = 3, threshold: float = 0.5,
+                                  num_perm: int = NUM_PERM_DEFAULT,
+                                  bands: int = BANDS_DEFAULT,
+                                  max_doc_freq: int | None = None,
+                                  max_band_bucket: int | None = None
+                                  ) -> DataFrame:
+    """Near-dups of a NEW batch against an EXISTING corpus:
+    ``(new_id, corpus_id, jaccard_e6)`` — the production ingest shape.
+
+    Re-running the self-join dedup to admit a 1 TB batch into a 100 TB
+    corpus re-pairs the whole corpus; this joins the new batch's band
+    hashes against the corpus's instead, so the corpus is scanned once and
+    NEVER self-joined — candidate volume is only the cross-side band
+    collisions.  At production scale, persist the corpus band table and
+    shingle table once (both are pure column derivations, partitioned by
+    band hash / shingle hash) and maintenance per accepted batch is an
+    append.
+
+    Semantics match ``minhash_lsh_pairs`` on the concatenated corpus,
+    restricted to cross-side pairs: same signatures, banding and
+    exact-Jaccard verification.  ``max_doc_freq`` measures shingle
+    document frequency on the CORPUS (the side large enough to have
+    stop-shingles) and drops hot shingles from BOTH sides, keeping the
+    verified Jaccard consistent over the capped universe.
+    ``max_band_bucket`` skips hot CORPUS band buckets.
+    """
+    from pyspark.sql import Window
+
+    sh_new = hashed_shingles(new_df, text_col, id_col, n, None)
+    sh_cor = hashed_shingles(corpus_df, text_col, id_col, n, None)
+    if max_doc_freq is not None:
+        hot = (
+            sh_cor.groupBy("h60").agg(F.count(F.lit(1)).alias("dfc"))
+            .filter(F.col("dfc") > max_doc_freq)
+            .select("h60")
+        )
+        sh_new = sh_new.join(hot, "h60", "left_anti")
+        sh_cor = sh_cor.join(hot, "h60", "left_anti")
+    sh_new = sh_new.cache()
+    sh_cor = sh_cor.cache()
+    bn, sz_new = _signature_bands(sh_new, num_perm, bands)
+    bc, sz_cor = _signature_bands(sh_cor, num_perm, bands)
+    if max_band_bucket is not None:
+        wb = Window.partitionBy("band", "bhash")
+        bc = (
+            bc.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
+            .filter(F.col("bucket_n") <= max_band_bucket)
+            .drop("bucket_n")
+        )
+    candidates = (
+        bn.select(F.col("id").alias("new_id"), "band", "bhash")
+        .join(bc.select(F.col("id").alias("corpus_id"), "band", "bhash"),
+              ["band", "bhash"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    inter = (
+        candidates.join(
+            sh_new.select(F.col("id").alias("new_id"), "h60"), "new_id"
+        )
+        .join(
+            sh_cor.select(F.col("id").alias("corpus_id"), "h60"),
+            ["corpus_id", "h60"],
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        F.col("inter").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    )
+    result = (
+        inter.join(sz_new.select(F.col("id").alias("new_id"),
+                                 F.col("sz").alias("sz_a")), "new_id")
+        .join(sz_cor.select(F.col("id").alias("corpus_id"),
+                            F.col("sz").alias("sz_b")), "corpus_id")
+        .filter(jac >= threshold)
+        .select(
+            "new_id", "corpus_id",
+            F.floor(jac * 1e6 + F.lit(0.5)).cast("long").alias("jaccard_e6"),
+        )
+        .orderBy("new_id", "corpus_id")
+    )
+    result.cached_shingles = sh_new
+    result.cached_corpus_shingles = sh_cor
     return result
 
 
