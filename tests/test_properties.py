@@ -92,3 +92,28 @@ def test_ffd_invariants(sizes, max_tokens):
     lower = -(-small_total // max_tokens) if small_total else 0
     n_small_bins = len(fill) - len(singleton)
     assert n_small_bins <= max(2 * lower, lower + 1) or n_small_bins == 0
+
+
+# --- PNG header synthesis/parse roundtrip (operators/multimodal.py) ---
+
+from vector_db_at_home_spark.operators.multimodal import (
+    _png_bytes,
+    parse_image_header,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400),
+       st.integers(min_value=1, max_value=64))
+def test_png_roundtrip_any_payload(pixels, width):
+    png = _png_bytes(pixels, width)
+    height = max(1, -(-len(pixels) // width))
+    assert parse_image_header(png) == ("image/png", width, height)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_parse_never_crashes_on_garbage(blob):
+    # arbitrary bytes: either a well-formed answer or None, never a raise
+    got = parse_image_header(blob)
+    assert got is None or (len(got) == 3 and got[1] >= 0 and got[2] >= 0)
