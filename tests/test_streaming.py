@@ -287,3 +287,46 @@ def test_dedup_stream_requires_ts_with_watermark(spark, tmp_path):
     stream = spark.readStream.schema("doc_id long, text string").parquet(d)
     with pytest.raises(ValueError, match="requires ts_col"):
         dedup_stream(stream, "text", watermark_delay="5 minutes")
+
+
+def test_stream_ingest_neardup_rejection(spark, tmp_path):
+    """Streaming ingest that screens each batch against the live store:
+    exact dups (in-batch and vs store) and near-dups vs store are
+    rejected; novel docs append (streaming/neardup.py)."""
+    from vector_db_at_home_spark.store import VectorStore
+    from vector_db_at_home_spark.streaming.neardup import (
+        stream_into_store_neardup,
+    )
+
+    store = VectorStore(spark, tmp_path / "store", dim=2)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    wrap = lambda t: '{"t": "%s"}' % t
+    store.insert([[1.0, 0.0]], [{"t": base}])
+
+    feed = str(tmp_path / "feed")
+    novel = "one two three four five six seven eight nine ten"
+    rows = [
+        ([0.0, 1.0], wrap(base)),                             # exact dup vs store
+        ([0.0, 2.0], wrap(base.replace("gamma", "rho"))),     # near dup vs store
+        ([0.0, 3.0], wrap(novel)),
+        ([0.0, 4.0], wrap(novel)),                            # in-batch exact dup
+        ([0.0, 5.0], wrap("completely different words entirely unrelated now")),
+    ]
+    spark.createDataFrame(rows, "vec array<float>, doc string") \
+        .coalesce(1).write.parquet(feed)
+
+    stream = (spark.readStream.schema("vec array<float>, doc string")
+              .parquet(feed))
+    q = stream_into_store_neardup(
+        stream, store, jaccard_threshold=0.4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    docs = sorted(r["doc"]["t"] for r in store.head(10))
+    # survivors: the original + ONE copy of the novel-dup pair + the
+    # unrelated doc; exact and near dups vs the store rejected
+    assert store.count() == 3
+    assert base in docs
+    assert "completely different words entirely unrelated now" in docs
+    assert sum(1 for d in docs if d.startswith("one two three")) == 1

@@ -1,5 +1,6 @@
 from .dedup import dedup_stream, dedup_stream_counts
 from .ingest import stream_into_store
+from .neardup import stream_into_store_neardup
 from .joins import stream_static_enrich, stream_stream_interval_join
 from .events import (
     dedup_events_stream,
@@ -18,6 +19,7 @@ __all__ = [
     "run_stream_to_memory",
     "sessionize",
     "stream_into_store",
+    "stream_into_store_neardup",
     "stream_static_enrich",
     "stream_stream_interval_join",
 ]

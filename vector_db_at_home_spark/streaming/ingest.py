@@ -30,8 +30,14 @@ from ..store import VectorStore
 def stream_into_store(stream_df: DataFrame, store: VectorStore,
                       vec_col: str = "vec", doc_col: str = "doc",
                       checkpoint_dir: str | None = None,
-                      trigger: dict | None = None):
+                      trigger: dict | None = None,
+                      prepare=None):
     """Start a streaming query appending ``(vec, doc)`` rows to the store.
+
+    ``prepare`` (optional ``DataFrame -> DataFrame``) transforms each
+    micro-batch before validation/append — the hook dedup/screening
+    composes through (see ``streaming.neardup``).  It runs inside the
+    serialized foreachBatch, so it may read the store's current state.
 
     ``stream_df`` must carry an ``array<float>`` vector column of the
     store's dimensionality (validated per batch — a bad row fails the batch
@@ -65,6 +71,8 @@ def stream_into_store(stream_df: DataFrame, store: VectorStore,
         marker = os.path.join(marker_dir, str(batch_id))
         if os.path.exists(marker):  # replay of a fully-committed batch
             return
+        if prepare is not None:
+            batch_df = prepare(batch_df)
         prepared = batch_df.select(
             F.col(vec_col).cast("array<float>").alias("vec"),
             F.coalesce(F.col(doc_col), F.lit("{}")).alias("doc"),
