@@ -141,3 +141,13 @@ def test_pandas_impl_rejects_oversized_query_batch(spark, eye_store, monkeypatch
     qs = make_queries(spark, [np.zeros(DIM) for _ in range(5)])
     with pytest.raises(ValueError, match="query batch exceeds"):
         knn_search(eye_store, qs, k=1, impl="pandas")
+
+
+def test_pandas_and_expr_agree_on_cosine(spark, eye_store):
+    """Both kNN kernels implement the cosine metric identically."""
+    qs = make_queries(spark, [np.ones(DIM), np.eye(DIM)[3] * 0.5])
+    a = knn_search(eye_store, qs, k=4, metric="cosine", impl="expr").collect()
+    b = knn_search(eye_store, qs, k=4, metric="cosine", impl="pandas").collect()
+    assert [(r.query_id, r.id) for r in a] == [(r.query_id, r.id) for r in b]
+    for ra, rb in zip(a, b):
+        assert ra.distance == pytest.approx(rb.distance, abs=1e-9)

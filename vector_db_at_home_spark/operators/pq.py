@@ -38,6 +38,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: queries are the broadcast side (LUTs of 2 KB/query ship to every task);
+#: past this, batch the query set
+_MAX_QUERY_ROWS = 65_536
+
+
 @dataclass
 class PQIndex:
     codes: DataFrame          # (id, code binary[m])
@@ -146,7 +151,12 @@ def pq_search(pq: PQIndex, queries: DataFrame, k: int,
     dsub = dim // m
     q_rows = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
-    ).collect()  # queries are small by contract (same as exact kNN)
+    ).limit(_MAX_QUERY_ROWS + 1).collect()
+    if len(q_rows) > _MAX_QUERY_ROWS:
+        raise ValueError(
+            f"query batch exceeds {_MAX_QUERY_ROWS} rows — per-query LUTs "
+            "broadcast to every task; batch the queries instead"
+        )
     if not q_rows:
         raise ValueError("empty query set")
     qids = np.asarray([r.query_id for r in q_rows], dtype=np.int64)
@@ -264,7 +274,12 @@ def ivfpq_search(ivf, pq: PQIndex, queries: DataFrame, k: int,
     dsub = dim // m
     q_rows = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
-    ).collect()
+    ).limit(_MAX_QUERY_ROWS + 1).collect()
+    if len(q_rows) > _MAX_QUERY_ROWS:
+        raise ValueError(
+            f"query batch exceeds {_MAX_QUERY_ROWS} rows — per-query LUTs "
+            "broadcast to every task; batch the queries instead"
+        )
     qmat = np.asarray([r.qv for r in q_rows], dtype=np.float64)
     qpos = {int(r.query_id): i for i, r in enumerate(q_rows)}
     luts = np.zeros((len(q_rows), m, 256), dtype=np.float64)
