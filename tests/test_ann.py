@@ -89,3 +89,17 @@ def test_ivf_sampled_fit_recall(spark, emb, queries):
     exact = knn_search(emb, queries, k=5, id_col="vec_id", vec_col="embedding",
                        impl="expr")
     assert recall_at_k(ivf_search(ivf, queries, k=5, n_probes=4), exact) >= 0.85
+
+
+def test_ivf_save_load_roundtrip(spark, tmp_path, emb, queries):
+    from vector_db_at_home_spark.operators.ann import ivf_load, ivf_save
+
+    ivf = ivf_build(emb, id_col="vec_id", vec_col="embedding", n_cells=8)
+    want = [(r.query_id, r.id) for r in
+            ivf_search(ivf, queries, k=5, n_probes=3).collect()]
+    ivf_save(ivf, str(tmp_path / "ivf"))
+    reopened = ivf_load(spark, str(tmp_path / "ivf"))
+    assert reopened.n_cells == 8
+    got = [(r.query_id, r.id) for r in
+           ivf_search(reopened, queries, k=5, n_probes=3).collect()]
+    assert got == want

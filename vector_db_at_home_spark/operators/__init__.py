@@ -1,4 +1,4 @@
-from .ann import ivf_build, ivf_search, recall_at_k
+from .ann import ivf_build, ivf_load, ivf_save, ivf_search, recall_at_k
 from .dedup import (
     cosine_neardup_bucketed,
     cosine_topk_pairs,
@@ -41,6 +41,8 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "ivf_build",
+    "ivf_load",
+    "ivf_save",
     "ivfpq_search",
     "ivf_search",
     "knn_join_payload",

@@ -117,6 +117,27 @@ def ivf_search(ivf: IVFIndex, queries: DataFrame, k: int,
     ).orderBy("query_id", "distance", "id")
 
 
+def ivf_save(ivf: IVFIndex, path: str) -> None:
+    """Persist the index: assignments partitioned by ``cell`` (so probes
+    prune parquet partitions at the scan) + the tiny centroid table."""
+    ivf.assigned.write.partitionBy("cell").mode("overwrite").parquet(
+        f"{path}/assigned"
+    )
+    ivf.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_load(spark, path: str) -> IVFIndex:
+    """Reopen a saved index; ``ivf_search`` against it prunes partitions
+    via the probe semi-join on ``cell`` (asserted by
+    ``test_ivf_partitioned_store_prunes_partitions``)."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    return IVFIndex(
+        assigned=spark.read.parquet(f"{path}/assigned"),
+        centroids=centroids,
+        n_cells=centroids.count(),
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
     """Fraction of exact top-k hits recovered by the approximate search."""
     a = approx.select("query_id", "id")
