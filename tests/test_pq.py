@@ -109,3 +109,18 @@ def test_ivfpq_composed_search(spark, emb, queries, pq):
     zero = {(r2.query_id, r2.id) for r2 in got.collect()
             if abs(r2.distance) < 1e-9}
     assert {(q, q) for q in range(8)} <= zero
+
+
+def test_pq_save_load_roundtrip(spark, tmp_path, emb, queries, pq):
+    from vector_db_at_home_spark.operators.pq import pq_load, pq_save
+
+    want = [(r.query_id, r.id) for r in pq_search(pq, queries, k=5).collect()]
+    pq_save(pq, str(tmp_path / "pq"))
+    reopened = pq_load(spark, str(tmp_path / "pq"))
+    assert (reopened.m, reopened.dim) == (pq.m, pq.dim)
+    import numpy as np
+
+    assert np.array_equal(reopened.codebooks, pq.codebooks)
+    got = [(r.query_id, r.id) for r in
+           pq_search(reopened, queries, k=5).collect()]
+    assert got == want

@@ -229,8 +229,9 @@ def ivf_section(spark, emb, qs, exact_rows, timings: dict,
     import time as _t
 
     from vector_db_at_home_spark.operators.ann import (
-        IVFIndex,
         ivf_build,
+        ivf_load,
+        ivf_save,
         ivf_search,
     )
 
@@ -243,13 +244,9 @@ def ivf_section(spark, emb, qs, exact_rows, timings: dict,
     tmp = tempfile.mkdtemp(prefix="ivf_store_")
     try:
         t0 = _t.time()
-        ivf.assigned.write.partitionBy("cell").mode("overwrite").parquet(tmp)
+        ivf_save(ivf, tmp)
         timings["ivf_store_write_200k"] = round(_t.time() - t0, 3)
-        stored = IVFIndex(
-            assigned=spark.read.parquet(tmp),
-            centroids=ivf.centroids,
-            n_cells=ivf.n_cells,
-        )
+        stored = ivf_load(spark, tmp)
         t0 = _t.time()
         approx = ivf_search(stored, qs, k=10, n_probes=4).collect()
         timings["ivf_search_200k_probe4"] = round(_t.time() - t0, 3)

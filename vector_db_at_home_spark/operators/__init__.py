@@ -15,7 +15,7 @@ from .dedup import (
 )
 from .fuzzysearch import fuzzy_search_by_doc
 from .knn import knn_join_payload, knn_search
-from .pq import ivfpq_search, pq_build, pq_search
+from .pq import ivfpq_search, pq_build, pq_load, pq_save, pq_search
 from .sampling import (
     hash_sample,
     hash_split,
@@ -53,6 +53,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "pack_documents",
     "pq_build",
+    "pq_load",
+    "pq_save",
     "pq_search",
     "range_join_binned",
     "recall_at_k",

@@ -135,6 +135,39 @@ def pq_build(index: DataFrame, id_col: str = "id", vec_col: str = "vec",
     return PQIndex(codes=codes, codebooks=books, m=m, dim=dim)
 
 
+def pq_save(pq: PQIndex, path: str) -> None:
+    """Persist the index: the m-byte codes table plus the codebooks
+    flattened to one parquet row per (subspace, centroid)."""
+    import numpy as np
+
+    pq.codes.write.mode("overwrite").parquet(f"{path}/codes")
+    spark = pq.codes.sparkSession
+    rows = [
+        (j, c, [float(x) for x in pq.codebooks[j, c]])
+        for j in range(pq.m) for c in range(256)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, centroid int, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def pq_load(spark, path: str) -> PQIndex:
+    import numpy as np
+
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r.subspace for r in cb_rows) + 1
+    dsub = len(cb_rows[0].center)
+    books = np.zeros((m, 256, dsub), dtype=np.float64)
+    for r in cb_rows:
+        books[r.subspace, r.centroid] = r.center
+    return PQIndex(
+        codes=spark.read.parquet(f"{path}/codes"),
+        codebooks=books,
+        m=m,
+        dim=m * dsub,
+    )
+
+
 def pq_search(pq: PQIndex, queries: DataFrame, k: int,
               query_id_col: str = "query_id", query_vec_col: str = "qvec",
               refine_with: DataFrame | None = None,
