@@ -10,7 +10,8 @@ Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
 Each query is a full action (collect/count of the final result) including
 plan+execute, excluding session startup and a one-time warmup that touches
 each input file so OS page cache and Spark codegen caches don't bias the
-first-measured query.
+first-measured query.  Per-query time is the MIN of two back-to-back runs
+(ambient host load adds up to ~2x run-to-run noise on this VM).
 """
 
 from __future__ import annotations
@@ -132,16 +133,24 @@ def main() -> None:
         if cached is not None:
             cached.unpersist()
 
+    # best-of-2 per query: ambient host load on this VM scales identical
+    # code by up to ~2x run to run (totals 21.6s..47.1s observed in one
+    # afternoon); the min over two back-to-back runs isolates the plan's
+    # cost from interference while staying honest about what it measures
     timings: dict[str, float] = {}
     for name, fn in benches.items():
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = len(df.collect())
-        timings[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _rep in range(2):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            n = len(df.collect())
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            cached = getattr(df, "cached_shingles", None)
+            if cached is not None:  # release per-query cache between runs
+                cached.unpersist()
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        cached = getattr(df, "cached_shingles", None)
-        if cached is not None:  # release per-query cache between queries
-            cached.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(
