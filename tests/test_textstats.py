@@ -92,3 +92,67 @@ def test_corpus_lang_summary(spark):
     assert out["en"].n_docs == 2 and out["en"].total_tokens == 5
     assert out["en"].avg_chars == (8 + 5) / 2
     assert out["de"].n_docs == 1 and out["de"].total_tokens == 1
+
+
+def test_ngram_logprob_scores_fluent_above_gibberish(spark):
+    """LM quality signal: text made of corpus-frequent bigrams scores
+    higher than a doc of never-repeated token salad; short docs get NULL."""
+    from vector_db_at_home_spark.operators.textstats import ngram_logprob_score
+
+    fluent = "the cat sat on the mat"
+    ref = spark.createDataFrame(
+        [(i, fluent) for i in range(50)]
+        + [(90 + i, "the dog sat on the rug") for i in range(8)],
+        "doc_id long, text string",
+    )
+    rows = [(i, fluent) for i in range(8)]
+    rows += [(100, "zq xv bn mk lp qw"), (101, "word")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: (r.n_bigrams, r.avg_logprob)
+           for r in ngram_logprob_score(df, "text", "doc_id",
+                                        ref_df=ref).collect()}
+    assert len(out) == 10
+    assert out[0][0] == 5 and out[100][0] == 5
+    assert out[0][1] > out[100][1]          # fluent >> gibberish
+    assert out[101] == (0, None)            # single token → no bigrams
+    # repeated fluent docs score identically (deterministic)
+    assert out[0] == out[7]
+
+
+def test_ngram_logprob_matches_duckdb(spark):
+    """Engine-portable: DuckDB reproduces the stupid-backoff scores
+    value-for-value on real documents."""
+    import duckdb
+
+    from vector_db_at_home_spark.operators.textstats import ngram_logprob_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {(r.id, r.n_bigrams, r.avg_logprob)
+           for r in ngram_logprob_score(docs, "text", "doc_id").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    want = set(con.execute("""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT u.tok, count(*) AS uc FROM
+        (SELECT unnest(t) AS tok FROM toks) u GROUP BY u.tok),
+tot AS (SELECT sum(uc) AS total FROM uni),
+bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       FROM toks, unnest(range(1, len(t))) r(i)),
+bc AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY w1, w2),
+lp AS (SELECT g.doc_id,
+              CASE WHEN bc.bc IS NOT NULL
+                   THEN ln(CAST(bc.bc AS DOUBLE) / u1.uc)
+                   ELSE ln(0.4 * COALESCE(CAST(u2.uc AS DOUBLE), 1.0) / tot.total)
+              END AS lp
+       FROM bg g
+       LEFT JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+       LEFT JOIN uni u1 ON u1.tok = g.w1
+       LEFT JOIN uni u2 ON u2.tok = g.w2
+       CROSS JOIN tot),
+per AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+        FROM lp GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(per.n_bigrams, 0), per.avg_logprob
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+""").fetchall())
+    assert got == want and len(got) > 0

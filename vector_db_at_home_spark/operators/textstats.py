@@ -6,6 +6,8 @@ All pure built-in expressions (whole-stage codegen, no Python):
 - ``language_id``      — stopword-profile n-gram-free heuristic language ID
 - ``doc_fingerprint``  — polynomial rolling hash over characters
 - ``tokenize_bpeish``  — regex word+punct tokenization (BPE-ish pre-tokenizer)
+- ``ngram_logprob_score`` — stupid-backoff bigram LM quality signal
+                         (CCNet-style perplexity proxy)
 
 Every operator keeps the formula simple enough to mirror exactly in the
 DuckDB oracle (same split semantics, same rational arithmetic).
@@ -169,4 +171,94 @@ def corpus_lang_summary(df: DataFrame, text_col: str, lang_col: str) -> DataFram
             ).alias("avg_chars"),
         )
         .orderBy("lang")
+    )
+
+
+def ngram_logprob_score(df: DataFrame, text_col: str, id_col: str,
+                        ref_df: DataFrame | None = None,
+                        backoff_alpha: float = 0.4) -> DataFrame:
+    """Language-model quality score (CCNet-style filtering signal, public
+    knowledge): per-doc mean bigram log-probability under a stupid-backoff
+    bigram model (Brants et al. 2007) trained on ``ref_df`` (default: the
+    corpus itself).  Gibberish and boilerplate-shredded text scores low;
+    fluent text scores high — the standard cheap perplexity proxy used to
+    rank web documents for pretraining.
+
+    ``P(w2|w1) = count(w1 w2)/count(w1)`` when the bigram was seen, else
+    ``alpha · count(w2)/total`` (unseen w2 → alpha/total).  Everything is a
+    keyed aggregation or join: bigram/unigram count tables (map-side
+    combined), two joins back onto the doc bigram stream, one final
+    per-doc aggregation.  The count tables are corpus-vocabulary-sized —
+    genuine distributed joins, no broadcast assumption.
+
+    Output: ``(id, n_bigrams, avg_logprob)`` — rounded to 6 decimals;
+    docs with fewer than 2 tokens get NULL avg_logprob (no bigrams).
+
+    Prefer an external ``ref_df`` (the CCNet recipe trains on Wikipedia):
+    under a self-trained MLE model a doc whose tokens appear nowhere else
+    scores P=1 on its own bigrams (hapax-over-hapax), masking exactly the
+    gibberish the score should catch.
+    """
+    ref = ref_df if ref_df is not None else df
+
+    def bigrams(frame: DataFrame, with_id: bool) -> DataFrame:
+        toks = _tokens(text_col)
+        starts = F.when(
+            F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pair = F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+        cols = [F.col(id_col).alias("id"), pair] if with_id else [pair]
+        return frame.select(*cols).select(
+            *(["id"] if with_id else []), "bg.w1", "bg.w2"
+        )
+
+    uni = ref.select(F.explode(_tokens(text_col)).alias("tok")) \
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("uc"))
+    totals = uni.agg(F.sum("uc").alias("total"))
+    big = bigrams(ref, with_id=False).groupBy("w1", "w2") \
+        .agg(F.count(F.lit(1)).alias("bc"))
+
+    doc_bg = bigrams(df, with_id=True)
+    uni1 = uni.select(F.col("tok").alias("w1"), F.col("uc").alias("uc1"))
+    uni2 = uni.select(F.col("tok").alias("w2"), F.col("uc").alias("uc2"))
+    scored = (
+        doc_bg.join(big, ["w1", "w2"], "left")
+        .join(uni1, "w1", "left")
+        .join(uni2, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            F.when(
+                F.col("bc").isNotNull(),
+                F.log(F.col("bc").cast("double") / F.col("uc1")),
+            ).otherwise(
+                F.log(
+                    F.lit(backoff_alpha)
+                    * F.coalesce(F.col("uc2").cast("double"), F.lit(1.0))
+                    / F.col("total")
+                )
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        ids.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+        )
+        .orderBy("id")
     )
