@@ -156,3 +156,43 @@ SELECT d.doc_id, COALESCE(per.n_bigrams, 0), per.avg_logprob
 FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
 """).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_strip_boilerplate_lines(spark):
+    """A footer line shared by 15 docs strips everywhere; unique content
+    and short lines survive; line order is preserved."""
+    from vector_db_at_home_spark.operators.textstats import (
+        strip_boilerplate_lines,
+    )
+
+    footer = "subscribe to our newsletter for updates today"
+    docs = [(i, f"unique content number {i} here\n{footer}\nok")
+            for i in range(15)]
+    docs.append((99, "standalone document with no boilerplate at all"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.id: r for r in
+           strip_boilerplate_lines(df, "text", "doc_id",
+                                   max_line_docs=10).collect()}
+    assert out[3].text == "unique content number 3 here\nok"
+    assert out[3].n_lines_dropped == 1 and out[3].n_lines_kept == 2
+    assert out[99].text == "standalone document with no boilerplate at all"
+    assert out[99].n_lines_dropped == 0
+    # "ok" is shared by 15 docs but below min_line_chars → kept
+    assert all("\nok" in out[i].text or out[i].text.endswith("ok")
+               for i in range(15))
+
+
+def test_strip_boilerplate_threshold_not_crossed(spark):
+    from vector_db_at_home_spark.operators.textstats import (
+        strip_boilerplate_lines,
+    )
+
+    shared = "this shared line appears in exactly three documents"
+    df = spark.createDataFrame(
+        [(i, f"body {i}\n{shared}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = strip_boilerplate_lines(df, "text", "doc_id",
+                                  max_line_docs=10).collect()
+    assert all(r.n_lines_dropped == 0 for r in out)
+    assert all(shared in r.text for r in out)

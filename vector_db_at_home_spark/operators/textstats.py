@@ -8,6 +8,8 @@ All pure built-in expressions (whole-stage codegen, no Python):
 - ``tokenize_bpeish``  — regex word+punct tokenization (BPE-ish pre-tokenizer)
 - ``ngram_logprob_score`` — stupid-backoff bigram LM quality signal
                          (CCNet-style perplexity proxy)
+- ``strip_boilerplate_lines`` — MassiveText-style cross-doc repeated-line
+                         removal (order-preserving)
 
 Every operator keeps the formula simple enough to mirror exactly in the
 DuckDB oracle (same split semantics, same rational arithmetic).
@@ -172,6 +174,65 @@ def corpus_lang_summary(df: DataFrame, text_col: str, lang_col: str) -> DataFram
         )
         .orderBy("lang")
     )
+
+
+def strip_boilerplate_lines(df: DataFrame, text_col: str, id_col: str,
+                            max_line_docs: int = 10,
+                            min_line_chars: int = 10) -> DataFrame:
+    """Line-level boilerplate removal (the MassiveText/Gopher recipe,
+    public knowledge): a LINE occurring in more than ``max_line_docs``
+    distinct documents is navigation/footer/cookie-banner boilerplate —
+    strip it from every document while keeping the rest of the doc.
+
+    Lines shorter than ``min_line_chars`` are never stripped (short lines
+    collide by chance, and headings/bullets are legitimate).  Document
+    structure (line order) is preserved via posexplode + re-aggregation
+    ordered by position.
+
+    Plan: explode to (id, pos, line) → md5 the line so the frequency
+    aggregation shuffles 16-byte keys → distinct-doc count per line hash →
+    join the hot set back (usually tiny — only lines crossing the
+    threshold — so AQE picks a broadcast join; left unhinted because a
+    boilerplate-heavy web crawl can make it genuinely large) → re-assemble
+    with ``array_join(sort_array)``.
+
+    Output: ``(id, text, n_lines_kept, n_lines_dropped)``.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.md5("line"))
+    freq = (
+        lines.filter(F.length("line") >= min_line_chars)
+        .groupBy("lh")
+        .agg(F.count_distinct("id").alias("ndocs"))
+        .filter(F.col("ndocs") > max_line_docs)
+        .select("lh")
+    )
+    tagged = lines.join(freq.withColumn("__hot", F.lit(True)), "lh", "left")
+    kept = tagged.withColumn(
+        "drop",
+        F.col("__hot").isNotNull() & (F.length("line") >= min_line_chars),
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("drop"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s.line,
+            ),
+            "\n",
+        ).alias("text"),
+        F.sum(F.when(~F.col("drop"), 1).otherwise(0)).alias("n_lines_kept"),
+        F.sum(F.when(F.col("drop"), 1).otherwise(0)).alias("n_lines_dropped"),
+    )
+    return rebuilt.orderBy("id")
 
 
 def ngram_logprob_score(df: DataFrame, text_col: str, id_col: str,
