@@ -150,6 +150,23 @@ def test_cosine_blocked_matches_exact(spark):
         assert b.cosine == pytest.approx(e.cosine, abs=2e-6)
 
 
+def test_cosine_blocked_all_ties_matches_exact(spark):
+    """Degenerate dedup corpus: 300 IDENTICAL vectors, every pair cosine
+    1.0 — far more ties than the chunk buffer.  The tie-complete cutoff +
+    deterministic (-cosine, id_a, id_b) truncation must return exactly the
+    expression path's pairs ((0,1),(0,2),...), not an arbitrary tied
+    subset."""
+    from vector_db_at_home_spark.operators.dedup import cosine_topk_pairs_blocked
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = cosine_topk_pairs(df, "embedding", "vec_id", k=15).collect()
+    blk = cosine_topk_pairs_blocked(df, "embedding", "vec_id", k=15,
+                                    n_blocks=4).collect()
+    assert [(r.id_a, r.id_b) for r in exact] == [(r.id_a, r.id_b) for r in blk]
+    assert [(r.id_a, r.id_b) for r in blk] == [(0, i) for i in range(1, 16)]
+
+
 def test_cosine_blocked_no_cartesian_no_collect(spark):
     """Plan audit: the blocked path's physical plan contains no
     CartesianProduct node — the replication join is a broadcast of the

@@ -135,6 +135,18 @@ def test_cosine_neardup_bucketed_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_registered_cosine_topk_pairs_no_cartesian(spark):
+    """The DRIVER-CHECKED cosine_topk_pairs query runs the blocked-GEMM
+    plan: no cartesian product, no nested-loop join — the last quadratic
+    was removed from the registered surface (VERDICT r2 #1)."""
+    from vector_db_at_home_spark.registry import queries
+
+    df = queries()["cosine_topk_pairs"](spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_hash_split_no_shuffle(spark):
     """Split assignment is a pure projection: zero exchanges in the plan."""
     from vector_db_at_home_spark.operators.sampling import hash_split

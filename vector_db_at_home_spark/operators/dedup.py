@@ -147,8 +147,11 @@ def _md5_h60(col: Column) -> Column:
 #: recall at J≈0.81 is ~0.90 versus the 0.9998 the independence formula
 #: promises.  Six families over distinct quarter pairs restore ~0.997
 #: (simulated AND measured at 200k docs) at the cost of zero extra md5
-#: calls.  Bands (4 consecutive slots) stay within one family except at
-#: the two family-boundary straddles, matching the simulation exactly.
+#: calls.  Bands (4 consecutive slots) stay within one family except where
+#: they straddle a family boundary — at the default 64 perms / 16 bands the
+#: family sizes are 11,11,11,11,10,10 (boundaries at slots 11,22,33,44,54),
+#: so FOUR bands straddle two families; the recall simulation models the
+#: actual slot→family layout, not an idealized aligned one.
 _FAMILY_PAIRS = [
     ("h1", "h2"), ("h3", "h4"), ("h1", "h3"),
     ("h2", "h4"), ("h1", "h4"), ("h2", "h3"),
@@ -820,7 +823,7 @@ def cosine_topk_pairs_blocked(df: DataFrame, vec_col: str, id_col: str,
                 # not FLOPs, dominates this kernel at block sizes ~10⁴)
                 buf = max(4 * k, k)
                 chunk = max(1, (1 << 22) // max(1, b_m.shape[0]))
-                c_vals, c_ra, c_rb = [], [], []
+                c_vals, c_pa, c_pb = [], [], []
                 for s in range(0, a_m.shape[0], chunk):
                     sims = a_m[s:s + chunk] @ b_m.T
                     if r.gi == r.gj:
@@ -828,30 +831,42 @@ def cosine_topk_pairs_blocked(df: DataFrame, vec_col: str, id_col: str,
                         # (strict upper triangle) via a -2 sentinel
                         sims[ia[s:s + chunk, None] >= ib[None, :]] = -2.0
                     flat = sims.ravel()
-                    nbuf = min(flat.size, buf)
-                    part = (
-                        np.argpartition(flat, flat.size - nbuf)[-nbuf:]
-                        if nbuf < flat.size else np.arange(flat.size)
-                    )
-                    svals = flat[part]
+                    # tie-COMPLETE cutoff: keep every cell at-or-above the
+                    # buf-th largest value, never a value-only argpartition
+                    # truncation — with >buf tied cosines (the all-identical
+                    # dedup degenerate) an argpartition keeps an arbitrary
+                    # tied subset and the result diverges from the exact
+                    # expression path.  The true chunk top-k all have
+                    # value >= that cutoff (buf >= k), so the deterministic
+                    # (−cosine, id_a, id_b) lexsort below sees every tied
+                    # contender and truncation to k is exact.
+                    if flat.size > buf:
+                        cut = np.partition(flat, flat.size - buf)[
+                            flat.size - buf]
+                        cand = np.nonzero(flat >= cut)[0]
+                    else:
+                        cand = np.arange(flat.size)
+                    svals = flat[cand]
                     keep = svals > -1.5  # drop sentinel cells
-                    part, svals = part[keep], svals[keep]
+                    cand, svals = cand[keep], svals[keep]
                     if svals.size == 0:
                         continue
-                    cra, crb = np.unravel_index(part, sims.shape)
-                    c_vals.append(svals)
-                    c_ra.append(cra + s)
-                    c_rb.append(crb)
+                    cra, crb = np.unravel_index(cand, sims.shape)
+                    pa = np.minimum(ia[cra + s], ib[crb])
+                    pb = np.maximum(ia[cra + s], ib[crb])
+                    # exact per-chunk top-k by the total order — bounds the
+                    # cross-chunk buffer at k rows per chunk even when a
+                    # chunk is all ties
+                    order = np.lexsort((pb, pa, -svals))[:k]
+                    c_vals.append(svals[order])
+                    c_pa.append(pa[order])
+                    c_pb.append(pb[order])
                 if not c_vals:
                     continue
                 svals = np.concatenate(c_vals)
-                ra = np.concatenate(c_ra)
-                rb = np.concatenate(c_rb)
-                # exact (−cosine, id_a, id_b) lexsort of the buffered
-                # candidates so boundary ties resolve identically to the
-                # expression path
-                pa = np.minimum(ia[ra], ib[rb])
-                pb = np.maximum(ia[ra], ib[rb])
+                pa = np.concatenate(c_pa)
+                pb = np.concatenate(c_pb)
+                # merge the per-chunk top-k lists under the same total order
                 order = np.lexsort((pb, pa, -svals))[:k]
                 yield pd.DataFrame({
                     "id_a": pa[order],

@@ -313,6 +313,8 @@ def ivfpq_search(ivf, pq: PQIndex, queries: DataFrame, k: int,
             f"query batch exceeds {_MAX_QUERY_ROWS} rows — per-query LUTs "
             "broadcast to every task; batch the queries instead"
         )
+    if not q_rows:
+        raise ValueError("empty query set")
     qmat = np.asarray([r.qv for r in q_rows], dtype=np.float64)
     qpos = {int(r.query_id): i for i, r in enumerate(q_rows)}
     luts = np.zeros((len(q_rows), m, 256), dtype=np.float64)

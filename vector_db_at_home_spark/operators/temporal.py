@@ -60,13 +60,19 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         F.lit(0).alias("__tag"),
         F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
     )
-    # align schemas: left carries its own columns; right side gets NULLs
+    # align schemas: left carries its own columns; right side gets NULLs —
+    # ONE select with every null-cast (a per-column withColumn loop nests
+    # O(cols) projections into the plan on wide tables)
     l_cols = [c for c in left.columns]
-    ltypes = dict(left.dtypes)
-    r_full = r_tagged
-    for c in l_cols:
-        if c != key:
-            r_full = r_full.withColumn(c, F.lit(None).cast(ltypes[c]))
+    lfields = {f.name: f for f in left.schema.fields}
+    r_full = r_tagged.select(
+        "*",
+        *[
+            F.lit(None).cast(lfields[c].dataType).alias(c)
+            for c in l_cols
+            if c != key
+        ],
+    )
     cols = [key, "__t", "__tag", *[c for c in l_cols if c != key], "__r"]
     unioned = l_tagged.select(*cols).unionByName(r_full.select(*cols))
     # right rows (tag 0) sort before left rows (tag 1) at equal timestamps →
@@ -80,9 +86,10 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         "__r", F.last(F.col("__r"), ignorenulls=True).over(w)
     )
     out = carried.filter(F.col("__tag") == 1).drop("__tag", "__t")
-    for c in right_cols:
-        out = out.withColumn(f"{c}{suffix}", F.col("__r")[c])
-    return out.drop("__r")
+    return out.select(
+        *[c for c in out.columns if c != "__r"],
+        *[F.col("__r")[c].alias(f"{c}{suffix}") for c in right_cols],
+    )
 
 
 def range_join_binned(left: DataFrame, right: DataFrame,

@@ -429,10 +429,17 @@ FROM p ORDER BY cosine DESC, id_a, id_b LIMIT 20
 """,
 )
 def q_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import cosine_topk_pairs
+    """Exact top-k cosine pairs via the DISTRIBUTED blocked-GEMM plan
+    (dedup.cosine_topk_pairs_blocked): rows hash into blocks, each block
+    packs once, block pairs join blob-to-blob — no cartesian product
+    anywhere in the physical plan (asserted in test_plans).  Exact, so the
+    all-pairs SQL oracle applies unchanged; the crossJoin baseline form
+    (dedup.cosine_topk_pairs) is pytest-cross-checked against this."""
+    from .operators.dedup import cosine_topk_pairs_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_pairs(emb, "embedding", "vec_id", k=20)
+    return cosine_topk_pairs_blocked(emb, "embedding", "vec_id", k=20,
+                                     n_blocks=4)
 
 
 @register(
