@@ -63,3 +63,52 @@ def test_prefilter_scores_candidate_subset(spark):
     n_cand = fuzzy_candidates(df, qs, k=5).count()
     assert n_cand < 80 * 2 * 0.5  # less than half the cross product
     assert n_cand >= 2 * 5        # at least k per query survives
+
+def test_multiset_bound_matches_unfiltered(spark):
+    """bound="multiset" stays exact: same top-k (values and ties) as
+    scoring every pair, on a corpus with same-length docs over different
+    alphabets (where the length bound alone is blind)."""
+    from vector_db_at_home_spark.operators.fuzzysearch import fuzzy_search_by_doc
+
+    docs = [(i, ("abc%d " % (i % 5)) * (1 + i % 20)) for i in range(60)]
+    docs += [(100 + i, ("zqw%d " % (i % 5)) * (1 + i % 20)) for i in range(60)]
+    docs += [(300, ""), (301, None)]
+    df = spark.createDataFrame(docs, "id long, doc string")
+    qs = ["abc1 abc2 abc3", "zqw0 " * 8, ""]
+    on = fuzzy_search_by_doc(df, qs, k=6, prefilter=True,
+                             bound="multiset").collect()
+    off = fuzzy_search_by_doc(df, qs, k=6, prefilter=False).collect()
+    assert [(r.query_id, r.id, r.distance) for r in on] == \
+        [(r.query_id, r.id, r.distance) for r in off]
+
+
+def test_multiset_band_is_tighter_than_length_band(spark):
+    """Same-length docs, disjoint alphabets: the character-multiset bound
+    excludes the wrong-alphabet half that the length bound cannot."""
+    from vector_db_at_home_spark.operators.fuzzysearch import fuzzy_candidates
+
+    # 40 docs of identical length: half 'a'-alphabet, half 'z'-alphabet
+    docs = [(i, "a" * 50) for i in range(20)]
+    docs += [(100 + i, "z" * 50) for i in range(20)]
+    df = spark.createDataFrame(docs, "id long, doc string")
+    qs = ["a" * 50]
+    n_len = fuzzy_candidates(df, qs, k=3, bound="length").count()
+    n_multi = fuzzy_candidates(df, qs, k=3, bound="multiset").count()
+    assert n_len == 40        # length bound can't separate anything
+    assert n_multi == 20      # multiset bound drops the 'z' half
+    # and the surviving band still contains the true top-k ids
+    from vector_db_at_home_spark.operators.fuzzysearch import fuzzy_search_by_doc
+
+    exact = fuzzy_search_by_doc(df, qs, k=3, prefilter=False).collect()
+    cand_ids = {r.id for r in
+                fuzzy_candidates(df, qs, k=3, bound="multiset").collect()}
+    assert {r.id for r in exact} <= cand_ids
+
+
+def test_bound_arg_validated(spark):
+    from vector_db_at_home_spark.operators.fuzzysearch import fuzzy_search_by_doc
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "abc")], "id long, doc string")
+    with _pytest.raises(ValueError, match="bound"):
+        fuzzy_search_by_doc(df, ["ab"], k=1, bound="nope").collect()

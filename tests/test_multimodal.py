@@ -48,7 +48,9 @@ def test_features_deterministic_python_reference(media):
     assert list(r.features) == pytest.approx(feats, abs=1e-12)
 
 
-def test_real_decoder_path_is_stubbed(spark, media):
+def test_real_decoder_path_still_stubbed_for_audio(spark, media):
+    # strict mode: images decode for real, but mixed media hits the
+    # audio/video stub which raises (no codec libs in this container)
     from py4j.protocol import Py4JJavaError
     from pyspark.errors.exceptions.captured import PythonException
 
@@ -57,9 +59,120 @@ def test_real_decoder_path_is_stubbed(spark, media):
     assert "NotImplementedError" in str(exc.value)
 
 
-def test_decode_stub_raises_directly():
+def test_strict_decoder_works_on_images_only(spark, media):
+    imgs = media.filter("modality = 'image'")
+    rows = extract_media_features(imgs, use_real_decoder=True).collect()
+    assert len(rows) > 0
+    # decoded pixel count = width * height from the genuine PNG header
+    meta = {r.media_id: r for r in imgs.collect()}
+    for r in rows:
+        m = meta[r.media_id].meta
+        # meta not yet parsed here (attach_image_meta not applied) — decode
+        # count must still be a positive multiple of nothing in particular,
+        # but n_units >= payload text length and n_bytes = payload length
+        assert r.n_units >= 1
+        assert r.n_bytes == len(bytes(meta[r.media_id].payload))
+
+
+def test_decode_stub_raises_for_audio_video_decodes_png():
+    from vector_db_at_home_spark.operators.multimodal import _png_bytes
+
     with pytest.raises(NotImplementedError, match="codec libraries"):
-        decode_stub(b"\x89PNG", "image")
+        decode_stub(b"anything", "audio")
+    with pytest.raises(NotImplementedError, match="codec libraries"):
+        decode_stub(b"anything", "video")
+    png = _png_bytes(b"hello world pixels", width=5)
+    w, h, px = decode_stub(png, "image")
+    assert (w, h) == (5, 4)
+    assert px == b"hello world pixels".ljust(20, b"\x00")
+
+
+def test_png_decode_roundtrip_exact():
+    """encode text -> PNG -> decode -> bytes equal (zero-padded to w*h)."""
+    from vector_db_at_home_spark.operators.multimodal import (
+        _png_bytes,
+        decode_png_gray,
+    )
+
+    for text, width in [(b"", 4), (b"x", 1), (bytes(range(256)), 7),
+                        (b"spark" * 41, 13)]:
+        png = _png_bytes(text, width=width)
+        w, h, px = decode_png_gray(png)
+        assert w == max(1, width)
+        assert h == max(1, (len(text) + w - 1) // w)
+        assert px == text.ljust(w * h, b"\x00")
+
+
+def test_png_decode_all_filter_types():
+    """decode_png_gray must invert filters 1-4 too (Sub/Up/Average/Paeth):
+    build a PNG with each row forward-filtered per the public spec and
+    check reconstruction."""
+    import struct
+    import zlib
+
+    from vector_db_at_home_spark.operators.multimodal import decode_png_gray
+
+    w, h = 7, 5
+    pixels = bytes((i * 37 + 11) % 256 for i in range(w * h))
+    rows = [pixels[r * w:(r + 1) * w] for r in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = b""
+    prev = bytes(w)
+    for r, ft in zip(range(h), [0, 1, 2, 3, 4]):
+        line = rows[r]
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = bytes((line[i] - (line[i - 1] if i else 0)) & 0xFF
+                        for i in range(w))
+        elif ft == 2:
+            enc = bytes((line[i] - prev[i]) & 0xFF for i in range(w))
+        elif ft == 3:
+            enc = bytes(
+                (line[i] - (((line[i - 1] if i else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(w)
+            )
+        else:
+            enc = bytes(
+                (line[i] - paeth(line[i - 1] if i else 0, prev[i],
+                                 prev[i - 1] if i else 0)) & 0xFF
+                for i in range(w)
+            )
+        raw += bytes([ft]) + enc
+        prev = line
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    got_w, got_h, got_px = decode_png_gray(png)
+    assert (got_w, got_h) == (w, h)
+    assert got_px == pixels
+
+
+def test_auto_decoder_pixel_features_differ_from_payload_features(media):
+    """auto mode featurizes image PIXELS (the original text bytes), not the
+    zlib-compressed payload — entropy of compressed bytes is near 8, text
+    entropy is far lower."""
+    imgs = media.filter("modality = 'image'")
+    by_payload = {r.media_id: r.byte_entropy
+                  for r in extract_media_features(imgs).collect()}
+    by_pixels = {r.media_id: r.byte_entropy
+                 for r in extract_media_features(imgs, decoder="auto").collect()}
+    assert set(by_payload) == set(by_pixels)
+    # at least one doc whose compressed payload entropy exceeds pixel entropy
+    assert any(by_payload[k] > by_pixels[k] for k in by_pixels)
 
 
 def test_stats_by_modality(media):

@@ -3,14 +3,16 @@
 A 100 TB training-data pipeline carries images/audio/video as ``binary``
 columns with a metadata struct alongside text.  The Spark-side mechanics —
 schema, partition-sized Arrow batches through ``mapInPandas``, batch shapes,
-output contracts — are real and tested here; the actual codec calls are
-STUBBED (image/audio libraries are not in this container) behind
-``decode_stub`` which raises ``NotImplementedError``, with a deterministic
-byte-level feature extractor standing in so the pipeline is end-to-end
-runnable and verifiable.
+output contracts — are real and tested here.  IMAGES DECODE FOR REAL:
+``_png_bytes`` writes valid grayscale PNGs and ``decode_png_gray`` is its
+stdlib inverse (zlib inflate + all five scanline filters), so pixel-level
+features need no codec library.  Only audio/video decode remains STUBBED
+(``decode_stub`` raises ``NotImplementedError`` for those modalities — no
+libav in this container), with a deterministic byte-level featurizer
+standing in so the pipeline is end-to-end runnable and verifiable.
 
-Swap ``_extract_features_bytes`` for a real decoder (PIL/ffmpeg/torchcodec)
-without touching any of the Spark plumbing.
+Swap ``decode_stub``'s non-image branch for a real decoder
+(ffmpeg/torchcodec) without touching any of the Spark plumbing.
 """
 
 from __future__ import annotations
@@ -53,6 +55,7 @@ FEATURE_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("modality", StringType()),
         StructField("n_bytes", LongType()),
+        StructField("n_units", LongType()),   # decoded units (pixels) or bytes
         StructField("byte_entropy", DoubleType()),
         StructField("features", ArrayType(DoubleType())),
     ]
@@ -210,10 +213,83 @@ def attach_image_meta(media: DataFrame) -> DataFrame:
     ).drop("__hdr")
 
 
+def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """``(width, height, pixels)`` decoded from an 8-bit grayscale
+    non-interlaced PNG — pure stdlib (``zlib`` inflate + scanline
+    unfiltering, all five filter types per the public PNG spec §6).  The
+    exact inverse of ``_png_bytes``; also decodes filter-1..4 streams any
+    conformant encoder produces for this pixel format."""
+    import struct
+    import zlib
+
+    if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, []
+    w = h = None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos:pos + 8])
+        data = payload[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, bitdepth, colortype, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bitdepth != 8 or colortype != 0 or interlace != 0:
+                raise ValueError(
+                    "only 8-bit grayscale non-interlaced PNG is supported"
+                )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray()
+    prev = bytes(w)
+    for r in range(h):
+        ft = raw[r * (w + 1)]
+        line = bytearray(raw[r * (w + 1) + 1:(r + 1) * (w + 1)])
+        if ft == 1:      # Sub: + reconstructed left (bpp = 1)
+            for i in range(1, w):
+                line[i] = (line[i] + line[i - 1]) & 0xFF
+        elif ft == 2:    # Up: + reconstructed above
+            for i in range(w):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:    # Average: + floor((left + up) / 2)
+            for i in range(w):
+                left = line[i - 1] if i else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:    # Paeth predictor
+            for i in range(w):
+                a = line[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                line[i] = (line[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out += line
+        prev = bytes(line)
+    return w, h, bytes(out)
+
+
 def decode_stub(payload: bytes, modality: str):
-    """REAL-DECODER STUB.  In production this dispatches to PIL /
-    libav / etc.  The container has no media codecs, so calling it raises —
-    the pipeline uses ``_extract_features_bytes`` instead."""
+    """REAL-DECODER STUB for the modalities this environment can't decode.
+    PNG images decode for real (``decode_png_gray``, stdlib); audio/video
+    would dispatch to libav/torchcodec, which this container doesn't have,
+    so those raise."""
+    if modality == "image":
+        return decode_png_gray(payload)
     raise NotImplementedError(
         f"media decode for modality={modality!r} requires codec libraries "
         "not present in this environment; see _extract_features_bytes for "
@@ -242,35 +318,56 @@ def _extract_features_bytes(payload: bytes, n_features: int = 8):
 
 
 def extract_media_features(media: DataFrame, n_features: int = 8,
-                           use_real_decoder: bool = False) -> DataFrame:
+                           use_real_decoder: bool = False,
+                           decoder: str = "bytes") -> DataFrame:
     """Partition-parallel feature extraction over binary payloads via
     ``mapInPandas`` (Arrow batches of raw bytes — the shape a real decode
     farm uses; one task per partition, no shuffle).
 
-    ``use_real_decoder=True`` routes through ``decode_stub`` and therefore
-    raises in this environment — the flag exists so the call site for the
-    real codec path is already wired.
+    ``decoder`` picks the decode path per row:
+
+    - ``"bytes"`` (default): features over the ENCODED payload bytes —
+      the codec-free stand-in; works for every modality.
+    - ``"auto"``: image rows are REALLY decoded (``decode_png_gray``,
+      stdlib PNG) and featurized over their PIXELS (``n_units`` = pixel
+      count = width·height); audio/video fall back to payload bytes.
+    - ``"strict"``: every row goes through ``decode_stub`` — images decode
+      (PNG), audio/video raise ``NotImplementedError`` (no codec libs in
+      this container).  ``use_real_decoder=True`` is the legacy spelling.
+
+    Output ``n_bytes`` is always the encoded payload size; ``byte_entropy``
+    and ``features`` are over decoded pixels where decoding happened.
     """
     import pandas as pd
+
+    if use_real_decoder:
+        decoder = "strict"
+    if decoder not in ("bytes", "auto", "strict"):
+        raise ValueError(f"unknown decoder mode {decoder!r}")
 
     def featurize(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ents, feats = [], []
+            ents, feats, n_units = [], [], []
             for payload, modality in zip(pdf["payload"], pdf["modality"]):
                 raw = bytes(payload) if payload is not None else b""
-                if use_real_decoder:
-                    decode_stub(raw, modality)  # raises NotImplementedError
-                e, f = _extract_features_bytes(raw, n_features)
+                units = raw
+                if decoder == "strict":
+                    _w, _h, units = decode_stub(raw, modality)
+                elif decoder == "auto" and modality == "image":
+                    _w, _h, units = decode_png_gray(raw)
+                e, f = _extract_features_bytes(units, n_features)
                 ents.append(e)
                 feats.append(f)
+                n_units.append(len(units))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "n_bytes": [len(bytes(p) if p is not None else b"")
                                 for p in pdf["payload"]],
+                    "n_units": n_units,
                     "byte_entropy": ents,
                     "features": feats,
                 }

@@ -871,3 +871,137 @@ FROM events e JOIN stats s ON e.event_type = s.event_type
 WHERE abs(e.value - s.mean) > 3.0 * s.std
 ORDER BY e.event_id
 """
+
+
+def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated multi-condition EXISTS + NOT EXISTS —
+    the hardest decorrelation a user hits (anti-join with an inequality
+    correlation on a second scan of the fact table).
+
+    Semantics (returnflag plays the "late" role; this schema has no
+    receipt/commit dates): count, per supplier, the returned ('R') lines of
+    finalized ('F') orders where at least one OTHER supplier shipped on the
+    same order (EXISTS l2: same order, different supplier) but NO other
+    supplier's line was returned (NOT EXISTS l3: same order, different
+    supplier, returned).
+
+    100 TB plan: instead of two correlated self semi/anti-joins of lineitem
+    (two extra fact-fact shuffles), BOTH subqueries decorrelate into ONE
+    per-order aggregate — EXISTS(other supplier) ⟺ the order has ≥2
+    distinct suppliers; NOT EXISTS(other late supplier) ⟺ the order has
+    exactly 1 distinct returned-supplier (l1 itself is returned, so the
+    single returned supplier must be l1's).  The aggregate shuffles
+    (orderkey → 2 counts) once and joins back on the same key; supplier is
+    a broadcast dim.
+    """
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    per_order = li.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    return (
+        l1.join(
+            per_order,
+            (F.col("l_orderkey") == F.col("agg_orderkey"))
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_ret_supp") == 1),
+        )
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(sup.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(25)
+    )
+
+
+SUPPLIERS_KEPT_WAITING_SQL = """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
+
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: NOT EXISTS + correlated-free scalar-avg subquery.
+
+    Customers whose balance exceeds the positive-balance average but who
+    never placed an urgent order, grouped by nation.  The scalar average is
+    a one-row broadcast; the NOT EXISTS decorrelates to a LEFT ANTI join
+    against the (pre-filtered, pre-projected) urgent order keys — customer
+    never shuffles against the full orders table.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+
+    # deterministic cross-engine mean (decimal-exact sum / count)
+    avgbal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+         / F.count(F.lit(1))).alias("avg_bal")
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        cust.join(F.broadcast(avgbal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, "c_custkey", "left_anti")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+DORMANT_RICH_CUSTOMERS_SQL = f"""
+WITH avgbal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+         AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name, count(*) AS numcust,
+       {_sql_dsum('c_acctbal')} AS totacctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey, avgbal
+WHERE c.c_acctbal > avgbal.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
