@@ -135,6 +135,35 @@ def test_cosine_neardup_bucketed_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q21_decorrelated_no_cartesian_one_fact_agg(spark):
+    """The Q21 shape (correlated EXISTS + NOT EXISTS) decorrelates into one
+    per-order aggregate joined back on the key — no cartesian product, no
+    nested-loop join, supplier broadcast."""
+    from vector_db_at_home_spark.operators.relational import (
+        suppliers_kept_waiting,
+    )
+
+    df = suppliers_kept_waiting(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert broadcast_join_count(df) >= 1
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    """The Q22 shape: NOT EXISTS becomes a LEFT ANTI join; the scalar avg
+    subquery and nation dim are broadcast; no cartesian on data."""
+    from vector_db_at_home_spark.operators.relational import (
+        dormant_rich_customers,
+    )
+
+    df = dormant_rich_customers(spark, SF)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 2
+
+
 def test_registered_cosine_topk_pairs_no_cartesian(spark):
     """The DRIVER-CHECKED cosine_topk_pairs query runs the blocked-GEMM
     plan: no cartesian product, no nested-loop join — the last quadratic
