@@ -103,6 +103,27 @@ def test_sql_udf_surface(spark):
     assert r.dist == pytest.approx(100 * 10 / 14, abs=1e-9)
 
 
+def test_sql_udaf_geomean(spark):
+    """The UDAF third of UDF/UDAF/UDTF: Arrow grouped-agg pandas UDF used
+    from SQL GROUP BY, verified against exp(avg(ln(x)))."""
+    import math
+
+    register_sql_functions(spark)
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 8.0), ("a", -1.0), ("b", 5.0)],
+        "grp string, v double",
+    )
+    df.createOrReplaceTempView("udaf_test")
+    rows = {
+        r.grp: r.gm
+        for r in spark.sql(
+            "SELECT grp, geomean(v) AS gm FROM udaf_test GROUP BY grp"
+        ).collect()
+    }
+    assert rows["a"] == pytest.approx(math.sqrt(2.0 * 8.0), abs=1e-9)
+    assert rows["b"] == pytest.approx(5.0, abs=1e-9)
+
+
 def test_sql_macros(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     emb.createOrReplaceTempView("emb_macro_test")

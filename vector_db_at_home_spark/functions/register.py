@@ -5,7 +5,9 @@ none"); Spark-side every engine kernel is also exposed to SQL users:
 
 - ``register_sql_functions(spark)`` registers the Python-backed UDFs
   (``indel_ratio``, ``indel_distance`` — the fuzzy scorer is the one kernel
-  that genuinely needs Python).
+  that genuinely needs Python) and the UDAF example (``geomean`` — an
+  Arrow grouped-agg pandas UDF, the user-defined-aggregate third of the
+  UDF/UDAF/UDTF surface; UDTFs live in ``functions/udtf.py``).
 - ``sql_macro(name, ...)`` expands the expression-level kernels
   (``l2_distance``, ``dot_product``, ``rolling_fingerprint``) into SQL text
   built purely from built-ins — codegen'd JVM-side, no UDF overhead.
@@ -41,8 +43,22 @@ def register_sql_functions(spark: SparkSession) -> None:
             [100.0 - indel_ratio(x or "", y or "") for x, y in zip(a, b)]
         )
 
+    @pandas_udf(DoubleType())
+    def _geomean_udf(v: pd.Series) -> float:
+        # grouped-agg pandas UDF (scalar return = GROUPED_AGG): geometric
+        # mean of the group's positive values — partial aggregation happens
+        # Arrow-batched per group; NaN for all-nonpositive groups
+        import numpy as np
+
+        x = v.to_numpy(dtype=float)
+        x = x[x > 0]
+        if x.size == 0:
+            return float("nan")
+        return float(np.exp(np.log(x).mean()))
+
     spark.udf.register("indel_ratio", _indel_ratio_udf)
     spark.udf.register("indel_distance", _indel_distance_udf)
+    spark.udf.register("geomean", _geomean_udf)
 
 
 SQL_MACROS = {
