@@ -1,0 +1,106 @@
+"""Connected components over near-duplicate pair sets — cluster formation.
+
+Pair-producing dedup operators (MinHash, SimHash, embedding near-dup)
+emit EDGES; production dedup keeps one canonical doc per connected
+CLUSTER (the SlimPajama/MinHashLSH-dedup recipe — public knowledge).
+Spark has no native iterative-graph operator, so this implements
+min-label propagation as a driver-coordinated loop of keyed joins — the
+(c)-strategy from the build brief, used only because the semantics are
+genuinely iterative:
+
+- per round, every vertex takes the min label over itself, its
+  neighbors' labels, and its LABEL'S label (pointer-jumping/path
+  compression — turns O(diameter) convergence into O(log diameter), so
+  a 10⁶-long chain needs ~20 rounds, and typical near-dup clusters
+  [diameter ≤ 3] converge in 2);
+- every round ``localCheckpoint``s the label table: lineage stays O(1)
+  instead of growing by three joins per round (the classic iterative-
+  Spark failure mode), and each round's shuffle is |V| + 2|E| keyed
+  rows — no broadcast of anything unbounded, no driver-side graph;
+- convergence is an exact count of changed labels (one action per
+  round, the unavoidable cost of a data-dependent loop).
+
+Oracle: min-label-reachability is exactly what a SQL recursive CTE
+computes, so the driver verifies clusters value-for-value (DuckDB
+``WITH RECURSIVE`` over the same md5-derived MinHash pair SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """``(id, component)`` for every vertex appearing in ``pairs``;
+    ``component`` is the smallest vertex id in the connected component
+    (deterministic).  Raises if not converged within ``max_iter`` rounds
+    (pointer-jumping makes that ~2^50-diameter graphs — unreachable)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min label among neighbors
+        nbr = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # label-of-label (pointer jumping)
+        jump = labels.select(
+            F.col("id").alias("label"), F.col("label").alias("jump_label")
+        ).groupBy("label").agg(F.min("jump_label").alias("jump_label"))
+        updated = (
+            labels.join(nbr, "id", "left")
+            .join(jump, "label", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                    F.coalesce(F.col("jump_label"), F.col("label")),
+                ).alias("label"),
+                F.col("label").alias("__old"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("label") != F.col("__old")).count()
+        labels = updated.drop("__old")
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def canonical_map_from_pairs(pairs: DataFrame, id_a: str = "id_a",
+                             id_b: str = "id_b") -> DataFrame:
+    """``(id, canonical_id)`` keep/drop map from near-dup pairs: every doc
+    in a cluster maps to the cluster's smallest id (the kept doc).  Docs
+    not in any pair are absent (they map to themselves implicitly)."""
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.select("id", F.col("component").alias("canonical_id"))
+
+
+def drop_near_duplicates(df: DataFrame, pairs: DataFrame, id_col: str,
+                         id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """The cleaning form: keep one doc per near-dup cluster (the smallest
+    id) plus every unpaired doc — a left-anti join against the non-canonical
+    ids; ``df`` never shuffles against the pair set beyond that key join."""
+    cc = connected_components(pairs, id_a, id_b)
+    losers = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -1030,3 +1030,48 @@ def q_udtf_word_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM __udtf_docs d, LATERAL word_ngrams(d.text, 2) t "
         "ORDER BY d.doc_id, t.pos"
     )
+
+
+@register("dedup_minhash_clusters")
+def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation — pairs to components (operators/graph.py
+    min-label propagation with pointer jumping) over the same MinHash-LSH
+    pair set as dedup_minhash_lsh; component = smallest doc_id = the kept
+    canonical doc.  The oracle recomputes the identical pairs in SQL and
+    resolves components with a recursive CTE (min-label reachability), so
+    the iterative Spark loop is value-verified end-to-end."""
+    from .operators.dedup import minhash_lsh_pairs
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5,
+        max_doc_freq=100, max_band_bucket=200,
+    )
+    out = connected_components(pairs).orderBy("id")
+    pairs.cached_shingles.unpersist()
+    return out
+
+
+def _attach_clusters_oracle() -> None:
+    from .operators.dedup import render_minhash_lsh_sql
+
+    pair_sql = render_minhash_lsh_sql(
+        n=3, threshold=0.5, max_doc_freq=100, max_band_bucket=200
+    )
+    _ORACLES["dedup_minhash_clusters"] = f"""
+WITH RECURSIVE
+pairs AS ({pair_sql}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id
+"""
+
+
+_attach_clusters_oracle()
