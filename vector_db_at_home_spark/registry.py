@@ -1075,3 +1075,193 @@ SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id
 
 
 _attach_clusters_oracle()
+
+
+@register(
+    "doc_hash_split",
+    # sampling.hash_split's md5 bucket, reproduced digit-for-digit
+    """
+SELECT doc_id,
+       CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR || '_split'), 1, 15))
+                 AS BIGINT) % 1000000 < 200000
+            THEN 'test' ELSE 'train' END AS split
+FROM documents ORDER BY doc_id
+""",
+)
+def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test assignment (sampling.hash_split): stable
+    under growth/repartition/re-read, replicated exactly by the oracle."""
+    from .operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", {"train": 0.8, "test": 0.2}) \
+        .select("doc_id", "split").orderBy("doc_id")
+
+
+@register(
+    "benchmark_decontamination",
+    # the VERBATIM-LEAK scenario decontamination exists for: the benchmark
+    # rows (doc_id % 25 = 0, re-keyed +1000000) appear word-for-word in the
+    # corpus, so each must flag its source doc at containment 1.0 —
+    # a wrong shingle hash, join, or containment floor breaks 20 rows
+    """
+WITH ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+btoks AS (SELECT doc_id + 1000000 AS doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE doc_id % 25 = 0),
+csh AS (SELECT DISTINCT doc_id AS corpus_id,
+               CAST(('0x' || substr(md5(array_to_string(list_slice(t, i, i + 4), ' ')), 1, 15)) AS BIGINT) AS h60
+        FROM ctoks, unnest(range(1, len(t) - 3)) AS r(i)),
+bsh AS (SELECT DISTINCT doc_id AS bench_id,
+               CAST(('0x' || substr(md5(array_to_string(list_slice(t, i, i + 4), ' ')), 1, 15)) AS BIGINT) AS h60
+        FROM btoks, unnest(range(1, len(t) - 3)) AS r(i)),
+bsz AS (SELECT bench_id, count(*) AS bench_sz FROM bsh GROUP BY bench_id),
+inter AS (SELECT corpus_id, bench_id, count(*) AS overlap
+          FROM csh JOIN bsh USING (h60) GROUP BY corpus_id, bench_id)
+SELECT corpus_id, bench_id, overlap,
+       CAST(floor(overlap * 1000000.0 / bench_sz + 0.5) AS BIGINT)
+         AS containment_e6
+FROM inter JOIN bsz USING (bench_id)
+WHERE overlap * 1.0 / bench_sz >= 0.5
+ORDER BY corpus_id, bench_id
+""",
+)
+def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.cross_corpus_contamination) on a
+    planted verbatim leak: every 25th doc doubles as a benchmark item
+    (re-keyed so ids don't collide); 5-gram containment >= 0.5 must flag
+    each one against its source doc at exactly 1.0 — md5-hashed shingles,
+    inverted-index join, bench side broadcast."""
+    from .operators.dedup import cross_corpus_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    return cross_corpus_contamination(docs, bench, n=5, threshold=0.5)
+
+
+@register(
+    "lm_quality_score",
+    # stupid-backoff bigram log-prob (CCNet-style perplexity proxy),
+    # self-referenced corpus; null avg (no bigrams) -> -999 sentinel
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT u.tok, count(*) AS uc FROM
+        (SELECT unnest(t) AS tok FROM toks) u GROUP BY u.tok),
+tot AS (SELECT sum(uc) AS total FROM uni),
+bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       FROM toks, unnest(range(1, len(t))) r(i)),
+bc AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY w1, w2),
+lp AS (SELECT g.doc_id,
+              CASE WHEN bc.bc IS NOT NULL
+                   THEN ln(CAST(bc.bc AS DOUBLE) / u1.uc)
+                   ELSE ln(0.4 * COALESCE(CAST(u2.uc AS DOUBLE), 1.0) / tot.total)
+              END AS lp
+       FROM bg g
+       LEFT JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+       LEFT JOIN uni u1 ON u1.tok = g.w1
+       LEFT JOIN uni u2 ON u2.tok = g.w2
+       CROSS JOIN tot),
+per AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+        FROM lp GROUP BY doc_id)
+SELECT d.doc_id AS id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       COALESCE(per.avg_logprob, -999.0) AS avg_logprob
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+ORDER BY id
+""",
+)
+def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-quality signal (textstats.ngram_logprob_score): stupid-backoff
+    bigram log-probability against the corpus' own n-gram counts — the
+    CCNet-style fluency proxy, all keyed joins."""
+    from .operators.textstats import ngram_logprob_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_logprob_score(docs, "text", "doc_id")
+        .select(
+            "id",
+            "n_bigrams",
+            F.coalesce(F.col("avg_logprob"), F.lit(-999.0)).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("id")
+    )
+
+
+@register(
+    "pq_recall",
+    # Same pattern as ann_ivf_recall: the exact-kNN leg is value-hashed by
+    # DuckDB; PQ quantization quality (codebooks not SQL-expressible)
+    # enters as an engine-side boolean the oracle asserts true.
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings ORDER BY vec_id LIMIT 4
+), d AS (
+  SELECT q.query_id, e.vec_id AS id,
+         sqrt((SELECT sum((u.a - u.b) * (u.a - u.b))
+               FROM (SELECT unnest(e.embedding) AS a,
+                            unnest(q.qvec) AS b) u)) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT query_id,
+       count(*) AS n_exact,
+       CAST(sum(CAST(floor(dist * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS exact_dist_e6_sum,
+       CAST(1 AS BOOLEAN) AS pq_found_ge_4
+FROM r WHERE rn <= 5
+GROUP BY query_id ORDER BY query_id
+""",
+)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization graded in-plan (operators/pq.py): per query,
+    the exact top-5 distances (value-hashed) plus an assertion that the
+    ADC scan + 8x exact re-rank recovered >= 4 of 5 exact hits (measured:
+    5/5, deterministic — hash_sample fit rows + seeded Lloyd)."""
+    from .operators.knn import knn_search as _knn
+    from .operators.pq import pq_build, pq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    exact = _knn(emb, qs, k=5, id_col="vec_id", vec_col="embedding",
+                 impl="expr")
+    pq = pq_build(emb, id_col="vec_id", vec_col="embedding", m=8,
+                  fit_sample_rows=400)
+    approx = pq_search(pq, qs, k=5, refine_with=emb, refine_factor=8,
+                       id_col="vec_id", vec_col="embedding")
+    hits = (
+        exact.select("query_id", "id")
+        .join(approx.select("query_id", "id"), ["query_id", "id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                F.floor(F.col("distance") * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("exact_dist_e6_sum"),
+        )
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            "exact_dist_e6_sum",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 4).alias(
+                "pq_found_ge_4"
+            ),
+        )
+        .orderBy("query_id")
+    )
