@@ -1265,3 +1265,140 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "strip_boilerplate",
+    # Construct a 3-line doc: original text + a unique per-doc line + the
+    # SAME footer line in every doc.  The operator must drop exactly the
+    # footer (appears in 500 docs > max_line_docs=10) and keep the other
+    # two, preserving order — the whole explode/count/strip/rebuild
+    # pipeline is value-checked.
+    """
+WITH built AS (
+  SELECT doc_id,
+         text || chr(10) || 'unique marker line ' || doc_id || chr(10)
+              || 'Subscribe to our newsletter for daily updates' AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id AS id, r.i - 1 AS pos, parts[r.i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM built) t,
+       unnest(range(1, len(parts) + 1)) r(i)
+),
+freq AS (
+  SELECT line FROM lines WHERE length(line) >= 10
+  GROUP BY line HAVING count(DISTINCT id) > 10
+),
+kept AS (
+  SELECT l.id, l.pos, l.line,
+         (f.line IS NOT NULL AND length(l.line) >= 10) AS dropped
+  FROM lines l LEFT JOIN freq f USING (line)
+)
+SELECT id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE NOT dropped), '') AS text,
+       CAST(sum(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_lines_kept,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lines_dropped
+FROM kept GROUP BY id ORDER BY id
+""",
+)
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (textstats.strip_boilerplate_lines,
+    the MassiveText/Gopher recipe) on a planted corpus: every doc carries
+    the same footer line (stripped — 500 docs > threshold 10) plus a
+    unique marker line (kept)."""
+    from .operators.textstats import strip_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\nunique marker line "),
+            F.col("doc_id").cast("string"),
+            F.lit("\nSubscribe to our newsletter for daily updates"),
+        ).alias("text"),
+    )
+    return strip_boilerplate_lines(built, "text", "doc_id",
+                                   max_line_docs=10, min_line_chars=10)
+
+
+@register(
+    "ivfpq_recall",
+    # The billion-scale composition (IVF probe pruning × PQ byte codes ×
+    # exact re-rank), graded like ann_ivf_recall/pq_recall: exact leg
+    # value-hashed, composition quality as an oracle-asserted boolean.
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings ORDER BY vec_id LIMIT 4
+), d AS (
+  SELECT q.query_id, e.vec_id AS id,
+         sqrt((SELECT sum((u.a - u.b) * (u.a - u.b))
+               FROM (SELECT unnest(e.embedding) AS a,
+                            unnest(q.qvec) AS b) u)) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT query_id,
+       count(*) AS n_exact,
+       CAST(sum(CAST(floor(dist * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS exact_dist_e6_sum,
+       CAST(1 AS BOOLEAN) AS ivfpq_found_ge_3
+FROM r WHERE rn <= 5
+GROUP BY query_id ORDER BY query_id
+""",
+)
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end (operators/pq.ivfpq_search): 16 cells / 8 probes
+    prune the scan, 8-byte PQ codes rank candidates via ADC, 8x exact
+    re-rank — must recover >= 3 of 5 exact hits per query (measured: min
+    4/5, deterministic).  Exact leg value-hashed by the oracle."""
+    from .operators.ann import ivf_build
+    from .operators.knn import knn_search as _knn
+    from .operators.pq import ivfpq_search, pq_build
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    exact = _knn(emb, qs, k=5, id_col="vec_id", vec_col="embedding",
+                 impl="expr")
+    ivf = ivf_build(emb, id_col="vec_id", vec_col="embedding", n_cells=16)
+    pq = pq_build(emb, id_col="vec_id", vec_col="embedding", m=8,
+                  fit_sample_rows=400)
+    approx = ivfpq_search(ivf, pq, qs, k=5, n_probes=8, refine_with=emb,
+                          refine_factor=8, id_col="vec_id",
+                          vec_col="embedding")
+    hits = (
+        exact.select("query_id", "id")
+        .join(approx.select("query_id", "id"), ["query_id", "id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                F.floor(F.col("distance") * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("exact_dist_e6_sum"),
+        )
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            "exact_dist_e6_sum",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3).alias(
+                "ivfpq_found_ge_3"
+            ),
+        )
+        .orderBy("query_id")
+    )
