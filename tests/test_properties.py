@@ -117,3 +117,78 @@ def test_parse_never_crashes_on_garbage(blob):
     # arbitrary bytes: either a well-formed answer or None, never a raise
     got = parse_image_header(blob)
     assert got is None or (len(got) == 3 and got[1] >= 0 and got[2] >= 0)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400),
+       st.integers(min_value=1, max_value=64))
+def test_png_pixel_decode_roundtrip_any_payload(pixels, width):
+    from vector_db_at_home_spark.operators.multimodal import decode_png_gray
+
+    png = _png_bytes(pixels, width)
+    w, h, got = decode_png_gray(png)
+    assert w == width
+    assert h == max(1, -(-len(pixels) // width))
+    assert got == pixels.ljust(w * h, b"\x00")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=1, max_size=240),
+       st.integers(min_value=1, max_value=16),
+       st.lists(st.integers(min_value=0, max_value=4), min_size=1,
+                max_size=16))
+def test_png_decode_inverts_random_filter_choices(pixels, width, filters):
+    """For ANY per-row filter assignment a conformant encoder could pick,
+    the decoder reconstructs the original pixels (forward-filter here is
+    written from the public spec, independently of the decoder)."""
+    import struct
+    import zlib
+
+    from vector_db_at_home_spark.operators.multimodal import decode_png_gray
+
+    w = width
+    h = max(1, -(-len(pixels) // w))
+    padded = pixels.ljust(w * h, b"\x00")
+    rows = [padded[r * w:(r + 1) * w] for r in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = b""
+    prev = bytes(w)
+    for r in range(h):
+        ft = filters[r % len(filters)]
+        line = rows[r]
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = bytes((line[i] - (line[i - 1] if i else 0)) & 0xFF
+                        for i in range(w))
+        elif ft == 2:
+            enc = bytes((line[i] - prev[i]) & 0xFF for i in range(w))
+        elif ft == 3:
+            enc = bytes(
+                (line[i] - (((line[i - 1] if i else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(w))
+        else:
+            enc = bytes(
+                (line[i] - paeth(line[i - 1] if i else 0, prev[i],
+                                 prev[i - 1] if i else 0)) & 0xFF
+                for i in range(w))
+        raw += bytes([ft]) + enc
+        prev = line
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    got_w, got_h, got = decode_png_gray(png)
+    assert (got_w, got_h, got) == (w, h, padded)
