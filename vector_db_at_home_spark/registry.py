@@ -1402,3 +1402,59 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "approx_quantiles_check",
+    # t-digest-style approx_percentile graded against the exact
+    # interpolated percentile: exact leg value-hashed, approx leg as a
+    # relative-error boolean (accuracy 10000 on 10k rows -> ~exact)
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+       CAST(1 AS BOOLEAN) AS approx_within_1pct
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_approx_quantiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile (sketches.approx_event_quantiles) graded
+    in-plan: the exact interpolated median is the value-hashed leg; the
+    approx estimate collapses to a 1%-relative-error boolean."""
+    from .operators.sketches import approx_event_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    q = approx_event_quantiles(ev)
+    return q.select(
+        "event_type",
+        F.round("p50_exact", 6).alias("p50_exact"),
+        (
+            F.abs(F.col("p50_approx") - F.col("p50_exact"))
+            <= 0.01 * F.greatest(F.abs(F.col("p50_exact")), F.lit(1e-9))
+        ).alias("approx_within_1pct"),
+    ).orderBy("event_type")
+
+
+@register(
+    "sketch_rollup_total",
+    # mergeable sketches: per-day HLLs union into a monthly total without
+    # rescanning raw data — exact total value-hashed, merged estimate as
+    # an error-bound boolean
+    "SELECT count(DISTINCT user_id) AS exact_total_users, "
+    "CAST(1 AS BOOLEAN) AS merged_within_5pct FROM events",
+)
+def q_sketch_rollup_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGE path (sketches.mergeable_daily_sketches): daily sketches
+    union to a total; the exact distinct count is the value-hashed leg and
+    the merged estimate must land within 5%."""
+    from .operators.sketches import mergeable_daily_sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    merged = mergeable_daily_sketches(ev)
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_total_users"))
+    return exact.join(merged).select(
+        "exact_total_users",
+        (
+            F.abs(F.col("approx_total_users") - F.col("exact_total_users"))
+            <= 0.05 * F.col("exact_total_users")
+        ).alias("merged_within_5pct"),
+    )
