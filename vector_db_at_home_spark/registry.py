@@ -1458,3 +1458,48 @@ def q_sketch_rollup_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_total_users")
         ).alias("merged_within_5pct"),
     )
+
+
+@register(
+    "skew_salted_agg",
+    # salting must be result-invariant: the oracle is the PLAIN group-by —
+    # any salting bug (lost partial, double merge) flips the hash
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4)
+         AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (skew.salted_aggregate): the hot
+    event_type keys fan across 16 salted reducers then merge; results must
+    equal the direct group-by exactly.  Decimal-exact sum for the
+    cross-engine float rule."""
+    from .operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__vdec", F.col("value").cast("decimal(25,6)")
+    )
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "event_id"),
+            "sum_value": ("sum", "__vdec"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt_col="event_id",
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    ).orderBy("event_type")
