@@ -1503,3 +1503,109 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
     ).orderBy("event_type")
+
+
+@register(
+    "user_sessions",
+    # gap-based sessionization as window functions: a new session starts
+    # when the inactivity gap exceeds 30 minutes; session id = running
+    # count of session starts per user (the batch analog of the streaming
+    # applyInPandasWithState sessionizer)
+    """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user sessions split on >30-minute
+    inactivity gaps via lag + running sum — one shuffle on user_id, both
+    windows share the partitioning.  (The streaming analog with live state
+    is streaming/events.sessionize_stream, pytest-pinned.)"""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp(F.col("ts"))
+                - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("session_id", F.sum("new_session").over(ws))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events",
+            "session_start",
+            "session_end",
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "stratified_lang_sample",
+    # per-stratum md5-threshold sampling, reproduced digit-for-digit:
+    # keep 50% of 'en', 20% of 'de', 100% of 'fr', 0% elsewhere
+    """
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || '_strata'), 1, 15))
+           AS BIGINT) % 1000000
+      < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000
+                  WHEN 'fr' THEN 1000000 ELSE 0 END
+ORDER BY doc_id
+""",
+)
+def q_stratified_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (sampling.stratified_hash_sample):
+    shuffle-free scan-projection filter, stable under growth/repartition,
+    hash threshold replicated exactly by the oracle."""
+    from .operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.5, "de": 0.2, "fr": 1.0}, default_fraction=0.0,
+    ).select("doc_id", "lang").orderBy("doc_id")
