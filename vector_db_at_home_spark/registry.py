@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1651,3 +1652,85 @@ def q_knn_l2_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, qs, k=5, id_col="vec_id", vec_col="embedding", impl="pandas"
     )
     return res.withColumn("distance", F.round("distance", 6))
+
+
+def _lcs_oracle_sql(queries_txt: list[str], n_docs: int,
+                    doc_chars: int) -> str:
+    """DuckDB oracle for the bit-parallel LCS kernel: textbook DP via a
+    recursive CTE.  The intra-row dependency collapses to a prefix-max
+    (LCS rows are non-decreasing with steps <= 1, so when chars match the
+    diagonal+1 case dominates), which keeps the recursion 1-D over query
+    characters."""
+    vals = ", ".join(
+        f"({i}, '{q}')" for i, q in enumerate(queries_txt)
+    )
+    return f"""
+WITH RECURSIVE
+qs(query_id, q) AS (SELECT * FROM (VALUES {vals})),
+pairs AS (
+  SELECT qs.query_id, qs.q, d.doc_id, substr(d.text, 1, {doc_chars}) AS doc
+  FROM qs, (SELECT doc_id, text FROM documents WHERE doc_id < {n_docs}) d
+),
+dp(query_id, doc_id, q, doc, i, row) AS (
+  SELECT query_id, doc_id, q, doc, 0,
+         list_transform(range(1, length(doc) + 2), x -> 0)
+  FROM pairs
+  UNION ALL
+  SELECT query_id, doc_id, q, doc, i + 1,
+         list_prepend(0,
+           list_transform(range(1, length(doc) + 1), j ->
+             list_max(
+               list_transform(range(1, j + 1), k ->
+                 CASE WHEN substr(q, i + 1, 1) = substr(doc, k, 1)
+                      THEN row[k] + 1 ELSE row[k + 1] END))))
+  FROM dp WHERE i < length(q)
+)
+SELECT query_id, doc_id,
+       CAST(row[length(doc) + 1] AS BIGINT) AS lcs,
+       CAST(length(doc) AS BIGINT) AS dlen
+FROM dp WHERE i = length(q)
+ORDER BY query_id, doc_id
+"""
+
+
+_LCS_CHECK_QUERIES = ["spark window merge sort", "the fast key order"]
+
+
+@register(
+    "indel_kernel_check",
+    _lcs_oracle_sql(_LCS_CHECK_QUERIES, n_docs=50, doc_chars=48),
+)
+def q_indel_kernel_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-search KERNEL value-checked by the driver: the engine's
+    bit-parallel LCS (functions.fuzzy._lcs_length — the quantity InDel
+    distance is defined by: dist = 100·(|a|+|b|−2·LCS)/(|a|+|b|)) against
+    a textbook DP LCS in pure SQL.  Exact integers, no floats — this
+    removes the 'InDel not SQL-expressible' blind spot for the kernel
+    itself; the full search_by_doc remains rows-only because ranking the
+    whole corpus through the SQL DP would be O(|corpus|·|q|·|doc|²)."""
+    from pyspark.sql.types import LongType
+
+    from .functions.fuzzy import _lcs_length
+
+    @F.pandas_udf(LongType())
+    def lcs_udf(q: pd.Series, d: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_lcs_length(a or "", b or "") for a, b in zip(q, d)]
+        )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).select("doc_id", F.substring("text", 1, 48).alias("doc"))
+    qdf = spark.createDataFrame(
+        list(enumerate(_LCS_CHECK_QUERIES)), "query_id int, q string"
+    )
+    return (
+        docs.join(F.broadcast(qdf))
+        .select(
+            "query_id",
+            "doc_id",
+            lcs_udf(F.col("q"), F.col("doc")).alias("lcs"),
+            F.length("doc").cast("long").alias("dlen"),
+        )
+        .orderBy("query_id", "doc_id")
+    )
