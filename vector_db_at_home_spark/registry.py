@@ -1734,3 +1734,37 @@ def q_indel_kernel_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "doc_id")
     )
+
+
+@register(
+    "mixture_resample_docs",
+    # target mixture 40% en / 30% de / 30% fr at 300 rows: per-domain keep
+    # fraction = min(1, w*target/count) via the md5 bucket; de/fr under-
+    # fill (can't upsample without replacement), other langs drop
+    """
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+frac AS (
+  SELECT lang,
+         least(1.0, CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.3
+                              WHEN 'fr' THEN 0.3 END * 300.0 / n) AS f
+  FROM counts WHERE lang IN ('en', 'de', 'fr')
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN frac USING (lang)
+WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR || '_mixture'), 1, 15))
+           AS BIGINT) % 1000000 < round(f * 1000000)
+ORDER BY d.doc_id
+""",
+)
+def q_mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (sampling.mixture_resample): deterministic
+    hash-threshold selection toward a 40/30/30 en/de/fr target at 300
+    rows; counts are a broadcast aggregate subplan, selection is a
+    scan-side filter."""
+    from .operators.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_resample(
+        docs, "doc_id", "lang",
+        {"en": 0.4, "de": 0.3, "fr": 0.3}, target_rows=300,
+    ).select("doc_id", "lang").orderBy("doc_id")
