@@ -1768,3 +1768,26 @@ def q_mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "lang",
         {"en": 0.4, "de": 0.3, "fr": 0.3}, target_rows=300,
     ).select("doc_id", "lang").orderBy("doc_id")
+
+
+@register(
+    "doc_hash_sample",
+    # deterministic 100-row sample = smallest salted md5 buckets,
+    # ties by doc_id — reproduced digit-for-digit
+    """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR || '_sample'), 1, 15))
+              AS BIGINT) % 1000000 AS hb
+  FROM documents
+) ORDER BY hb, doc_id LIMIT 100
+""",
+)
+def q_doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic n-row sampling (sampling.hash_sample): global top-n
+    by salted hash (TakeOrderedAndProject — no full sort), stable across
+    runs, partitionings and engines."""
+    from .operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 100).select("doc_id", "lang")
