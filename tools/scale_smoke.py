@@ -170,7 +170,6 @@ def minhash_section(spark, timings: dict, results: dict) -> None:
     )
     print(f"# minhash_200k done {timings['minhash_lsh_200k_docs']}s",
           file=sys.stderr)
-    res.cached_shingles.unpersist()
     docs.unpersist()
 
 

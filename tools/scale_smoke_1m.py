@@ -119,7 +119,6 @@ def main(n_rows: int = 1_000_000) -> None:
     print(f"# minhash_1m: {out['minhash_wall_sec']}s "
           f"recall={out['minhash_recall']} "
           f"shuffleW={out['minhash_shuffle_write_mb']}MB", file=sys.stderr)
-    res.cached_shingles.unpersist()
     docs.unpersist()
 
     # ---- IVF at n_rows vectors (64-dim, 2000 natural clusters),

@@ -303,13 +303,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     an integer (``floor(j*1e6 + 0.5)``) — cross-engine hash-stable.
     """
     # hashed shingles feed both the signature pass and the exact-verify
-    # pass — cache so the explode+distinct runs once, not twice.  The cache
-    # pins executor memory for the session: the returned DataFrame exposes
-    # it as ``result.cached_shingles`` so long-lived callers can
-    # ``.unpersist()`` once the result is materialized.
+    # pass.  No cache: the shingle subplan ends in an exchange (the
+    # repartition/distinct shuffle inside ``hashed_shingles``) that is
+    # IDENTICAL in both consumer paths, so AQE's exchange reuse computes the
+    # explode+md5 once and serves the second consumer from the same shuffle
+    # files.  Measured at sf0.1: 6.3-6.7 s uncached vs 9.7-13.2 s with a
+    # ``.cache()`` on the exploded table (block-manager writes of the wide
+    # shingle rows cost more than the reuse saves), and nothing pins
+    # executor memory after the query completes — the hygiene is
+    # structural, not a caller contract.
     from pyspark.sql import Window
 
-    sh = hashed_shingles(df, text_col, id_col, n, max_doc_freq).cache()
+    sh = hashed_shingles(df, text_col, id_col, n, max_doc_freq)
     band_rows, sizes = _signature_bands(sh, num_perm, bands)
     if max_band_bucket is not None:
         # hot-bucket guard as a window count — the window's (band, bhash)
@@ -354,7 +359,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         )
         .orderBy("id_a", "id_b")
     )
-    result.cached_shingles = sh  # caller may .unpersist() after materializing
     return result
 
 
@@ -398,8 +402,9 @@ def minhash_lsh_pairs_incremental(new_df: DataFrame, corpus_df: DataFrame,
         )
         sh_new = sh_new.join(hot, "h60", "left_anti")
         sh_cor = sh_cor.join(hot, "h60", "left_anti")
-    sh_new = sh_new.cache()
-    sh_cor = sh_cor.cache()
+    # no caches: each side's shingle subplan ends in the distinct's
+    # exchange, identical across its signature and verify references —
+    # AQE exchange reuse computes each explode once (see minhash_lsh_pairs)
     bn, sz_new = _signature_bands(sh_new, num_perm, bands)
     bc, sz_cor = _signature_bands(sh_cor, num_perm, bands)
     if max_band_bucket is not None:
@@ -443,8 +448,6 @@ def minhash_lsh_pairs_incremental(new_df: DataFrame, corpus_df: DataFrame,
         )
         .orderBy("new_id", "corpus_id")
     )
-    result.cached_shingles = sh_new
-    result.cached_corpus_shingles = sh_cor
     return result
 
 

@@ -1052,7 +1052,6 @@ def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_doc_freq=100, max_band_bucket=200,
     )
     out = connected_components(pairs).orderBy("id")
-    pairs.cached_shingles.unpersist()
     return out
 
 

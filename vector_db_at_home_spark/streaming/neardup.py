@@ -79,13 +79,10 @@ def stream_into_store_neardup(stream_df: DataFrame, store: VectorStore,
         )
         dupped = hits.select(F.col("new_id").alias("__bid")).distinct()
         survivors = keyed.join(F.broadcast(dupped), "__bid", "left_anti")
-        # materialize BEFORE releasing the shingle caches the plan depends
-        # on — and so the expensive incremental-MinHash join runs exactly
+        # materialize so the expensive incremental-MinHash join runs exactly
         # once even though append_batch fires two actions (validation
         # count, then write) on the returned frame
         survivors = survivors.localCheckpoint(eager=True)
-        for c in (hits.cached_shingles, hits.cached_corpus_shingles):
-            c.unpersist()
         return survivors.drop("__digest", "__bid")
 
     return stream_into_store(
