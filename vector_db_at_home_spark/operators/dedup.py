@@ -526,6 +526,92 @@ FROM jac WHERE j >= {threshold} ORDER BY id_a, id_b
 """
 
 
+def render_minhash_incremental_sql(batch_pred: str, corpus_pred: str,
+                                   n: int = 3, threshold: float = 0.5,
+                                   num_perm: int = NUM_PERM_DEFAULT,
+                                   bands: int = BANDS_DEFAULT,
+                                   max_doc_freq: int | None = None,
+                                   max_band_bucket: int | None = None) -> str:
+    """DuckDB oracle for ``minhash_lsh_pairs_incremental`` where the new
+    batch and the corpus are predicate-defined slices of ``documents`` —
+    the same md5 permutations, corpus-side doc-frequency cap (dropping hot
+    shingles from BOTH sides), corpus-side band-bucket cap, batch×corpus
+    band join and exact verify, value-for-value."""
+    rows = num_perm // bands
+    mins = ", ".join(
+        f"min({qa} + {mult} * {qb}) AS h{i}"
+        for i, (qa, qb, mult) in enumerate(_perm_specs(num_perm))
+    )
+
+    def _shingle_ctes(prefix: str, pred: str) -> str:
+        return f"""
+{prefix}toks AS (SELECT doc_id AS id, string_split(text, ' ') AS t
+                 FROM documents WHERE {pred}),
+{prefix}shx AS (SELECT id, md5(array_to_string(list_slice(t, i, i + {n - 1}), ' ')) AS hx
+                FROM {prefix}toks, unnest(range(1, len(t) - {n - 2})) AS r(i)),
+{prefix}sh0 AS (SELECT DISTINCT id, {_sql_hex2int('hx', 1, 8)} AS h1,
+                       {_sql_hex2int('hx', 9, 8)} AS h2,
+                       {_sql_hex2int('hx', 17, 8)} AS h3,
+                       {_sql_hex2int('hx', 25, 8)} AS h4,
+                       {_sql_hex2int('hx', 1, 15)} AS h60
+                FROM {prefix}shx)"""
+
+    def _band_selects(sig: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT id, {b} AS band, md5("
+            + " || '_' || ".join(
+                f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+            )
+            + f") AS bhex FROM {sig}"
+            for b in range(bands)
+        )
+
+    if max_doc_freq is not None:
+        cap = f""",
+hot AS (SELECT h60 FROM (SELECT h60, count(*) AS dfc FROM csh0 GROUP BY h60)
+        WHERE dfc > {max_doc_freq}),
+nsh AS (SELECT * FROM nsh0 WHERE h60 NOT IN (SELECT h60 FROM hot)),
+csh AS (SELECT * FROM csh0 WHERE h60 NOT IN (SELECT h60 FROM hot))"""
+    else:
+        cap = """,
+nsh AS (SELECT * FROM nsh0),
+csh AS (SELECT * FROM csh0)"""
+    bucket_cap = ""
+    cbd_src = "cbd0"
+    if max_band_bucket is not None:
+        bucket_cap = f""",
+cbd AS (SELECT id, band, bhash FROM
+          (SELECT cbd0.*, count(*) OVER (PARTITION BY band, bhash) AS bucket_n
+           FROM cbd0)
+        WHERE bucket_n <= {max_band_bucket})"""
+        cbd_src = "cbd"
+    return f"""
+WITH {_shingle_ctes('n', batch_pred)},
+{_shingle_ctes('c', corpus_pred).lstrip()}{cap},
+nsig AS (SELECT id, {mins}, count(*) AS sz FROM nsh GROUP BY id),
+csig AS (SELECT id, {mins}, count(*) AS sz FROM csh GROUP BY id),
+nbk AS ({_band_selects('nsig')}),
+cbk AS ({_band_selects('csig')}),
+nbd AS (SELECT id, band, {_sql_hex2int('bhex', 1, 15)} AS bhash FROM nbk),
+cbd0 AS (SELECT id, band, {_sql_hex2int('bhex', 1, 15)} AS bhash FROM cbk){bucket_cap},
+cand AS (SELECT DISTINCT a.id AS new_id, b.id AS corpus_id
+         FROM nbd a JOIN {cbd_src} b
+           ON a.band = b.band AND a.bhash = b.bhash),
+inter AS (SELECT cand.new_id, cand.corpus_id, count(*) AS ic
+          FROM cand
+          JOIN nsh sa ON sa.id = cand.new_id
+          JOIN csh sb ON sb.id = cand.corpus_id AND sb.h60 = sa.h60
+          GROUP BY cand.new_id, cand.corpus_id),
+jac AS (SELECT new_id, corpus_id,
+               CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) AS j
+        FROM inter
+        JOIN nsig sa ON sa.id = new_id
+        JOIN csig sb ON sb.id = corpus_id)
+SELECT new_id, corpus_id, CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+FROM jac WHERE j >= {threshold} ORDER BY new_id, corpus_id
+"""
+
+
 SIMHASH_BITS = 60  # md5-derived 60-bit hash (15 hex digits — BIGINT-safe
 #                    in both engines; 16 digits could overflow signed 64)
 
