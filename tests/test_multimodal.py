@@ -203,7 +203,9 @@ def test_png_header_roundtrip(spark, media):
         if r.modality == "image":
             n_images += 1
             w = 4 + r.media_id % 29
-            assert r.meta.mime == "image/png"
+            expect_mime = ("image/jpeg" if r.media_id % 6 == 0
+                           else "image/png")
+            assert r.meta.mime == expect_mime
             assert r.meta.width == w
             assert r.meta.height == max(1, math.ceil(text_len[r.media_id] / w))
         else:
@@ -308,3 +310,77 @@ def test_sample_frames_plumbing(spark, media):
     for r in frames:
         assert r.frame_ts_ms % 500 == 0
         assert r.frame_ts_ms < max(durations[r.media_id], 1)
+
+
+def test_jpeg_encode_decode_roundtrip_near_lossless():
+    """The in-repo baseline JPEG codec closes its own loop: with the flat
+    quant=1 table the only loss is DCT float rounding — max per-pixel
+    error <= 2 across shapes incl. non-multiple-of-8 and degenerate."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.multimodal import (
+        _jpeg_bytes,
+        decode_jpeg_gray,
+        parse_image_header,
+    )
+
+    rng = np.random.RandomState(11)
+    for w, h in [(8, 8), (5, 3), (31, 17), (13, 1), (1, 13), (40, 25)]:
+        img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        enc = _jpeg_bytes(img.tobytes(), w)
+        assert parse_image_header(enc) == ("image/jpeg", w, h)
+        dw, dh, px = decode_jpeg_gray(enc)
+        assert (dw, dh) == (w, h)
+        err = np.abs(
+            np.frombuffer(px, np.uint8).reshape(h, w).astype(int)
+            - img.astype(int)
+        ).max()
+        assert err <= 2, (w, h, err)
+
+
+def test_jpeg_decoder_rejects_unsupported_streams():
+    import struct
+
+    import pytest
+
+    from vector_db_at_home_spark.operators.multimodal import decode_jpeg_gray
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_gray(b"\x89PNG")
+    # progressive (SOF2)
+    sof2 = (b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 8, 8) + b"\x01\x11\x00")
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_gray(sof2)
+    # 3-component color
+    sof0_color = (b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+                  + struct.pack(">HH", 8, 8) + b"\x03"
+                  + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_jpeg_gray(sof0_color)
+
+
+def test_synthesized_jpeg_rows_decode_for_real(spark, media):
+    """id % 6 == 0 image rows carry baseline JPEG; decode_image_gray
+    recovers the exact synthesis dimensions and near-exact text bytes."""
+    import math
+
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.multimodal import decode_image_gray
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50)
+    text = {r.doc_id: r.text.encode("utf-8") for r in docs.collect()}
+    jpeg_rows = [r for r in media.collect()
+                 if r.modality == "image" and r.media_id % 6 == 0]
+    assert jpeg_rows, "synthesis must emit JPEG rows"
+    for r in jpeg_rows:
+        w, h, px = decode_image_gray(bytes(r.payload))
+        raw = text[r.media_id]
+        assert w == 4 + r.media_id % 29
+        assert h == max(1, math.ceil(len(raw) / w))
+        want = np.frombuffer(raw.ljust(w * h, b"\x00"), np.uint8).astype(int)
+        got = np.frombuffer(px, np.uint8).astype(int)
+        assert np.abs(got - want).max() <= 2

@@ -83,6 +83,78 @@ def shuffle_totals(spark) -> dict[str, int]:
     }
 
 
+def cc_section(spark, out: dict, n_blobs: int = 250_000,
+               chain_len: int = 1 << 17) -> None:
+    """Connected components at ~1M edges on a planted graph: ``n_blobs``
+    4-vertex star clusters (the typical near-dup shape, diameter 2) plus
+    two ``chain_len``-edge path graphs (the adversarial diameter case
+    pointer jumping exists for).  Records rounds-to-converge (must be
+    O(log diameter), not O(diameter)) and per-round shuffle bytes (must be
+    ~flat: each round shuffles |V| + 2|E| keyed rows regardless of round
+    index — the linear-per-round scale claim)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.operators.graph import connected_components
+
+    blob_edges = (
+        spark.range(0, n_blobs, 1, 32)
+        .select(
+            (F.col("id") * 4).alias("id_a"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("off"),
+        )
+        .select("id_a", (F.col("id_a") + F.col("off")).alias("id_b"))
+    )
+    base1 = n_blobs * 4
+    chain1 = spark.range(0, chain_len, 1, 32).select(
+        (base1 + F.col("id")).alias("id_a"),
+        (base1 + F.col("id") + 1).alias("id_b"),
+    )
+    base2 = base1 + chain_len + 1
+    chain2 = spark.range(0, chain_len, 1, 32).select(
+        (base2 + F.col("id")).alias("id_a"),
+        (base2 + F.col("id") + 1).alias("id_b"),
+    )
+    edges = blob_edges.unionByName(chain1).unionByName(chain2)
+    n_edges = 3 * n_blobs + 2 * chain_len
+
+    rounds: list[dict] = []
+    last = shuffle_totals(spark)
+
+    def on_round(i: int, changed: int) -> None:
+        nonlocal last
+        cur = shuffle_totals(spark)
+        rounds.append({
+            "round": i,
+            "changed": changed,
+            "shuffle_write_mb": round((cur["write"] - last["write"]) / 2**20, 1),
+        })
+        last = cur
+
+    t0 = time.time()
+    cc = connected_components(edges, max_iter=64, on_round=on_round)
+    n_comp = cc.select("component").distinct().count()
+    chain_sizes = (
+        cc.filter(F.col("component").isin(base1, base2))
+        .groupBy("component").count().collect()
+    )
+    out["cc_wall_sec"] = round(time.time() - t0, 1)
+    out["cc_n_edges"] = n_edges
+    out["cc_n_components"] = n_comp
+    out["cc_components_ok"] = (
+        n_comp == n_blobs + 2
+        and sorted(r["count"] for r in chain_sizes) == [chain_len + 1] * 2
+    )
+    out["cc_rounds"] = len(rounds)
+    out["cc_diameter"] = chain_len
+    out["cc_round_shuffle_mb"] = [r["shuffle_write_mb"] for r in rounds]
+    out["cc_round_changed"] = [r["changed"] for r in rounds]
+    print(f"# cc_1m: {out['cc_wall_sec']}s rounds={out['cc_rounds']} "
+          f"(diameter {chain_len} -> log2 {chain_len.bit_length()}), "
+          f"components_ok={out['cc_components_ok']}", file=sys.stderr)
+
+
 def main(n_rows: int = 1_000_000) -> None:
     from pyspark.sql import functions as F
 
@@ -157,6 +229,9 @@ def main(n_rows: int = 1_000_000) -> None:
           f"recall={out['ivf_recall_at_10_probe16']}", file=sys.stderr)
     ivf.assigned.unpersist()
     vecs.unpersist()
+
+    # ---- connected components at ~1M edges (planted blobs + chains)
+    cc_section(spark, out)
 
     print(json.dumps(out))
     spark.stop()

@@ -33,11 +33,16 @@ from pyspark.sql import functions as F
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         on_round=None) -> DataFrame:
     """``(id, component)`` for every vertex appearing in ``pairs``;
     ``component`` is the smallest vertex id in the connected component
     (deterministic).  Raises if not converged within ``max_iter`` rounds
-    (pointer-jumping makes that ~2^50-diameter graphs — unreachable)."""
+    (pointer-jumping makes that ~2^50-diameter graphs — unreachable).
+
+    ``on_round(round_idx, n_changed)``, when given, is called after each
+    round's convergence count — the scale-smoke hook for recording
+    per-round shuffle volumes (tools/scale_smoke_1m.py)."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -51,7 +56,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         # min label among neighbors
         nbr = (
             edges.join(labels, edges.src == labels.id)
@@ -77,6 +82,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("label") != F.col("__old")).count()
+        if on_round is not None:
+            on_round(_round, changed)
         labels = updated.drop("__old")
         if changed == 0:
             return labels.select("id", F.col("label").alias("component"))

@@ -3,10 +3,13 @@
 A 100 TB training-data pipeline carries images/audio/video as ``binary``
 columns with a metadata struct alongside text.  The Spark-side mechanics —
 schema, partition-sized Arrow batches through ``mapInPandas``, batch shapes,
-output contracts — are real and tested here.  IMAGES DECODE FOR REAL:
-``_png_bytes`` writes valid grayscale PNGs and ``decode_png_gray`` is its
-stdlib inverse (zlib inflate + all five scanline filters), so pixel-level
-features need no codec library.  Only audio/video decode remains STUBBED
+output contracts — are real and tested here.  IMAGES DECODE FOR REAL in
+both supported containers: ``_png_bytes``/``decode_png_gray`` (stdlib
+zlib inflate + all five scanline filters) and ``_jpeg_bytes``/
+``decode_jpeg_gray`` (baseline-DCT grayscale per ITU T.81: generic
+DQT/DHT parsing, Huffman+EXTEND entropy decode, dequantize, float IDCT —
+stdlib + NumPy), so pixel-level features need no codec library.  Only
+audio/video decode remains STUBBED
 (``decode_stub`` raises ``NotImplementedError`` for those modalities — no
 libav in this container), with a deterministic byte-level featurizer
 standing in so the pipeline is end-to-end runnable and verifiable.
@@ -140,18 +143,24 @@ def parse_image_header(payload: bytes):
 
 def synthesize_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Build a deterministic media table from a text table.  Image rows get
-    a REAL (decodable) PNG payload whose grayscale pixels are the text's
-    UTF-8 bytes — so header-parsed dimensions are genuine, not copied from
-    metadata.  Audio/video rows keep raw UTF-8 stand-in blobs.  The meta
-    width/height start at 0 for images (unknown until
-    ``attach_image_meta`` parses the payload)."""
+    a REAL (decodable) payload whose grayscale pixels are the text's
+    UTF-8 bytes — alternating between the two supported containers
+    (``id % 6 == 0`` → baseline JPEG, ``id % 6 == 3`` → PNG) so both
+    decoders are exercised end-to-end; header-parsed dimensions are
+    genuine, not copied from metadata.  Audio/video rows keep raw UTF-8
+    stand-in blobs.  The meta width/height start at 0 for images (unknown
+    until ``attach_image_meta`` parses the payload)."""
 
     @F.pandas_udf(BinaryType())
-    def png_payload(texts: pd.Series, ids: pd.Series) -> pd.Series:
+    def image_payload(texts: pd.Series, ids: pd.Series) -> pd.Series:
         out = []
         for t, i in zip(texts, ids):
             raw = (t or "").encode("utf-8")
-            out.append(_png_bytes(raw, width=4 + int(i) % 29))
+            width = 4 + int(i) % 29
+            if int(i) % 6 == 0:
+                out.append(_jpeg_bytes(raw, width=width))
+            else:
+                out.append(_png_bytes(raw, width=width))
         return pd.Series(out)
 
     is_image = F.col(id_col) % 3 == 0
@@ -161,10 +170,12 @@ def synthesize_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
          .when(F.col(id_col) % 3 == 1, "audio")
          .otherwise("video")).alias("modality"),
         F.when(
-            is_image, png_payload(F.col(text_col), F.col(id_col))
+            is_image, image_payload(F.col(text_col), F.col(id_col))
         ).otherwise(F.encode(F.col(text_col), "UTF-8")).alias("payload"),
         F.struct(
-            F.when(is_image, "image/png")
+            F.when(is_image,
+                   F.when(F.col(id_col) % 6 == 0, "image/jpeg")
+                   .otherwise("image/png"))
             .otherwise("application/octet-stream").alias("mime"),
             F.when(is_image, F.lit(0))
             .otherwise(F.length(F.col(text_col))).cast("long").alias("width"),
@@ -283,13 +294,380 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(out)
 
 
+#: JPEG zigzag scan order (public, ITU T.81 figure 5)
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: Annex-K-style Huffman table specs (BITS, HUFFVAL) for luminance.  The
+#: decoder never assumes these — it reads whatever DHT the file carries;
+#: the encoder writes these into its DHT, so the roundtrip is closed.
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) canonical Huffman assignment (T.81 C.2)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _dct_matrix():
+    import math
+
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            c[u, x] = math.cos((2 * x + 1) * u * math.pi / 16) * (
+                math.sqrt(0.125) if u == 0 else 0.5
+            )
+    return c
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _jpeg_bytes(pixels: bytes, width: int, quant: int = 1) -> bytes:
+    """A valid baseline-DCT grayscale JPEG from raw pixel bytes — stdlib +
+    NumPy only.  Flat quantization table of ``quant`` (1 = near-lossless:
+    the only loss is DCT float rounding), standard-shaped Huffman tables
+    written into DHT (the decoder reads them back from the file).  Public
+    byte format per ITU T.81: SOI, DQT, SOF0, DHT×2, SOS, entropy-coded
+    MCUs with byte stuffing, EOI."""
+    import struct
+
+    import numpy as np
+
+    width = max(1, width)
+    height = max(1, (len(pixels) + width - 1) // width)
+    img = np.frombuffer(
+        pixels.ljust(width * height, b"\x00"), dtype=np.uint8
+    ).reshape(height, width).astype(np.float64)
+    # pad to 8x8 blocks by edge replication
+    ph = (height + 7) // 8 * 8
+    pw = (width + 7) // 8 * 8
+    padded = np.empty((ph, pw))
+    padded[:height, :width] = img
+    padded[height:, :width] = img[-1:, :]
+    padded[:height, width:] = img[:, -1:]
+    padded[height:, width:] = img[-1, -1]
+
+    C = _dct_matrix()
+    qtab = np.full((8, 8), quant, dtype=np.float64)
+    dc_codes = _huffman_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huffman_codes(_AC_BITS, _AC_VALS)
+
+    def cat(v: int) -> int:
+        return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by:by + 8, bx:bx + 8] - 128.0
+            coef = C @ block @ C.T
+            q = np.rint(coef / qtab).astype(np.int64)
+            zz = [int(q.flat[_ZIGZAG[i]]) for i in range(64)]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s = cat(diff)
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                s = cat(zz[i])
+                code, ln = ac_codes[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(zz[i] if zz[i] > 0 else zz[i] + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(data) + 2) + data
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes([quant] * 64))
+    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
+               + bytes([1, 0x11, 0]))
+    dht = seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) \
+        + seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof0 + dht + sos + bw.flush() + b"\xff\xd9")
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
+    unstuffing; RST markers byte-align and are skipped by the caller."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG entropy data truncated")
+        b = d[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = d[self.pos] if self.pos < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 1
+            elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                # marker reached — caller handles; feed pad bits
+                self.pos -= 1
+                b = 0
+                self.acc = (self.acc << 8) | b
+                self.nbits += 8
+                return
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """``(width, height, pixels)`` decoded from a BASELINE-DCT grayscale
+    JPEG — stdlib + NumPy only (generic DQT/DHT parsing, Huffman + EXTEND
+    entropy decode, dequantize, dezigzag, float IDCT, level shift, crop to
+    SOF dimensions).  The inverse of ``_jpeg_bytes`` and of any conformant
+    baseline encoder's single-component output; progressive or
+    multi-component (color) streams raise — this engine's decode surface
+    is the grayscale training-pipeline path."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comp_q = 0
+    dc_id = ac_id = 0
+    restart_interval = 0
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG segment marker")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        data = payload[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:  # DQT — one or more tables per segment
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtabs[tq] = list(data[i + 1:i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT — one or more tables per segment
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0x0F
+                bits = list(data[i + 1:i + 17])
+                nvals = sum(bits)
+                vals = list(data[i + 17:i + 17 + nvals])
+                codes = _huffman_codes(bits, vals)
+                huff[(tc, th)] = {
+                    (ln, code): sym for sym, (code, ln) in codes.items()
+                }
+                i += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, ncomp = struct.unpack(">BHHB", data[:6])
+            if ncomp != 1:
+                raise ValueError(
+                    "only single-component (grayscale) JPEG is supported"
+                )
+            if data[7] != 0x11:
+                raise ValueError("subsampled grayscale JPEG unsupported")
+            comp_q = data[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline (SOF0) JPEG is supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", data[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            if ns != 1:
+                raise ValueError("multi-scan JPEG unsupported")
+            dc_id, ac_id = data[2] >> 4, data[2] & 0x0F
+            scan_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if w is None or scan_start is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    qtab = np.array(qtabs[comp_q], dtype=np.float64)
+    dc_table = huff[(0, dc_id)]
+    ac_table = huff[(1, ac_id)]
+    C = _dct_matrix()
+
+    def read_symbol(br: _BitReader, table) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | br.read_bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG scan")
+
+    def extend(v: int, s: int) -> int:
+        return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    out = np.zeros((ph, pw), dtype=np.float64)
+    br = _BitReader(payload, scan_start)
+    prev_dc = 0
+    n_blocks = (ph // 8) * (pw // 8)
+    for bi in range(n_blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            # byte-align and consume the RST marker
+            br.nbits = 0
+            p = br.pos
+            while p + 1 < len(payload) and not (
+                payload[p] == 0xFF and 0xD0 <= payload[p + 1] <= 0xD7
+            ):
+                p += 1
+            br.pos = p + 2
+            prev_dc = 0
+        zz = [0] * 64
+        s = read_symbol(br, dc_table)
+        diff = extend(br.read_bits(s), s) if s else 0
+        prev_dc += diff
+        zz[0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = read_symbol(br, ac_table)
+            if sym == 0x00:  # EOB
+                break
+            run, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if run != 15:
+                    raise ValueError("invalid AC symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC coefficient index out of range")
+            zz[k] = extend(br.read_bits(s), s)
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        for i in range(64):
+            coef[_ZIGZAG[i]] = zz[i] * qtab[i]
+        block = C.T @ coef.reshape(8, 8) @ C + 128.0
+        by, bx = divmod(bi, pw // 8)
+        out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = block
+    pixels = np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)
+    return w, h, pixels.tobytes()
+
+
+def decode_image_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """``(width, height, pixels)`` from either supported image container,
+    dispatched on the magic bytes: PNG (``decode_png_gray``) or baseline
+    JPEG (``decode_jpeg_gray``)."""
+    if payload and payload[:2] == b"\xff\xd8":
+        return decode_jpeg_gray(payload)
+    return decode_png_gray(payload)
+
+
 def decode_stub(payload: bytes, modality: str):
     """REAL-DECODER STUB for the modalities this environment can't decode.
-    PNG images decode for real (``decode_png_gray``, stdlib); audio/video
-    would dispatch to libav/torchcodec, which this container doesn't have,
-    so those raise."""
+    Images decode for real (PNG via stdlib inflate+unfilter, baseline JPEG
+    via the in-repo Huffman+IDCT decoder); audio/video would dispatch to
+    libav/torchcodec, which this container doesn't have, so those raise."""
     if modality == "image":
-        return decode_png_gray(payload)
+        return decode_image_gray(payload)
     raise NotImplementedError(
         f"media decode for modality={modality!r} requires codec libraries "
         "not present in this environment; see _extract_features_bytes for "
@@ -356,7 +734,7 @@ def extract_media_features(media: DataFrame, n_features: int = 8,
                 if decoder == "strict":
                     _w, _h, units = decode_stub(raw, modality)
                 elif decoder == "auto" and modality == "image":
-                    _w, _h, units = decode_png_gray(raw)
+                    _w, _h, units = decode_image_gray(raw)
                 e, f = _extract_features_bytes(units, n_features)
                 ents.append(e)
                 feats.append(f)
@@ -401,7 +779,7 @@ def resize_images(media: DataFrame, out_width: int,
             ):
                 raw = bytes(payload) if payload is not None else b""
                 if modality == "image":
-                    w, h, px = decode_png_gray(raw)
+                    w, h, px = decode_image_gray(raw)
                     img = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
                     ys = (np.arange(out_height) * h) // out_height
                     xs = (np.arange(out_width) * w) // out_width

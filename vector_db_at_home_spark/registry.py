@@ -782,12 +782,15 @@ FROM m GROUP BY modality ORDER BY modality
 )
 def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthesize binary media from the
-    documents table (image rows carry REAL decodable PNG payloads), parse
-    genuine header dimensions from the bytes (attach_image_meta), REALLY
-    decode image pixels (decode_png_gray — stdlib inflate + unfilter) and
-    featurize via Arrow-batched mapInPandas, aggregate by modality.
-    Dimensions and pixel counts are value-hashed against the synthesis
-    formula; only audio/video decode remains stubbed."""
+    documents table (image rows carry REAL decodable payloads — baseline
+    JPEG for id%6=0, PNG for id%6=3), parse genuine header dimensions
+    from the bytes (attach_image_meta), REALLY decode image pixels
+    (decode_png_gray: stdlib inflate + unfilter; decode_jpeg_gray:
+    in-repo baseline Huffman+IDCT) and featurize via Arrow-batched
+    mapInPandas, aggregate by modality.  Dimensions and pixel counts are
+    value-hashed against the synthesis formula — a bug in either encoder,
+    the header parser, or either pixel decoder breaks the hash; only
+    audio/video decode remains stubbed."""
     from .operators.multimodal import (
         attach_image_meta,
         extract_media_features,
