@@ -203,8 +203,8 @@ def test_png_header_roundtrip(spark, media):
         if r.modality == "image":
             n_images += 1
             w = 4 + r.media_id % 29
-            expect_mime = ("image/jpeg" if r.media_id % 6 == 0
-                           else "image/png")
+            expect_mime = {0: "image/jpeg", 3: "image/png",
+                           6: "image/gif"}[r.media_id % 9]
             assert r.meta.mime == expect_mime
             assert r.meta.width == w
             assert r.meta.height == max(1, math.ceil(text_len[r.media_id] / w))
@@ -360,9 +360,11 @@ def test_jpeg_decoder_rejects_unsupported_streams():
         decode_jpeg_gray(sof0_color)
 
 
-def test_synthesized_jpeg_rows_decode_for_real(spark, media):
-    """id % 6 == 0 image rows carry baseline JPEG; decode_image_gray
-    recovers the exact synthesis dimensions and near-exact text bytes."""
+def test_synthesized_image_rows_decode_for_real(spark, media):
+    """Every image row decodes through its real container: JPEG (id%9=0,
+    near-lossless: max pixel error 2), PNG (id%9=3, exact) and GIF
+    (id%9=6, exact LZW) — decode_image_gray dispatches on magic bytes and
+    recovers the exact synthesis dimensions."""
     import math
 
     import numpy as np
@@ -373,14 +375,51 @@ def test_synthesized_jpeg_rows_decode_for_real(spark, media):
         "/root/testdata/sf0.001/documents.parquet"
     ).limit(50)
     text = {r.doc_id: r.text.encode("utf-8") for r in docs.collect()}
-    jpeg_rows = [r for r in media.collect()
-                 if r.modality == "image" and r.media_id % 6 == 0]
-    assert jpeg_rows, "synthesis must emit JPEG rows"
-    for r in jpeg_rows:
+    img_rows = [r for r in media.collect() if r.modality == "image"]
+    seen = {r.media_id % 9 for r in img_rows}
+    assert seen == {0, 3, 6}, "synthesis must emit all three containers"
+    for r in img_rows:
         w, h, px = decode_image_gray(bytes(r.payload))
         raw = text[r.media_id]
         assert w == 4 + r.media_id % 29
         assert h == max(1, math.ceil(len(raw) / w))
         want = np.frombuffer(raw.ljust(w * h, b"\x00"), np.uint8).astype(int)
         got = np.frombuffer(px, np.uint8).astype(int)
-        assert np.abs(got - want).max() <= 2
+        tol = 2 if r.media_id % 9 == 0 else 0  # JPEG lossy; PNG/GIF exact
+        assert np.abs(got - want).max() <= tol
+
+
+def test_gif_encode_decode_roundtrip_lossless():
+    """The in-repo GIF codec (LZW + grayscale palette) is exactly
+    lossless, including LZW table growth and the 4096-entry reset."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.multimodal import (
+        _gif_bytes,
+        decode_gif_gray,
+        parse_image_header,
+    )
+
+    rng = np.random.RandomState(5)
+    for w, h in [(8, 8), (5, 3), (31, 17), (13, 1), (1, 13), (300, 200)]:
+        img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        enc = _gif_bytes(img.tobytes(), w)
+        assert parse_image_header(enc) == ("image/gif", w, h)
+        dw, dh, px = decode_gif_gray(enc)
+        assert (dw, dh) == (w, h)
+        assert px == img.tobytes()
+    # low-entropy stream exercises dictionary growth + deferred reset
+    raw = b"ab" * 3000
+    dw, dh, px = decode_gif_gray(_gif_bytes(raw, 60))
+    assert px == raw.ljust(dw * dh, b"\x00")
+
+
+def test_gif_decoder_rejects_garbage():
+    import pytest
+
+    from vector_db_at_home_spark.operators.multimodal import decode_gif_gray
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif_gray(b"\x89PNG")
+    with pytest.raises(ValueError):
+        decode_gif_gray(b"GIF89a" + b"\x00" * 20)

@@ -152,9 +152,16 @@ def minhash_section(spark, timings: dict, results: dict) -> None:
 
     from vector_db_at_home_spark.operators.dedup import minhash_lsh_pairs
 
+    import tempfile
+
     n_rows, n_dups = 200_000, 1_000
-    docs = synthetic_docs(spark, n_rows, n_dups).cache()
-    docs.count()
+    # file-backed, not .cache(): exchange-reuse canonicalization does not
+    # dedupe subplans over InMemoryRelation, so a cached source would make
+    # the operator recompute its shingle pipeline per consumer — files are
+    # also the shape production corpora actually have
+    path = tempfile.mkdtemp(prefix="smoke_docs_") + "/docs"
+    synthetic_docs(spark, n_rows, n_dups).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
     t0 = _t.time()
     res = minhash_lsh_pairs(
         docs, "text", "doc_id", threshold=0.5,
@@ -170,7 +177,6 @@ def minhash_section(spark, timings: dict, results: dict) -> None:
     )
     print(f"# minhash_200k done {timings['minhash_lsh_200k_docs']}s",
           file=sys.stderr)
-    docs.unpersist()
 
 
 def cosine_sections(spark, timings: dict, results: dict) -> None:

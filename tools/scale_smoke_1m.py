@@ -170,9 +170,14 @@ def main(n_rows: int = 1_000_000) -> None:
     out: dict = {"metric": "scale_smoke_1m", "n_rows": n_rows}
 
     # ---- MinHash LSH at n_rows docs, 5000 planted one-word-sub near-dups
+    import tempfile
+
     n_dups = 5_000
-    docs = synthetic_docs(spark, n_rows, n_dups).cache()
-    docs.count()
+    # file-backed (see tools/scale_smoke.py): a cached source defeats
+    # exchange reuse inside minhash_lsh_pairs and triples the shingle work
+    path = tempfile.mkdtemp(prefix="smoke1m_docs_") + "/docs"
+    synthetic_docs(spark, n_rows, n_dups).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
     s0 = shuffle_totals(spark)
     t0 = time.time()
     res = minhash_lsh_pairs(
@@ -191,7 +196,6 @@ def main(n_rows: int = 1_000_000) -> None:
     print(f"# minhash_1m: {out['minhash_wall_sec']}s "
           f"recall={out['minhash_recall']} "
           f"shuffleW={out['minhash_shuffle_write_mb']}MB", file=sys.stderr)
-    docs.unpersist()
 
     # ---- IVF at n_rows vectors (64-dim, 2000 natural clusters),
     # sampled fit, probe search

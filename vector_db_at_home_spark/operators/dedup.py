@@ -312,6 +312,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # shingle rows cost more than the reuse saves), and nothing pins
     # executor memory after the query completes — the hygiene is
     # structural, not a caller contract.
+    #
+    # CAVEAT (measured): exchange-reuse canonicalization does NOT dedupe
+    # subplans whose source is an InMemoryRelation — if ``df`` is a
+    # ``.cache()``d DataFrame the shingle pipeline re-executes per consumer
+    # (~1.3× wall/shuffle at 50k docs).  Pass a file-backed df (the shape a
+    # production corpus has anyway); the scale smokes write their synthetic
+    # corpus to parquet for exactly this reason.
     from pyspark.sql import Window
 
     sh = hashed_shingles(df, text_col, id_col, n, max_doc_freq)

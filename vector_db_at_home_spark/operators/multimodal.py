@@ -144,12 +144,13 @@ def parse_image_header(payload: bytes):
 def synthesize_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Build a deterministic media table from a text table.  Image rows get
     a REAL (decodable) payload whose grayscale pixels are the text's
-    UTF-8 bytes — alternating between the two supported containers
-    (``id % 6 == 0`` → baseline JPEG, ``id % 6 == 3`` → PNG) so both
-    decoders are exercised end-to-end; header-parsed dimensions are
-    genuine, not copied from metadata.  Audio/video rows keep raw UTF-8
-    stand-in blobs.  The meta width/height start at 0 for images (unknown
-    until ``attach_image_meta`` parses the payload)."""
+    UTF-8 bytes — rotating through all three supported containers
+    (``id % 9 == 0`` → baseline JPEG, ``id % 9 == 3`` → PNG,
+    ``id % 9 == 6`` → GIF) so every decoder is exercised end-to-end;
+    header-parsed dimensions are genuine, not copied from metadata.
+    Audio/video rows keep raw UTF-8 stand-in blobs.  The meta width/height
+    start at 0 for images (unknown until ``attach_image_meta`` parses the
+    payload)."""
 
     @F.pandas_udf(BinaryType())
     def image_payload(texts: pd.Series, ids: pd.Series) -> pd.Series:
@@ -157,10 +158,12 @@ def synthesize_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         for t, i in zip(texts, ids):
             raw = (t or "").encode("utf-8")
             width = 4 + int(i) % 29
-            if int(i) % 6 == 0:
+            if int(i) % 9 == 0:
                 out.append(_jpeg_bytes(raw, width=width))
-            else:
+            elif int(i) % 9 == 3:
                 out.append(_png_bytes(raw, width=width))
+            else:
+                out.append(_gif_bytes(raw, width=width))
         return pd.Series(out)
 
     is_image = F.col(id_col) % 3 == 0
@@ -174,8 +177,9 @@ def synthesize_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ).otherwise(F.encode(F.col(text_col), "UTF-8")).alias("payload"),
         F.struct(
             F.when(is_image,
-                   F.when(F.col(id_col) % 6 == 0, "image/jpeg")
-                   .otherwise("image/png"))
+                   F.when(F.col(id_col) % 9 == 0, "image/jpeg")
+                   .when(F.col(id_col) % 9 == 3, "image/png")
+                   .otherwise("image/gif"))
             .otherwise("application/octet-stream").alias("mime"),
             F.when(is_image, F.lit(0))
             .otherwise(F.length(F.col(text_col))).cast("long").alias("width"),
@@ -652,12 +656,200 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, pixels.tobytes()
 
 
+def _gif_bytes(pixels: bytes, width: int) -> bytes:
+    """A valid GIF89a from raw grayscale pixel bytes — stdlib only.  Public
+    byte format: header, logical screen descriptor, 256-entry grayscale
+    global color table (palette[i] = (i,i,i), so index == gray value),
+    image descriptor, LZW-compressed indices in 255-byte sub-blocks,
+    trailer."""
+    import struct
+
+    width = max(1, width)
+    height = max(1, (len(pixels) + width - 1) // width)
+    data = pixels.ljust(width * height, b"\x00")
+
+    # LZW encode (variable-width codes, LSB-first packing, min code size 8)
+    min_code = 8
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = eoi + 1
+    code_width = min_code + 1
+    out_bits: list[tuple[int, int]] = [(clear, code_width)]
+    run = b""
+    for b in data:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        out_bits.append((table[run], code_width))
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << code_width) and code_width < 12:
+                code_width += 1
+            next_code += 1
+        else:  # table full: emit clear, reset
+            out_bits.append((clear, code_width))
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code = eoi + 1
+            code_width = min_code + 1
+        run = bytes([b])
+    if run:
+        out_bits.append((table[run], code_width))
+    out_bits.append((eoi, code_width))
+    acc = nbits = 0
+    packed = bytearray()
+    for code, cw in out_bits:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+
+    blocks = b"".join(
+        bytes([min(255, len(packed) - i)]) + bytes(packed[i:i + 255])
+        for i in range(0, len(packed), 255)
+    )
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height) + bytes([0xF7, 0, 0])  # GCT 256
+        + palette
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        + bytes([min_code]) + blocks + b"\x00"
+        + b"\x3b"
+    )
+
+
+def decode_gif_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """``(width, height, pixels)`` from a GIF87a/GIF89a image — stdlib-only
+    LZW decode (variable-width codes, LSB-first, clear/EOI handling, the
+    deferred-clear growth rule), palette mapped to grayscale by integer
+    BT.601 luma (exact for the grayscale palettes ``_gif_bytes`` writes).
+    First image block only; interlaced rows are de-interlaced per the
+    4-pass spec order."""
+    import struct
+
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02X}")
+        _l, _t, w, h = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
+        iflags = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 0x07)
+            pal = payload[pos:pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        interlaced = bool(iflags & 0x40)
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+
+        # LZW decode
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        acc = nbits = bitpos = 0
+        code_width = min_code + 1
+        dictionary: list[bytes] = [bytes([i]) for i in range(1 << min_code)]
+        dictionary += [b"", b""]  # clear, eoi placeholders
+        out = bytearray()
+        prev: bytes | None = None
+
+        def read_code() -> int:
+            nonlocal acc, nbits, bitpos
+            while nbits < code_width:
+                if bitpos >= len(data):
+                    return eoi
+                acc |= data[bitpos] << nbits
+                nbits += 8
+                bitpos += 1
+            code = acc & ((1 << code_width) - 1)
+            acc >>= code_width
+            nbits -= code_width
+            return code
+
+        while True:
+            code = read_code()
+            if code == eoi:
+                break
+            if code == clear:
+                dictionary = [bytes([i]) for i in range(1 << min_code)]
+                dictionary += [b"", b""]
+                code_width = min_code + 1
+                prev = None
+                continue
+            if code < len(dictionary):
+                entry = dictionary[code]
+            elif code == len(dictionary) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out += entry
+            if prev is not None and len(dictionary) < 4096:
+                dictionary.append(prev + entry[:1])
+                if (len(dictionary) == (1 << code_width)
+                        and code_width < 12):
+                    code_width += 1
+            prev = entry
+        if len(out) < w * h:
+            raise ValueError("GIF pixel data truncated")
+        idx = bytes(out[:w * h])
+        if interlaced:
+            rows = [idx[r * w:(r + 1) * w] for r in range(h)]
+            order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                     + list(range(2, h, 4)) + list(range(1, h, 2)))
+            deint: list[bytes] = [b""] * h
+            for src, dst in enumerate(order):
+                deint[dst] = rows[src]
+            idx = b"".join(deint)
+        # palette -> grayscale (integer BT.601 luma; exact identity for
+        # the (i,i,i) palettes our encoder writes)
+        lut = bytes(
+            (299 * pal[3 * i] + 587 * pal[3 * i + 1] + 114 * pal[3 * i + 2]
+             + 500) // 1000
+            if 3 * i + 2 < len(pal) else 0
+            for i in range(256)
+        )
+        return w, h, idx.translate(lut)
+    raise ValueError("GIF contains no image block")
+
+
 def decode_image_gray(payload: bytes) -> tuple[int, int, bytes]:
-    """``(width, height, pixels)`` from either supported image container,
-    dispatched on the magic bytes: PNG (``decode_png_gray``) or baseline
-    JPEG (``decode_jpeg_gray``)."""
+    """``(width, height, pixels)`` from any supported image container,
+    dispatched on the magic bytes: PNG (``decode_png_gray``), baseline
+    JPEG (``decode_jpeg_gray``) or GIF (``decode_gif_gray``)."""
     if payload and payload[:2] == b"\xff\xd8":
         return decode_jpeg_gray(payload)
+    if payload and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_gray(payload)
     return decode_png_gray(payload)
 
 
@@ -786,6 +978,7 @@ def resize_images(media: DataFrame, out_width: int,
                     out = img[ys][:, xs]
                     payloads.append(_png_bytes(out.tobytes(), out_width))
                     meta = dict(meta)
+                    meta["mime"] = "image/png"  # re-encoded container
                     meta["width"] = out_width
                     meta["height"] = out_height
                     metas.append(meta)

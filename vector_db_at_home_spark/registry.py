@@ -783,10 +783,11 @@ FROM m GROUP BY modality ORDER BY modality
 def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthesize binary media from the
     documents table (image rows carry REAL decodable payloads — baseline
-    JPEG for id%6=0, PNG for id%6=3), parse genuine header dimensions
-    from the bytes (attach_image_meta), REALLY decode image pixels
-    (decode_png_gray: stdlib inflate + unfilter; decode_jpeg_gray:
-    in-repo baseline Huffman+IDCT) and featurize via Arrow-batched
+    JPEG for id%9=0, PNG for id%9=3, GIF for id%9=6), parse genuine
+    header dimensions from the bytes (attach_image_meta), REALLY decode
+    image pixels (decode_png_gray: stdlib inflate + unfilter;
+    decode_jpeg_gray: in-repo baseline Huffman+IDCT; decode_gif_gray:
+    in-repo LZW) and featurize via Arrow-batched
     mapInPandas, aggregate by modality.  Dimensions and pixel counts are
     value-hashed against the synthesis formula — a bug in either encoder,
     the header parser, or either pixel decoder breaks the hash; only
