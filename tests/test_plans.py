@@ -222,12 +222,16 @@ def test_minhash_no_lingering_cache_and_exchange_reuse(spark):
     from vector_db_at_home_spark.registry import queries
 
     sc = spark.sparkContext
-    # isolate from any prior test's caches
-    spark.catalog.clearCache()
-    assert sc._jsc.getPersistentRDDs().size() == 0
+
+    def persistent_ids() -> set:
+        m = sc._jsc.getPersistentRDDs()
+        return {k for k in m.keySet().toArray()}
+
+    # other tests may hold localCheckpoint RDDs — assert on the DELTA
+    before = persistent_ids()
     df = queries()["dedup_minhash_lsh"](spark, SF)
     df.collect()
-    assert sc._jsc.getPersistentRDDs().size() == 0
+    assert persistent_ids() - before == set()
     # the reuse that replaces the cache: post-AQE plan serves the shingle
     # subplan's second consumer from the first's shuffle files
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -244,8 +248,7 @@ def test_minhash_incremental_no_lingering_cache(spark):
     from vector_db_at_home_spark.sources import load_table
 
     sc = spark.sparkContext
-    spark.catalog.clearCache()
-    assert sc._jsc.getPersistentRDDs().size() == 0
+    before = {k for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
     docs = load_table(spark, SF, "documents")
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
@@ -254,4 +257,5 @@ def test_minhash_incremental_no_lingering_cache(spark):
         max_doc_freq=100, max_band_bucket=200,
     )
     res.collect()
-    assert sc._jsc.getPersistentRDDs().size() == 0
+    after = {k for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    assert after - before == set()
