@@ -747,34 +747,41 @@ _attach_pipeline_oracles()
 
 @register(
     "multimodal_stats",
-    # The WHOLE image leg is now value-verified: Spark's numbers come from
-    # REAL byte-format work (PNG encode → header parse → stdlib pixel
-    # decode), while DuckDB independently derives the same integers from
-    # the synthesis formula (width = 4 + doc_id % 29, height =
-    # ceil(utf8_bytes / width), pixel count = width·height).  A bug in the
-    # encoder, header parser, or unfilter path breaks the hash.  Only
-    # entropy stays engine-side (boolean bound; exact values pinned in
-    # pytest).
+    # EVERY modality leg is value-verified: Spark's numbers come from REAL
+    # byte-format work (encode → header parse → pixel/sample/frame decode
+    # across JPEG/PNG/GIF, PCM-WAV and y4m), while DuckDB independently
+    # derives the same integers from the synthesis formulas — image:
+    # width = 4 + doc_id % 29, height = ceil(utf8_bytes / width), units =
+    # w·h pixels; audio: units = utf8_bytes decoded PCM samples; video:
+    # 8-row frames of the same width, units = n_frames · w · 8 luma
+    # bytes.  A bug in any encoder, header parser, or decoder breaks the
+    # hash.  Only entropy stays engine-side (boolean bound; exact values
+    # pinned in pytest).
     """
 WITH m AS (
   SELECT doc_id,
          CASE CAST(doc_id % 3 AS INTEGER)
            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
          END AS modality,
-         CASE WHEN doc_id % 3 = 0 THEN 4 + (doc_id % 29)
-              ELSE length(text) END AS w,
+         CASE WHEN doc_id % 3 = 1 THEN length(text)
+              ELSE 4 + (doc_id % 29) END AS w,
          CASE WHEN doc_id % 3 = 0
               THEN greatest(CAST(1 AS BIGINT),
                             CAST(ceil(CAST(strlen(text) AS DOUBLE)
                                       / (4 + (doc_id % 29))) AS BIGINT))
-              ELSE 0 END AS h,
+              WHEN doc_id % 3 = 1 THEN 0
+              ELSE 8 END AS h,
          CAST(strlen(text) AS BIGINT) AS nb
   FROM documents
 )
 SELECT modality, count(*) AS n_items,
        CAST(sum(w) AS BIGINT) AS sum_px_width,
        CAST(sum(h) AS BIGINT) AS sum_px_height,
-       CAST(sum(CASE WHEN modality = 'image' THEN w * h ELSE nb END)
+       CAST(sum(CASE WHEN modality = 'image' THEN w * h
+                     WHEN modality = 'audio' THEN nb
+                     ELSE greatest(CAST(1 AS BIGINT),
+                                   CAST(ceil(CAST(nb AS DOUBLE) / (w * 8))
+                                        AS BIGINT)) * w * 8 END)
             AS BIGINT) AS sum_units,
        CAST(1 AS BOOLEAN) AS entropy_ok
 FROM m GROUP BY modality ORDER BY modality
@@ -782,16 +789,17 @@ FROM m GROUP BY modality ORDER BY modality
 )
 def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthesize binary media from the
-    documents table (image rows carry REAL decodable payloads — baseline
-    JPEG for id%9=0, PNG for id%9=3, GIF for id%9=6), parse genuine
-    header dimensions from the bytes (attach_image_meta), REALLY decode
-    image pixels (decode_png_gray: stdlib inflate + unfilter;
-    decode_jpeg_gray: in-repo baseline Huffman+IDCT; decode_gif_gray:
-    in-repo LZW) and featurize via Arrow-batched
-    mapInPandas, aggregate by modality.  Dimensions and pixel counts are
-    value-hashed against the synthesis formula — a bug in either encoder,
-    the header parser, or either pixel decoder breaks the hash; only
-    audio/video decode remains stubbed."""
+    documents table — EVERY row carries a REAL decodable payload (images
+    rotate JPEG/PNG/GIF; audio is PCM-WAV; video is y4m) — parse genuine
+    image header dimensions from the bytes (attach_image_meta), REALLY
+    decode pixels/samples/frames (decode_png_gray: stdlib
+    inflate+unfilter; decode_jpeg_gray: in-repo baseline Huffman+IDCT;
+    decode_gif_gray: in-repo LZW; decode_wav_pcm: RIFF walk;
+    decode_y4m_gray: raw-frame luma) and featurize via Arrow-batched
+    mapInPandas, aggregate by modality.  Dimensions and decoded unit
+    counts are value-hashed against the synthesis formulas — a bug in any
+    encoder, header parser, or decoder breaks the hash; only compressed
+    codecs (mp3/h264/...) remain stubbed."""
     from .operators.multimodal import (
         attach_image_meta,
         extract_media_features,
