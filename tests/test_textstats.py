@@ -196,3 +196,81 @@ def test_strip_boilerplate_threshold_not_crossed(spark):
                                   max_line_docs=10).collect()
     assert all(r.n_lines_dropped == 0 for r in out)
     assert all(shared in r.text for r in out)
+
+
+def test_repetition_signals_known_values(spark):
+    from vector_db_at_home_spark.operators.textstats import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # bigrams: ab ba ab ba ab -> top 'a b'x3
+            (2, "x y z"),              # all distinct
+            (3, "w"),                  # no bigrams
+            (4, "q q q q"),            # 'q q' x3
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r for r in repetition_signals(df, "text", "id").collect()}
+    r1 = got[1]
+    assert r1.n_bigrams == 5
+    assert r1.dup_word_frac == round(1 - 2 / 6, 6)
+    assert r1.top_bigram_frac == 0.6          # 3/5 'a b'
+    assert r1.dup_bigram_frac == 1.0          # every bigram repeats
+    r2 = got[2]
+    assert (r2.n_bigrams, r2.dup_word_frac, r2.top_bigram_frac,
+            r2.dup_bigram_frac) == (2, 0.0, 0.5, 0.0)
+    r3 = got[3]
+    assert (r3.n_bigrams, r3.top_bigram_frac, r3.dup_bigram_frac) == (0, 0.0, 0.0)
+    r4 = got[4]
+    assert (r4.n_bigrams, r4.top_bigram_frac, r4.dup_bigram_frac) == (3, 1.0, 1.0)
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    from vector_db_at_home_spark.operators.textstats import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@example.co.uk or 192.168.0.1 ok"),
+            (2, "no pii here just words"),
+            (3, "two mails a@b.io c@d.org and ips 10.0.0.1 8.8.8.8"),
+            (4, "version 1.2.3 is not an ip, nor is a@b (no tld)"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r for r in pii_scrub(df, "text", "id").collect()}
+    assert got[1].n_emails == 1 and got[1].n_ipv4 == 1
+    assert "<EMAIL>" in got[1].clean_text and "<IP>" in got[1].clean_text
+    assert "alice" not in got[1].clean_text
+    assert got[2].n_emails == 0 and got[2].n_ipv4 == 0
+    assert got[2].clean_text == "no pii here just words"
+    assert got[3].n_emails == 2 and got[3].n_ipv4 == 2
+    assert got[4].n_emails == 0 and got[4].n_ipv4 == 0
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    import pytest
+
+    from vector_db_at_home_spark.operators.textstats import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "solo")], "id long, text string"
+    )
+    rows = chunk_documents(df, "text", "id", chunk_tokens=4,
+                           overlap=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # stride 3: starts 1,4,7,10 -> windows of 4,4,4,1 tokens
+    c1 = by_doc[1]
+    assert [r.n_tokens for r in c1] == [4, 4, 4, 1]
+    assert c1[0].chunk_text == "t0 t1 t2 t3"
+    assert c1[1].chunk_text == "t3 t4 t5 t6"   # 1-token overlap
+    assert c1[3].chunk_text == "t9"
+    assert [r.chunk_id for r in c1] == [0, 1, 2, 3]
+    # every original token appears in some chunk
+    seen = set(" ".join(r.chunk_text for r in c1).split())
+    assert seen == set(toks)
+    assert [r.chunk_text for r in by_doc[2]] == ["solo"]
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "id", chunk_tokens=4, overlap=4)

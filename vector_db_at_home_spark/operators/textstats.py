@@ -323,3 +323,118 @@ def ngram_logprob_score(df: DataFrame, text_col: str, id_col: str,
         )
         .orderBy("id")
     )
+
+
+def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals per doc:
+    ``(id, n_bigrams, dup_word_frac, top_bigram_frac, dup_bigram_frac)``.
+
+    - ``dup_word_frac``   — 1 − distinct/total words (word-level rep);
+    - ``top_bigram_frac`` — occurrences of the most frequent word bigram
+      over all bigram occurrences (catches looping boilerplate);
+    - ``dup_bigram_frac`` — fraction of bigram occurrences whose bigram
+      appears more than once (broad-spectrum repetition).
+
+    Docs with fewer than 2 tokens have no bigrams: fractions are 0.
+    Plan: one explode + two keyed aggregations (bigram strings shuffle
+    once, doc-keyed partials after); at 100 TB hash the bigram first if
+    its width dominates (same lever as the shingle pipeline).
+    """
+    toks = _tokens(text_col)
+    starts = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+        ).alias("bigram"),
+    )
+    counts = bg.groupBy("id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_c"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_c"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_word_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("top_c").cast("double") / F.col("n_bigrams"),
+                    F.lit(0.0),
+                ), 6
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("dup_c").cast("double") / F.col("n_bigrams"),
+                    F.lit(0.0),
+                ), 6
+            ).alias("dup_bigram_frac"),
+        )
+        .orderBy("id")
+    )
+
+
+#: PII patterns — conservative, lookaround-free so Java regex (Spark) and
+#: RE2 (DuckDB) agree byte-for-byte on every match.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII detection + redaction (the standard pre-training scrub): counts
+    and a redacted text per doc — ``(id, n_emails, n_ipv4, clean_text)``
+    with emails → ``<EMAIL>`` and IPv4s → ``<IP>``.  Pure codegen'd
+    regexes (no UDF); patterns chosen to mean the same thing in Java
+    regex and RE2 so the oracle replicates matches exactly."""
+    emails = F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL_PATTERN),
+                                  F.lit(0))
+    clean1 = F.regexp_replace(F.col(text_col), PII_EMAIL_PATTERN, "<EMAIL>")
+    ips = F.regexp_extract_all(F.col(text_col), F.lit(PII_IPV4_PATTERN),
+                               F.lit(0))
+    clean2 = F.regexp_replace(clean1, PII_IPV4_PATTERN, "<IP>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(emails).cast("long").alias("n_emails"),
+        F.size(ips).cast("long").alias("n_ipv4"),
+        clean2.alias("clean_text"),
+    ).orderBy("id")
+
+
+def chunk_documents(df: DataFrame, text_col: str, id_col: str,
+                    chunk_tokens: int = 32, overlap: int = 8) -> DataFrame:
+    """Sliding-window chunking for training-sequence prep:
+    ``(doc_id, chunk_id, n_tokens, chunk_text)`` — windows of
+    ``chunk_tokens`` words advancing by ``chunk_tokens − overlap``; the
+    final window may be shorter.  A pure explode projection (no shuffle,
+    no UDF): the chunk fan-out happens at the scan, the standard shape
+    for the 100 TB corpus → context-window pipeline."""
+    if chunk_tokens <= 0 or overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = _tokens(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)),
+                        F.lit(stride))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
+        ).alias("chunk_id", "__chunk"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("__chunk").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
