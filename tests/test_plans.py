@@ -259,3 +259,29 @@ def test_minhash_incremental_no_lingering_cache(spark):
     res.collect()
     after = {k for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
     assert after - before == set()
+
+
+def test_q7_broadcasts_all_dims_and_pushes_dates(spark):
+    """Q7 shape: supplier/customer/nation are broadcast (only
+    lineitem⋈orders shuffles) and the ship-date range reaches the scan."""
+    from vector_db_at_home_spark.operators.relational import volume_shipping
+
+    df = volume_shipping(spark, SF)
+    assert broadcast_join_count(df) >= 4
+    assert has_pushed_filters(df, "l_shipdate")
+
+
+def test_q19_disjunction_split_across_both_scans(spark):
+    """Q19 shape: the OR-of-ANDs predicate is CNF-split — the quantity
+    bands reach the lineitem parquet scan AND the brand/size conjuncts
+    reach the part scan, so neither side scans rows no disjunct can
+    accept."""
+    from vector_db_at_home_spark.operators.relational import (
+        disjunctive_revenue,
+    )
+
+    df = disjunctive_revenue(spark, SF)
+    assert broadcast_join_count(df) >= 1
+    plan = formatted_plan(df)
+    assert has_pushed_filters(df, "l_quantity")
+    assert "PushedFilters" in plan and "p_brand" in plan

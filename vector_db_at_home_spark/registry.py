@@ -298,6 +298,14 @@ def _register_relational() -> None:
          R.SUPPLIERS_KEPT_WAITING_SQL),
         ("q22_dormant_customers", R.dormant_rich_customers,
          R.DORMANT_RICH_CUSTOMERS_SQL),
+        # round-4 relational breadth (tail slots): Q7/Q8/Q14/Q15/Q19
+        # shapes adapted to the reduced schemas
+        ("q7_volume_shipping", R.volume_shipping, R.VOLUME_SHIPPING_SQL),
+        ("q8_market_share", R.market_share, R.MARKET_SHARE_SQL),
+        ("q14_promo_revenue", R.promo_revenue, R.PROMO_REVENUE_SQL),
+        ("q15_top_supplier", R.top_supplier, R.TOP_SUPPLIER_SQL),
+        ("q19_disjunctive_revenue", R.disjunctive_revenue,
+         R.DISJUNCTIVE_REVENUE_SQL),
     ]
     for name, fn, sql in pairs:
         _QUERIES[name] = fn
@@ -1990,6 +1998,8 @@ _TAIL_ORDER = [
     "sketch_rollup_total", "approx_quantiles_check", "udtf_word_ngrams",
     "clean_corpus_summary", "exact_dedup_stats", "frequent_items",
     "corpus_lang_summary", "neardup_cosine_check",
+    "q7_volume_shipping", "q8_market_share", "q14_promo_revenue",
+    "q15_top_supplier", "q19_disjunctive_revenue",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
