@@ -192,3 +192,96 @@ def test_png_decode_inverts_random_filter_choices(pixels, width, filters):
            + chunk(b"IEND", b""))
     got_w, got_h, got = decode_png_gray(png)
     assert (got_w, got_h, got) == (w, h, padded)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=300), st.integers(min_value=1, max_value=40))
+def test_jpeg_roundtrip_any_payload(pixels, width):
+    """Baseline JPEG with quant=1: decode recovers every pixel within 2
+    (DCT float rounding only), exact dimensions, for arbitrary bytes."""
+    from vector_db_at_home_spark.operators.multimodal import (
+        _jpeg_bytes,
+        decode_jpeg_gray,
+        parse_image_header,
+    )
+
+    enc = _jpeg_bytes(pixels, width)
+    h = max(1, (len(pixels) + width - 1) // width)
+    assert parse_image_header(enc) == ("image/jpeg", width, h)
+    w2, h2, px = decode_jpeg_gray(enc)
+    assert (w2, h2) == (width, h)
+    want = pixels.ljust(width * h, b"\x00")
+    assert len(px) == len(want)
+    assert max(abs(a - b) for a, b in zip(px, want)) <= 2 if want else True
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=2000), st.integers(min_value=1, max_value=40))
+def test_gif_roundtrip_any_payload_lossless(pixels, width):
+    from vector_db_at_home_spark.operators.multimodal import (
+        _gif_bytes,
+        decode_gif_gray,
+        parse_image_header,
+    )
+
+    enc = _gif_bytes(pixels, width)
+    h = max(1, (len(pixels) + width - 1) // width)
+    assert parse_image_header(enc) == ("image/gif", width, h)
+    w2, h2, px = decode_gif_gray(enc)
+    assert (w2, h2) == (width, h)
+    assert px == pixels.ljust(width * h, b"\x00")
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=2000))
+def test_wav_roundtrip_any_payload_lossless(samples):
+    from vector_db_at_home_spark.operators.multimodal import (
+        _wav_bytes,
+        decode_wav_pcm,
+    )
+
+    sr, n, out = decode_wav_pcm(_wav_bytes(samples, 8000))
+    assert (sr, n, out) == (8000, len(samples), samples)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=1500), st.integers(min_value=1, max_value=30))
+def test_y4m_roundtrip_any_payload_lossless(stream, width):
+    from vector_db_at_home_spark.operators.multimodal import (
+        _y4m_bytes,
+        decode_y4m_gray,
+    )
+
+    w2, h2, frames = decode_y4m_gray(_y4m_bytes(stream, width, 8))
+    assert (w2, h2) == (width, 8)
+    total = b"".join(frames)
+    assert total == stream.ljust(len(frames) * width * 8, b"\x00")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=100), st.integers(min_value=0, max_value=4))
+def test_media_decoders_never_crash_on_magic_prefixed_garbage(blob, which):
+    """Every decoder either succeeds or raises ValueError on arbitrary
+    bytes AFTER its own magic (the hard case: the header check passes and
+    the parser walks truncated structures) — never an unhandled
+    IndexError/struct.error/KeyError."""
+    from vector_db_at_home_spark.operators.multimodal import (
+        decode_gif_gray,
+        decode_jpeg_gray,
+        decode_png_gray,
+        decode_wav_pcm,
+        decode_y4m_gray,
+    )
+
+    magics = [
+        (decode_png_gray, b"\x89PNG\r\n\x1a\n"),
+        (decode_jpeg_gray, b"\xff\xd8"),
+        (decode_gif_gray, b"GIF89a"),
+        (decode_wav_pcm, b"RIFF\x10\x00\x00\x00WAVE"),
+        (decode_y4m_gray, b"YUV4MPEG2 "),
+    ]
+    dec, magic = magics[which]
+    try:
+        dec(magic + blob)
+    except (ValueError, NotImplementedError):
+        pass

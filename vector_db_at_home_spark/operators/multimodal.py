@@ -255,12 +255,23 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
     non-interlaced PNG — pure stdlib (``zlib`` inflate + scanline
     unfiltering, all five filter types per the public PNG spec §6).  The
     exact inverse of ``_png_bytes``; also decodes filter-1..4 streams any
-    conformant encoder produces for this pixel format."""
+    conformant encoder produces for this pixel format.  Truncated/corrupt
+    streams raise ``ValueError``."""
     import struct
     import zlib
 
     if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
+    try:
+        return _decode_png_gray_inner(payload)
+    except (IndexError, struct.error, zlib.error) as e:
+        raise ValueError(f"corrupt PNG stream: {e}") from e
+
+
+def _decode_png_gray_inner(payload: bytes) -> tuple[int, int, bytes]:
+    import struct
+    import zlib
+
     pos, idat = 8, []
     w = h = None
     while pos + 8 <= len(payload):
@@ -545,13 +556,23 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
     SOF dimensions).  The inverse of ``_jpeg_bytes`` and of any conformant
     baseline encoder's single-component output; progressive or
     multi-component (color) streams raise — this engine's decode surface
-    is the grayscale training-pipeline path."""
+    is the grayscale training-pipeline path.  Truncated/corrupt streams
+    raise ``ValueError``."""
+    import struct
+
+    if payload is None or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    try:
+        return _decode_jpeg_gray_inner(payload)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream: {e}") from e
+
+
+def _decode_jpeg_gray_inner(payload: bytes) -> tuple[int, int, bytes]:
     import struct
 
     import numpy as np
 
-    if payload is None or payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG payload")
     pos = 2
     qtabs: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
@@ -751,11 +772,20 @@ def decode_gif_gray(payload: bytes) -> tuple[int, int, bytes]:
     deferred-clear growth rule), palette mapped to grayscale by integer
     BT.601 luma (exact for the grayscale palettes ``_gif_bytes`` writes).
     First image block only; interlaced rows are de-interlaced per the
-    4-pass spec order."""
+    4-pass spec order.  Truncated/corrupt streams raise ``ValueError``."""
     import struct
 
     if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    try:
+        return _decode_gif_gray_inner(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt GIF stream: {e}") from e
+
+
+def _decode_gif_gray_inner(payload: bytes) -> tuple[int, int, bytes]:
+    import struct
+
     sw, sh = struct.unpack("<HH", payload[6:10])
     flags = payload[10]
     pos = 13
