@@ -103,3 +103,33 @@ def test_ivf_save_load_roundtrip(spark, tmp_path, emb, queries):
     got = [(r.query_id, r.id) for r in
            ivf_search(reopened, queries, k=5, n_probes=3).collect()]
     assert got == want
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    import math
+
+    from vector_db_at_home_spark.operators.embeddings import (
+        dequantize_int8,
+        l2_normalize,
+        quantize_int8,
+    )
+
+    data = [
+        (1, [1.0, -2.0, 0.5, 127.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),        # zero vector
+        (3, [-0.001, 0.002, -0.003, 0.004]),
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    q = {r.id: r for r in quantize_int8(df, "embedding", "vec_id").collect()}
+    assert q[2].scale == 0.0 and list(q[2].codes) == [0, 0, 0, 0]
+    assert max(abs(c) for c in q[1].codes) == 127
+    deq = {r.id: r for r in dequantize_int8(
+        quantize_int8(df, "embedding", "vec_id"), out_col="recon"
+    ).collect()}
+    for vid, vec in data:
+        s = q[vid].scale
+        for orig, rec in zip(vec, deq[vid].recon):
+            assert abs(orig - rec) <= s / 2 + 1e-12
+    n = {r.id: r for r in l2_normalize(df, "embedding", "vec_id").collect()}
+    assert abs(math.sqrt(sum(x * x for x in n[1].unit_vec)) - 1.0) < 1e-12
+    assert list(n[2].unit_vec) == [0.0, 0.0, 0.0, 0.0]

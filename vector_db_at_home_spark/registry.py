@@ -1849,6 +1849,110 @@ def q_doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize_int8",
+    # per-vector symmetric int8: scale = max|x|/127 (as e9 integer),
+    # code_i = floor(x/scale + 0.5); flattened to scalar rows like
+    # dump_vecs so no list-typed cells enter the hash; reconstruction
+    # error <= scale/2 asserted as an engine-side boolean
+    """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list_transform(v, x -> abs(x))),
+                     (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0
+           AS scale
+  FROM v
+)
+SELECT vec_id, i - 1 AS pos,
+       CAST(floor(s.scale * 1000000000 + 0.5) AS BIGINT) AS scale_e9,
+       CAST(CASE WHEN s.scale = 0 THEN 0
+                 ELSE floor(v[i] / s.scale + 0.5) END AS BIGINT) AS code,
+       CAST(1 AS BOOLEAN) AS recon_ok
+FROM s, unnest(generate_series(1, len(v))) AS t(i)
+ORDER BY vec_id, pos
+""",
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (embeddings.quantize_int8) —
+    the 4× storage tier below PQ — flattened to (vec_id, pos, scale_e9,
+    code) scalars and value-hashed digit-for-digit; the dequantized
+    reconstruction error ≤ scale/2 is asserted in-plan."""
+    from .operators.embeddings import dequantize_int8, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb, "embedding", "vec_id")
+    deq = dequantize_int8(q, out_col="recon")
+    joined = deq.join(
+        emb.select(F.col("vec_id").alias("id"),
+                   F.transform("embedding",
+                               lambda x: x.cast("double")).alias("orig")),
+        "id",
+    )
+    err_ok = F.aggregate(
+        F.zip_with("orig", "recon", lambda a, b: F.abs(a - b)),
+        F.lit(True).cast("boolean"),
+        lambda acc, e: acc & (e <= F.col("scale") / 2 + F.lit(1e-12)),
+    )
+    return (
+        joined.select(
+            F.col("id").alias("vec_id"),
+            F.floor(F.col("scale") * 1e9 + F.lit(0.5)).cast("long")
+            .alias("scale_e9"),
+            F.posexplode("codes").alias("pos", "code"),
+            err_ok.alias("recon_ok"),
+        )
+        .select("vec_id", F.col("pos").cast("long").alias("pos"),
+                "scale_e9", F.col("code").cast("long").alias("code"),
+                "recon_ok")
+        .orderBy("vec_id", "pos")
+    )
+
+
+@register(
+    "embedding_normalize",
+    # unit-norm vectors, flattened; the sequential left-fold sum of
+    # squares is bit-identical across engines (same argument as knn_l2)
+    """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                       list_transform(v, x -> x * x)),
+                          (a, b) -> a + b)) AS nrm
+  FROM v
+)
+SELECT vec_id, i - 1 AS pos,
+       round(CASE WHEN nrm = 0 THEN v[i] ELSE v[i] / nrm END, 6) AS val
+FROM n, unnest(generate_series(1, len(v))) AS t(i)
+ORDER BY vec_id, pos
+""",
+)
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization (embeddings.l2_normalize) — flattened scalars,
+    6-decimal rounded on both sides."""
+    from .operators.embeddings import l2_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        l2_normalize(emb, "embedding", "vec_id")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.posexplode("unit_vec").alias("pos", "val"),
+        )
+        .select("vec_id", F.col("pos").cast("long").alias("pos"),
+                F.round("val", 6).alias("val"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+@register(
     "repetition_signals",
     """
 WITH toks AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents),
@@ -1994,6 +2098,7 @@ _SCORED_ORDER = [
 _TAIL_ORDER = [
     "user_sessions", "skew_salted_agg", "strip_boilerplate",
     "repetition_signals", "pii_scrub_docs", "doc_chunks",
+    "embedding_quantize_int8", "embedding_normalize",
     "lm_quality_score", "stratified_lang_sample", "doc_hash_sample",
     "sketch_rollup_total", "approx_quantiles_check", "udtf_word_ngrams",
     "clean_corpus_summary", "exact_dedup_stats", "frequent_items",
