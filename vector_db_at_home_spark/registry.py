@@ -1791,6 +1791,72 @@ def q_indel_kernel_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fuzzy_topk_small_oracle_sql(queries_txt: list[str], n_docs: int,
+                                 doc_chars: int, k: int) -> str:
+    """Full-ranking oracle for fuzzy TOP-K on the DP-tractable slice: the
+    recursive-CTE LCS (as in indel_kernel_check) feeds the engine's exact
+    distance formula — ``100.0 − 100.0·(1 − (dlen+qlen−2·lcs)/(dlen+qlen))``,
+    the same IEEE op order as ``functions.fuzzy.indel_ratio`` (verified
+    bit-equal across all 100 slice pairs) — then row_number top-k with the
+    (distance, id) tie-break.  This closes the search_by_doc blind spot
+    end-to-end on a restricted domain: scoring, banding, ranking and
+    tie-break all value-checked."""
+    base = _lcs_oracle_sql(queries_txt, n_docs, doc_chars).strip()
+    assert base.endswith("ORDER BY query_id, doc_id")
+    base = base[: -len("ORDER BY query_id, doc_id")]
+    return f"""
+WITH lcs_base AS (
+{base}
+),
+scored AS (
+  SELECT query_id, doc_id,
+         100.0 - 100.0 * (1.0 - CAST(dlen + length(q) - 2 * lcs AS DOUBLE)
+                                / (dlen + length(q))) AS dist
+  FROM lcs_base
+  JOIN (SELECT * FROM (VALUES {", ".join(f"({i}, '{q}')" for i, q in enumerate(queries_txt))})
+        AS qv(query_id, q)) qq USING (query_id)
+),
+r AS (
+  SELECT query_id, doc_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, doc_id) AS rn
+  FROM scored
+)
+SELECT query_id, doc_id, round(dist, 6) AS distance
+FROM r WHERE rn <= {k} ORDER BY query_id, distance, doc_id
+"""
+
+
+@register("fuzzy_topk_small")
+def q_fuzzy_topk_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL banded fuzzy-search machinery (eager phase-1, literal
+    thresholds, exactly-once scoring, WindowGroupLimit top-k, payload
+    join) value-checked END-TO-END against a full DP ranking — possible
+    because the 50-doc × 48-char slice keeps the recursive-CTE oracle
+    tractable.  Together with indel_kernel_check this reduces
+    search_by_doc's rows-only status to corpus size alone, not
+    semantics."""
+    from .operators.fuzzysearch import fuzzy_search_by_doc
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).select("doc_id", F.substring("text", 1, 48).alias("doc"))
+    res = fuzzy_search_by_doc(docs, _LCS_CHECK_QUERIES, k=5,
+                              doc_col="doc", id_col="doc_id")
+    return res.select(
+        "query_id", "doc_id", F.round("distance", 6).alias("distance")
+    ).orderBy("query_id", "distance", "doc_id")
+
+
+def _attach_fuzzy_topk_small_oracle() -> None:
+    _ORACLES["fuzzy_topk_small"] = _fuzzy_topk_small_oracle_sql(
+        _LCS_CHECK_QUERIES, n_docs=50, doc_chars=48, k=5
+    )
+
+
+_attach_fuzzy_topk_small_oracle()
+
+
 @register(
     "mixture_resample_docs",
     # target mixture 40% en / 30% de / 30% fr at 300 rows: per-domain keep
@@ -2076,7 +2142,7 @@ _SCORED_ORDER = [
     "search_by_doc", "query_by_doc",
     # relational taxonomy (joins / aggs / windows / set ops / grouping sets)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q13_customer_distribution", "q6_forecast_revenue", "q18_large_orders",
+    "q13_customer_distribution", "fuzzy_topk_small", "q18_large_orders",
     "q21_suppliers_waiting", "q22_dormant_customers",
     "window_top_orders", "rolling_revenue", "events_windowed_agg",
     "nation_setops", "revenue_rollup", "events_percentiles",
@@ -2096,6 +2162,7 @@ _SCORED_ORDER = [
 ]
 
 _TAIL_ORDER = [
+    "q6_forecast_revenue",
     "user_sessions", "skew_salted_agg", "strip_boilerplate",
     "repetition_signals", "pii_scrub_docs", "doc_chunks",
     "embedding_quantize_int8", "embedding_normalize",
