@@ -339,13 +339,14 @@ inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
 # (VERDICT r3 #1/#6/#7): the heavyweight previously-unscored queries —
 # indel_kernel_check, dedup_minhash_clusters, dedup_minhash_incremental,
 # benchmark_decontamination, pq_recall, ivfpq_recall, mixture_resample_docs,
-# doc_hash_split, knn_l2_pandas — moved into the scored 50, displacing nine
-# relational entries whose plan shapes stay verified by still-scored
-# queries (grouping sets by revenue_rollup; RANGE-frame windows by
-# rolling_revenue; rank windows by window_top_orders; semi/anti joins by
-# q18/q21/q22; join+agg by q3/q5; conditional agg by q13) — every
-# displaced entry keeps its full value oracle in the tail and is covered
-# by tools/check_oracle.py (committed as ORACLE_LOCAL_r4.txt) and pytest.
+# doc_hash_split, knn_l2_pandas, fuzzy_topk_small — moved into the scored
+# 50, displacing ten entries whose plan shapes stay verified by
+# still-scored queries (grouping sets by revenue_rollup; RANGE-frame
+# windows by rolling_revenue; rank windows by window_top_orders; semi/anti
+# joins by q18/q21/q22; join+agg by q3/q5; conditional agg by q13;
+# scan-agg by q1) — every displaced entry keeps its full value oracle in
+# the tail and is covered by tools/check_oracle.py (committed as
+# ORACLE_LOCAL_r4.txt) and pytest.
 
 @register(
     "dedup_exact_map",
