@@ -38,6 +38,22 @@ def _tokens(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
 
 
+def _fan_out_small_input(df: DataFrame) -> DataFrame:
+    """Fan a small input out to the cluster's parallelism BEFORE the
+    shingle explode.  A corpus stored in fewer partitions than cores
+    serializes the md5+explode on a handful of tasks (measured at sf0.1:
+    the 1-partition documents table put 2×2.3 s of explode on one core —
+    the dominant cost of the whole dedup query); repartitioning 5k doc
+    rows costs ~nothing.  A LARGE corpus (≥ parallelism partitions) is
+    left untouched — repartitioning it would shuffle every raw document,
+    exactly what the hashed-shingle design avoids."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3,
                   max_doc_freq: int | None = None) -> DataFrame:
     """Distinct word n-gram shingles per doc: ``(id, shingle)``.
@@ -52,6 +68,7 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3,
     starts = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
+    df = _fan_out_small_input(df)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -203,7 +220,7 @@ def hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3,
     starts = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    hx = df.select(
+    hx = _fan_out_small_input(df).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.transform(
