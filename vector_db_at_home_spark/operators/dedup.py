@@ -1074,6 +1074,8 @@ def cosine_neardup_bucketed(df: DataFrame, vec_col: str, id_col: str,
     driver-side data, no cartesian product.  Tune n_planes up to thin random
     collisions (fewer candidates) and n_tables up to recover recall.
     """
+    import numpy as np
+
     cand = hyperplane_bucket_candidates(
         df, vec_col, id_col, n_planes=n_planes, n_tables=n_tables,
         seed=seed, max_bucket=max_bucket,
@@ -1082,13 +1084,28 @@ def cosine_neardup_bucketed(df: DataFrame, vec_col: str, id_col: str,
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+
+    # vectorized exact re-rank: the interpreted aggregate/zip_with cosine
+    # expression costs ~28 µs per pair (measured: 2 s for 72k candidates
+    # at sf0.1); the Arrow-batched NumPy row-wise dot does the same exact
+    # float64 math ~10× faster per batch
+    @F.pandas_udf("double")
+    def cos_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype=float)
+        A = np.vstack(va.to_numpy()).astype(np.float64)
+        B = np.vstack(vb.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        d = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(np.where(d == 0, 0.0, num / np.where(d == 0, 1.0, d)))
+
     scored = (
         cand.join(vecs.select(F.col("id").alias("id_a"),
                               F.col("v").alias("va")), "id_a")
         .join(vecs.select(F.col("id").alias("id_b"),
                           F.col("v").alias("vb")), "id_b")
         .select("id_a", "id_b",
-                F.round(cosine_similarity("va", "vb"), 6).alias("cosine"))
+                F.round(cos_batch("va", "vb"), 6).alias("cosine"))
         .filter(F.col("cosine") >= min_cosine)
     )
     out = scored.orderBy(
