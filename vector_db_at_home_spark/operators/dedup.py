@@ -47,6 +47,8 @@ def _fan_out_small_input(df: DataFrame) -> DataFrame:
     rows costs ~nothing.  A LARGE corpus (≥ parallelism partitions) is
     left untouched — repartitioning it would shuffle every raw document,
     exactly what the hashed-shingle design avoids."""
+    if df.isStreaming:  # .rdd is undefined for streaming plans
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
