@@ -133,3 +133,45 @@ def test_quantize_int8_roundtrip_error_bound(spark):
     n = {r.id: r for r in l2_normalize(df, "embedding", "vec_id").collect()}
     assert abs(math.sqrt(sum(x * x for x in n[1].unit_vec)) - 1.0) < 1e-12
     assert list(n[2].unit_vec) == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_ivf_append_matches_full_assignment(spark):
+    """ivf_append assigns new rows to the same cells a full rebuild with
+    the SAME centroids would, and appended vectors are findable."""
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.operators.ann import (
+        ivf_append,
+        ivf_build,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    ivf = ivf_build(old, id_col="vec_id", vec_col="embedding", n_cells=8)
+    appended = ivf_append(ivf, new, id_col="vec_id", vec_col="embedding")
+    assert appended.assigned.count() == emb.count()
+    # appended rows landed in their true nearest cell: recompute directly
+    import math
+
+    cents = {r.cell: r.cvec for r in ivf.centroids.collect()}
+    got = {r.id: r.cell for r in appended.assigned.collect()}
+    for r in new.collect():
+        v = [float(x) for x in r.embedding]
+        best = min(
+            cents,
+            key=lambda c: (
+                sum((a - b) ** 2 for a, b in zip(v, cents[c])), c
+            ),
+        )
+        assert got[r.vec_id] == best
+    # a query equal to an appended vector finds it at rank 1
+    probe = new.limit(1).collect()[0]
+    qs = spark.createDataFrame(
+        [(0, [float(x) for x in probe.embedding])],
+        "query_id int, qvec array<double>",
+    )
+    hits = ivf_search(appended, qs, k=1, n_probes=2).collect()
+    assert hits[0].id == probe.vec_id
+    assert abs(hits[0].distance) < 1e-6

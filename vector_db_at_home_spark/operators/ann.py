@@ -145,3 +145,43 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
     hit = a.join(e, ["query_id", "id"], "inner").count()
     total = e.count()
     return hit / total if total else 1.0
+
+
+def ivf_append(ivf: IVFIndex, new_rows: DataFrame, id_col: str = "id",
+               vec_col: str = "vec") -> IVFIndex:
+    """Append a new batch to an existing IVF index WITHOUT refitting — the
+    production ingest path (the ANN analog of
+    ``dedup.minhash_lsh_pairs_incremental``): each new vector is assigned
+    to its nearest EXISTING centroid via a broadcast join (centroids are
+    tiny by construction), and the assignment tables union.  Searches over
+    the result remain exact within the probed cells; centroid drift under
+    a shifting distribution is a recall concern only — refit with
+    ``ivf_build`` (sampled, bounded cost) when the batch statistics move.
+
+    Batch cost: one broadcast nearest-centroid pass over the NEW rows
+    only; the existing corpus is never rescanned (append the new slice to
+    the ``partitionBy(cell)`` store with ``ivf_save``-style writes at
+    production scale)."""
+    from ..functions.distance import squared_l2_distance
+
+    new_v = new_rows.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    scored = new_v.join(F.broadcast(ivf.centroids)).select(
+        "id", "vec",
+        F.struct(
+            squared_l2_distance("vec", "cvec").alias("d"),
+            F.col("cell").alias("cell"),
+        ).alias("dc"),
+    )
+    assigned_new = (
+        scored.groupBy("id")
+        .agg(F.min("dc").alias("m"), F.first("vec").alias("vec"))
+        .select("id", "vec", F.col("m.cell").alias("cell"))
+    )
+    return IVFIndex(
+        assigned=ivf.assigned.unionByName(assigned_new),
+        centroids=ivf.centroids,
+        n_cells=ivf.n_cells,
+    )
