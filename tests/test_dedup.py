@@ -355,3 +355,46 @@ def test_minhash_incremental_caps(spark, corpus):
     res = minhash_lsh_pairs_incremental(
         new, corpus, "text", "doc_id", max_doc_freq=1)
     assert not any(r.corpus_id in (0, 1) for r in res.collect())
+
+
+def test_prepared_incremental_equals_direct(spark, tmp_path):
+    """minhash_lsh_pairs_incremental_prepared over persisted corpus state
+    returns EXACTLY the direct incremental's pairs, and state append
+    admits a batch so later batches see it."""
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.operators.dedup import (
+        minhash_corpus_state_append,
+        minhash_corpus_state_build,
+        minhash_lsh_pairs_incremental,
+        minhash_lsh_pairs_incremental_prepared,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    path = str(tmp_path / "mh_state")
+    minhash_corpus_state_build(
+        corpus, path, "text", "doc_id", n=3,
+        max_doc_freq=100, max_band_bucket=200,
+    )
+    direct = minhash_lsh_pairs_incremental(
+        batch, corpus, "text", "doc_id", threshold=0.5,
+        max_doc_freq=100, max_band_bucket=200,
+    ).collect()
+    prepared = minhash_lsh_pairs_incremental_prepared(
+        spark, path, batch, "text", "doc_id", threshold=0.5
+    ).collect()
+    assert sorted(map(tuple, prepared)) == sorted(map(tuple, direct))
+
+    # admit the batch, then a copy of an admitted doc must hit it
+    minhash_corpus_state_append(spark, path, batch, "text", "doc_id")
+    probe_src = batch.orderBy("doc_id").limit(1).collect()[0]
+    probe = spark.createDataFrame(
+        [(999_999, probe_src.text)], "doc_id long, text string"
+    )
+    hits = minhash_lsh_pairs_incremental_prepared(
+        spark, path, probe, "text", "doc_id", threshold=0.5
+    ).collect()
+    assert any(r.corpus_id == probe_src.doc_id and r.jaccard_e6 == 1_000_000
+               for r in hits)
