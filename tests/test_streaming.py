@@ -330,3 +330,57 @@ def test_stream_ingest_neardup_rejection(spark, tmp_path):
     assert base in docs
     assert "completely different words entirely unrelated now" in docs
     assert sum(1 for d in docs if d.startswith("one two three")) == 1
+
+
+def test_stream_ingest_neardup_with_persisted_state(spark, tmp_path):
+    """Same acceptance behavior through the persisted-state screen
+    (state_dir given): exact/near dups rejected, novel docs append, and
+    the state sees admitted docs — a re-delivered copy of a doc admitted
+    in batch 1 is rejected in batch 2 via the STATE, not a store rescan."""
+    from vector_db_at_home_spark.store import VectorStore
+    from vector_db_at_home_spark.streaming.neardup import (
+        stream_into_store_neardup,
+    )
+
+    store = VectorStore(spark, tmp_path / "store2", dim=2)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    wrap = lambda t: '{"t": "%s"}' % t
+    store.insert([[1.0, 0.0]], [{"t": base}])
+
+    feed = str(tmp_path / "feed2")
+    novel = "one two three four five six seven eight nine ten"
+    spark.createDataFrame(
+        [([0.0, 1.0], wrap(base)),                          # exact dup
+         ([0.0, 2.0], wrap(base.replace("gamma", "rho"))),  # near dup
+         ([0.0, 3.0], wrap(novel))],
+        "vec array<float>, doc string",
+    ).coalesce(1).write.parquet(feed)
+
+    state_dir = str(tmp_path / "mh_state")
+    stream = (spark.readStream.schema("vec array<float>, doc string")
+              .parquet(feed))
+    q = stream_into_store_neardup(
+        stream, store, jaccard_threshold=0.4,
+        checkpoint_dir=str(tmp_path / "ckpt2"), state_dir=state_dir,
+    )
+    q.awaitTermination()
+    assert store.count() == 2  # base + novel
+
+    # batch 2: near-dup of the doc ADMITTED in batch 1 must be rejected
+    # (proves the state append made it visible), plus one new novel doc
+    spark.createDataFrame(
+        [([0.0, 6.0], wrap(novel.replace("three", "xyz"))),
+         ([0.0, 7.0], wrap("fresh unrelated content nothing matches"))],
+        "vec array<float>, doc string",
+    ).coalesce(1).write.mode("append").parquet(feed)
+    q2 = stream_into_store_neardup(
+        (spark.readStream.schema("vec array<float>, doc string")
+         .parquet(feed)),
+        store, jaccard_threshold=0.4,
+        checkpoint_dir=str(tmp_path / "ckpt2"), state_dir=state_dir,
+    )
+    q2.awaitTermination()
+    docs = sorted(r["doc"]["t"] for r in store.head(10))
+    assert store.count() == 3
+    assert "fresh unrelated content nothing matches" in docs
+    assert not any("xyz" in d for d in docs)

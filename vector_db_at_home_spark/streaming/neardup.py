@@ -31,7 +31,8 @@ def stream_into_store_neardup(stream_df: DataFrame, store: VectorStore,
                               checkpoint_dir: str | None = None,
                               trigger: dict | None = None,
                               max_doc_freq: int | None = None,
-                              max_band_bucket: int | None = None):
+                              max_band_bucket: int | None = None,
+                              state_dir: str | None = None):
     """Start a streaming query appending only novel ``(vec, doc)`` rows.
 
     Rejection rules, applied per micro-batch in order:
@@ -47,7 +48,15 @@ def stream_into_store_neardup(stream_df: DataFrame, store: VectorStore,
     (both may be novel vs the store; ordering a greedy drop inside an
     unordered batch would be arbitrary) — they reject each other's future
     re-deliveries once stored.
-    """
+
+    ``state_dir`` (recommended beyond toy stores): persist the corpus-side
+    MinHash state there (``dedup.minhash_corpus_state_build`` on the first
+    batch, ``_append`` for each batch's survivors) so the near-dup screen
+    costs O(batch + collisions) instead of re-deriving the whole store's
+    signatures every micro-batch (measured 11× wall / 20× shuffle at 1M
+    docs — SCALE.md).  The doc-frequency/bucket caps are frozen at state
+    build; rebuild on your compaction cadence.  ``None`` keeps the
+    recompute-per-batch form (exact caps every batch)."""
     from ..operators.dedup import minhash_lsh_pairs_incremental
 
     def screen(batch_df: DataFrame) -> DataFrame:
@@ -69,20 +78,55 @@ def stream_into_store_neardup(stream_df: DataFrame, store: VectorStore,
         )
         if keyed.isEmpty():
             return keyed.drop("__digest", "__bid")
-        hits = minhash_lsh_pairs_incremental(
-            keyed.select(F.col("__bid").alias("doc_id"),
-                         F.coalesce(F.col(doc_col), F.lit("{}")).alias("text")),
-            corpus.select(F.col("id").alias("doc_id"),
-                          F.col("doc").alias("text")),
-            "text", "doc_id", n=shingle_n, threshold=jaccard_threshold,
-            max_doc_freq=max_doc_freq, max_band_bucket=max_band_bucket,
+        batch_docs = keyed.select(
+            F.col("__bid").alias("doc_id"),
+            F.coalesce(F.col(doc_col), F.lit("{}")).alias("text"),
         )
+        corpus_docs = corpus.select(
+            F.col("id").alias("doc_id"), F.col("doc").alias("text")
+        )
+        if state_dir is not None:
+            import os
+
+            from ..operators.dedup import (
+                minhash_corpus_state_build,
+                minhash_lsh_pairs_incremental_prepared,
+            )
+
+            spark = batch_df.sparkSession
+            if not os.path.exists(os.path.join(state_dir, "bands")):
+                minhash_corpus_state_build(
+                    corpus_docs, state_dir, "text", "doc_id", n=shingle_n,
+                    max_doc_freq=max_doc_freq,
+                    max_band_bucket=max_band_bucket,
+                )
+            hits = minhash_lsh_pairs_incremental_prepared(
+                spark, state_dir, batch_docs, "text", "doc_id",
+                threshold=jaccard_threshold,
+            )
+        else:
+            hits = minhash_lsh_pairs_incremental(
+                batch_docs, corpus_docs,
+                "text", "doc_id", n=shingle_n, threshold=jaccard_threshold,
+                max_doc_freq=max_doc_freq, max_band_bucket=max_band_bucket,
+            )
         dupped = hits.select(F.col("new_id").alias("__bid")).distinct()
         survivors = keyed.join(F.broadcast(dupped), "__bid", "left_anti")
         # materialize so the expensive incremental-MinHash join runs exactly
         # once even though append_batch fires two actions (validation
         # count, then write) on the returned frame
         survivors = survivors.localCheckpoint(eager=True)
+        if state_dir is not None:
+            from ..operators.dedup import minhash_corpus_state_append
+
+            minhash_corpus_state_append(
+                batch_df.sparkSession, state_dir,
+                survivors.select(
+                    F.col("__bid").alias("doc_id"),
+                    F.coalesce(F.col(doc_col), F.lit("{}")).alias("text"),
+                ),
+                "text", "doc_id",
+            )
         return survivors.drop("__digest", "__bid")
 
     return stream_into_store(
