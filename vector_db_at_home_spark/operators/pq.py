@@ -106,8 +106,17 @@ def pq_build(index: DataFrame, id_col: str = "id", vec_col: str = "vec",
         if cb.shape[0] < 256:  # tiny tables: repeat last centroid
             books[j, cb.shape[0]:] = cb[-1]
 
-    spark = index.sparkSession
-    bc = spark.sparkContext.broadcast(books)
+    narrow = index.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    codes = _encode_codes(narrow, books, m, dsub)
+    return PQIndex(codes=codes, codebooks=books, m=m, dim=dim)
+
+
+def _encode_codes(narrow: DataFrame, books, m: int, dsub: int) -> DataFrame:
+    """Distributed nearest-centroid byte encoding of ``(id, v)`` rows
+    against broadcast codebooks — shared by build and append."""
+    import numpy as np
+
+    bc = narrow.sparkSession.sparkContext.broadcast(books)
 
     def encode(batches):
         books_l = bc.value
@@ -130,9 +139,23 @@ def pq_build(index: DataFrame, id_col: str = "id", vec_col: str = "vec",
                 "code": [c.tobytes() for c in codes],
             })
 
-    narrow = index.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    codes = narrow.mapInPandas(encode, schema="id long, code binary")
-    return PQIndex(codes=codes, codebooks=books, m=m, dim=dim)
+    return narrow.mapInPandas(encode, schema="id long, code binary")
+
+
+def pq_append(pq: PQIndex, new_rows: DataFrame, id_col: str = "id",
+              vec_col: str = "vec") -> PQIndex:
+    """Encode a NEW batch with the EXISTING codebooks and union the code
+    tables — the PQ analog of ``ann.ivf_append``: no refit, no corpus
+    rescan; codebook drift under a shifting distribution is a quantization
+    -quality concern only (rebuild with ``pq_build`` on the compaction
+    cadence).  With this, every index family in the repo (MinHash state,
+    IVF, PQ) supports O(batch) ingest."""
+    dsub = pq.dim // pq.m
+    narrow = new_rows.select(F.col(id_col).alias("id"),
+                             F.col(vec_col).alias("v"))
+    new_codes = _encode_codes(narrow, pq.codebooks, pq.m, dsub)
+    return PQIndex(codes=pq.codes.unionByName(new_codes),
+                   codebooks=pq.codebooks, m=pq.m, dim=pq.dim)
 
 
 def pq_save(pq: PQIndex, path: str) -> None:
