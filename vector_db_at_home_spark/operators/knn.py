@@ -166,26 +166,69 @@ def _knn_pandas(index, queries, k, id_col, vec_col, query_id_col,
         # at the kth boundary, and emitting whole tie groups is unbounded on
         # duplicate-heavy data.  Per query row, a lexsort picks exactly kk
         # candidates by (distance, id) — bounded O(m·k) emission, correct
-        # ties, O(n log n) per query row in C.
+        # ties, O(n log n) per query row in C.  The winner VECTORS ride
+        # along (kk rows per query per chunk — bounded) so the exact
+        # re-score downstream needs no second index scan.
         out_qid = np.empty(dist.shape[0] * kk, dtype=np.int64)
         out_id = np.empty(dist.shape[0] * kk, dtype=np.int64)
         out_d = np.empty(dist.shape[0] * kk, dtype=np.float64)
+        out_v = []
+        vec_vals = pdf["__vec"].to_numpy()
         for i in range(dist.shape[0]):
             order = np.lexsort((ids, dist[i]))[:kk]
             out_qid[i * kk:(i + 1) * kk] = b_qids[i]
             out_id[i * kk:(i + 1) * kk] = ids[order]
             out_d[i * kk:(i + 1) * kk] = dist[i, order]
+            out_v.extend(vec_vals[j] for j in order)
         yield pd.DataFrame(
-            {"query_id": out_qid, "id": out_id, "distance": out_d}
+            {"query_id": out_qid, "id": out_id, "distance": out_d,
+             "__vec": out_v}
         )
 
-    narrow = index.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
-    candidates = narrow.mapInPandas(
-        score_partition, schema="query_id long, id long, distance double"
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
-    return top_k_per_group(
+
+    narrow = index.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    cand_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("id", LongType()),
+        StructField("distance", DoubleType()),
+        # the ORIGINAL element type rides along so the exact re-score
+        # below evaluates the same arithmetic as impl='expr'
+        StructField("__vec", narrow.schema["__vec"].dataType),
+    ])
+    candidates = narrow.mapInPandas(score_partition, schema=cand_schema)
+    winners = top_k_per_group(
         candidates, ["query_id"], [F.col("distance").asc(), F.col("id").asc()], k
-    ).orderBy("query_id", "distance", "id")
+    )
+    # exact re-score of the k·q winners with the SAME expression over the
+    # SAME column types as impl='expr': the GEMM's ||v||²+||q||²−2v·q
+    # algebra rounds differently than the (v−q)² fold (measured: a
+    # 6th-decimal flip at sf0.1), so selection uses the fast kernel but
+    # the RETURNED distances are bit-identical across impls and to the
+    # SQL oracle.  The winner vectors were carried through the candidate
+    # stream (k·q rows), so this is a projection — no second index scan.
+    rescored = (
+        winners.drop("distance")
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(query_vec_col).alias("__qv"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id", "id",
+            _distance_expr(metric, "__vec", "__qv").alias("distance"),
+        )
+    )
+    return rescored.orderBy("query_id", "distance", "id")
 
 
 def knn_join_payload(result: DataFrame, store: DataFrame,

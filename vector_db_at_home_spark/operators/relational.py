@@ -676,13 +676,16 @@ FROM r GROUP BY event_type ORDER BY event_type
 
 def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: per user, the sum of event values in the
-    trailing 7-day event-time window (frame = RANGE over epoch seconds, so
-    rows at irregular timestamps still get a true time-based frame)."""
+    trailing 7-day event-time window (frame = RANGE over epoch
+    MICROseconds — `unix_timestamp` truncates to seconds, which shifts
+    the frame boundary for sub-second timestamps and diverged from the
+    oracle's `epoch()` at sf0.1; exact integer microseconds agree on
+    every row at every scale)."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-7 * 86400, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
     )
     return (
         ev.select(
@@ -699,8 +702,8 @@ def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLING_7D_USER_VALUE_SQL = """
 SELECT event_id, user_id,
        round(CAST(sum(CAST(value AS DECIMAL(25,6)))
-                  OVER (PARTITION BY user_id ORDER BY epoch(ts)
-                        RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+                  OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
              AS DOUBLE), 4) AS value_7d
 FROM events
 ORDER BY event_id

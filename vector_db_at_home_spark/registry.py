@@ -1296,8 +1296,8 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _knn(emb, qs, k=5, id_col="vec_id", vec_col="embedding",
                  impl="expr")
     pq = pq_build(emb, id_col="vec_id", vec_col="embedding", m=8,
-                  fit_sample_rows=400)
-    approx = pq_search(pq, qs, k=5, refine_with=emb, refine_factor=8,
+                  fit_sample_rows=1000)
+    approx = pq_search(pq, qs, k=5, refine_with=emb, refine_factor=16,
                        id_col="vec_id", vec_col="embedding")
     hits = (
         exact.select("query_id", "id")
