@@ -384,3 +384,140 @@ def test_stream_ingest_neardup_with_persisted_state(spark, tmp_path):
     assert store.count() == 3
     assert "fresh unrelated content nothing matches" in docs
     assert not any("xyz" in d for d in docs)
+
+
+def test_neardup_replay_self_match_does_not_drop_batch(spark, tmp_path):
+    """ADVICE r4 (medium): foreachBatch is at-least-once — if a crash lands
+    AFTER the state append but BEFORE the store append, the replayed batch
+    finds its own signatures in the persisted state under its own
+    digest-derived id.  Self-pairs are filtered, so the batch must still be
+    admitted instead of silently rejecting itself (permanent data loss).
+    Simulated by pre-appending the batch's docs to the state under the
+    exact __bid the screen will derive for them."""
+    from vector_db_at_home_spark.operators.dedup import (
+        minhash_corpus_state_append,
+        minhash_corpus_state_build,
+    )
+    from vector_db_at_home_spark.store import VectorStore
+    from vector_db_at_home_spark.streaming.neardup import (
+        stream_into_store_neardup,
+    )
+    from pyspark.sql import functions as F
+
+    store = VectorStore(spark, tmp_path / "store_rp", dim=2)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    wrap = lambda t: '{"t": "%s"}' % t
+    store.insert([[1.0, 0.0]], [{"t": base}])
+
+    state_dir = str(tmp_path / "mh_state_rp")
+    corpus_docs = store.df().select(
+        F.col("id").alias("doc_id"),
+        F.coalesce(F.col("doc"), F.lit("{}")).alias("text"),
+    )
+    minhash_corpus_state_build(corpus_docs, state_dir, "text", "doc_id")
+
+    # the "crashed first attempt": batch doc already in the state under
+    # the digest-derived id the screen will assign on replay
+    novel = "one two three four five six seven eight nine ten"
+    crashed = spark.createDataFrame([(wrap(novel),)], "doc string").select(
+        F.conv(F.substring(F.md5("doc"), 1, 15), 16, 10)
+        .cast("long").alias("doc_id"),
+        F.col("doc").alias("text"),
+    )
+    minhash_corpus_state_append(spark, state_dir, crashed, "text", "doc_id")
+
+    feed = str(tmp_path / "feed_rp")
+    spark.createDataFrame(
+        [([0.0, 3.0], wrap(novel))], "vec array<float>, doc string"
+    ).coalesce(1).write.parquet(feed)
+    q = stream_into_store_neardup(
+        (spark.readStream.schema("vec array<float>, doc string")
+         .parquet(feed)),
+        store, jaccard_threshold=0.4,
+        checkpoint_dir=str(tmp_path / "ckpt_rp"), state_dir=state_dir,
+    )
+    q.awaitTermination()
+    docs = sorted(r["doc"]["t"] for r in store.head(10))
+    assert store.count() == 2          # base + the replayed novel doc
+    assert novel in docs               # NOT silently dropped
+
+
+def test_neardup_state_append_writes_batch_marker(spark, tmp_path):
+    """The per-(checkpoint, batch) marker under state_dir makes the state
+    append replay-idempotent; it must exist after the batch commits."""
+    import glob
+
+    from vector_db_at_home_spark.store import VectorStore
+    from vector_db_at_home_spark.streaming.neardup import (
+        stream_into_store_neardup,
+    )
+
+    store = VectorStore(spark, tmp_path / "store_mk", dim=2)
+    feed = str(tmp_path / "feed_mk")
+    spark.createDataFrame(
+        [([0.0, 1.0], '{"t": "totally novel words here"}')],
+        "vec array<float>, doc string",
+    ).coalesce(1).write.parquet(feed)
+    state_dir = str(tmp_path / "mh_state_mk")
+    q = stream_into_store_neardup(
+        (spark.readStream.schema("vec array<float>, doc string")
+         .parquet(feed)),
+        store, checkpoint_dir=str(tmp_path / "ckpt_mk"),
+        state_dir=state_dir,
+    )
+    q.awaitTermination()
+    assert store.count() == 1
+    markers = glob.glob(f"{state_dir}/_appended_batches/*/0")
+    assert len(markers) == 1
+
+
+def test_neardup_screen_batch_ceiling(spark, tmp_path, monkeypatch):
+    """Batches beyond _MAX_SCREEN_BATCH_ROWS fail loudly with guidance to
+    shrink the trigger (same contract as knn._MAX_QUERY_ROWS)."""
+    import pyspark.errors
+
+    import vector_db_at_home_spark.streaming.neardup as nd
+    from vector_db_at_home_spark.store import VectorStore
+
+    monkeypatch.setattr(nd, "_MAX_SCREEN_BATCH_ROWS", 2)
+    store = VectorStore(spark, tmp_path / "store_cl", dim=2)
+    feed = str(tmp_path / "feed_cl")
+    rows = [([0.0, float(i)], '{"t": "doc number %d words"}' % i)
+            for i in range(5)]
+    spark.createDataFrame(rows, "vec array<float>, doc string") \
+        .coalesce(1).write.parquet(feed)
+    q = nd.stream_into_store_neardup(
+        (spark.readStream.schema("vec array<float>, doc string")
+         .parquet(feed)),
+        store, checkpoint_dir=str(tmp_path / "ckpt_cl"),
+    )
+    with pytest.raises(pyspark.errors.StreamingQueryException,
+                       match="near-dup screen"):
+        q.awaitTermination()
+
+
+def test_stream_ingest_prepare_receives_batch_id(spark, tmp_path):
+    """The two-arg prepare form receives the stable foreachBatch batch id
+    (what lets a stateful prepare make side effects replay-idempotent)."""
+    from vector_db_at_home_spark.store import VectorStore
+    from vector_db_at_home_spark.streaming.ingest import stream_into_store
+
+    store = VectorStore(spark, tmp_path / "store_bid", dim=2)
+    feed = str(tmp_path / "feed_bid")
+    spark.createDataFrame(
+        [([0.0, 1.0], "{}")], "vec array<float>, doc string"
+    ).coalesce(1).write.parquet(feed)
+    seen: list[int] = []
+
+    def prep(df, batch_id):
+        seen.append(batch_id)
+        return df
+
+    q = stream_into_store(
+        (spark.readStream.schema("vec array<float>, doc string")
+         .parquet(feed)),
+        store, checkpoint_dir=str(tmp_path / "ckpt_bid"), prepare=prep,
+    )
+    q.awaitTermination()
+    assert seen == [0]
+    assert store.count() == 1

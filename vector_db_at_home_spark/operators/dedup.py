@@ -591,7 +591,12 @@ def minhash_lsh_pairs_incremental_prepared(spark, state_path: str,
         .join(cor_sh.select(F.col("id").alias("corpus_id"), "h60"),
               ["corpus_id", "h60"])
         .groupBy("new_id", "corpus_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        # count DISTINCT h60, not rows: shingle sets are distinct per id in
+        # a clean state (identical result), but a crash between a state
+        # append and its replay marker can leave one batch's shingle rows
+        # duplicated — distinct keeps the Jaccard exact under that window
+        # instead of silently inflating it (rebuild = full recovery)
+        .agg(F.count_distinct("h60").alias("inter"))
     )
     jac = (
         F.col("inter").cast("double")
@@ -617,15 +622,25 @@ def minhash_corpus_state_append(spark, state_path: str,
     """Admit a batch into the persisted state: append its (hot-capped)
     shingles, band rows and sizes — no corpus rescan.  The stop-shingle
     and bucket caps stay as built (re-evaluated on rebuild, the standard
-    compaction-cadence tradeoff)."""
+    compaction-cadence tradeoff).
+
+    The three appends are not one atomic commit (plain parquet; a
+    transactional table format would close this).  Writes are ordered so a
+    mid-sequence failure degrades safely: shingles and sizes (the VERIFY
+    side) land BEFORE bands (the candidate-GENERATING side) — a partial
+    state can then only carry verify rows whose band rows never arrived
+    (those docs miss future candidate generation until rebuild, surfaced
+    by row-count drift), never band rows whose candidates silently vanish
+    at the verify joins (ADVICE r4).  ``minhash_corpus_state_build`` is
+    the recovery path for any suspected partial append."""
     meta, _cs, _cb, _cz, hot = _read_minhash_state(spark, state_path)
     sh = hashed_shingles(admitted_df, text_col, id_col, meta["n"], None) \
         .join(F.broadcast(hot), "h60", "left_anti")
     band_rows, sizes = _signature_bands(sh, meta["num_perm"], meta["bands"])
-    band_rows.write.mode("append").parquet(f"{state_path}/bands")
-    sizes.write.mode("append").parquet(f"{state_path}/sizes")
     sh.select("id", "h60").write.mode("append") \
         .parquet(f"{state_path}/shingles")
+    sizes.write.mode("append").parquet(f"{state_path}/sizes")
+    band_rows.write.mode("append").parquet(f"{state_path}/bands")
 
 
 def _sql_hashed_shingle_cte(max_doc_freq: int | None, n: int = 3) -> str:

@@ -34,10 +34,14 @@ def stream_into_store(stream_df: DataFrame, store: VectorStore,
                       prepare=None):
     """Start a streaming query appending ``(vec, doc)`` rows to the store.
 
-    ``prepare`` (optional ``DataFrame -> DataFrame``) transforms each
-    micro-batch before validation/append — the hook dedup/screening
+    ``prepare`` (optional ``DataFrame -> DataFrame``, or
+    ``(DataFrame, batch_id) -> DataFrame`` — arity detected) transforms
+    each micro-batch before validation/append — the hook dedup/screening
     composes through (see ``streaming.neardup``).  It runs inside the
-    serialized foreachBatch, so it may read the store's current state.
+    serialized foreachBatch, so it may read the store's current state; the
+    two-arg form additionally sees the stable foreachBatch batch id, which
+    is what lets a stateful prepare make its own side effects
+    replay-idempotent (a replayed batch re-arrives under the SAME id).
 
     ``stream_df`` must carry an ``array<float>`` vector column of the
     store's dimensionality (validated per batch — a bad row fails the batch
@@ -72,7 +76,12 @@ def stream_into_store(stream_df: DataFrame, store: VectorStore,
         if os.path.exists(marker):  # replay of a fully-committed batch
             return
         if prepare is not None:
-            batch_df = prepare(batch_df)
+            import inspect
+
+            if len(inspect.signature(prepare).parameters) >= 2:
+                batch_df = prepare(batch_df, batch_id)
+            else:
+                batch_df = prepare(batch_df)
         prepared = batch_df.select(
             F.col(vec_col).cast("array<float>").alias("vec"),
             F.coalesce(F.col(doc_col), F.lit("{}")).alias("doc"),

@@ -13,6 +13,23 @@ This composes three proven pieces (streaming ingest, exact dedup,
 incremental MinHash) rather than re-implementing any; the per-batch cost
 is bounded by the batch's own shingles plus its band collisions with the
 store.
+
+Replay semantics (foreachBatch is at-least-once): a replayed batch
+re-arrives under the SAME batch id.  Two mechanisms make the screen
+replay-safe when ``state_dir`` is used:
+
+- self-pairs (``new_id == corpus_id``) are filtered out of the near-dup
+  hits — a batch doc whose signature already landed in the persisted state
+  under its own digest-derived id (the first, crashed attempt) cannot
+  reject itself on replay (ADVICE r4: without this, a crash between the
+  state append and the ingest-marker commit silently dropped the batch);
+- the state append itself is guarded by a per-(checkpoint, batch) marker
+  inside ``state_dir``, so a replay never appends the same batch's
+  signature rows twice.  The crash window between the state append and its
+  marker can still duplicate ONE batch's state rows; the prepared
+  incremental join counts distinct shingles so duplicated rows cannot
+  inflate Jaccard, and a state rebuild (``minhash_corpus_state_build``) is
+  the documented recovery path.
 """
 
 from __future__ import annotations
@@ -22,6 +39,45 @@ from pyspark.sql import functions as F
 
 from ..store import VectorStore
 from .ingest import stream_into_store
+
+#: per-batch ceiling on rows entering the near-dup screen: the rejected-id
+#: set is broadcast and the survivor frame is localCheckpoint-materialized,
+#: both bounded by the batch size — beyond this, shrink the trigger
+#: (maxFilesPerTrigger / maxOffsetsPerTrigger) instead of screening a
+#: mega-batch in one shot (same contract as knn._MAX_QUERY_ROWS)
+_MAX_SCREEN_BATCH_ROWS = 1_000_000
+
+
+def _fs_exists(spark, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API, so ``state_dir``
+    may live on any Hadoop-supported filesystem (HDFS/S3A/local — ADVICE
+    r4: a driver-local ``os.path.exists`` is always false for remote URIs,
+    which would silently rebuild+clobber the state every micro-batch)."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+    except Exception:  # no JVM gateway (e.g. Spark Connect): local-FS only
+        import os
+
+        return os.path.exists(path)
+
+
+def _fs_touch(spark, path: str) -> None:
+    """Create an empty marker file (parents included) via the Hadoop
+    FileSystem API, with a local-FS fallback."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.create(hpath, True).close()
+    except Exception:
+        import os
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write("done")
 
 
 def stream_into_store_neardup(stream_df: DataFrame, store: VectorStore,
@@ -56,10 +112,23 @@ def stream_into_store_neardup(stream_df: DataFrame, store: VectorStore,
     signatures every micro-batch (measured 11× wall / 20× shuffle at 1M
     docs — SCALE.md).  The doc-frequency/bucket caps are frozen at state
     build; rebuild on your compaction cadence.  ``None`` keeps the
-    recompute-per-batch form (exact caps every batch)."""
+    recompute-per-batch form (exact caps every batch).  Replays are safe
+    either way (module docstring).
+
+    Batches larger than ``_MAX_SCREEN_BATCH_ROWS`` raise — shrink the
+    trigger rather than screening a mega-batch in one shot."""
     from ..operators.dedup import minhash_lsh_pairs_incremental
 
-    def screen(batch_df: DataFrame) -> DataFrame:
+    import hashlib
+    import uuid
+
+    scope = (
+        hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
+        if checkpoint_dir is not None
+        else uuid.uuid4().hex[:16]
+    )
+
+    def screen(batch_df: DataFrame, batch_id: int) -> DataFrame:
         digested = batch_df.withColumn(
             "__digest", F.md5(F.coalesce(F.col(doc_col), F.lit("{}")))
         )
@@ -76,8 +145,17 @@ def stream_into_store_neardup(stream_df: DataFrame, store: VectorStore,
             "__bid",
             F.conv(F.substring("__digest", 1, 15), 16, 10).cast("long"),
         )
-        if keyed.isEmpty():
+        n_batch = keyed.limit(_MAX_SCREEN_BATCH_ROWS + 1).count()
+        if n_batch == 0:
             return keyed.drop("__digest", "__bid")
+        if n_batch > _MAX_SCREEN_BATCH_ROWS:
+            raise ValueError(
+                f"batch {batch_id}: more than {_MAX_SCREEN_BATCH_ROWS} "
+                "distinct-novel rows entering the near-dup screen — the "
+                "rejected-id broadcast and survivor materialization are "
+                "batch-bounded; reduce the trigger size "
+                "(maxFilesPerTrigger / maxOffsetsPerTrigger)"
+            )
         batch_docs = keyed.select(
             F.col("__bid").alias("doc_id"),
             F.coalesce(F.col(doc_col), F.lit("{}")).alias("text"),
@@ -85,16 +163,14 @@ def stream_into_store_neardup(stream_df: DataFrame, store: VectorStore,
         corpus_docs = corpus.select(
             F.col("id").alias("doc_id"), F.col("doc").alias("text")
         )
+        spark = batch_df.sparkSession
         if state_dir is not None:
-            import os
-
             from ..operators.dedup import (
                 minhash_corpus_state_build,
                 minhash_lsh_pairs_incremental_prepared,
             )
 
-            spark = batch_df.sparkSession
-            if not os.path.exists(os.path.join(state_dir, "bands")):
+            if not _fs_exists(spark, f"{state_dir}/bands"):
                 minhash_corpus_state_build(
                     corpus_docs, state_dir, "text", "doc_id", n=shingle_n,
                     max_doc_freq=max_doc_freq,
@@ -110,6 +186,9 @@ def stream_into_store_neardup(stream_df: DataFrame, store: VectorStore,
                 "text", "doc_id", n=shingle_n, threshold=jaccard_threshold,
                 max_doc_freq=max_doc_freq, max_band_bucket=max_band_bucket,
             )
+        # a replayed batch finds its own (crashed-attempt) signatures in
+        # the state under the same digest-derived id — never a rejection
+        hits = hits.filter(F.col("new_id") != F.col("corpus_id"))
         dupped = hits.select(F.col("new_id").alias("__bid")).distinct()
         survivors = keyed.join(F.broadcast(dupped), "__bid", "left_anti")
         # materialize so the expensive incremental-MinHash join runs exactly
@@ -119,14 +198,17 @@ def stream_into_store_neardup(stream_df: DataFrame, store: VectorStore,
         if state_dir is not None:
             from ..operators.dedup import minhash_corpus_state_append
 
-            minhash_corpus_state_append(
-                batch_df.sparkSession, state_dir,
-                survivors.select(
-                    F.col("__bid").alias("doc_id"),
-                    F.coalesce(F.col(doc_col), F.lit("{}")).alias("text"),
-                ),
-                "text", "doc_id",
-            )
+            marker = f"{state_dir}/_appended_batches/{scope}/{batch_id}"
+            if not _fs_exists(spark, marker):
+                minhash_corpus_state_append(
+                    spark, state_dir,
+                    survivors.select(
+                        F.col("__bid").alias("doc_id"),
+                        F.coalesce(F.col(doc_col), F.lit("{}")).alias("text"),
+                    ),
+                    "text", "doc_id",
+                )
+                _fs_touch(spark, marker)
         return survivors.drop("__digest", "__bid")
 
     return stream_into_store(
