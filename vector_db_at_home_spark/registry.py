@@ -917,6 +917,183 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_append_recall",
+    # The daily-ingest ANN shape (VERDICT r4 #2): the index is built on 80%
+    # of the corpus and the remaining 20% arrives as an appended batch
+    # (ivf_append — assign-to-existing-centroids, no refit, no corpus
+    # rescan).  The exact-kNN leg over the FULL table is value-hashed by
+    # DuckDB (as in ann_ivf_recall); n_indexed proves every appended row
+    # entered the index; the recall boolean asserts the appended index
+    # still recovers >= 3/5 exact hits per query — query 0 is itself an
+    # APPENDED row, so a broken append fails the gate outright.
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings ORDER BY vec_id LIMIT 4
+), d AS (
+  SELECT q.query_id, e.vec_id AS id,
+         sqrt((SELECT sum((u.a - u.b) * (u.a - u.b))
+               FROM (SELECT unnest(e.embedding) AS a,
+                            unnest(q.qvec) AS b) u)) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT query_id,
+       count(*) AS n_exact,
+       CAST(sum(CAST(floor(dist * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS exact_dist_e6_sum,
+       (SELECT count(*) FROM embeddings) AS n_indexed,
+       CAST(1 AS BOOLEAN) AS ivf_append_found_ge_3
+FROM r WHERE rn <= 5
+GROUP BY query_id ORDER BY query_id
+""",
+)
+def q_ann_ivf_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF incremental ingest graded in-plan (operators/ann.py:ivf_append):
+    deterministic 80/20 corpus/batch split on ``vec_id % 5``, build on the
+    corpus, append the batch, then search the APPENDED index.  Per query:
+    the exact top-5 distances over the full table (value-hashed leg), the
+    total indexed count (corpus + batch — catches dropped appends), and a
+    recall>=3/5 boolean.  vec_id 0 is in the appended batch AND is query 0
+    (its own vector is its exact nearest neighbor), so append correctness
+    is load-bearing for the hash, not just the boolean."""
+    from .operators.ann import ivf_append, ivf_build, ivf_search
+    from .operators.knn import knn_search as _knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    qs = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+    )
+    exact = _knn(emb, qs, k=5, id_col="vec_id", vec_col="embedding",
+                 impl="expr")
+    ivf = ivf_build(corpus, id_col="vec_id", vec_col="embedding", n_cells=16)
+    ivf2 = ivf_append(ivf, batch, id_col="vec_id", vec_col="embedding")
+    n_indexed = ivf2.assigned.count()
+    approx = ivf_search(ivf2, qs, k=5, n_probes=8)
+    hits = (
+        exact.select("query_id", "id")
+        .join(approx.select("query_id", "id"), ["query_id", "id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                F.floor(F.col("distance") * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("exact_dist_e6_sum"),
+        )
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            "exact_dist_e6_sum",
+            F.lit(n_indexed).cast("long").alias("n_indexed"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3).alias(
+                "ivf_append_found_ge_3"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "pq_append_recall",
+    # The daily-ingest PQ shape (VERDICT r4 #2): codebooks fit on 80% of
+    # the corpus, the remaining 20% is pq_append-encoded with the EXISTING
+    # codebooks (no refit).  Exact leg value-hashed as in pq_recall;
+    # n_codes proves every appended row was encoded; the recall boolean
+    # asserts ADC + exact re-rank over the appended code table recovers
+    # >= 4/5 exact hits per query (query 0 is an appended row).
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings ORDER BY vec_id LIMIT 4
+), d AS (
+  SELECT q.query_id, e.vec_id AS id,
+         sqrt((SELECT sum((u.a - u.b) * (u.a - u.b))
+               FROM (SELECT unnest(e.embedding) AS a,
+                            unnest(q.qvec) AS b) u)) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT query_id,
+       count(*) AS n_exact,
+       CAST(sum(CAST(floor(dist * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS exact_dist_e6_sum,
+       (SELECT count(*) FROM embeddings) AS n_codes,
+       CAST(1 AS BOOLEAN) AS pq_append_found_ge_4
+FROM r WHERE rn <= 5
+GROUP BY query_id ORDER BY query_id
+""",
+)
+def q_pq_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ incremental ingest graded in-plan (operators/pq.py:pq_append):
+    deterministic 80/20 split on ``vec_id % 5``, codebooks fit on the
+    corpus only, batch encoded with those codebooks, search over the
+    unioned code table with exact re-rank.  Value-hashed exact leg +
+    total-codes count + recall>=4/5 boolean (query 0 is appended)."""
+    from .operators.knn import knn_search as _knn
+    from .operators.pq import pq_append, pq_build, pq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    qs = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+    )
+    exact = _knn(emb, qs, k=5, id_col="vec_id", vec_col="embedding",
+                 impl="expr")
+    pq = pq_build(corpus, id_col="vec_id", vec_col="embedding", m=8,
+                  fit_sample_rows=1000)
+    pq2 = pq_append(pq, batch, id_col="vec_id", vec_col="embedding")
+    n_codes = pq2.codes.count()
+    approx = pq_search(pq2, qs, k=5, refine_with=emb, refine_factor=16,
+                       id_col="vec_id", vec_col="embedding")
+    hits = (
+        exact.select("query_id", "id")
+        .join(approx.select("query_id", "id"), ["query_id", "id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                F.floor(F.col("distance") * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("exact_dist_e6_sum"),
+        )
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            "exact_dist_e6_sum",
+            F.lit(n_codes).cast("long").alias("n_codes"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 4).alias(
+                "pq_append_found_ge_4"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
     "sketch_user_cardinality",
     # HLL internals are engine-specific (Spark uses Datasketches), so the
     # estimate itself can't be a hash-compared value — but the EXACT
@@ -2163,6 +2340,7 @@ _SCORED_ORDER = [
 ]
 
 _TAIL_ORDER = [
+    "ann_ivf_append_recall", "pq_append_recall",
     "q6_forecast_revenue",
     "user_sessions", "skew_salted_agg", "strip_boilerplate",
     "repetition_signals", "pii_scrub_docs", "doc_chunks",
