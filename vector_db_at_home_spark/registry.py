@@ -2414,25 +2414,34 @@ _SCORED_ORDER = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q13_customer_distribution", "fuzzy_topk_small", "q18_large_orders",
     "q21_suppliers_waiting", "q22_dormant_customers",
-    "window_top_orders", "rolling_revenue", "events_windowed_agg",
+    "rolling_revenue", "events_windowed_agg",
     "nation_setops", "revenue_rollup", "events_percentiles",
     "lang_source_pivot", "range_join_windows", "asof_join_events",
     # dedup / similarity / decontamination
     "dedup_exact_map", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_minhash_incremental", "dedup_minhash_clusters", "dedup_simhash",
     "benchmark_decontamination", "cosine_topk_pairs",
-    # ANN / PQ
+    # ANN / PQ — batch builds AND both O(batch) incremental-ingest paths
     "ann_cosine_topk", "ann_ivf_recall", "pq_recall", "ivfpq_recall",
+    "ann_ivf_append_recall", "pq_append_recall",
+    # streaming ≡ batch (cross-micro-batch dedup state vs DISTINCT *)
+    "streaming_dedup_equiv",
     # text pipeline
-    "token_stats", "quality_score", "language_id", "doc_fingerprint",
-    "tokenize_bpeish", "tfidf_top_terms",
+    "token_stats", "quality_score", "language_id", "tfidf_top_terms",
     # sampling / kernel checks / multimodal / sketches / capstone
     "doc_hash_split", "mixture_resample_docs", "indel_kernel_check",
     "multimodal_stats", "sketch_user_cardinality", "clean_corpus",
 ]
 
 _TAIL_ORDER = [
-    "ann_ivf_append_recall", "pq_append_recall", "streaming_dedup_equiv",
+    # demoted r5 to make room for the incremental-ingest + streaming
+    # equivalence queries; machinery re-walks green in scored entries
+    # (doc_fingerprint/tokenize_bpeish: pure expressions over documents,
+    # same shape as token_stats/tfidf_top_terms; window_top_orders:
+    # ranking windows, the WindowGroupLimit machinery every scored top-k
+    # query exercises) and all three stay bit-exact in the committed
+    # three-scale local gate
+    "doc_fingerprint", "tokenize_bpeish", "window_top_orders",
     "q6_forecast_revenue",
     "user_sessions", "skew_salted_agg", "strip_boilerplate",
     "repetition_signals", "pii_scrub_docs", "doc_chunks",
