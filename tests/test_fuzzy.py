@@ -160,3 +160,19 @@ def test_large_batch_candidates_match(spark, monkeypatch):
     via_lit = {(r.query_id, r.id)
                for r in fz.fuzzy_candidates(df, qs, k=3).collect()}
     assert via_join == via_lit
+
+
+def test_provisional_ceiling_guard(spark, monkeypatch):
+    """Query batches whose k*m provisional set exceeds the driver-side
+    ceiling fail loudly with guidance (split the batch / prefilter=False);
+    prefilter=False stays available at any batch size."""
+    import vector_db_at_home_spark.operators.fuzzysearch as fz
+
+    df = spark.createDataFrame(
+        [(i, "w%d" % i) for i in range(6)], "id long, doc string")
+    monkeypatch.setattr(fz, "_MAX_PROVISIONAL_ROWS", 5)
+    with pytest.raises(ValueError, match="driver-side ceiling"):
+        fz.fuzzy_search_by_doc(df, ["a", "b", "c"], k=2)
+    out = fz.fuzzy_search_by_doc(df, ["a", "b", "c"], k=2,
+                                 prefilter=False).collect()
+    assert len(out) == 6

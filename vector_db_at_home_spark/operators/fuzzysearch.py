@@ -79,6 +79,13 @@ _BOUND_EPS = 1e-9
 # (correctness unaffected; the band just widens)
 _MAX_MULTISET_TERMS = 4096
 
+# driver-side ceiling on the phase-1 result (k·m (query_id, id, dist)
+# triples, ~24 B each, collected to set the band thresholds): past ~1M rows
+# the eager-snapshot design itself is wrong for the batch — split the query
+# batch, or run prefilter=False (fully lazy, no driver state).  Same
+# contract as knn._MAX_QUERY_ROWS.
+_MAX_PROVISIONAL_ROWS = 1_048_576
+
 # expression-size guard for the phase-2 band predicates: with at most this
 # many provisional (query_id, id, dist) rows, the per-query thresholds and
 # the scored-pair exclusion are inlined as literal predicates (zero extra
@@ -174,10 +181,18 @@ def _query_df(store: DataFrame, queries: list[str]) -> DataFrame:
     )
 
 
-def _provisional_scores(banded: DataFrame, k: int, score: Column) -> list:
+def _provisional_scores(banded: DataFrame, k: int, score: Column,
+                        n_queries: int) -> list:
     """EAGER phase 1: the k docs with the smallest length bound per query,
     scored exactly — one small job over ``(query_id, id, __lb)`` triples
     plus k·m scorer rows; returns ``[(query_id, id, dist)]`` Rows."""
+    if n_queries * k > _MAX_PROVISIONAL_ROWS:
+        raise ValueError(
+            f"query batch needs {n_queries * k} provisional rows "
+            f"(k x queries), over the {_MAX_PROVISIONAL_ROWS} driver-side "
+            "ceiling of the banded plan — split the query batch, or pass "
+            "prefilter=False for a fully lazy plan with no driver state"
+        )
     provisional = top_k_per_group(
         banded.select("query_id", "id", "__q", "__doc", "__lb"),
         ["query_id"],
@@ -293,7 +308,7 @@ def fuzzy_candidates(store: DataFrame, queries: list[str], k: int,
         lens = lens.withColumn("__cc", _charcount_col(queries))
     banded = lens.join(F.broadcast(qdf)).withColumn("__lb", _length_bound())
 
-    rows = _provisional_scores(banded, k, _distance_udf())
+    rows = _provisional_scores(banded, k, _distance_udf(), len(queries))
     band_lb = _multiset_bound(queries) if multiset else F.col("__lb")
     id_type = lens.schema["id"].dataType
     return _apply_band(
@@ -352,7 +367,7 @@ def fuzzy_search_by_doc(store: DataFrame, queries: list[str], k: int,
         # scores come back to the driver (tiny), so the band below both
         # inlines the thresholds as literals AND excludes the provisional
         # rows — nothing is ever scored twice.
-        rows = _provisional_scores(banded, k, score)
+        rows = _provisional_scores(banded, k, score, len(queries))
         band_lb = _multiset_bound(queries) if multiset else F.col("__lb")
         id_type = narrow.schema["id"].dataType
         banded = _apply_band(
