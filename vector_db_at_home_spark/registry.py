@@ -1186,6 +1186,83 @@ def q_streaming_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_window_equiv",
+    # Second streaming≡batch proof: event-time tumbling-window aggregation
+    # maintained INCREMENTALLY across micro-batches (complete output mode —
+    # the bounded-replay shape; watermarked append is pytest-pinned in
+    # test_streaming) must equal the batch GROUP BY.  Per-row e6
+    # integerization before the sum keeps the aggregate order-independent
+    # across batch boundaries.  multi_batch asserts >= 2 micro-batches.
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_e6,
+       CAST(1 AS BOOLEAN) AS multi_batch
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+""",
+)
+def q_streaming_window_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming event-time tumbling windows (streaming/events.py shape)
+    vs the batch aggregate: the events table is landed as 4 files, streamed
+    at maxFilesPerTrigger=1, and a windowed count/sum is maintained in
+    streaming state across the micro-batches (files arrive in arbitrary
+    event-time order, so partial windows MUST merge across batches to
+    pass); the memory-sink result is compared to DuckDB's per-hour GROUP
+    BY value-for-value."""
+    import tempfile
+    import uuid
+
+    from .streaming.events import EVENTS_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="stream_win_")
+    landing, ckpt = f"{work}/landing", f"{work}/ckpt"
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(landing)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("sum_value_e6"),
+        )
+    )
+    qname = "win_equiv_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(
+        1 for p in q.recentProgress if int(p["numInputRows"]) > 0
+    )
+    return (
+        spark.table(qname)
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value_e6",
+            F.lit(bool(n_batches >= 2)).alias("multi_batch"),
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+@register(
     "sketch_user_cardinality",
     # HLL internals are engine-specific (Spark uses Datasketches), so the
     # estimate itself can't be a hash-compared value — but the EXACT
@@ -2442,6 +2519,7 @@ _TAIL_ORDER = [
     # query exercises) and all three stay bit-exact in the committed
     # three-scale local gate
     "doc_fingerprint", "tokenize_bpeish", "window_top_orders",
+    "streaming_window_equiv",
     "q6_forecast_revenue",
     "user_sessions", "skew_salted_agg", "strip_boilerplate",
     "repetition_signals", "pii_scrub_docs", "doc_chunks",
