@@ -13,11 +13,13 @@ REAL from public byte formats, no codec library:
   NumPy), ``_gif_bytes``/``decode_gif_gray`` (lossless variable-width
   LZW + grayscale palette);
 - audio: ``_wav_bytes``/``decode_wav_pcm`` (RIFF chunk walk, 8/16-bit
-  PCM);
+  PCM) and ``_adpcm_wav_bytes``/``decode_wav_adpcm`` (IMA/DVI ADPCM,
+  WAV tag 0x11 — a REAL 4:1 compressed codec with adaptive step size;
+  ``decode_wav`` dispatches on the fmt tag);
 - video: ``_y4m_bytes``/``decode_y4m_gray`` (YUV4MPEG2 raw frames, luma
   extraction) — ``sample_frames`` returns REAL frames for y4m.
 
-Only COMPRESSED codecs (mp3/aac/h264/...) remain out of reach —
+Only PERCEPTUAL codecs (mp3/aac/h264/...) remain out of reach —
 ``decode_stub`` raises ``NotImplementedError`` for those (no libav in
 this container), with a deterministic byte-level featurizer standing in
 so the pipeline stays end-to-end runnable on any payload.  Swap that
@@ -951,6 +953,188 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, bytes]:
     return sample_rate, len(samples), samples
 
 
+# IMA/DVI ADPCM (public spec: IMA Digital Audio Focus and Technical
+# Working Groups recommendation, 1992; WAV format tag 0x0011) — a REAL
+# compressed audio codec: 4 bits per sample vs 16, adaptive step size.
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+_ADPCM_BLOCK_ALIGN = 256                       # bytes per block (mono)
+_ADPCM_SAMPLES_PER_BLOCK = 1 + (_ADPCM_BLOCK_ALIGN - 4) * 2   # = 505
+
+
+def _ima_reconstruct(nibble: int, pred: int, idx: int) -> tuple[int, int]:
+    """One IMA ADPCM step shared by encode (for predictor tracking) and
+    decode: returns the new (predictor, index)."""
+    step = _IMA_STEP[idx]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nibble]))
+    return pred, idx
+
+
+def _adpcm_wav_bytes(samples: bytes, sample_rate: int = 8000) -> bytes:
+    """A valid mono IMA-ADPCM WAV (format tag 0x0011) from unsigned 8-bit
+    samples — a REAL 4:1 compressed encode, stdlib only.  Block layout per
+    the IMA recommendation: 4-byte header (int16 predictor, uint8 step
+    index, reserved) then two 4-bit samples per byte, low nibble first."""
+    import struct
+
+    pcm16 = [(s << 8) - 32768 for s in samples]
+    blocks = []
+    for start in range(0, len(pcm16), _ADPCM_SAMPLES_PER_BLOCK):
+        chunk = pcm16[start:start + _ADPCM_SAMPLES_PER_BLOCK]
+        pred = chunk[0]
+        # seed the block's step index from its mean slope — the decoder
+        # reads the index from the header, and a near-matched initial
+        # step avoids the classic leading-edge slope-overload transient
+        # (index 0 = step 7 chasing a steep waveform for many samples)
+        if len(chunk) > 1:
+            mean_d = sum(
+                abs(chunk[i + 1] - chunk[i]) for i in range(len(chunk) - 1)
+            ) / (len(chunk) - 1)
+            idx = min(range(89), key=lambda i: abs(_IMA_STEP[i] - mean_d))
+        else:
+            idx = 0
+        blk = bytearray(struct.pack("<hBB", pred, idx, 0))
+        nibbles = []
+        for s in chunk[1:]:
+            step = _IMA_STEP[idx]
+            diff = s - pred
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, idx = _ima_reconstruct(nib, pred, idx)
+            nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        blk.extend(
+            nibbles[i] | (nibbles[i + 1] << 4)
+            for i in range(0, len(nibbles), 2)
+        )
+        blk.extend(b"\x00" * (_ADPCM_BLOCK_ALIGN - len(blk)))  # final block pad
+        blocks.append(bytes(blk))
+    data = b"".join(blocks)
+    byte_rate = (
+        sample_rate * _ADPCM_BLOCK_ALIGN // _ADPCM_SAMPLES_PER_BLOCK
+    )
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate,
+        _ADPCM_BLOCK_ALIGN, 4, 2, _ADPCM_SAMPLES_PER_BLOCK,
+    )
+    fact = struct.pack("<I", len(samples))
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(fact)) + (8 + len(data))
+    return (
+        b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav_adpcm(payload: bytes) -> tuple[int, int, bytes]:
+    """``(sample_rate, n_samples, samples)`` from a mono IMA-ADPCM WAV —
+    REAL compressed-audio decode, stdlib only.  Output folds to the same
+    unsigned-8-bit stream as ``decode_wav_pcm`` (high byte + 128) so PCM
+    and ADPCM audio are directly comparable downstream.  The ``fact``
+    chunk's sample count truncates the final block's padding."""
+    import struct
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data, n_total = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + ln]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk truncated")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+            if len(body) >= 20:
+                (spb,) = struct.unpack("<H", body[18:20])
+            else:
+                spb = None
+        elif cid == b"fact":
+            (n_total,) = struct.unpack("<I", body[:4])
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _br, block_align, bits = fmt
+    if audio_format != 0x11:
+        raise ValueError("not an IMA-ADPCM WAV")
+    if channels != 1 or bits != 4:
+        raise ValueError("only mono 4-bit IMA-ADPCM is supported")
+    if spb is None:
+        spb = 1 + (block_align - 4) * 2
+    out: list[int] = []
+    for start in range(0, len(data) - 3, block_align):
+        blk = data[start:start + block_align]
+        pred, idx, _r = struct.unpack("<hBB", blk[:4])
+        idx = max(0, min(88, idx))
+        out.append(pred)
+        produced = 1
+        for b in blk[4:]:
+            for nib in (b & 0xF, b >> 4):
+                if produced >= spb:
+                    break
+                pred, idx = _ima_reconstruct(nib, pred, idx)
+                out.append(pred)
+                produced += 1
+    if n_total is not None:
+        out = out[:n_total]
+    samples = bytes((((s >> 8) + 128) & 0xFF) for s in out)
+    return sample_rate, len(samples), samples
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
+    """``(sample_rate, n_samples, samples)`` from any supported WAV:
+    PCM (tag 1 — ``decode_wav_pcm``) or IMA-ADPCM (tag 0x11 — the REAL
+    compressed path, ``decode_wav_adpcm``), dispatched on the fmt tag."""
+    import struct
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if cid == b"fmt ":
+            if pos + 10 > len(payload):
+                raise ValueError("WAV fmt chunk truncated")
+            (tag,) = struct.unpack("<H", payload[pos + 8:pos + 10])
+            if tag == 0x11:
+                return decode_wav_adpcm(payload)
+            return decode_wav_pcm(payload)
+        pos += 8 + ln + (ln & 1)
+    raise ValueError("WAV missing fmt chunk")
+
+
 def _y4m_bytes(pixel_stream: bytes, width: int, height: int = 8) -> bytes:
     """A valid YUV4MPEG2 (y4m) video from a raw grayscale pixel stream —
     stdlib only.  Public plain-text-header format (the raw-video container
@@ -1036,22 +1220,23 @@ def decode_image_gray(payload: bytes) -> tuple[int, int, bytes]:
 def decode_stub(payload: bytes, modality: str):
     """Decode dispatch with an honest codec boundary.  Every container
     this repo can decode from public byte formats decodes FOR REAL —
-    images (PNG/baseline JPEG/GIF), PCM-WAV audio, y4m video (returns
-    ``(w, h, concatenated luma)``); only COMPRESSED audio/video codecs
+    images (PNG/baseline JPEG/GIF), WAV audio (PCM and IMA-ADPCM — the
+    latter a real compressed codec), y4m video (returns
+    ``(w, h, concatenated luma)``); only PERCEPTUAL audio/video codecs
     (mp3/aac/h264/...) raise — those genuinely require codec libraries
     this container doesn't have."""
     if modality == "image":
         return decode_image_gray(payload)
     if modality == "audio" and payload and payload[:4] == b"RIFF":
-        return decode_wav_pcm(payload)
+        return decode_wav(payload)
     if modality == "video" and payload and payload.startswith(b"YUV4MPEG2"):
         w, h, frames = decode_y4m_gray(payload)
         return w, h, b"".join(frames)
     raise NotImplementedError(
-        f"compressed {modality} decode requires codec libraries not "
-        "present in this environment (PCM-WAV audio and y4m video decode "
-        "for real); see _extract_features_bytes for the byte-level "
-        "stand-in"
+        f"perceptual {modality} codecs (mp3/aac/h264/...) require codec "
+        "libraries not present in this environment (PCM and IMA-ADPCM "
+        "WAV audio and y4m video decode for real); see "
+        "_extract_features_bytes for the byte-level stand-in"
     )
 
 
@@ -1088,8 +1273,8 @@ def extract_media_features(media: DataFrame, n_features: int = 8,
       the codec-free stand-in; works for every modality.
     - ``"auto"``: rows whose container the repo can decode are REALLY
       decoded and featurized over their decoded units — image pixels
-      (PNG/JPEG/GIF; ``n_units`` = width·height), PCM-WAV samples
-      (``n_units`` = sample count), y4m luma frames (``n_units`` = total
+      (PNG/JPEG/GIF; ``n_units`` = width·height), WAV samples (PCM or
+      IMA-ADPCM; ``n_units`` = sample count), y4m luma frames (``n_units`` = total
       frame pixels); unrecognized payloads fall back to payload bytes.
     - ``"strict"``: every row goes through ``decode_stub`` — decodable
       containers decode, compressed codecs raise ``NotImplementedError``
@@ -1120,7 +1305,7 @@ def extract_media_features(media: DataFrame, n_features: int = 8,
                     if modality == "image":
                         _w, _h, units = decode_image_gray(raw)
                     elif modality == "audio" and raw[:4] == b"RIFF":
-                        _sr, _n, units = decode_wav_pcm(raw)
+                        _sr, _n, units = decode_wav(raw)
                     elif modality == "video" and raw.startswith(
                             b"YUV4MPEG2"):
                         _w, _h, fr = decode_y4m_gray(raw)
