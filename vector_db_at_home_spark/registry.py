@@ -445,6 +445,55 @@ def _attach_minhash_incremental_oracle() -> None:
 _attach_minhash_incremental_oracle()
 
 
+@register("dedup_minhash_prepared")
+def q_dedup_minhash_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-STATE production ingest loop end-to-end
+    (dedup.minhash_corpus_state_build → _append →
+    minhash_lsh_pairs_incremental_prepared): the corpus state is
+    materialized to parquet from MOST of the corpus (doc_id % 5 != 0 and
+    % 10 != 1), one corpus slice (% 10 == 1) is admitted via the
+    O(batch) state APPEND, and the new batch (% 5 == 0) is screened
+    against the resulting state.  Caps are off so build+append ≡
+    one-shot build exactly; the oracle is the same batch×corpus
+    incremental SQL — matching pairs prove the parquet state round-trip,
+    the append visibility, and the prepared join all at once."""
+    import tempfile
+
+    from .operators.dedup import (
+        minhash_corpus_state_append,
+        minhash_corpus_state_build,
+        minhash_lsh_pairs_incremental_prepared,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "text"
+    )
+    base = docs.filter(
+        (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 10 != 1)
+    ).select("doc_id", "text")
+    late = docs.filter(F.col("doc_id") % 10 == 1).select("doc_id", "text")
+
+    state = tempfile.mkdtemp(prefix="mh_state_q_")
+    minhash_corpus_state_build(base, state, "text", "doc_id", n=3)
+    minhash_corpus_state_append(spark, state, late, "text", "doc_id")
+    return minhash_lsh_pairs_incremental_prepared(
+        spark, state, batch, "text", "doc_id", threshold=0.5
+    )
+
+
+def _attach_minhash_prepared_oracle() -> None:
+    from .operators.dedup import render_minhash_incremental_sql
+
+    _ORACLES["dedup_minhash_prepared"] = render_minhash_incremental_sql(
+        batch_pred="doc_id % 5 = 0", corpus_pred="doc_id % 5 <> 0",
+        n=3, threshold=0.5, max_doc_freq=None, max_band_bucket=None,
+    )
+
+
+_attach_minhash_prepared_oracle()
+
+
 @register("dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash near-dup pairs (pigeonhole-banded hamming join).
@@ -2570,6 +2619,7 @@ _TAIL_ORDER = [
     # three-scale local gate
     "doc_fingerprint", "tokenize_bpeish", "window_top_orders",
     "streaming_window_equiv", "adpcm_roundtrip_docs",
+    "dedup_minhash_prepared",
     "q6_forecast_revenue",
     "user_sessions", "skew_salted_agg", "strip_boilerplate",
     "repetition_signals", "pii_scrub_docs", "doc_chunks",
