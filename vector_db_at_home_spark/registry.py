@@ -1217,6 +1217,12 @@ def q_streaming_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_batches = sum(
         1 for p in q.recentProgress if int(p["numInputRows"]) > 0
     )
+    # landing + checkpoint are dead once the stream terminated; only the
+    # sink output backs the returned (lazy) DataFrame
+    import shutil
+
+    shutil.rmtree(landing, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
 
     landed = spark.read.parquet(out)
     return (
@@ -1297,6 +1303,10 @@ def q_streaming_window_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_batches = sum(
         1 for p in q.recentProgress if int(p["numInputRows"]) > 0
     )
+    # the memory sink holds the result; the on-disk work dir is dead
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
     return (
         spark.table(qname)
         .select(
