@@ -632,3 +632,56 @@ def test_adpcm_rejects_corrupt_and_foreign_streams():
     trunc = _adpcm_wav_bytes(bytes(600))[:20]      # cut inside fmt chunk
     with _pytest.raises(ValueError):
         decode_wav_adpcm(trunc)
+
+
+def test_g711_roundtrip_both_laws():
+    """ITU-T G.711 µ-law (WAV tag 7) and A-law (tag 6): logarithmic
+    companding round-trips every 8-bit level within 2/255, sample count
+    preserved, and the codec is idempotent (encode∘decode∘encode ==
+    encode — the fixed-point property of any correct G.711 pair)."""
+    from vector_db_at_home_spark.operators.multimodal import (
+        _alaw_decode_sample,
+        _alaw_encode_sample,
+        _g711_wav_bytes,
+        _ulaw_decode_sample,
+        _ulaw_encode_sample,
+        decode_wav,
+    )
+
+    src = bytes(range(256)) * 4
+    for law in ("ulaw", "alaw"):
+        rate, n, out = decode_wav(_g711_wav_bytes(src, law))
+        assert (rate, n) == (8000, len(src))
+        assert max(abs(a - b) for a, b in zip(src, out)) <= 2
+    for enc, dec in ((_ulaw_encode_sample, _ulaw_decode_sample),
+                     (_alaw_encode_sample, _alaw_decode_sample)):
+        for s in range(-32768, 32768, 257):
+            assert enc(dec(enc(s))) == enc(s)
+
+
+def test_g711_golden_codewords():
+    """Pin µ-law spec values: silence (0) encodes to 0xFF, full negative
+    scale to 0x00-region codes; decode(0xFF) == 0."""
+    from vector_db_at_home_spark.operators.multimodal import (
+        _ulaw_decode_sample,
+        _ulaw_encode_sample,
+    )
+
+    assert _ulaw_encode_sample(0) == 0xFF
+    assert _ulaw_decode_sample(0xFF) == 0
+    assert _ulaw_encode_sample(-32768) == 0x00        # max negative segment
+    assert _ulaw_decode_sample(0x00) == -(32124)      # spec: -8031 << 2
+
+
+def test_g711_rejects_foreign_streams():
+    import pytest as _pytest
+
+    from vector_db_at_home_spark.operators.multimodal import (
+        _wav_bytes,
+        decode_wav_g711,
+    )
+
+    with _pytest.raises(ValueError, match="G.711"):
+        decode_wav_g711(_wav_bytes(b"abcdef"))   # PCM into G.711 decoder
+    with _pytest.raises(ValueError, match="WAV"):
+        decode_wav_g711(b"\x01" * 30)

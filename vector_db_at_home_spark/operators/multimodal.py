@@ -15,7 +15,9 @@ REAL from public byte formats, no codec library:
 - audio: ``_wav_bytes``/``decode_wav_pcm`` (RIFF chunk walk, 8/16-bit
   PCM) and ``_adpcm_wav_bytes``/``decode_wav_adpcm`` (IMA/DVI ADPCM,
   WAV tag 0x11 — a REAL 4:1 compressed codec with adaptive step size;
-  ``decode_wav`` dispatches on the fmt tag);
+  ``decode_wav`` dispatches on the fmt tag) and ``_g711_wav_bytes``/
+  ``decode_wav_g711`` (ITU-T G.711 µ-law tag 7 / A-law tag 6 — the
+  telephony companding codecs);
 - video: ``_y4m_bytes``/``decode_y4m_gray`` (YUV4MPEG2 raw frames, luma
   extraction) — ``sample_frames`` returns REAL frames for y4m.
 
@@ -1111,6 +1113,114 @@ def decode_wav_adpcm(payload: bytes) -> tuple[int, int, bytes]:
     return sample_rate, len(samples), samples
 
 
+# ITU-T G.711 (public spec, 1972/1988): logarithmic 8-bit companding of
+# 16-bit PCM — µ-law (WAV tag 7, North America/Japan telephony) and A-law
+# (WAV tag 6, Europe).  2:1 compression with segment-constant relative
+# error; the standard codecs every telephony WAV uses.
+_G711_BIAS = 0x84
+_G711_CLIP = 32635
+
+
+def _ulaw_encode_sample(s: int) -> int:
+    sign = 0x80 if s < 0 else 0
+    mag = min(-s if s < 0 else s, _G711_CLIP) + _G711_BIAS
+    exp = 7
+    mask = 0x4000
+    while exp > 0 and not (mag & mask):
+        exp -= 1
+        mask >>= 1
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def _ulaw_decode_sample(u: int) -> int:
+    u = ~u & 0xFF
+    mag = (((u & 0x0F) << 3) + _G711_BIAS) << ((u >> 4) & 0x07)
+    mag -= _G711_BIAS
+    return -mag if u & 0x80 else mag
+
+
+def _alaw_encode_sample(s: int) -> int:
+    sign = 0x80 if s >= 0 else 0
+    mag = min(s if s >= 0 else -s - 1, 32767)
+    if mag >= 256:
+        exp = 7
+        mask = 0x4000
+        while exp > 1 and not (mag & mask):
+            exp -= 1
+            mask >>= 1
+        mant = (mag >> (exp + 3)) & 0x0F
+        code = (exp << 4) | mant
+    else:
+        code = mag >> 4
+    return (code | sign) ^ 0x55
+
+
+def _alaw_decode_sample(a: int) -> int:
+    a ^= 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    if exp == 0:
+        mag = (mant << 4) + 8
+    else:
+        mag = ((mant << 4) + 0x108) << (exp - 1)
+    return mag if sign else -mag
+
+
+def _g711_wav_bytes(samples: bytes, law: str,
+                    sample_rate: int = 8000) -> bytes:
+    """A valid mono G.711 WAV (tag 7 µ-law / tag 6 A-law) from unsigned
+    8-bit samples — REAL logarithmic companding, stdlib only."""
+    import struct
+
+    enc = _ulaw_encode_sample if law == "ulaw" else _alaw_encode_sample
+    tag = 7 if law == "ulaw" else 6
+    data = bytes(enc((s << 8) - 32768) for s in samples)
+    fmt = struct.pack("<HHIIHHH", tag, 1, sample_rate, sample_rate, 1, 8, 0)
+    fact = struct.pack("<I", len(samples))
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(fact)) + (8 + len(data))
+    return (
+        b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav_g711(payload: bytes) -> tuple[int, int, bytes]:
+    """``(sample_rate, n_samples, samples)`` from a mono G.711 WAV
+    (µ-law tag 7 or A-law tag 6) — REAL compressed-telephony decode,
+    folded to the same unsigned-8-bit stream as the other WAV paths."""
+    import struct
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + ln]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk truncated")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, channels, sample_rate, _br, _ba, bits = fmt
+    if tag not in (6, 7):
+        raise ValueError("not a G.711 WAV")
+    if channels != 1 or bits != 8:
+        raise ValueError("only mono 8-bit G.711 is supported")
+    dec = _ulaw_decode_sample if tag == 7 else _alaw_decode_sample
+    samples = bytes((((dec(b) >> 8) + 128) & 0xFF) for b in data)
+    return sample_rate, len(samples), samples
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
     """``(sample_rate, n_samples, samples)`` from any supported WAV:
     PCM (tag 1 — ``decode_wav_pcm``) or IMA-ADPCM (tag 0x11 — the REAL
@@ -1130,6 +1240,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
             (tag,) = struct.unpack("<H", payload[pos + 8:pos + 10])
             if tag == 0x11:
                 return decode_wav_adpcm(payload)
+            if tag in (6, 7):
+                return decode_wav_g711(payload)
             return decode_wav_pcm(payload)
         pos += 8 + ln + (ln & 1)
     raise ValueError("WAV missing fmt chunk")
