@@ -160,3 +160,37 @@ def test_pq_append_matches_full_encode(spark):
                      refine_factor=8, id_col="vec_id",
                      vec_col="embedding").collect()
     assert hits[0].id == probe.vec_id
+
+
+def test_ivfpq_append_o_batch_ingest(spark, emb, queries):
+    """ivfpq_append: build both levers on 80% of the corpus, append the
+    other 20% in one call — appended rows are immediately findable through
+    the composed search (each appended query's own vector at distance 0),
+    and the id sets of the two index sides stay consistent."""
+    from vector_db_at_home_spark.operators.ann import ivf_build
+    from vector_db_at_home_spark.operators.pq import (
+        ivfpq_append,
+        ivfpq_search,
+    )
+
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    ivf = ivf_build(corpus, id_col="vec_id", vec_col="embedding", n_cells=8)
+    pq0 = pq_build(corpus, id_col="vec_id", vec_col="embedding", m=8,
+                   fit_sample_rows=400)
+    ivf2, pq2 = ivfpq_append(ivf, pq0, batch, id_col="vec_id",
+                             vec_col="embedding")
+    n = emb.count()
+    assert ivf2.assigned.count() == n
+    assert pq2.codes.count() == n
+    # ids consistent across the two sides
+    assert ivf2.assigned.select("id").subtract(
+        pq2.codes.select("id")).count() == 0
+
+    got = ivfpq_search(ivf2, pq2, queries, k=5, n_probes=8,
+                       refine_with=emb, refine_factor=8,
+                       id_col="vec_id", vec_col="embedding")
+    zero = {(r.query_id, r.id) for r in got.collect()
+            if abs(r.distance) < 1e-9}
+    appended_queries = {q for q in range(8) if q % 5 == 0}
+    assert {(q, q) for q in appended_queries} <= zero

@@ -285,3 +285,36 @@ def test_media_decoders_never_crash_on_magic_prefixed_garbage(blob, which):
         dec(magic + blob)
     except (ValueError, NotImplementedError):
         pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=1200))
+def test_adpcm_roundtrip_any_payload(samples):
+    """IMA-ADPCM on arbitrary bytes: sample count always preserved (incl.
+    the multi-block and final-partial-block paths), output bytes valid,
+    and the decode is a pure function of the payload (re-decode equal)."""
+    from vector_db_at_home_spark.operators.multimodal import (
+        _adpcm_wav_bytes,
+        decode_wav_adpcm,
+    )
+
+    payload = _adpcm_wav_bytes(samples)
+    rate, n, out = decode_wav_adpcm(payload)
+    assert (rate, n, len(out)) == (8000, len(samples), len(samples))
+    assert decode_wav_adpcm(payload)[2] == out
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=600),
+       st.sampled_from(["ulaw", "alaw"]))
+def test_g711_roundtrip_any_payload(samples, law):
+    """G.711 on arbitrary bytes: count preserved, every sample within the
+    8-bit companding error bound (2/255)."""
+    from vector_db_at_home_spark.operators.multimodal import (
+        _g711_wav_bytes,
+        decode_wav,
+    )
+
+    rate, n, out = decode_wav(_g711_wav_bytes(samples, law))
+    assert (rate, n) == (8000, len(samples))
+    assert all(abs(a - b) <= 2 for a, b in zip(samples, out))

@@ -398,3 +398,21 @@ def ivfpq_search(ivf, pq: PQIndex, queries: DataFrame, k: int,
     return top_k_per_group(
         exact, ["query_id"], [F.col("distance").asc(), F.col("id").asc()], k
     ).orderBy("query_id", "distance", "id")
+
+
+def ivfpq_append(ivf, pq: PQIndex, new_rows: DataFrame,
+                 id_col: str = "id", vec_col: str = "vec"):
+    """O(batch) ingest for the IVF-PQ composition: assign the new batch to
+    the EXISTING centroids (``ann.ivf_append``) and encode it with the
+    EXISTING codebooks (``pq_append``), returning the updated
+    ``(IVFIndex, PQIndex)`` pair over a consistent id set — neither the
+    corpus assignments nor the code table are rescanned, so the daily
+    ingest of a billion-scale IVF-PQ index costs O(batch) like each
+    component does alone.  Centroid/codebook drift is a recall concern
+    only; rebuild on the compaction cadence."""
+    from .ann import ivf_append
+
+    return (
+        ivf_append(ivf, new_rows, id_col=id_col, vec_col=vec_col),
+        pq_append(pq, new_rows, id_col=id_col, vec_col=vec_col),
+    )
