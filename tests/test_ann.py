@@ -175,3 +175,48 @@ def test_ivf_append_matches_full_assignment(spark):
     hits = ivf_search(appended, qs, k=1, n_probes=2).collect()
     assert hits[0].id == probe.vec_id
     assert abs(hits[0].distance) < 1e-6
+
+
+def test_ivf_sync_with_store_incremental(spark, tmp_path):
+    """ivf_sync_with_store closes the stream->store->index loop: new store
+    rows are assigned to existing centroids and appended to the saved
+    cell-partitioned index (O(batch)); the call is idempotent; synced
+    vectors are immediately findable at rank 1."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.operators.ann import (
+        ivf_build,
+        ivf_load,
+        ivf_save,
+        ivf_search,
+        ivf_sync_with_store,
+    )
+    from vector_db_at_home_spark.store import VectorStore
+
+    rng = np.random.default_rng(7)
+    store = VectorStore(spark, tmp_path / "st_sync", dim=8)
+    base = rng.normal(size=(60, 8)).astype("float32")
+    store.insert(base)
+
+    path = str(tmp_path / "ivf_sync")
+    ivf = ivf_build(store.df(), id_col="id", vec_col="vec", n_cells=4)
+    ivf_save(ivf, path)
+
+    # grow the store, then sync
+    extra = (rng.normal(size=(15, 8)) + 5.0).astype("float32")
+    store.insert(extra)
+    added = ivf_sync_with_store(spark, store, path)
+    assert added == 15
+    assert ivf_sync_with_store(spark, store, path) == 0   # idempotent
+
+    synced = ivf_load(spark, path)
+    assert synced.assigned.count() == 75
+    # a synced vector finds itself at distance ~0 through the saved index
+    qid = 60  # first appended id (max+1 allocation)
+    q = store.df().filter(F.col("id") == qid).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    got = ivf_search(synced, q, k=1, n_probes=4).collect()
+    assert [r.id for r in got] == [qid]
+    assert abs(got[0].distance) < 1e-5

@@ -185,3 +185,55 @@ def ivf_append(ivf: IVFIndex, new_rows: DataFrame, id_col: str = "id",
         centroids=ivf.centroids,
         n_cells=ivf.n_cells,
     )
+
+
+def ivf_sync_with_store(spark, store, path: str,
+                        id_col: str = "id",
+                        vec_col: str = "vec") -> int:
+    """Incrementally sync a SAVED IVF index (``ivf_save`` layout) with a
+    growing :class:`~vector_db_at_home_spark.store.VectorStore`: store
+    rows whose ids are not yet in the index are assigned to the EXISTING
+    centroids (broadcast nearest-centroid — the ``ivf_append`` kernel) and
+    their assignment rows are APPENDED to the cell-partitioned parquet.
+    Returns the number of rows added.
+
+    This closes the production loop ``stream → store append → fresh ANN
+    index``: call it per micro-batch or on a cadence after streaming
+    ingest (``streaming.ingest`` / ``streaming.neardup``); cost is
+    O(new rows), the corpus assignments are never rescanned, and the
+    anti-join makes the call idempotent (a re-sync after a crash adds
+    nothing twice as long as the previous append committed — a torn
+    append is repaired by re-saving with ``ivf_save``).  Centroids are
+    NOT refit — rebuild with ``ivf_build`` + ``ivf_save`` on the
+    compaction cadence, as with every index family here."""
+    ivf = ivf_load(spark, path)
+    have = ivf.assigned.select("id")
+    new_rows = (
+        store.df()
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(have, "id", "left_anti")
+    )
+    if new_rows.isEmpty():
+        return 0
+    # assign ONLY the new rows (empty-assigned index + the ivf_append
+    # kernel) so the write below is O(batch), no corpus anti-join
+    empty = ivf.assigned.filter(F.lit(False))
+    fresh = ivf_append(
+        IVFIndex(assigned=empty, centroids=ivf.centroids,
+                 n_cells=ivf.n_cells),
+        new_rows, id_col="id", vec_col="vec",
+    ).assigned
+    # ivf_append computes distances over double vecs; write back in the
+    # SAVED schema's element type so the partitioned dataset stays
+    # parquet-consistent across appends
+    fresh = fresh.select(
+        "id",
+        F.col("vec").cast(ivf.assigned.schema["vec"].dataType).alias("vec"),
+        "cell",
+    )
+    fresh = fresh.localCheckpoint(eager=True)  # count + write, one compute
+    n = fresh.count()
+    fresh.write.partitionBy("cell").mode("append").parquet(
+        f"{path}/assigned"
+    )
+    return n
