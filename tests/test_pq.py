@@ -194,3 +194,41 @@ def test_ivfpq_append_o_batch_ingest(spark, emb, queries):
             if abs(r.distance) < 1e-9}
     appended_queries = {q for q in range(8) if q % 5 == 0}
     assert {(q, q) for q in appended_queries} <= zero
+
+
+def test_pq_sync_with_store_incremental(spark, tmp_path):
+    """pq_sync_with_store: new store rows are encoded with the saved
+    codebooks and appended to the codes table (O(batch), idempotent);
+    synced vectors are findable at rank 1 through the reloaded index."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.pq import (
+        pq_load,
+        pq_save,
+        pq_sync_with_store,
+    )
+    from vector_db_at_home_spark.store import VectorStore
+
+    rng = np.random.default_rng(11)
+    store = VectorStore(spark, tmp_path / "st_pqs", dim=16)
+    store.insert(rng.normal(size=(50, 16)).astype("float32"))
+
+    path = str(tmp_path / "pq_sync")
+    pq0 = pq_build(store.df(), id_col="id", vec_col="vec", m=4,
+                   fit_sample_rows=200)
+    pq_save(pq0, path)
+
+    store.insert((rng.normal(size=(12, 16)) + 4.0).astype("float32"))
+    assert pq_sync_with_store(spark, store, path) == 12
+    assert pq_sync_with_store(spark, store, path) == 0   # idempotent
+
+    synced = pq_load(spark, path)
+    assert synced.codes.count() == 62
+    qid = 50
+    q = store.df().filter(F.col("id") == qid).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    got = pq_search(synced, q, k=1, refine_with=store.df(),
+                    refine_factor=8, id_col="id", vec_col="vec").collect()
+    assert [r.id for r in got] == [qid]
+    assert abs(got[0].distance) < 1e-5

@@ -416,3 +416,36 @@ def ivfpq_append(ivf, pq: PQIndex, new_rows: DataFrame,
         ivf_append(ivf, new_rows, id_col=id_col, vec_col=vec_col),
         pq_append(pq, new_rows, id_col=id_col, vec_col=vec_col),
     )
+
+
+def pq_sync_with_store(spark, store, path: str,
+                       id_col: str = "id",
+                       vec_col: str = "vec") -> int:
+    """Incrementally sync a SAVED PQ index (``pq_save`` layout) with a
+    growing :class:`~vector_db_at_home_spark.store.VectorStore` — the PQ
+    analog of ``ann.ivf_sync_with_store``: store rows missing from the
+    codes table are encoded with the EXISTING codebooks (the
+    ``pq_append`` kernel) and their m-byte code rows appended.  Returns
+    rows added; idempotent via the id anti-join; O(batch) — the corpus
+    codes are never re-encoded.  Codebooks are not refit (rebuild with
+    ``pq_build`` + ``pq_save`` on the compaction cadence).  With this,
+    all three index families (MinHash corpus state, IVF, PQ) support the
+    same loop: stream → store append → incremental index sync."""
+    pq = pq_load(spark, path)
+    have = pq.codes.select("id")
+    new_rows = (
+        store.df()
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(have, "id", "left_anti")
+    )
+    if new_rows.isEmpty():
+        return 0
+    dsub = pq.dim // pq.m
+    fresh = _encode_codes(
+        new_rows.select("id", F.col("vec").alias("v")),
+        pq.codebooks, pq.m, dsub,
+    )
+    fresh = fresh.localCheckpoint(eager=True)  # count + write, one compute
+    n = fresh.count()
+    fresh.write.mode("append").parquet(f"{path}/codes")
+    return n
