@@ -398,3 +398,43 @@ def test_prepared_incremental_equals_direct(spark, tmp_path):
     ).collect()
     assert any(r.corpus_id == probe_src.doc_id and r.jaccard_e6 == 1_000_000
                for r in hits)
+
+
+def test_state_compact_rewrites_without_changing_results(spark, tmp_path):
+    """minhash_corpus_state_compact collapses the appended small files into
+    target_partitions per table, changes NO content (identical incremental
+    pairs before/after), and leaves hot/meta untouched."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.operators.dedup import (
+        minhash_corpus_state_append,
+        minhash_corpus_state_build,
+        minhash_corpus_state_compact,
+        minhash_lsh_pairs_incremental_prepared,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 == 1)
+    path = str(tmp_path / "mh_state_c")
+    minhash_corpus_state_build(corpus, path, "text", "doc_id", n=3)
+    # three appends -> many small files
+    for m in (2, 3, 0):
+        minhash_corpus_state_append(
+            spark, path, docs.filter(F.col("doc_id") % 4 == m),
+            "text", "doc_id",
+        )
+    probe = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    before = sorted(map(tuple, minhash_lsh_pairs_incremental_prepared(
+        spark, path, probe, "text", "doc_id", threshold=0.5).collect()))
+    n_files_before = len(glob.glob(f"{path}/shingles/*.parquet"))
+
+    minhash_corpus_state_compact(spark, path, target_partitions=2)
+    n_files_after = len(glob.glob(f"{path}/shingles/*.parquet"))
+    assert n_files_after <= 2 < n_files_before
+    after = sorted(map(tuple, minhash_lsh_pairs_incremental_prepared(
+        spark, path, probe, "text", "doc_id", threshold=0.5).collect()))
+    assert after == before and before  # identical, non-empty

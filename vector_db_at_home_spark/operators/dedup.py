@@ -643,6 +643,31 @@ def minhash_corpus_state_append(spark, state_path: str,
     band_rows.write.mode("append").parquet(f"{state_path}/bands")
 
 
+def minhash_corpus_state_compact(spark, state_path: str,
+                                 target_partitions: int = 32) -> None:
+    """Rewrite the persisted state's three appended tables into
+    ``target_partitions`` files each — the cheap ops middle path between
+    per-batch appends (which accumulate small files) and a full
+    ``minhash_corpus_state_build`` rebuild (which re-derives shingles and
+    re-evaluates the frozen caps).  Pure rewrite: no recompute, hot list
+    and meta untouched, content identical (pytest-pinned).  Each table is
+    staged next to itself and swapped in with two renames, so a crash
+    leaves either the old or the new layout, never a mix of one table."""
+    import os
+
+    for name in ("shingles", "sizes", "bands"):
+        cur = f"{state_path}/{name}"
+        stage = f"{state_path}/_compact_{name}"
+        spark.read.parquet(cur).repartition(target_partitions) \
+            .write.mode("overwrite").parquet(stage)
+        old = f"{state_path}/_old_{name}"
+        os.rename(cur, old)
+        os.rename(stage, cur)
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def _sql_hashed_shingle_cte(max_doc_freq: int | None, n: int = 3) -> str:
     """DuckDB CTEs producing the same distinct hashed shingle set
     ``(id, h1, h2, h3, h4, h60)`` as ``hashed_shingles`` (md5 at explode time,
