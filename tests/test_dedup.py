@@ -438,3 +438,54 @@ def test_state_compact_rewrites_without_changing_results(spark, tmp_path):
     after = sorted(map(tuple, minhash_lsh_pairs_incremental_prepared(
         spark, path, probe, "text", "doc_id", threshold=0.5).collect()))
     assert after == before and before  # identical, non-empty
+
+
+def test_simhash_incremental_equals_self_join_cross_pairs(spark, tmp_path):
+    """simhash_pairs_incremental == the full self-join restricted to
+    (batch, corpus) cross pairs (fingerprints are per-doc, so exactly);
+    the persisted-state prepared path returns the same pairs, and state
+    append admits a batch so later batches see it."""
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_pairs_incremental,
+        simhash_pairs_incremental_prepared,
+        simhash_state_append,
+        simhash_state_build,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+
+    inc = {(r.new_id, r.corpus_id, r.hamming)
+           for r in simhash_pairs_incremental(
+               batch, corpus, "text", "doc_id", max_hamming=5).collect()}
+    full = simhash_pairs(docs, "text", "doc_id", max_hamming=5).collect()
+    cross = {
+        (a, b, r.hamming)
+        for r in full
+        for a, b in ((r.id_a, r.id_b), (r.id_b, r.id_a))
+        if a % 4 == 0 and b % 4 != 0
+    }
+    assert inc == cross and inc
+
+    path = str(tmp_path / "sh_state")
+    simhash_state_build(corpus, path, "text", "doc_id")
+    prep = {(r.new_id, r.corpus_id, r.hamming)
+            for r in simhash_pairs_incremental_prepared(
+                spark, path, batch, "text", "doc_id",
+                max_hamming=5).collect()}
+    assert prep == inc
+
+    # append the batch; an exact copy of an admitted doc must now hit it
+    simhash_state_append(spark, path, batch, "text", "doc_id")
+    probe_src = batch.orderBy("doc_id").limit(1).collect()[0]
+    probe = spark.createDataFrame(
+        [(999_999, probe_src.text)], "doc_id long, text string"
+    )
+    hits = simhash_pairs_incremental_prepared(
+        spark, path, probe, "text", "doc_id", max_hamming=5).collect()
+    assert any(r.corpus_id == probe_src.doc_id and r.hamming == 0
+               for r in hits)

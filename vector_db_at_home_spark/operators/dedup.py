@@ -889,26 +889,7 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     agrees exactly on at least one band, so a self-join per band finds all
     of them without a cross product.  Verification is ``bit_count(XOR)``.
     """
-    nbands = max_hamming + 1
-    bounds = _band_bounds(nbands)
-    sig = simhash60(df, text_col, id_col)
-    bands = sig.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), off)
-                        .bitwiseAND(F.lit((1 << w) - 1))
-                        .alias("bkey"),
-                    )
-                    for b, (off, w) in enumerate(bounds)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "simhash", "bk.band", "bk.bkey")
+    bands = _simhash_bands(simhash60(df, text_col, id_col), max_hamming)
     a = bands.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bkey"
     )
@@ -928,6 +909,162 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+
+
+def _simhash_bands(sig: DataFrame, max_hamming: int) -> DataFrame:
+    """Pigeonhole band rows ``(id, simhash, band, bkey)`` for a
+    fingerprint table — shared by the self-join and incremental paths."""
+    bounds = _band_bounds(max_hamming + 1)
+    return sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("bkey"),
+                    )
+                    for b, (off, w) in enumerate(bounds)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.bkey")
+
+
+def simhash_pairs_incremental(new_df: DataFrame, corpus_df: DataFrame,
+                              text_col: str, id_col: str,
+                              max_hamming: int = 5,
+                              n: int = 3) -> DataFrame:
+    """``(new_id, corpus_id, hamming)`` of a new batch against the corpus
+    by SimHash — the SimHash ingest shape next to
+    ``minhash_lsh_pairs_incremental``: the corpus is fingerprinted and
+    banded but NEVER self-joined; candidates are batch-band × corpus-band
+    collisions only, verify is ``bit_count(XOR)``.  Fingerprints are
+    per-doc (no cross-doc caps), so incremental ≡ the full self-join
+    restricted to cross pairs, exactly."""
+    bn = _simhash_bands(
+        simhash60(new_df, text_col, id_col, n), max_hamming
+    ).select(F.col("id").alias("new_id"), F.col("simhash").alias("sh_a"),
+             "band", "bkey")
+    bc = _simhash_bands(
+        simhash60(corpus_df, text_col, id_col, n), max_hamming
+    ).select(F.col("id").alias("corpus_id"),
+             F.col("simhash").alias("sh_b"), "band", "bkey")
+    return (
+        bn.join(bc, ["band", "bkey"])
+        .select(
+            "new_id", "corpus_id",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("new_id", "corpus_id")
+    )
+
+
+def simhash_state_build(corpus_df: DataFrame, path: str,
+                        text_col: str, id_col: str,
+                        n: int = 3) -> None:
+    """Persist the corpus fingerprints ``(id, simhash)`` — the SimHash
+    analog of ``minhash_corpus_state_build``, but trivially cheap: the
+    state is ONE 16-byte row per doc, fingerprints are per-doc (no frozen
+    caps), and append ≡ rebuild exactly."""
+    import json
+
+    spark = corpus_df.sparkSession
+    simhash60(corpus_df, text_col, id_col, n).write.mode("overwrite") \
+        .parquet(f"{path}/fingerprints")
+    meta = {"n": n}
+    spark.createDataFrame([(json.dumps(meta),)], "meta string") \
+        .coalesce(1).write.mode("overwrite").json(f"{path}/meta.json")
+
+
+def simhash_state_append(spark, path: str, admitted_df: DataFrame,
+                         text_col: str, id_col: str) -> None:
+    """Fold an admitted batch's fingerprints into the persisted state —
+    one parquet append of ``(id, simhash)`` rows, O(batch)."""
+    import json
+
+    meta = json.loads(spark.read.json(f"{path}/meta.json").first().meta)
+    simhash60(admitted_df, text_col, id_col, meta["n"]) \
+        .write.mode("append").parquet(f"{path}/fingerprints")
+
+
+def simhash_pairs_incremental_prepared(spark, path: str,
+                                       new_df: DataFrame,
+                                       text_col: str, id_col: str,
+                                       max_hamming: int = 5) -> DataFrame:
+    """``(new_id, corpus_id, hamming)`` of a batch against the PERSISTED
+    fingerprint state: only the batch is shingled/fingerprinted; the
+    corpus contributes its stored 16-byte rows.  Identical to
+    ``simhash_pairs_incremental`` on the same corpus (per-doc
+    fingerprints), cost ∝ batch + band collisions."""
+    import json
+
+    meta = json.loads(spark.read.json(f"{path}/meta.json").first().meta)
+    bn = _simhash_bands(
+        simhash60(new_df, text_col, id_col, meta["n"]), max_hamming
+    ).select(F.col("id").alias("new_id"), F.col("simhash").alias("sh_a"),
+             "band", "bkey")
+    bc = _simhash_bands(
+        spark.read.parquet(f"{path}/fingerprints"), max_hamming
+    ).select(F.col("id").alias("corpus_id"),
+             F.col("simhash").alias("sh_b"), "band", "bkey")
+    return (
+        bn.join(bc, ["band", "bkey"])
+        .select(
+            "new_id", "corpus_id",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("new_id", "corpus_id")
+    )
+
+
+def render_simhash_incremental_sql(batch_pred: str, corpus_pred: str,
+                                   n: int = 3,
+                                   max_hamming: int = 5) -> str:
+    """DuckDB oracle for the SimHash ingest shape: fingerprints over ALL
+    documents (per-doc, corpus-independent), then batch-slice ×
+    corpus-slice band join + hamming verify — value-for-value."""
+    nbands = max_hamming + 1
+    bounds = _band_bounds(nbands)
+    band_rows = ", ".join(
+        f"({b}, {off}, {(1 << w) - 1})" for b, (off, w) in enumerate(bounds)
+    )
+    ones = ", ".join(
+        f"sum((h >> {k}) & 1) AS s{k}" for k in range(SIMHASH_BITS)
+    )
+    fp_sum = " + ".join(
+        f"CASE WHEN s{k} * 2 > n THEN CAST({1 << k} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for k in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {_sql_hashed_shingle_cte(None, n)},
+hs AS (SELECT id, h60 AS h FROM sh),
+ones AS (SELECT id, {ones}, count(*) AS n FROM hs GROUP BY id),
+fp AS (SELECT id, {fp_sum} AS simhash FROM ones),
+bspec(band, boff, bmask) AS (VALUES {band_rows}),
+bd AS (SELECT id, simhash, band, (simhash >> boff) & bmask AS bkey
+       FROM fp, bspec),
+cand AS (SELECT DISTINCT a.id AS new_id, b.id AS corpus_id,
+                bit_count(xor(a.simhash, b.simhash)) AS hamming
+         FROM bd a JOIN bd b
+           ON a.band = b.band AND a.bkey = b.bkey
+         WHERE a.id IN (SELECT doc_id FROM documents WHERE {batch_pred})
+           AND b.id IN (SELECT doc_id FROM documents WHERE {corpus_pred}))
+SELECT new_id, corpus_id, CAST(hamming AS BIGINT) AS hamming
+FROM cand WHERE hamming <= {max_hamming} ORDER BY new_id, corpus_id
+"""
 
 
 def render_simhash_sql(n: int = 3, max_hamming: int = 5) -> str:

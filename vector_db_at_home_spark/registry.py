@@ -494,6 +494,51 @@ def _attach_minhash_prepared_oracle() -> None:
 _attach_minhash_prepared_oracle()
 
 
+@register("dedup_simhash_incremental")
+def q_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash ingest shape through the PERSISTED fingerprint state
+    (dedup.simhash_state_build → _append →
+    simhash_pairs_incremental_prepared): state built from most of the
+    corpus, one slice admitted via the O(batch) append, the new batch
+    screened against the result — corpus never self-joined, and the
+    stored state is 16 bytes/doc.  Fingerprints are per-doc so
+    build+append ≡ one-shot exactly; the oracle recomputes identical
+    fingerprints, pigeonhole bands and hamming over the predicate split."""
+    import tempfile
+
+    from .operators.dedup import (
+        simhash_pairs_incremental_prepared,
+        simhash_state_append,
+        simhash_state_build,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    base = docs.filter(
+        (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 10 != 1)
+    ).select("doc_id", "text")
+    late = docs.filter(F.col("doc_id") % 10 == 1).select("doc_id", "text")
+
+    state = tempfile.mkdtemp(prefix="sh_state_q_")
+    simhash_state_build(base, state, "text", "doc_id", n=3)
+    simhash_state_append(spark, state, late, "text", "doc_id")
+    return simhash_pairs_incremental_prepared(
+        spark, state, batch, "text", "doc_id", max_hamming=5
+    )
+
+
+def _attach_simhash_incremental_oracle() -> None:
+    from .operators.dedup import render_simhash_incremental_sql
+
+    _ORACLES["dedup_simhash_incremental"] = render_simhash_incremental_sql(
+        batch_pred="doc_id % 5 = 0", corpus_pred="doc_id % 5 <> 0",
+        n=3, max_hamming=5,
+    )
+
+
+_attach_simhash_incremental_oracle()
+
+
 @register("dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash near-dup pairs (pigeonhole-banded hamming join).
@@ -2629,7 +2674,7 @@ _TAIL_ORDER = [
     # three-scale local gate
     "doc_fingerprint", "tokenize_bpeish", "window_top_orders",
     "streaming_window_equiv", "adpcm_roundtrip_docs",
-    "dedup_minhash_prepared",
+    "dedup_minhash_prepared", "dedup_simhash_incremental",
     "q6_forecast_revenue",
     "user_sessions", "skew_salted_agg", "strip_boilerplate",
     "repetition_signals", "pii_scrub_docs", "doc_chunks",
