@@ -521,3 +521,70 @@ def test_stream_ingest_prepare_receives_batch_id(spark, tmp_path):
     q.awaitTermination()
     assert seen == [0]
     assert store.count() == 1
+
+
+def test_full_ingest_pipeline_stream_neardup_ivf_sync(spark, tmp_path):
+    """Whole-engine composition: a vector+doc stream flows through the
+    near-dup screen (persisted MinHash state) into the store, then the
+    saved IVF index is incrementally synced and the new vectors are
+    immediately searchable — the complete production ingest loop, every
+    stage O(batch)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.operators.ann import (
+        ivf_build,
+        ivf_load,
+        ivf_save,
+        ivf_search,
+        ivf_sync_with_store,
+    )
+    from vector_db_at_home_spark.store import VectorStore
+    from vector_db_at_home_spark.streaming.neardup import (
+        stream_into_store_neardup,
+    )
+
+    rng = np.random.default_rng(3)
+    store = VectorStore(spark, tmp_path / "st_full", dim=4)
+    base_doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    store.insert(rng.normal(size=(6, 4)).astype("float32"),
+                 [{"t": f"{base_doc} {i}"} for i in range(6)])
+
+    path = str(tmp_path / "ivf_full")
+    ivf_save(ivf_build(store.df(), id_col="id", vec_col="vec", n_cells=2),
+             path)
+
+    # stream: 1 near-dup of a stored doc (rejected), 2 novel docs (kept)
+    wrap = lambda t: '{"t": "%s"}' % t
+    novel_a = "one two three four five six seven eight nine ten"
+    novel_b = "completely different words entirely unrelated now indeed"
+    feed = str(tmp_path / "feed_full")
+    spark.createDataFrame(
+        [([9.0, 9.0, 9.0, 9.0], wrap(base_doc + " 0 x")),
+         ([5.0, 5.0, 5.0, 5.0], wrap(novel_a)),
+         ([7.0, 7.0, 7.0, 7.0], wrap(novel_b))],
+        "vec array<float>, doc string",
+    ).coalesce(1).write.parquet(feed)
+    q = stream_into_store_neardup(
+        (spark.readStream.schema("vec array<float>, doc string")
+         .parquet(feed)),
+        store, jaccard_threshold=0.4,
+        checkpoint_dir=str(tmp_path / "ckpt_full"),
+        state_dir=str(tmp_path / "mh_full"),
+    )
+    q.awaitTermination()
+    assert store.count() == 8          # 6 + 2 survivors
+
+    # sync the saved index with what the stream admitted, then search
+    assert ivf_sync_with_store(spark, store, path) == 2
+    synced = ivf_load(spark, path)
+    hit_id = (
+        store.df().filter(F.col("doc").contains("five six seven"))
+        .select("id").first().id
+    )
+    q1 = spark.createDataFrame(
+        [(0, [5.0, 5.0, 5.0, 5.0])], "query_id long, qvec array<float>"
+    )
+    got = ivf_search(synced, q1, k=1, n_probes=2).collect()
+    assert [r.id for r in got] == [hit_id]
+    assert abs(got[0].distance) < 1e-6
