@@ -652,8 +652,10 @@ def minhash_corpus_state_compact(spark, state_path: str,
     re-evaluates the frozen caps).  Pure rewrite: no recompute, hot list
     and meta untouched, content identical (pytest-pinned).  Each table is
     staged next to itself and swapped in with two renames, so a crash
-    leaves either the old or the new layout, never a mix of one table."""
-    import os
+    leaves either the old or the new layout, never a mix of one table.
+    All path operations go through the Hadoop FileSystem API so the state
+    may live on HDFS/S3A (``functions.fsutil``)."""
+    from ..functions.fsutil import fs_rename, fs_rmtree
 
     for name in ("shingles", "sizes", "bands"):
         cur = f"{state_path}/{name}"
@@ -661,11 +663,9 @@ def minhash_corpus_state_compact(spark, state_path: str,
         spark.read.parquet(cur).repartition(target_partitions) \
             .write.mode("overwrite").parquet(stage)
         old = f"{state_path}/_old_{name}"
-        os.rename(cur, old)
-        os.rename(stage, cur)
-        import shutil
-
-        shutil.rmtree(old, ignore_errors=True)
+        fs_rename(spark, cur, old)
+        fs_rename(spark, stage, cur)
+        fs_rmtree(spark, old)
 
 
 def _sql_hashed_shingle_cte(max_doc_freq: int | None, n: int = 3) -> str:

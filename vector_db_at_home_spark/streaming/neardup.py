@@ -48,36 +48,12 @@ from .ingest import stream_into_store
 _MAX_SCREEN_BATCH_ROWS = 1_000_000
 
 
-def _fs_exists(spark, path: str) -> bool:
-    """Existence probe through the Hadoop FileSystem API, so ``state_dir``
-    may live on any Hadoop-supported filesystem (HDFS/S3A/local — ADVICE
-    r4: a driver-local ``os.path.exists`` is always false for remote URIs,
-    which would silently rebuild+clobber the state every micro-batch)."""
-    try:
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(hpath))
-    except Exception:  # no JVM gateway (e.g. Spark Connect): local-FS only
-        import os
-
-        return os.path.exists(path)
-
-
-def _fs_touch(spark, path: str) -> None:
-    """Create an empty marker file (parents included) via the Hadoop
-    FileSystem API, with a local-FS fallback."""
-    try:
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.create(hpath, True).close()
-    except Exception:
-        import os
-
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as f:
-            f.write("done")
+# Existence probe / marker creation through the Hadoop FileSystem API so
+# state_dir may live on HDFS/S3A (ADVICE r4: a driver-local os.path.exists
+# is always false for remote URIs, silently rebuilding+clobbering the
+# state every micro-batch).  Shared with the dedup state operators.
+from ..functions.fsutil import fs_exists as _fs_exists
+from ..functions.fsutil import fs_touch as _fs_touch
 
 
 def stream_into_store_neardup(stream_df: DataFrame, store: VectorStore,
