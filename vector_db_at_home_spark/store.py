@@ -115,6 +115,17 @@ class VectorStore:
     The DataFrame-returning layer (``df()``, ``index_df()``) is public so lazy
     pipelines and the driver's ``queries()`` can compose plans without
     collecting (SURVEY.md §7.4.6).
+
+    **Filesystem boundary (deliberate):** the snapshot pointer and marker
+    plumbing here use driver-local ``os`` calls — this class mirrors the
+    reference's EMBEDDED store (a local SQLite file,
+    ``vector_store.py:69-91``), so ``root`` is a local path by design, the
+    same way the reference's db path is.  The cluster-facing state the
+    OPERATORS persist (MinHash corpus state, saved IVF/PQ indexes, batch
+    markers) goes through the Hadoop FileSystem API instead
+    (``functions.fsutil``) and may live on HDFS/S3A; a shared-storage
+    multi-writer store would swap this class's pointer file for a
+    transactional table format, without touching the DataFrame layer.
     """
 
     def __init__(self, spark: SparkSession, root: str | os.PathLike, dim: int):
