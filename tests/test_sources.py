@@ -138,3 +138,82 @@ def test_sql_macros(spark):
     fp = spark.sql(f"SELECT {fp_expr} AS fp").first().fp
     # ((0*31+97)*31+98)*31+99 mod 1e9+7
     assert fp == ((97 * 31 + 98) * 31 + 99) % 1_000_000_007
+
+
+def test_load_media_dir_classifies_and_decodes(spark, tmp_path):
+    """binaryFile media source: real PNG/WAV/y4m files on disk land as
+    MEDIA_SCHEMA rows classified by MAGIC BYTES (not extension — one file
+    is deliberately mis-extensioned), image dims parsed from the header,
+    and every payload decodes through the real decoders."""
+    from vector_db_at_home_spark.operators.multimodal import (
+        _png_bytes,
+        _wav_bytes,
+        _y4m_bytes,
+        decode_image_gray,
+        decode_wav,
+        decode_y4m_gray,
+    )
+    from vector_db_at_home_spark.sources.mediafiles import load_media_dir
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.png").write_bytes(_png_bytes(bytes(range(48)), width=8))
+    (d / "b.wav").write_bytes(_wav_bytes(bytes(range(100))))
+    (d / "c.y4m").write_bytes(_y4m_bytes(bytes(range(64)) * 2, 4, 8))
+    # magic bytes must win over the lying extension
+    (d / "lies.txt").write_bytes(_png_bytes(bytes(range(24)), width=6))
+    (d / "junk.bin").write_bytes(b"\x00\x01\x02 not a container")
+
+    media = load_media_dir(spark, str(d))
+    rows = {r.source_path.rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert rows["a.png"].modality == "image"
+    assert rows["a.png"].meta.width == 8 and rows["a.png"].meta.height == 6
+    assert rows["lies.txt"].modality == "image"       # magic bytes won
+    assert rows["b.wav"].modality == "audio"
+    assert rows["c.y4m"].modality == "video"
+    assert rows["junk.bin"].modality == "unknown"
+    assert len({r.media_id for r in rows.values()}) == 5  # stable distinct
+
+    w, h, px = decode_image_gray(bytes(rows["a.png"].payload))
+    assert (w, h, len(px)) == (8, 6, 48)
+    _sr, n, _s = decode_wav(bytes(rows["b.wav"].payload))
+    assert n == 100
+    fw, fh, frames = decode_y4m_gray(bytes(rows["c.y4m"].payload))
+    assert (fw, fh, len(frames)) == (4, 8, 4)
+
+    # glob pushdown: only the wav
+    only_wav = load_media_dir(spark, str(d), glob="*.wav").collect()
+    assert [r.modality for r in only_wav] == ["audio"]
+
+
+def test_load_text_corpus_whole_files_and_lines(spark, tmp_path):
+    from vector_db_at_home_spark.sources.textfiles import load_text_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "x.txt").write_text("alpha beta\ngamma delta")
+    (d / "y.txt").write_text("gamma delta")
+
+    whole = load_text_corpus(spark, str(d), whole_files=True).collect()
+    assert len(whole) == 2
+    assert {r.text for r in whole} == {"alpha beta\ngamma delta",
+                                       "gamma delta"}
+    assert len({r.doc_id for r in whole}) == 2
+
+    lines = load_text_corpus(spark, str(d), whole_files=False).collect()
+    assert len(lines) == 3
+    # duplicate line across files stays two distinct documents
+    assert sum(1 for r in lines if r.text == "gamma delta") == 2
+    assert len({r.doc_id for r in lines}) == 3
+
+
+def test_load_text_corpus_glob_filter(spark, tmp_path):
+    from vector_db_at_home_spark.sources.textfiles import load_text_corpus
+
+    d = tmp_path / "corpus_g"
+    d.mkdir()
+    (d / "keep.txt").write_text("kept words")
+    (d / "skip.log").write_text("skipped words")
+    got = load_text_corpus(spark, str(d), whole_files=True,
+                           glob="*.txt").collect()
+    assert [r.text for r in got] == ["kept words"]
