@@ -217,3 +217,53 @@ def test_load_text_corpus_glob_filter(spark, tmp_path):
     got = load_text_corpus(spark, str(d), whole_files=True,
                            glob="*.txt").collect()
     assert [r.text for r in got] == ["kept words"]
+
+
+def test_text_connector_feeds_dedup_pipeline(spark, tmp_path):
+    """Front door to pipeline: raw text FILES loaded per-file flow through
+    exact dedup (digest), MinHash near-dup removal (keep-one via connected
+    components) and token stats — validating that the connector's
+    xxhash64 doc ids (including negative longs) compose with every keyed
+    operator downstream."""
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from vector_db_at_home_spark.operators.graph import drop_near_duplicates
+    from vector_db_at_home_spark.operators.textstats import token_stats
+    from vector_db_at_home_spark.sources.textfiles import load_text_corpus
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    d = tmp_path / "raw_corpus"
+    d.mkdir()
+    (d / "a.txt").write_text(base)
+    (d / "a_copy.txt").write_text(base)                     # exact dup
+    (d / "a_near.txt").write_text(base.replace("gamma", "zzz"))  # near dup
+    (d / "b.txt").write_text(
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+    )
+
+    docs = load_text_corpus(spark, str(d), whole_files=True)
+    assert docs.filter(F.col("doc_id") < 0).count() > 0   # negative ids real
+
+    canon = exact_dedup(docs, "text", "doc_id")
+    exact_kept = docs.join(
+        canon.filter(F.col("id") == F.col("canonical_id"))
+        .select(F.col("id").alias("doc_id")),
+        "doc_id",
+    )
+    assert exact_kept.count() == 3                         # copy collapsed
+
+    pairs = minhash_lsh_pairs(exact_kept, "text", "doc_id", threshold=0.5)
+    kept = drop_near_duplicates(exact_kept, pairs, "doc_id")
+    texts = sorted(r.text for r in kept.collect())
+    assert len(texts) == 2                                 # near dup dropped
+    assert any(t.startswith("one two") for t in texts)
+    assert sum(1 for t in texts if "alpha beta" in t) == 1
+
+    stats = token_stats(kept, "text", "doc_id").collect()
+    assert all(r.n_tokens >= 19 for r in stats)
