@@ -267,3 +267,44 @@ def test_text_connector_feeds_dedup_pipeline(spark, tmp_path):
 
     stats = token_stats(kept, "text", "doc_id").collect()
     assert all(r.n_tokens >= 19 for r in stats)
+
+
+def test_load_media_stream_lands_classified_rows(spark, tmp_path):
+    """Streaming media landing zone: files arriving in a directory stream
+    through the shared magic-byte projection into a parquet media table
+    identical to a batch read of the same files."""
+    from vector_db_at_home_spark.operators.multimodal import (
+        _png_bytes,
+        _wav_bytes,
+    )
+    from vector_db_at_home_spark.sources.mediafiles import (
+        load_media_dir,
+        load_media_stream,
+    )
+
+    d = tmp_path / "land_media"
+    d.mkdir()
+    (d / "p.png").write_bytes(_png_bytes(bytes(range(32)), width=8))
+    (d / "s.wav").write_bytes(_wav_bytes(bytes(range(50))))
+
+    out = str(tmp_path / "media_out")
+    q = (
+        load_media_stream(spark, str(d), max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "media_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    landed = {
+        (r.media_id, r.modality, r.meta.width, bytes(r.payload))
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.media_id, r.modality, r.meta.width, bytes(r.payload))
+        for r in load_media_dir(spark, str(d)).collect()
+    }
+    assert landed == batch
+    assert {m for _i, m, _w, _p in landed} == {"image", "audio"}

@@ -54,12 +54,42 @@ def load_media_dir(spark: SparkSession, path: str,
     and a ``meta`` struct whose image dimensions are parsed from the
     payload header executor-side.  ``source_path`` rides along for
     lineage.  All work is distributed — the driver never sees content."""
-    from ..operators.multimodal import parse_image_header
-
     reader = spark.read.format("binaryFile")
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
-    raw = reader.load(path).select("path", "content")
+    return _project_media(reader.load(path).select("path", "content"))
+
+
+#: binaryFile schema, needed explicitly by the streaming reader
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def load_media_stream(spark: SparkSession, path: str,
+                      glob: str | None = None,
+                      max_files_per_trigger: int = 100) -> DataFrame:
+    """Streaming form of ``load_media_dir`` — a landing zone of media
+    files becomes a micro-batched stream of ``MEDIA_SCHEMA`` rows (same
+    magic-byte classification, same header parsing; the projection is
+    shared code).  Pair with a parquet sink to land a queryable media
+    table continuously, or ``foreachBatch`` to push batches through
+    ``operators.multimodal`` feature extraction."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return _project_media(reader.load(path).select("path", "content"))
+
+
+def _project_media(raw: DataFrame) -> DataFrame:
+    """(path, content) → MEDIA_SCHEMA + source_path; batch and streaming
+    share this exactly, so the landed stream is bit-identical to a batch
+    read of the same files."""
+    from ..operators.multimodal import parse_image_header
 
     out_schema = StructType([
         StructField("source_path", StringType()),
