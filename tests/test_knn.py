@@ -151,3 +151,30 @@ def test_pandas_and_expr_agree_on_cosine(spark, eye_store):
     assert [(r.query_id, r.id) for r in a] == [(r.query_id, r.id) for r in b]
     for ra, rb in zip(a, b):
         assert ra.distance == pytest.approx(rb.distance, abs=1e-9)
+
+
+def test_dot_metric_both_impls_agree(spark):
+    """metric="dot" (MIPS): both impls return identical rankings AND
+    bit-identical distances (the pandas GEMM re-scores winners with the
+    same expression), and the top hit is the true max-inner-product row,
+    not the nearest-by-L2 one."""
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.operators.knn import knn_search
+
+    # id 1 has the same direction as the query but twice the magnitude —
+    # MIPS must prefer it over the exactly-equal vector (id 0)
+    rows = [(0, [1.0, 0.0]), (1, [2.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0])],
+                              "query_id long, qvec array<double>")
+    exp = knn_search(df, q, k=3, metric="dot", impl="expr").collect()
+    pan = knn_search(df, q, k=3, metric="dot", impl="pandas").collect()
+    assert [(r.id, r.distance) for r in exp] == \
+        [(r.id, r.distance) for r in pan]
+    assert [r.id for r in exp] == [1, 0, 2]          # MIPS order
+    assert exp[0].distance == -2.0
+
+    with __import__("pytest").raises(ValueError, match="metric"):
+        knn_search(df, q, k=1, metric="nope").collect()

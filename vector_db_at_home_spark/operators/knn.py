@@ -58,7 +58,7 @@ def knn_search(index: DataFrame, queries: DataFrame, k: int,
     ``check_k=True`` reproduces the reference's eager ``k > N`` ValueError at
     the cost of a count job; leave False inside lazy pipelines.
     """
-    if metric not in ("l2", "sqeuclidean", "cosine"):
+    if metric not in ("l2", "sqeuclidean", "cosine", "dot"):
         raise ValueError(f"unknown metric: {metric}")
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -79,6 +79,13 @@ def _distance_expr(metric: str, vec_col: str, query_vec_col: str):
         return l2_distance(vec_col, query_vec_col)
     if metric == "sqeuclidean":
         return squared_l2_distance(vec_col, query_vec_col)
+    if metric == "dot":
+        # maximum-inner-product search: distance = -(v·q), so the ascending
+        # (distance, id) contract ranks highest dot product first — the
+        # MIPS convention (recommendation/retrieval scoring)
+        from ..functions.distance import dot_product
+
+        return -dot_product(vec_col, query_vec_col)
     # cosine *distance* = 1 - cosine similarity, so ascending = most similar
     from ..functions.distance import cosine_similarity
 
@@ -153,6 +160,8 @@ def _knn_pandas(index, queries, k, id_col, vec_col, query_id_col,
             )
             np.maximum(sq, 0.0, out=sq)
             dist = np.sqrt(sq) if b_metric == "l2" else sq
+        elif b_metric == "dot":  # MIPS: one GEMM, negated
+            dist = -(b_qmat @ vecs.T)
         else:  # cosine distance
             vn = np.linalg.norm(vecs, axis=1)
             qn = np.linalg.norm(b_qmat, axis=1)

@@ -646,6 +646,56 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_dot_topk",
+    # MIPS (maximum-inner-product search): distance = -(v·q) so the
+    # ascending contract ranks the highest dot product first — the
+    # retrieval/recommendation scoring convention faiss calls METRIC_INNER_
+    # PRODUCT.  Runs the pandas GEMM kernel (selection) + expression
+    # re-score (canonical values), value-hashed against DuckDB's fold.
+    """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v ORDER BY vec_id LIMIT 4),
+d AS (
+  SELECT q.query_id, e.vec_id AS id,
+         -(SELECT sum(x.a * x.b)
+           FROM (SELECT unnest(e.v) AS a, unnest(q.qv) AS b) x) AS dist
+  FROM v e CROSS JOIN q
+), r AS (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT query_id, id, CAST(floor(dist * 1000000 + 0.5) AS BIGINT) AS neg_dot_e6
+FROM r WHERE rn <= 5 ORDER BY query_id, neg_dot_e6, id
+""",
+)
+def q_ann_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inner-product top-k (``knn_search(metric="dot")``) through
+    the pandas GEMM kernel — the third exact metric beside L2 and cosine;
+    same e6-integerization convention as ann_cosine_topk."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    qs = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qvec"))
+    )
+    res = knn_search(
+        emb, qs, k=5, id_col="vec_id", vec_col="v", metric="dot",
+        impl="pandas",
+    )
+    return res.select(
+        "query_id",
+        "id",
+        F.floor(F.col("distance") * 1e6 + F.lit(0.5)).cast("long").alias(
+            "neg_dot_e6"
+        ),
+    ).orderBy("query_id", "neg_dot_e6", "id")
+
+
+@register(
     "token_stats",
     """
 SELECT doc_id AS id,
@@ -2675,6 +2725,7 @@ _TAIL_ORDER = [
     "doc_fingerprint", "tokenize_bpeish", "window_top_orders",
     "streaming_window_equiv", "adpcm_roundtrip_docs",
     "dedup_minhash_prepared", "dedup_simhash_incremental",
+    "ann_dot_topk",
     "q6_forecast_revenue",
     "user_sessions", "skew_salted_agg", "strip_boilerplate",
     "repetition_signals", "pii_scrub_docs", "doc_chunks",
