@@ -220,3 +220,33 @@ def test_ivf_sync_with_store_incremental(spark, tmp_path):
     got = ivf_search(synced, q, k=1, n_probes=4).collect()
     assert [r.id for r in got] == [qid]
     assert abs(got[0].distance) < 1e-5
+
+
+def test_ivf_cosine_via_normalization(spark):
+    """Cosine ANN recipe: IVF over l2_normalize'd vectors ranks by cosine
+    (||a-b||^2 = 2-2cos on the unit sphere) — full-probe results equal
+    exact cosine kNN's id ranking."""
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.operators.ann import ivf_build, ivf_search
+    from vector_db_at_home_spark.operators.embeddings import l2_normalize
+    from vector_db_at_home_spark.operators.knn import knn_search
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    qs = (
+        emb.orderBy("vec_id").limit(4)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+    )
+    exact = knn_search(emb, qs, k=5, id_col="vec_id", vec_col="embedding",
+                       metric="cosine", impl="expr").collect()
+    unit = l2_normalize(emb, "embedding", "vec_id")
+    ivf = ivf_build(unit, id_col="id", vec_col="unit_vec", n_cells=4)
+    uq = l2_normalize(qs.withColumnRenamed("query_id", "qid"),
+                      "qvec", "qid").select(
+        F.col("id").alias("query_id"), F.col("unit_vec").alias("qvec")
+    )
+    got = ivf_search(ivf, uq, k=5, n_probes=4).collect()  # all cells
+    assert [(r.query_id, r.id) for r in got] == \
+        [(r.query_id, r.id) for r in exact]

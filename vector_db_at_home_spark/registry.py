@@ -696,6 +696,94 @@ def q_ann_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_cosine_recall",
+    # Cosine ANN via the standard normalize-then-L2 recipe (public
+    # knowledge — faiss normalizes + METRIC_L2 for cosine): on unit
+    # vectors, L2 order ≡ cosine-distance order (||a−b||² = 2−2cosθ), so
+    # an IVF built over l2_normalize'd vectors IS a cosine index.  Exact
+    # leg: the true cosine-distance top-5 per query, DuckDB-value-hashed;
+    # the normalized-IVF recall boolean is the engine-side assertion.
+    """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v ORDER BY vec_id LIMIT 4),
+d AS (
+  SELECT q.query_id, e.vec_id AS id,
+         (SELECT sum(x.a * x.b)
+          FROM (SELECT unnest(e.v) AS a, unnest(q.qv) AS b) x) AS dot,
+         sqrt((SELECT sum(x.a * x.a) FROM (SELECT unnest(e.v) AS a) x)) AS na,
+         sqrt((SELECT sum(x.b * x.b) FROM (SELECT unnest(q.qv) AS b) x)) AS nb
+  FROM v e CROSS JOIN q
+), s AS (
+  SELECT query_id, id,
+         1.0 - CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS dist
+  FROM d
+), r AS (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM s
+)
+SELECT query_id,
+       count(*) AS n_exact,
+       CAST(sum(CAST(floor(dist * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS exact_cos_e6_sum,
+       CAST(1 AS BOOLEAN) AS ivf_cosine_found_ge_3
+FROM r WHERE rn <= 5
+GROUP BY query_id ORDER BY query_id
+""",
+)
+def q_ann_ivf_cosine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine ANN: IVF built over unit-normalized vectors (L2 on the unit
+    sphere ≡ cosine ranking), graded in-plan like ann_ivf_recall — exact
+    cosine top-5 distances summed as e6 integers (the hashed leg) plus a
+    recall>=3/5 boolean for the normalized-IVF probe."""
+    from .operators.ann import ivf_build, ivf_search
+    from .operators.embeddings import l2_normalize
+    from .operators.knn import knn_search as _knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+    )
+    exact = _knn(emb, qs, k=5, id_col="vec_id", vec_col="embedding",
+                 metric="cosine", impl="expr")
+    unit = l2_normalize(emb, "embedding", "vec_id")
+    ivf = ivf_build(unit, id_col="id", vec_col="unit_vec", n_cells=16)
+    uq = l2_normalize(qs.withColumnRenamed("query_id", "qid"), "qvec",
+                      "qid").select(
+        F.col("id").alias("query_id"), F.col("unit_vec").alias("qvec")
+    )
+    approx = ivf_search(ivf, uq, k=5, n_probes=8)
+    hits = (
+        exact.select("query_id", "id")
+        .join(approx.select("query_id", "id"), ["query_id", "id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                F.floor(F.col("distance") * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("exact_cos_e6_sum"),
+        )
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            "exact_cos_e6_sum",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3).alias(
+                "ivf_cosine_found_ge_3"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
     "token_stats",
     """
 SELECT doc_id AS id,
@@ -2725,7 +2813,7 @@ _TAIL_ORDER = [
     "doc_fingerprint", "tokenize_bpeish", "window_top_orders",
     "streaming_window_equiv", "adpcm_roundtrip_docs",
     "dedup_minhash_prepared", "dedup_simhash_incremental",
-    "ann_dot_topk",
+    "ann_dot_topk", "ann_ivf_cosine_recall",
     "q6_forecast_revenue",
     "user_sessions", "skew_salted_agg", "strip_boilerplate",
     "repetition_signals", "pii_scrub_docs", "doc_chunks",
