@@ -80,6 +80,11 @@ def pq_build(index: DataFrame, id_col: str = "id", vec_col: str = "vec",
              kmeans_iters: int = 12) -> PQIndex:
     """Train per-subspace codebooks on a bounded sample, then encode every
     vector to ``m`` bytes in one distributed pass.  ``dim % m`` must be 0.
+
+    For COSINE quantization, pass ``embeddings.l2_normalize``'d vectors
+    (and normalized queries to ``pq_search``) — on the unit sphere L2
+    order ≡ cosine order, the same recipe ``ann_ivf_cosine_recall`` pins
+    for IVF.
     """
     import numpy as np
 
