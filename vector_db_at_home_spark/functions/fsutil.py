@@ -17,14 +17,38 @@ def _hadoop_fs(spark, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
 
 
+def _is_local_path(path: str) -> bool:
+    """True iff the path is driver-local: no scheme, or an explicit
+    ``file:`` scheme.  The os/shutil fallbacks are ONLY correct for these —
+    for ``hdfs://``/``s3a://`` URIs a driver-local probe is always false
+    and a driver-local write lands on the wrong filesystem entirely
+    (ADVICE r5: swallowing a transient JVM error into the local fallback
+    silently rebuilds remote state every micro-batch)."""
+    scheme, sep, _rest = path.partition("://")
+    if not sep:
+        # "file:/x" single-slash Hadoop form, or a plain local path
+        return not (":" in path.split("/", 1)[0]) or path.startswith("file:")
+    return scheme == "file"
+
+
+def _strip_file_scheme(path: str) -> str:
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
 def fs_exists(spark, path: str) -> bool:
     try:
         fs, p = _hadoop_fs(spark, path)
         return bool(fs.exists(p))
     except Exception:
+        if not _is_local_path(path):
+            raise  # a driver-local probe on a remote URI is always False
         import os
 
-        return os.path.exists(path)
+        return os.path.exists(_strip_file_scheme(path))
 
 
 def fs_touch(spark, path: str) -> None:
@@ -33,10 +57,13 @@ def fs_touch(spark, path: str) -> None:
         fs, p = _hadoop_fs(spark, path)
         fs.create(p, True).close()
     except Exception:
+        if not _is_local_path(path):
+            raise
         import os
 
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as f:
+        lp = _strip_file_scheme(path)
+        os.makedirs(os.path.dirname(lp), exist_ok=True)
+        with open(lp, "w") as f:
             f.write("done")
 
 
@@ -47,10 +74,14 @@ def fs_rename(spark, src: str, dst: str) -> None:
         _fs2, d = _hadoop_fs(spark, dst)
         if not fs.rename(s, d):
             raise IOError(f"rename {src} -> {dst} refused")
+    except IOError:
+        raise  # the FS API itself refused — not a gateway problem
     except Exception:
+        if not (_is_local_path(src) and _is_local_path(dst)):
+            raise
         import os
 
-        os.rename(src, dst)
+        os.rename(_strip_file_scheme(src), _strip_file_scheme(dst))
 
 
 def fs_rmtree(spark, path: str) -> None:
@@ -60,6 +91,32 @@ def fs_rmtree(spark, path: str) -> None:
         if fs.exists(p):
             fs.delete(p, True)
     except Exception:
+        if not _is_local_path(path):
+            raise
         import shutil
 
-        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(_strip_file_scheme(path), ignore_errors=True)
+
+
+def fs_read_text(spark, path: str) -> str:
+    """Read a small text file (streaming-checkpoint metadata, state meta)."""
+    try:
+        fs, p = _hadoop_fs(spark, path)
+        stream = fs.open(p)
+        try:
+            out = bytearray()
+            buf_cls = spark._jvm.java.io.BufferedReader
+            rdr = buf_cls(spark._jvm.java.io.InputStreamReader(stream, "UTF-8"))
+            line = rdr.readLine()
+            while line is not None:
+                out.extend(line.encode("utf-8"))
+                out.extend(b"\n")
+                line = rdr.readLine()
+            return out.decode("utf-8")
+        finally:
+            stream.close()
+    except Exception:
+        if not _is_local_path(path):
+            raise
+        with open(_strip_file_scheme(path), "r", encoding="utf-8") as f:
+            return f.read()

@@ -547,9 +547,31 @@ def minhash_corpus_state_build(corpus_df: DataFrame, path: str,
         .coalesce(1).write.mode("overwrite").json(f"{path}/meta.json")
 
 
+def _recover_compact_crash(spark, path: str) -> None:
+    """Heal the one non-atomic window in ``minhash_corpus_state_compact``:
+    a crash between its two renames leaves a table parked at
+    ``_old_<name>`` with no live ``<name>`` copy (the staged rewrite at
+    ``_compact_<name>`` may or may not exist).  Detect that shape and
+    rename the old table back — the old and staged layouts hold identical
+    content, so either restores the state losslessly (ADVICE r5: without
+    this, a missing ``bands`` table silently triggered a full state
+    rebuild in the streaming screen)."""
+    from ..functions.fsutil import fs_exists, fs_rename, fs_rmtree
+
+    for name in ("shingles", "sizes", "bands"):
+        cur, old = f"{path}/{name}", f"{path}/_old_{name}"
+        if fs_exists(spark, old) and not fs_exists(spark, cur):
+            fs_rename(spark, old, cur)
+            # stale staging from the crashed compact; safe to drop only
+            # when we KNOW the compact died (a live compact never leaves
+            # cur missing) — plain reads must not touch staging dirs
+            fs_rmtree(spark, f"{path}/_compact_{name}")
+
+
 def _read_minhash_state(spark, path: str):
     import json
 
+    _recover_compact_crash(spark, path)
     meta = json.loads(spark.read.json(f"{path}/meta.json").first().meta)
     return (
         meta,
@@ -651,12 +673,17 @@ def minhash_corpus_state_compact(spark, state_path: str,
     ``minhash_corpus_state_build`` rebuild (which re-derives shingles and
     re-evaluates the frozen caps).  Pure rewrite: no recompute, hot list
     and meta untouched, content identical (pytest-pinned).  Each table is
-    staged next to itself and swapped in with two renames, so a crash
-    leaves either the old or the new layout, never a mix of one table.
-    All path operations go through the Hadoop FileSystem API so the state
-    may live on HDFS/S3A (``functions.fsutil``)."""
+    staged next to itself and swapped in with two renames.  Crash safety:
+    a crash before the first rename leaves the old layout (stale staging
+    cleaned up next compact); a crash BETWEEN the two renames parks the
+    table at ``_old_<name>`` with no live copy — ``_recover_compact_crash``
+    (run on every state read and at the top of every compact) renames it
+    back, so readers always find a complete state.  All path operations go
+    through the Hadoop FileSystem API so the state may live on HDFS/S3A
+    (``functions.fsutil``)."""
     from ..functions.fsutil import fs_rename, fs_rmtree
 
+    _recover_compact_crash(spark, state_path)
     for name in ("shingles", "sizes", "bands"):
         cur = f"{state_path}/{name}"
         stage = f"{state_path}/_compact_{name}"

@@ -1454,6 +1454,16 @@ def q_streaming_window_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.events import EVENTS_SCHEMA
 
+    # Pin UTC for this query (ADVICE r5): window('ts','1 hour') buckets on
+    # the epoch instant, but date_format renders in the SESSION timezone —
+    # under a non-UTC session the formatted window starts (and, for
+    # fractional-hour zones, the bucket boundaries of the parquet
+    # timestamps as read) diverge from DuckDB's naive date_trunc even
+    # though both engines see identical data.  Restored after the final
+    # select is forced via localCheckpoint, so the pin cannot leak.
+    tz_before = spark.conf.get("spark.sql.session.timeZone", None)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     work = tempfile.mkdtemp(prefix="stream_win_")
     landing, ckpt = f"{work}/landing", f"{work}/ckpt"
     ev = load_table(spark, sf_dir, "events")
@@ -1490,7 +1500,7 @@ def q_streaming_window_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)
-    return (
+    result = (
         spark.table(qname)
         .select(
             F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss")
@@ -1502,6 +1512,15 @@ def q_streaming_window_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start", "event_type")
     )
+    # force the tz-sensitive date_format NOW, under the pinned UTC conf
+    # (the result is calendar-bounded: distinct hours x event types), then
+    # restore the caller's timezone before handing back the lazy frame
+    result = result.localCheckpoint(eager=True)
+    if tz_before is None:
+        spark.conf.unset("spark.sql.session.timeZone")
+    else:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+    return result
 
 
 @register(

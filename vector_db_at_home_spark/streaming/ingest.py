@@ -27,6 +27,72 @@ from pyspark.sql import functions as F
 from ..store import VectorStore
 
 
+def checkpoint_scope(spark, checkpoint_dir: str | None) -> str:
+    """Marker-scope token for per-batch replay markers.
+
+    Batch ids restart from 0 whenever the checkpoint is recreated, so a
+    marker keyed by (checkpoint PATH, batch_id) outlives the checkpoint it
+    described: delete+recreate the checkpoint at the same path (keeping the
+    marker/state dir) and every new batch would silently match an old
+    marker and skip its side effect (ADVICE r5).  Structured Streaming
+    writes a ``metadata`` file at the checkpoint root containing the query
+    id — a fresh uuid per checkpoint CREATION, stable across restarts of
+    the same checkpoint — which is exactly the scope replays need.  Falls
+    back to the path hash only if the metadata is unreadable (pre-start
+    probe); callers resolve the scope lazily inside the first batch, where
+    the metadata is guaranteed to exist.
+    """
+    import hashlib
+    import json
+    import uuid
+
+    if checkpoint_dir is None:
+        # no checkpoint → no cross-restart replays; dedupe within this run
+        return uuid.uuid4().hex[:16]
+    try:
+        from ..functions.fsutil import fs_read_text
+
+        meta = json.loads(fs_read_text(spark, f"{checkpoint_dir}/metadata"))
+        return "qid_" + meta["id"].replace("-", "")[:32]
+    except Exception:
+        return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
+
+
+def _call_prepare(prepare, batch_df: DataFrame, batch_id: int) -> DataFrame:
+    """Invoke the user's prepare hook with whichever arity it supports.
+
+    Signature-counting alone miscounts ``*args``/``**kwargs`` wrappers and
+    raises on non-introspectable callables (ADVICE r5), so the contract is
+    behavioral: positional params >= 2 OR a ``*args`` → two-arg call;
+    introspection failure → try two-arg, fall back to one-arg on a
+    TypeError raised AT the call boundary (a TypeError from inside the
+    hook's own body must propagate, not silently re-call the hook)."""
+    import inspect
+
+    try:
+        params = list(inspect.signature(prepare).parameters.values())
+    except (TypeError, ValueError):
+        params = None
+    if params is not None:
+        positional = [
+            p for p in params
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        ]
+        var_positional = any(p.kind == p.VAR_POSITIONAL for p in params)
+        two_arg = len(positional) >= 2 or var_positional
+        return (
+            prepare(batch_df, batch_id) if two_arg else prepare(batch_df)
+        )
+    try:
+        return prepare(batch_df, batch_id)
+    except TypeError as exc:
+        # only swallow the arity error from THIS call frame
+        tb = exc.__traceback__
+        if tb is not None and tb.tb_next is not None:
+            raise
+        return prepare(batch_df)
+
+
 def stream_into_store(stream_df: DataFrame, store: VectorStore,
                       vec_col: str = "vec", doc_col: str = "doc",
                       checkpoint_dir: str | None = None,
@@ -54,34 +120,25 @@ def stream_into_store(stream_df: DataFrame, store: VectorStore,
     Batches execute serially, so max(id)+1 allocation stays race-free — the
     same single-writer model as the reference (vector_store.py:195-212).
     """
-    # Markers must be scoped to the CHECKPOINT, not the store: batch ids
-    # restart from 0 for every new checkpoint, so a second stream into the
-    # same store would collide with the first stream's markers and silently
-    # skip its own batches.  Without a checkpoint there are no cross-restart
-    # replays to detect — scope by a fresh uuid so markers only dedupe
-    # within this query run.
-    import hashlib
-    import uuid
-
-    scope = (
-        hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
-        if checkpoint_dir is not None
-        else uuid.uuid4().hex[:16]
-    )
-    marker_dir = os.path.join(store.root, "_ingested_batches", scope)
-    os.makedirs(marker_dir, exist_ok=True)
+    # Markers are scoped to the streaming QUERY ID (checkpoint_scope): the
+    # checkpoint's metadata uuid survives restarts of the same checkpoint
+    # but changes when the checkpoint is recreated, so markers can never
+    # outlive the batch-id sequence they describe.  Resolved lazily in the
+    # first batch — the metadata file exists only once the query starts.
+    scope_box: list[str] = []
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not scope_box:
+            scope_box.append(
+                checkpoint_scope(batch_df.sparkSession, checkpoint_dir)
+            )
+        marker_dir = os.path.join(store.root, "_ingested_batches", scope_box[0])
+        os.makedirs(marker_dir, exist_ok=True)
         marker = os.path.join(marker_dir, str(batch_id))
         if os.path.exists(marker):  # replay of a fully-committed batch
             return
         if prepare is not None:
-            import inspect
-
-            if len(inspect.signature(prepare).parameters) >= 2:
-                batch_df = prepare(batch_df, batch_id)
-            else:
-                batch_df = prepare(batch_df)
+            batch_df = _call_prepare(prepare, batch_df, batch_id)
         prepared = batch_df.select(
             F.col(vec_col).cast("array<float>").alias("vec"),
             F.coalesce(F.col(doc_col), F.lit("{}")).alias("doc"),

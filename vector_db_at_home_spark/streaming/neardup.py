@@ -23,9 +23,11 @@ replay-safe when ``state_dir`` is used:
   under its own digest-derived id (the first, crashed attempt) cannot
   reject itself on replay (ADVICE r4: without this, a crash between the
   state append and the ingest-marker commit silently dropped the batch);
-- the state append itself is guarded by a per-(checkpoint, batch) marker
-  inside ``state_dir``, so a replay never appends the same batch's
-  signature rows twice.  The crash window between the state append and its
+- the state append itself is guarded by a per-(streaming-query-id, batch)
+  marker inside ``state_dir`` (the query id comes from the checkpoint's
+  ``metadata`` file, so recreating the checkpoint at the same path — which
+  restarts batch ids at 0 — also renews the marker scope), so a replay
+  never appends the same batch's signature rows twice.  The crash window between the state append and its
   marker can still duplicate ONE batch's state rows; the prepared
   incremental join counts distinct shingles so duplicated rows cannot
   inflate Jaccard, and a state rebuild (``minhash_corpus_state_build``) is
@@ -94,17 +96,21 @@ def stream_into_store_neardup(stream_df: DataFrame, store: VectorStore,
     Batches larger than ``_MAX_SCREEN_BATCH_ROWS`` raise — shrink the
     trigger rather than screening a mega-batch in one shot."""
     from ..operators.dedup import minhash_lsh_pairs_incremental
+    from .ingest import checkpoint_scope
 
-    import hashlib
-    import uuid
-
-    scope = (
-        hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
-        if checkpoint_dir is not None
-        else uuid.uuid4().hex[:16]
-    )
+    # Scope markers by the streaming QUERY ID (checkpoint metadata uuid),
+    # not the checkpoint path: a checkpoint deleted and recreated at the
+    # same path restarts batch ids at 0, and path-keyed markers persisted
+    # in state_dir would then silently skip every state append (ADVICE
+    # r5).  Resolved lazily in the first batch, when the metadata exists.
+    scope_box: list[str] = []
 
     def screen(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        if not scope_box:
+            scope_box.append(
+                checkpoint_scope(batch_df.sparkSession, checkpoint_dir)
+            )
+        scope = scope_box[0]
         digested = batch_df.withColumn(
             "__digest", F.md5(F.coalesce(F.col(doc_col), F.lit("{}")))
         )
