@@ -256,12 +256,26 @@ def hashed_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3,
     return hs
 
 
+def _band_key(rows: int) -> list[str]:
+    """Join-key column names of a band row: the band index plus the band's
+    ``rows`` raw signature slots.  Earlier rounds hashed the concatenated
+    slots into a single ``bhash`` (md5 → 60-bit fold) to get a compact
+    key; the hash buys nothing — equal slot tuples ⇔ equal hashes (modulo
+    2⁻⁶⁰ false collisions), the slots are already fixed-width longs, and
+    dropping the second md5 removes a string build + digest per (doc,
+    band) from the hot aggregate AND the hex-fold from the DuckDB oracle.
+    The join result is identical (strictly: the raw tuple has no false
+    collisions at all)."""
+    return ["band"] + [f"k{r}" for r in range(rows)]
+
+
 def _signature_bands(sh: DataFrame, num_perm: int,
                      bands: int) -> tuple[DataFrame, DataFrame]:
     """``(band_rows, sizes)`` from hashed shingles: signatures AND set
     sizes in ONE partial-aggregating groupBy (the verify stage needs
     |shingles(doc)| anyway, and a separate count pass would re-shuffle the
-    whole set), then the banded hash explode."""
+    whole set), then the band explode to ``(id, band, k0..k{rows-1})`` —
+    raw slot longs, no re-hash (see ``_band_key``)."""
     rows = num_perm // bands
     agg_cols = [
         F.min(F.col(qa) + mult * F.col(qb)).alias(f"h{i}")
@@ -276,21 +290,16 @@ def _signature_bands(sh: DataFrame, num_perm: int,
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        _md5_h60(
-                            F.concat_ws(
-                                "_",
-                                *[
-                                    F.col(f"h{b * rows + r}").cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bhash"),
+                        *[
+                            F.col(f"h{b * rows + r}").alias(f"k{r}")
+                            for r in range(rows)
+                        ],
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bk"),
-    ).select("id", "bk.band", "bk.bhash")
+    ).select("id", *[f"bk.{c}" for c in _band_key(rows)])
     return band_rows, sizes
 
 
@@ -352,20 +361,21 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 
     sh = hashed_shingles(df, text_col, id_col, n, max_doc_freq)
     band_rows, sizes = _signature_bands(sh, num_perm, bands)
+    key = _band_key(num_perm // bands)
     if max_band_bucket is not None:
-        # hot-bucket guard as a window count — the window's (band, bhash)
+        # hot-bucket guard as a window count — the window's band-key
         # partitioning is exactly the self-join key, so the exchange is
         # reused rather than adding an aggregate+join round trip
-        wb = Window.partitionBy("band", "bhash")
+        wb = Window.partitionBy(*key)
         band_rows = (
             band_rows.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
             .filter(F.col("bucket_n") <= max_band_bucket)
             .drop("bucket_n")
         )
-    a = band_rows.select(F.col("id").alias("id_a"), "band", "bhash")
-    b = band_rows.select(F.col("id").alias("id_b"), "band", "bhash")
+    a = band_rows.select(F.col("id").alias("id_a"), *key)
+    b = band_rows.select(F.col("id").alias("id_b"), *key)
     candidates = (
-        a.join(b, ["band", "bhash"])
+        a.join(b, key)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -443,17 +453,17 @@ def minhash_lsh_pairs_incremental(new_df: DataFrame, corpus_df: DataFrame,
     # AQE exchange reuse computes each explode once (see minhash_lsh_pairs)
     bn, sz_new = _signature_bands(sh_new, num_perm, bands)
     bc, sz_cor = _signature_bands(sh_cor, num_perm, bands)
+    key = _band_key(num_perm // bands)
     if max_band_bucket is not None:
-        wb = Window.partitionBy("band", "bhash")
+        wb = Window.partitionBy(*key)
         bc = (
             bc.withColumn("bucket_n", F.count(F.lit(1)).over(wb))
             .filter(F.col("bucket_n") <= max_band_bucket)
             .drop("bucket_n")
         )
     candidates = (
-        bn.select(F.col("id").alias("new_id"), "band", "bhash")
-        .join(bc.select(F.col("id").alias("corpus_id"), "band", "bhash"),
-              ["band", "bhash"])
+        bn.select(F.col("id").alias("new_id"), *key)
+        .join(bc.select(F.col("id").alias("corpus_id"), *key), key)
         .select("new_id", "corpus_id")
         .distinct()
     )
@@ -503,7 +513,8 @@ def minhash_corpus_state_build(corpus_df: DataFrame, path: str,
     loop instead pays the corpus derivation ONCE:
 
     - ``{path}/shingles`` — capped ``(id, h60)`` (the verify side);
-    - ``{path}/bands``    — post-bucket-cap ``(id, band, bhash)``;
+    - ``{path}/bands``    — post-bucket-cap ``(id, band, k0..k{r-1})``
+      raw-slot band rows (``_band_key``);
     - ``{path}/sizes``    — ``(id, sz)`` capped shingle-set sizes;
     - ``{path}/hot``      — the stop-shingle ``h60`` list (so future
       batches drop the same shingles and Jaccard stays consistent);
@@ -532,7 +543,7 @@ def minhash_corpus_state_build(corpus_df: DataFrame, path: str,
     sh = sh_all.join(F.broadcast(hot_r), "h60", "left_anti")
     band_rows, sizes = _signature_bands(sh, num_perm, bands)
     if max_band_bucket is not None:
-        wb = Window.partitionBy("band", "bhash")
+        wb = Window.partitionBy(*_band_key(num_perm // bands))
         band_rows = (
             band_rows.withColumn("n", F.count(F.lit(1)).over(wb))
             .filter(F.col("n") <= max_band_bucket)
@@ -598,11 +609,16 @@ def minhash_lsh_pairs_incremental_prepared(spark, state_path: str,
     sh_new = hashed_shingles(new_df, text_col, id_col, meta["n"], None) \
         .join(F.broadcast(hot), "h60", "left_anti")
     bn, sz_new = _signature_bands(sh_new, meta["num_perm"], meta["bands"])
+    key = _band_key(meta["num_perm"] // meta["bands"])
+    if key[-1] not in cor_bands.columns:
+        raise ValueError(
+            f"persisted MinHash state at {state_path} uses the pre-r6 "
+            "hashed band layout (bhash column); rebuild it with "
+            "minhash_corpus_state_build to the raw-slot layout"
+        )
     candidates = (
-        bn.select(F.col("id").alias("new_id"), "band", "bhash")
-        .join(cor_bands.select(F.col("id").alias("corpus_id"),
-                               "band", "bhash"),
-              ["band", "bhash"])
+        bn.select(F.col("id").alias("new_id"), *key)
+        .join(cor_bands.select(F.col("id").alias("corpus_id"), *key), key)
         .select("new_id", "corpus_id")
         .distinct()
     )
@@ -730,31 +746,32 @@ def render_minhash_lsh_sql(n: int = 3, threshold: float = 0.5,
         f"min({qa} + {mult} * {qb}) AS h{i}"
         for i, (qa, qb, mult) in enumerate(_perm_specs(num_perm))
     )
+    keys = ", ".join(f"k{r}" for r in range(rows))
     band_selects = " UNION ALL ".join(
-        f"SELECT id, {b} AS band, md5("
-        + " || '_' || ".join(
-            f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
-        )
-        + ") AS bhex FROM sig"
+        f"SELECT id, {b} AS band, "
+        + ", ".join(f"h{b * rows + r} AS k{r}" for r in range(rows))
+        + " FROM sig"
         for b in range(bands)
+    )
+    key_eq = " AND ".join(
+        [f"a.band = b.band"] + [f"a.k{r} = b.k{r}" for r in range(rows)]
     )
     bucket_cap = ""
     bd_src = "bd0"
     if max_band_bucket is not None:
         bucket_cap = f""",
-bd AS (SELECT id, band, bhash FROM
-         (SELECT bd0.*, count(*) OVER (PARTITION BY band, bhash) AS bucket_n
+bd AS (SELECT id, band, {keys} FROM
+         (SELECT bd0.*, count(*) OVER (PARTITION BY band, {keys}) AS bucket_n
           FROM bd0)
        WHERE bucket_n <= {max_band_bucket})"""
         bd_src = "bd"
     return f"""
 WITH {_sql_hashed_shingle_cte(max_doc_freq, n)},
 sig AS (SELECT id, {mins}, count(*) AS sz FROM sh GROUP BY id),
-bk AS ({band_selects}),
-bd0 AS (SELECT id, band, {_sql_hex2int('bhex', 1, 15)} AS bhash FROM bk){bucket_cap},
+bd0 AS ({band_selects}){bucket_cap},
 cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
          FROM {bd_src} a JOIN {bd_src} b
-           ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id),
+           ON {key_eq} AND a.id < b.id),
 inter AS (SELECT cand.id_a, cand.id_b, count(*) AS ic
           FROM cand
           JOIN sh sa ON sa.id = cand.id_a
@@ -800,13 +817,16 @@ def render_minhash_incremental_sql(batch_pred: str, corpus_pred: str,
                        {_sql_hex2int('hx', 1, 15)} AS h60
                 FROM {prefix}shx)"""
 
+    keys = ", ".join(f"k{r}" for r in range(rows))
+    key_eq = " AND ".join(
+        ["a.band = b.band"] + [f"a.k{r} = b.k{r}" for r in range(rows)]
+    )
+
     def _band_selects(sig: str) -> str:
         return " UNION ALL ".join(
-            f"SELECT id, {b} AS band, md5("
-            + " || '_' || ".join(
-                f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
-            )
-            + f") AS bhex FROM {sig}"
+            f"SELECT id, {b} AS band, "
+            + ", ".join(f"h{b * rows + r} AS k{r}" for r in range(rows))
+            + f" FROM {sig}"
             for b in range(bands)
         )
 
@@ -824,8 +844,8 @@ csh AS (SELECT * FROM csh0)"""
     cbd_src = "cbd0"
     if max_band_bucket is not None:
         bucket_cap = f""",
-cbd AS (SELECT id, band, bhash FROM
-          (SELECT cbd0.*, count(*) OVER (PARTITION BY band, bhash) AS bucket_n
+cbd AS (SELECT id, band, {keys} FROM
+          (SELECT cbd0.*, count(*) OVER (PARTITION BY band, {keys}) AS bucket_n
            FROM cbd0)
         WHERE bucket_n <= {max_band_bucket})"""
         cbd_src = "cbd"
@@ -834,13 +854,11 @@ WITH {_shingle_ctes('n', batch_pred)},
 {_shingle_ctes('c', corpus_pred).lstrip()}{cap},
 nsig AS (SELECT id, {mins}, count(*) AS sz FROM nsh GROUP BY id),
 csig AS (SELECT id, {mins}, count(*) AS sz FROM csh GROUP BY id),
-nbk AS ({_band_selects('nsig')}),
-cbk AS ({_band_selects('csig')}),
-nbd AS (SELECT id, band, {_sql_hex2int('bhex', 1, 15)} AS bhash FROM nbk),
-cbd0 AS (SELECT id, band, {_sql_hex2int('bhex', 1, 15)} AS bhash FROM cbk){bucket_cap},
+nbd AS ({_band_selects('nsig')}),
+cbd0 AS ({_band_selects('csig')}){bucket_cap},
 cand AS (SELECT DISTINCT a.id AS new_id, b.id AS corpus_id
          FROM nbd a JOIN {cbd_src} b
-           ON a.band = b.band AND a.bhash = b.bhash),
+           ON {key_eq}),
 inter AS (SELECT cand.new_id, cand.corpus_id, count(*) AS ic
           FROM cand
           JOIN nsh sa ON sa.id = cand.new_id
