@@ -1268,3 +1268,448 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
    OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
        AND l_quantity BETWEEN 20 AND 30)
 """
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: the six remaining TPC-H shapes (Q2, Q9, Q11, Q12, Q16,
+# Q20), adapted to the reduced schema.  The test tables have no ``partsupp``
+# relation, so the queries that need one derive it from lineitem: the set of
+# (l_partkey, l_suppkey) pairs that actually traded, with the minimum unit
+# price a supplier ever charged for the part standing in for ps_supplycost
+# and the pair's all-time shipped quantity for ps_availqty.  Per-row unit
+# price (double / double) is IEEE-identical in Spark and DuckDB, and MIN over
+# identical doubles is order-free, so the derived relation is bit-exact
+# cross-engine — which is what lets Q2's correlated scalar-min EQUALITY
+# comparison work as a value oracle.
+#
+# The division produces doubles with arbitrary decimal digits, and rounding
+# such a double (round(x, 4) or a DECIMAL cast) is where Spark's and DuckDB's
+# tie-breaking can diverge (measured: one ulp flips the 4th digit at sf0.1).
+# So the cost is quantized ONCE into an exact integer domain — ``floor(unit ·
+# 1e4 + 0.5)``, the same convention as jaccard_e6 — where every later
+# comparison, product, and sum is either pure-integer or a ≤4-nominal-digit
+# double whose decimal casts are unambiguous in both engines.
+# ---------------------------------------------------------------------------
+
+
+def _cost_e4(price: Column, qty: Column) -> Column:
+    """Unit price quantized to an exact integer (hundredths of a cent):
+    identical IEEE double pipeline in both engines, then an exact floor."""
+    return F.floor(price / qty * 1e4 + 0.5).cast("long")
+
+
+_SQL_COST_E4 = ("CAST(floor(l_extendedprice / l_quantity * 1e4 + 0.5) "
+                "AS BIGINT)")
+
+
+def _derived_partsupp(li: DataFrame) -> DataFrame:
+    """partsupp proxy: one row per (l_partkey, l_suppkey) pair that traded,
+    with ``supply_cost_e4`` = min unit price in hundredths of a cent.  One
+    shuffle of lineitem on the pair key; the result is dimension-sized
+    (|part| × avg-suppliers-per-part), which is what makes the Q2/Q9/Q11
+    joins against it cheap."""
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_cost_e4(F.col("l_extendedprice"), F.col("l_quantity"))).alias(
+            "supply_cost_e4"
+        )
+    )
+
+
+_PS_CTE = f"""ps AS (SELECT l_partkey, l_suppkey,
+                   min({_SQL_COST_E4}) AS supply_cost_e4
+            FROM lineitem GROUP BY l_partkey, l_suppkey)"""
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-min subquery — for each qualifying
+    part, the EUROPE supplier(s) whose supply cost equals the part's
+    region-wide minimum.
+
+    100 TB plan: the correlated ``cost = (SELECT min(cost) WHERE partkey =
+    outer.partkey)`` decorrelates into a window MIN over the part key — no
+    second scan, no join-back.  Everything non-fact broadcasts: the
+    supplier⋈nation⋈region dim chain and the filtered part list both prune
+    the derived partsupp BEFORE the window, so the only wide shuffles are
+    the partsupp groupBy and the window's repartition by part key.  Ties on
+    the exact minimum keep all tied suppliers (both engines compute the
+    identical double, so tie sets match)."""
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    eu = (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pq = part.filter((F.col("p_size") <= 10) & (F.col("p_type") == "LARGE"))
+    ps = (
+        _derived_partsupp(li)
+        .join(F.broadcast(pq.select("p_partkey", "p_name")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps.withColumn("min_cost", F.min("supply_cost_e4").over(w))
+        .filter(F.col("supply_cost_e4") == F.col("min_cost"))
+        .select(
+            "s_name", "n_name", "p_partkey", "p_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "supply_cost_e4",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+    )
+
+
+MIN_COST_SUPPLIER_SQL = f"""
+WITH {_PS_CTE},
+eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'EUROPE')
+SELECT s_name, n_name, p_partkey, p_name,
+       round(s_acctbal, 2) AS s_acctbal,
+       supply_cost_e4
+FROM part, ps, eu
+WHERE p_partkey = ps.l_partkey AND eu.s_suppkey = ps.l_suppkey
+  AND p_size <= 10 AND p_type = 'LARGE'
+  AND supply_cost_e4 = (SELECT min(ps2.supply_cost_e4)
+                        FROM ps ps2
+                        JOIN eu eu2 ON eu2.s_suppkey = ps2.l_suppkey
+                        WHERE ps2.l_partkey = ps.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: multi-fact profit rollup with a LIKE part filter —
+    profit = revenue minus supply cost × quantity, by nation and year.
+
+    100 TB plan: the LIKE-filtered part list broadcasts into BOTH the
+    lineitem scan and the derived partsupp (pruning each before any wide
+    join); supplier and nation broadcast; lineitem⋈orders shuffles once on
+    orderkey and lineitem⋈partsupp once on the (partkey, suppkey) pair key.
+    Partial aggregation collapses to |nation|×|year| groups map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+
+    redp = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    ps = _derived_partsupp(li).join(
+        F.broadcast(redp), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_suppkey", "supply_cost_e4")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("supply_cost_e4") / 1e4 * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(redp.select(F.col("p_partkey").alias("pp"))),
+                F.col("l_partkey") == F.col("pp"))
+        .join(ps, ["l_partkey", "l_suppkey"])
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+PRODUCT_PROFIT_SQL = f"""
+WITH {_PS_CTE}
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {_sql_dsum('l_extendedprice * (1 - l_discount) '
+                  '- supply_cost_e4 / 1e4 * l_quantity')} AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = lineitem.l_partkey
+JOIN ps       ON ps.l_partkey = lineitem.l_partkey
+             AND ps.l_suppkey = lineitem.l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = lineitem.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE 'red%'
+GROUP BY n_name, CAST(year(o_orderdate) AS INTEGER)
+ORDER BY nation, o_year DESC
+"""
+
+
+def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value for one region's suppliers,
+    kept only where it exceeds a fraction of the GLOBAL total — the
+    HAVING-against-a-global-scalar pattern.
+
+    100 TB plan: the pair aggregate (one lineitem shuffle) computes cost
+    AND quantity together; the region's supplier keys broadcast; the global
+    total is a one-row aggregate broadcast back into the per-part HAVING —
+    the fact never scans twice (AQE reuses the pair aggregate's exchange
+    for both the per-part rollup and the total).  The threshold compare
+    happens on decimal-exact sums cast to double identically in both
+    engines, so the boundary is bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+
+    asia = (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_cost_e4(F.col("l_extendedprice"), F.col("l_quantity"))).alias(
+            "supply_cost_e4"
+        ),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("availqty"),
+    )
+    pv = pair.join(
+        F.broadcast(asia), F.col("l_suppkey") == F.col("s_suppkey")
+    ).withColumn(
+        "value",
+        F.col("supply_cost_e4") / 1e4 * F.col("availqty").cast("double"),
+    )
+    per_part = pv.groupBy("l_partkey").agg(
+        F.sum(F.col("value").cast(DEC)).alias("v_dec")
+    )
+    total = pv.agg(
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("v_dec").cast("double")
+            > 2.0 * F.col("total_value") / F.col("n_parts")
+        )
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round(F.col("v_dec").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+IMPORTANT_STOCK_SQL = f"""
+WITH pair AS (SELECT l_partkey, l_suppkey,
+                     min({_SQL_COST_E4}) AS supply_cost_e4,
+                     sum(CAST(l_quantity AS DECIMAL(25,6))) AS availqty
+              FROM lineitem GROUP BY l_partkey, l_suppkey),
+pv AS (SELECT l_partkey,
+              supply_cost_e4 / 1e4 * CAST(availqty AS DOUBLE) AS value
+       FROM pair JOIN supplier ON s_suppkey = l_suppkey
+                 JOIN nation   ON n_nationkey = s_nationkey
+                 JOIN region   ON r_regionkey = n_regionkey
+       WHERE r_name = 'ASIA'),
+tot AS (SELECT CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+               count(DISTINCT l_partkey) AS n_parts
+        FROM pv)
+SELECT l_partkey AS ps_partkey,
+       round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 2)
+         AS part_value
+FROM pv, tot
+GROUP BY l_partkey, tot.total_value, tot.n_parts
+HAVING CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+         > 2.0 * tot.total_value / tot.n_parts
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
+def ship_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional two-way aggregation — per ship-delay
+    bucket (this schema has no l_shipmode; the bucket is derived from
+    shipdate − orderdate), count lines on high- vs low-priority orders in
+    one pass (SUM of CASE, not two scans).
+
+    100 TB plan: the year filter pushes to the lineitem scan; one shuffle
+    joins orders on orderkey; the CASE sums partial-aggregate to three
+    groups map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "FAST")
+        .when(delay <= 90, "MEDIUM")
+        .otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+SHIP_PRIORITY_BUCKETS_SQL = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'MEDIUM'
+            ELSE 'SLOW' END AS ship_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY ship_bucket
+"""
+
+
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery + COUNT(DISTINCT) — how many
+    distinct suppliers (excluding flagged ones; negative account balance
+    plays the "customer complaints" role) trade each qualifying
+    (brand, type, size) part bucket.
+
+    100 TB plan: the trading pairs are ONE distinct over the two fact key
+    columns (column-pruned scan); NOT IN decorrelates to a broadcast LEFT
+    ANTI against the tiny flagged-supplier list (s_suppkey is non-null, so
+    NOT IN ≡ anti-join here); the filtered part dim broadcasts; the
+    count-distinct re-aggregates by the three part attributes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    flagged = sup.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = part.filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    return (
+        pairs.join(F.broadcast(flagged),
+                   F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(
+            F.broadcast(pf.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+PART_SUPPLIER_COUNTS_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON p_partkey = pairs.l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND pairs.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: double-nested IN with a correlated scalar — AMERICA
+    suppliers who, for some 'red%' part, shipped more than half of their
+    all-time quantity of that part inside 1997 (this schema has no
+    ps_availqty; the pair's all-time shipped quantity plays that role, and
+    the classic ``availqty > ½·year-shipments`` flips to ``year-shipments >
+    ½·all-time`` to stay selective).
+
+    100 TB plan: BOTH correlated inner sums decorrelate into ONE
+    conditional aggregate over the part-filtered fact (total + in-window
+    quantity per pair, decimal-exact); the qualifying supplier keys are a
+    tiny distinct that AQE broadcasts into the supplier semi-join; nation
+    and region broadcast.  One lineitem shuffle total, no repeated scans,
+    no correlated execution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+
+    redp = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    in_97 = (
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    zero = F.lit(0).cast(DEC)
+    pairs = (
+        li.join(F.broadcast(redp), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("total_qty"),
+            F.sum(
+                F.when(in_97, F.col("l_quantity").cast(DEC)).otherwise(zero)
+            ).alias("qty_1997"),
+        )
+    )
+    qualifying = (
+        pairs.filter(2 * F.col("qty_1997") > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"),
+                 "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_name", "n_name",
+                F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+EXCESS_SHIPPERS_SQL = """
+SELECT s_name, n_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'AMERICA'
+  AND s_suppkey IN (
+    SELECT ps.l_suppkey
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    WHERE ps.l_partkey IN
+          (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND 2 * COALESCE(
+            (SELECT sum(CAST(l.l_quantity AS DECIMAL(25,6)))
+             FROM lineitem l
+             WHERE l.l_partkey = ps.l_partkey
+               AND l.l_suppkey = ps.l_suppkey
+               AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+               AND l.l_shipdate <  TIMESTAMP '1998-01-01'), 0)
+          > (SELECT sum(CAST(l.l_quantity AS DECIMAL(25,6)))
+             FROM lineitem l
+             WHERE l.l_partkey = ps.l_partkey
+               AND l.l_suppkey = ps.l_suppkey)
+  )
+ORDER BY s_name
+"""
