@@ -2796,6 +2796,110 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ivfsq_recall",
+    # Same grading pattern as ann_ivf_recall / pq_recall: the exact-kNN leg
+    # is value-hashed by DuckDB; the IVF-SQ8 leg (KMeans centroids + int8
+    # codes) enters as engine-side booleans the oracle asserts true —
+    # recall >= 3/5 per query after the exact re-rank, AND the per-element
+    # int8 reconstruction-error bound |code·scale − x| <= scale/2 holding
+    # over the ENTIRE indexed corpus (the quantizer's contract, computed
+    # in-plan as a one-row aggregate).
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings ORDER BY vec_id LIMIT 4
+), d AS (
+  SELECT q.query_id, e.vec_id AS id,
+         sqrt((SELECT sum((u.a - u.b) * (u.a - u.b))
+               FROM (SELECT unnest(e.embedding) AS a,
+                            unnest(q.qvec) AS b) u)) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT query_id,
+       count(*) AS n_exact,
+       CAST(sum(CAST(floor(dist * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS exact_dist_e6_sum,
+       CAST(1 AS BOOLEAN) AS sq_found_ge_3,
+       CAST(1 AS BOOLEAN) AS sq_err_bounded
+FROM r WHERE rn <= 5
+GROUP BY query_id ORDER BY query_id
+""",
+)
+def q_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 (operators/sq.py) graded in-plan: per query, the exact
+    top-5 L2 distances (value-hashed leg) plus two engine-side booleans —
+    the composed search (16 cells / 8 probes, int8 scan, exact re-rank of
+    4·k) recovered >= 3/5 exact hits, and the int8 reconstruction error
+    stayed within the quantizer's scale/2 bound across every indexed
+    vector (1e-9 relative slack for the double multiply-back)."""
+    from .functions.distance import l2_distance as _l2  # noqa: F401
+    from .operators.knn import knn_search as _knn
+    from .operators.sq import ivfsq_build, ivfsq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+    )
+    exact = _knn(emb, qs, k=5, id_col="vec_id", vec_col="embedding",
+                 impl="expr")
+    sq = ivfsq_build(emb, id_col="vec_id", vec_col="embedding", n_cells=16)
+    approx = ivfsq_search(sq, qs, k=5, n_probes=8,
+                          refine_with=emb, id_col="vec_id",
+                          vec_col="embedding")
+    hits = (
+        exact.select("query_id", "id")
+        .join(approx.select("query_id", "id"), ["query_id", "id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    # reconstruction-error bound over the WHOLE indexed corpus: for every
+    # vector, max_i |code_i·scale − x_i| <= scale/2 (+1e-9 relative slack)
+    deq = F.transform(F.col("codes"),
+                      lambda c: c.cast("double") * F.col("scale"))
+    orig = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_err = F.aggregate(
+        F.zip_with(deq, orig, lambda a, b: F.abs(a - b)),
+        F.lit(0.0), lambda acc, x: F.greatest(acc, x),
+    )
+    err_ok = (
+        sq.codes.join(emb.select(F.col("vec_id").alias("id"), "embedding"),
+                      "id")
+        .select(
+            (max_err <= F.col("scale") * 0.5 * (1.0 + 1e-9)).alias("ok")
+        )
+        .agg(F.min("ok").alias("sq_err_bounded"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                F.floor(F.col("distance") * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("exact_dist_e6_sum"),
+        )
+        .join(hits, "query_id", "left")
+        .join(F.broadcast(err_ok))
+        .select(
+            "query_id",
+            "n_exact",
+            "exact_dist_e6_sum",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3).alias(
+                "sq_found_ge_3"
+            ),
+            "sq_err_bounded",
+        )
+        .orderBy("query_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Explicit priority order — the driver scores the FIRST 50 entries of
 # queries(), so this list IS the official correctness record's contents.
@@ -2852,7 +2956,7 @@ _TAIL_ORDER = [
     # oracle here
     "knn_with_payload", "adpcm_roundtrip_docs",
     "dedup_minhash_prepared", "dedup_simhash_incremental",
-    "ann_dot_topk", "ann_ivf_cosine_recall",
+    "ann_dot_topk", "ann_ivf_cosine_recall", "ivfsq_recall",
     "q6_forecast_revenue",
     "user_sessions", "skew_salted_agg", "strip_boilerplate",
     "repetition_signals", "pii_scrub_docs", "doc_chunks",
