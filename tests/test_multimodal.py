@@ -685,3 +685,174 @@ def test_g711_rejects_foreign_streams():
         decode_wav_g711(_wav_bytes(b"abcdef"))   # PCM into G.711 decoder
     with _pytest.raises(ValueError, match="WAV"):
         decode_wav_g711(b"\x01" * 30)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 color codecs
+# ---------------------------------------------------------------------------
+
+
+def _formula(doc_id, w, h):
+    from vector_db_at_home_spark.operators.multimodal import _color_formula
+
+    return _color_formula(doc_id, w, h)
+
+
+def test_png_rgb_roundtrip_exact():
+    """Truecolor PNG encode→decode is byte-exact at assorted dims,
+    including 1×1 and non-multiple-of-filter widths."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.multimodal import (
+        _png_rgb_bytes,
+        decode_png_rgb,
+        parse_image_header,
+    )
+
+    for w, h, did in [(7, 5, 3), (16, 16, 11), (29, 23, 42), (1, 1, 0)]:
+        src = _formula(did, w, h)
+        png = _png_rgb_bytes(src.tobytes(), w)
+        assert parse_image_header(png) == ("image/png", w, h)
+        dw, dh, px = decode_png_rgb(png)
+        assert (dw, dh) == (w, h)
+        assert px == src.tobytes()
+    # random (non-pattern) content is also exact — losslessness, not luck
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    dw, dh, px = decode_png_rgb(_png_rgb_bytes(src.tobytes(), 13))
+    assert px == src.tobytes()
+
+
+def test_png_rgb_filters_1_to_4():
+    """The bpp=3 unfilter inverts Sub/Up/Average/Paeth — re-filter a known
+    image with each type and decode."""
+    import struct
+    import zlib
+
+    from vector_db_at_home_spark.operators.multimodal import decode_png_rgb
+
+    w, h = 6, 4
+    src = _formula(9, w, h)
+    stride = 3 * w
+    flat = src.tobytes()
+
+    def refilter(ft):
+        prev = bytes(stride)
+        out = bytearray()
+        for r in range(h):
+            line = flat[r * stride:(r + 1) * stride]
+            enc = bytearray([ft])
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                up = prev[i]
+                ul = prev[i - 3] if i >= 3 else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 2:
+                    pred = up
+                elif ft == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (left if pa <= pb and pa <= pc
+                            else up if pb <= pc else ul)
+                enc.append((line[i] - pred) & 0xFF)
+            out += enc
+            prev = line
+        return bytes(out)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    for ft in (1, 2, 3, 4):
+        raw = refilter(ft)
+        png = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raw))
+               + chunk(b"IEND", b""))
+        dw, dh, px = decode_png_rgb(png)
+        assert px == flat, f"filter {ft} did not invert"
+
+
+def test_jpeg_rgb_roundtrip_bounded():
+    """Baseline 4:2:0 color JPEG: dims exact, max per-pixel error ≤ 3 on
+    the block-constant synthesis pattern (chroma box-mean exact there, so
+    the only loss is DCT float rounding)."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.multimodal import (
+        _jpeg_rgb_bytes,
+        decode_jpeg_rgb,
+        parse_image_header,
+    )
+
+    for w, h, did in [(7, 5, 3), (16, 16, 11), (29, 23, 42), (4, 1, 9)]:
+        src = _formula(did, w, h)
+        jpg = _jpeg_rgb_bytes(src.tobytes(), w)
+        assert parse_image_header(jpg) == ("image/jpeg", w, h)
+        dw, dh, px = decode_jpeg_rgb(jpg)
+        assert (dw, dh) == (w, h)
+        err = np.abs(
+            np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
+            - src.astype(int)
+        ).max()
+        assert err <= 3, err
+
+
+def test_color_decoders_reject_wrong_streams():
+    import pytest
+
+    from vector_db_at_home_spark.operators.multimodal import (
+        _jpeg_bytes,
+        _png_bytes,
+        decode_jpeg_gray,
+        decode_jpeg_rgb,
+        decode_png_gray,
+        decode_png_rgb,
+    )
+
+    gray_png = _png_bytes(bytes(range(24)), 6)
+    gray_jpg = _jpeg_bytes(bytes(range(24)), 6)
+    with pytest.raises(ValueError, match="truecolor"):
+        decode_png_rgb(gray_png)
+    with pytest.raises(ValueError, match="three-component"):
+        decode_jpeg_rgb(gray_jpg)
+    # and the gray decoders still reject color streams
+    from vector_db_at_home_spark.operators.multimodal import (
+        _jpeg_rgb_bytes,
+        _png_rgb_bytes,
+    )
+
+    src = _formula(1, 6, 4).tobytes()
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_png_gray(_png_rgb_bytes(src, 6))
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_jpeg_gray(_jpeg_rgb_bytes(src, 6))
+
+
+def test_color_media_pipeline(spark):
+    """synthesize_color_media → color_image_stats over a small doc table:
+    every row decodes, PNG rows are formula-exact, JPEG rows within 3."""
+    from vector_db_at_home_spark.operators.multimodal import (
+        color_image_stats,
+        synthesize_color_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (10 + 7 * i)) for i in range(12)], "doc_id long, text string"
+    )
+    media = synthesize_color_media(docs, "text", "doc_id")
+    rows = color_image_stats(media).collect()
+    assert len(rows) == 12
+    for r in rows:
+        if r.mime == "image/png":
+            assert r.max_err == 0
+            src = _formula(r.media_id, r.width, r.height)
+            assert r.sum_r == int(src[..., 0].sum())
+        else:
+            assert r.mime == "image/jpeg"
+            assert r.max_err <= 3
+        assert r.width == 4 + r.media_id % 29
+        assert r.n_px == r.width * r.height

@@ -2900,6 +2900,95 @@ def q_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_color_stats",
+    # COLOR decode, value-hashed: Spark synthesizes RGB payloads (even ids
+    # truecolor PNG, odd ids baseline YCbCr 4:2:0 JPEG) from the
+    # 2×2-block-constant _color_formula pattern, REALLY decodes them
+    # (inflate+unfilter at bpp 3; 3-component MCU-interleaved Huffman +
+    # IDCT + chroma upsample + YCbCr→RGB), and reports per-channel decoded
+    # pixel sums.  DuckDB re-derives the PNG sums INDEPENDENTLY from the
+    # closed-form pattern over the pixel grid (PNG is lossless, so decoded
+    # == formula or the hash breaks); JPEG is lossy-by-format, so its
+    # channel sums are excluded (0 both sides) and its proof is the
+    # engine-side fidelity boolean: max per-pixel |decoded − formula| ≤ 3
+    # across every image (measured ≤ 2; a broken color path lands nowhere
+    # near).  Dimensions and pixel counts hash for BOTH containers.
+    """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END
+           AS mime,
+         CAST(4 + (doc_id % 29) AS BIGINT) AS w,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(ceil(CAST(strlen(text) AS DOUBLE)
+                            / (4 + (doc_id % 29))) AS BIGINT)) AS h
+  FROM documents
+),
+pr AS (SELECT doc_id, w, unnest(range(h)) AS rr
+       FROM m WHERE mime = 'image/png'),
+px AS (SELECT doc_id, rr, unnest(range(w)) AS cc FROM pr),
+chan AS (
+  SELECT doc_id,
+         sum(((rr // 2) * 3 + (cc // 2) * 5 + doc_id) % 256) AS sr,
+         sum(((rr // 2) * 7 + (cc // 2) * 11 + 2 * doc_id) % 256) AS sg,
+         sum(((rr // 2) * 13 + (cc // 2) * 17 + 3 * doc_id) % 256) AS sb
+  FROM px GROUP BY doc_id
+)
+SELECT m.mime, count(*) AS n_items,
+       CAST(sum(m.w) AS BIGINT) AS sum_width,
+       CAST(sum(m.h) AS BIGINT) AS sum_height,
+       CAST(sum(m.w * m.h) AS BIGINT) AS sum_px,
+       CAST(coalesce(sum(chan.sr), 0) AS BIGINT) AS sum_r,
+       CAST(coalesce(sum(chan.sg), 0) AS BIGINT) AS sum_g,
+       CAST(coalesce(sum(chan.sb), 0) AS BIGINT) AS sum_b,
+       CAST(1 AS BOOLEAN) AS fidelity_ok
+FROM m LEFT JOIN chan ON m.doc_id = chan.doc_id
+GROUP BY m.mime ORDER BY m.mime
+""",
+)
+def q_multimodal_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RGB decode end-to-end (operators/multimodal.py round-6 color
+    codecs): synthesize color payloads from documents, decode every one
+    for real, value-hash dimensions + pixel counts for both containers
+    and per-channel sums for the lossless one; JPEG fidelity enters as a
+    max-error ≤ 3 boolean vs the synthesis formula."""
+    from .operators.multimodal import (
+        color_image_stats,
+        synthesize_color_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_color_media(docs, "text", "doc_id")
+    stats = color_image_stats(media)
+    is_png = F.col("mime") == "image/png"
+    return (
+        stats.groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+            F.sum("n_px").cast("long").alias("sum_px"),
+            F.sum(F.when(is_png, F.col("sum_r")).otherwise(0))
+            .cast("long").alias("sum_r"),
+            F.sum(F.when(is_png, F.col("sum_g")).otherwise(0))
+            .cast("long").alias("sum_g"),
+            F.sum(F.when(is_png, F.col("sum_b")).otherwise(0))
+            .cast("long").alias("sum_b"),
+            F.max(
+                F.when(is_png, F.col("max_err"))
+                .otherwise(F.col("max_err") - 3)
+            ).alias("__worst"),
+        )
+        .select(
+            "mime", "n_items", "sum_width", "sum_height", "sum_px",
+            "sum_r", "sum_g", "sum_b",
+            (F.col("__worst") <= 0).alias("fidelity_ok"),
+        )
+        .orderBy("mime")
+    )
+
+
 # --------------------------------------------------------------------------
 # Explicit priority order — the driver scores the FIRST 50 entries of
 # queries(), so this list IS the official correctness record's contents.
@@ -2954,7 +3043,7 @@ _TAIL_ORDER = [
     # exercises re-walks green in knn_l2 (same kernel + top-k) and the
     # scored q3/q10-style payload joins, and it keeps its full value
     # oracle here
-    "knn_with_payload", "adpcm_roundtrip_docs",
+    "knn_with_payload", "adpcm_roundtrip_docs", "multimodal_color_stats",
     "dedup_minhash_prepared", "dedup_simhash_incremental",
     "ann_dot_topk", "ann_ivf_cosine_recall", "ivfsq_recall",
     "q6_forecast_revenue",
