@@ -308,3 +308,51 @@ def test_load_media_stream_lands_classified_rows(spark, tmp_path):
     }
     assert landed == batch
     assert {m for _i, m, _w, _p in landed} == {"image", "audio"}
+
+
+def test_load_media_dir_header_only_metadata(spark, tmp_path):
+    """Round-6: audio/video rows carry header-only metadata (WAV fmt/fact
+    chunk walk, y4m header + length arithmetic) that matches what a full
+    decode would report — without the source reading any payload bytes."""
+    from vector_db_at_home_spark.operators.multimodal import (
+        _adpcm_wav_bytes,
+        _g711_wav_bytes,
+        _wav_bytes,
+        _y4m_bytes,
+        decode_wav,
+        decode_y4m_gray,
+    )
+    from vector_db_at_home_spark.sources.mediafiles import load_media_dir
+
+    d = tmp_path / "media_hdr"
+    d.mkdir()
+    pcm = _wav_bytes(bytes(range(200)), sample_rate=8000)
+    adp = _adpcm_wav_bytes(b"\x00\x01" * 500, sample_rate=16000)
+    g711 = _g711_wav_bytes(b"\x00\x10" * 300, "alaw", sample_rate=8000)
+    y4m = _y4m_bytes(bytes(range(240)), 10, 6)
+    (d / "a.wav").write_bytes(pcm)
+    (d / "b.wav").write_bytes(adp)
+    (d / "c.wav").write_bytes(g711)
+    (d / "v.y4m").write_bytes(y4m)
+
+    rows = {r.source_path.rsplit("/", 1)[-1]: r
+            for r in load_media_dir(spark, str(d)).collect()}
+    for name, blob in [("a.wav", pcm), ("b.wav", adp), ("c.wav", g711)]:
+        sr, n, _ = decode_wav(blob)
+        r = rows[name]
+        assert r.sample_rate == sr
+        assert r.meta.duration_ms == int(n * 1000 / sr + 0.5)
+    w, h, frames = decode_y4m_gray(y4m)
+    rv = rows["v.y4m"]
+    assert (rv.meta.width, rv.meta.height) == (w, h)
+    assert rv.n_frames == len(frames)
+    assert rv.meta.duration_ms == int(len(frames) * 1000 / 25 + 0.5)
+    # images keep zero audio/video fields
+    from vector_db_at_home_spark.operators.multimodal import _png_bytes
+
+    (d / "i.png").write_bytes(_png_bytes(bytes(range(30)), 6))
+    rows2 = {r.source_path.rsplit("/", 1)[-1]: r
+             for r in load_media_dir(spark, str(d)).collect()}
+    ri = rows2["i.png"]
+    assert ri.sample_rate == 0 and ri.n_frames == 0
+    assert ri.meta.width == 6 and ri.meta.duration_ms == 0

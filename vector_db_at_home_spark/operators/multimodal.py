@@ -2079,3 +2079,98 @@ def color_image_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         work, schema=COLOR_STATS_SCHEMA
     )
+
+
+def parse_audio_header(payload: bytes):
+    """``(mime, sample_rate, n_channels, bits, n_samples, duration_ms)``
+    from a RIFF/WAVE header WITHOUT touching the sample data — the chunk
+    walk reads each chunk id + size and skips payload bytes, so a 100 TB
+    triage pass costs header IO only.  Sample count comes from the
+    ``fact`` chunk when present (required for compressed formats), else
+    from the data size: PCM (tag 1) ``data/block_align``; IMA-ADPCM
+    (tag 0x11) nibble arithmetic per block; G.711 µ/A-law (tags 7/6) one
+    sample per byte.  Returns ``None`` for non-WAV payloads."""
+    import struct
+
+    if (payload is None or len(payload) < 12 or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WAVE"):
+        return None
+    pos = 12
+    tag = ch = sr = bits = block = None
+    fact_samples = None
+    data_size = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        if cid == b"fmt " and sz >= 16:
+            tag, ch, sr, _br, block, bits = struct.unpack(
+                "<HHIIHH", payload[pos + 8:pos + 24]
+            )
+        elif cid == b"fact" and sz >= 4:
+            fact_samples = struct.unpack(
+                "<I", payload[pos + 8:pos + 12]
+            )[0]
+        elif cid == b"data":
+            data_size = sz
+        pos += 8 + sz + (sz & 1)
+    if tag is None or sr in (None, 0) or data_size is None:
+        return None
+    if fact_samples is not None:
+        n_samples = fact_samples
+    elif tag == 1 and block:
+        n_samples = data_size // block
+    elif tag == 0x11 and block and ch:
+        # per block: 4-byte/channel header holds 1 sample, remaining
+        # bytes hold 2 nibble-samples each (public IMA-ADPCM WAV layout)
+        per_block = 1 + (block - 4 * ch) * 2 // ch
+        full, rem = divmod(data_size, block)
+        n_samples = full * per_block
+        if rem >= 4 * ch:
+            n_samples += 1 + (rem - 4 * ch) * 2 // ch
+    elif tag in (6, 7):
+        n_samples = data_size // max(1, ch or 1)
+    else:
+        return None
+    mime = "audio/wav"
+    duration_ms = int(n_samples * 1000 / sr + 0.5)
+    return mime, sr, ch, bits, n_samples, duration_ms
+
+
+def parse_video_header(payload: bytes):
+    """``(mime, width, height, fps_num, fps_den, n_frames, duration_ms)``
+    from a y4m stream header + the TOTAL byte length only — no frame
+    walk: frame size follows from the header's dimensions and colorspace
+    (mono w·h; 420 1.5·w·h; 422 2·w·h; 444 3·w·h), so the frame count is
+    ``(len − header) / (6 + frame_size)`` for parameterless ``FRAME\\n``
+    markers (the layout every in-repo stream and mjpegtools default
+    produces).  Returns ``None`` for non-y4m payloads."""
+    got = parse_y4m_header(payload)
+    if got is None:
+        return None
+    w, h, cs = got
+    end = payload.find(b"\n")
+    fps_num, fps_den = 25, 1
+    for tok in payload[9:end].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("F") and ":" in t:
+            a, b = t[1:].split(":", 1)
+            try:
+                fps_num, fps_den = int(a), int(b)
+            except ValueError:
+                pass
+    if cs == "mono":
+        fsz = w * h
+    elif cs.startswith("420"):
+        fsz = w * h * 3 // 2
+    elif cs.startswith("422"):
+        fsz = w * h * 2
+    elif cs.startswith("444"):
+        fsz = w * h * 3
+    else:
+        return None
+    body = len(payload) - (end + 1)
+    n_frames = body // (6 + fsz) if fsz else 0
+    duration_ms = (
+        int(n_frames * 1000 * fps_den / fps_num + 0.5) if fps_num else 0
+    )
+    return "video/x-yuv4mpeg", w, h, fps_num, fps_den, n_frames, duration_ms

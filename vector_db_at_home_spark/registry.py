@@ -1038,6 +1038,15 @@ SELECT modality, count(*) AS n_items,
                                    CAST(ceil(CAST(nb AS DOUBLE) / (w * 8))
                                         AS BIGINT)) * w * 8 END)
             AS BIGINT) AS sum_units,
+       CAST(sum(CASE
+                WHEN modality = 'audio'
+                  THEN CAST(floor(nb * 1000.0 / 8000 + 0.5) AS BIGINT)
+                WHEN modality = 'video'
+                  THEN CAST(floor(greatest(CAST(1 AS BIGINT),
+                                           CAST(ceil(CAST(nb AS DOUBLE)
+                                                     / (w * 8)) AS BIGINT))
+                                  * 1000.0 / 25 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS sum_duration_ms,
        CAST(1 AS BOOLEAN) AS entropy_ok
 FROM m GROUP BY modality ORDER BY modality
 """,
@@ -1055,9 +1064,14 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are value-hashed against the synthesis formulas — a bug in any
     encoder, header parser, or decoder breaks the hash; only compressed
     codecs (mp3/h264/...) remain stubbed."""
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
     from .operators.multimodal import (
         attach_image_meta,
         extract_media_features,
+        parse_audio_header,
+        parse_video_header,
         synthesize_media,
     )
 
@@ -1072,14 +1086,42 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.max("byte_entropy") <= F.lit(8.0))
         ).alias("entropy_ok"),
     )
-    dims = media.groupBy("modality").agg(
-        F.sum(F.col("meta.width")).cast("long").alias("sum_px_width"),
-        F.sum(F.col("meta.height")).cast("long").alias("sum_px_height"),
+
+    # header-ONLY duration (round 6): the fmt/fact chunk walk and the y4m
+    # header + total length — sample/frame bytes are never read, which is
+    # the triage cost model at 100 TB.  Value-hashed against the synthesis
+    # formulas by the oracle.
+    @F.pandas_udf(LongType())
+    def header_duration(modalities: pd.Series,
+                        payloads: pd.Series) -> pd.Series:
+        out = []
+        for m, p in zip(modalities, payloads):
+            raw = bytes(p) if p is not None else b""
+            if m == "audio":
+                got = parse_audio_header(raw)
+                out.append(got[5] if got else 0)
+            elif m == "video":
+                got = parse_video_header(raw)
+                out.append(got[6] if got else 0)
+            else:
+                out.append(0)
+        return pd.Series(out, dtype="int64")
+
+    dims = (
+        media.withColumn(
+            "hdr_dur", header_duration(F.col("modality"), F.col("payload"))
+        )
+        .groupBy("modality")
+        .agg(
+            F.sum(F.col("meta.width")).cast("long").alias("sum_px_width"),
+            F.sum(F.col("meta.height")).cast("long").alias("sum_px_height"),
+            F.sum("hdr_dur").cast("long").alias("sum_duration_ms"),
+        )
     )
     return (
         stats.join(dims, "modality")
         .select("modality", "n_items", "sum_px_width", "sum_px_height",
-                "sum_units", "entropy_ok")
+                "sum_units", "sum_duration_ms", "entropy_ok")
         .orderBy("modality")
     )
 

@@ -88,8 +88,22 @@ def load_media_stream(spark: SparkSession, path: str,
 def _project_media(raw: DataFrame) -> DataFrame:
     """(path, content) → MEDIA_SCHEMA + source_path; batch and streaming
     share this exactly, so the landed stream is bit-identical to a batch
-    read of the same files."""
-    from ..operators.multimodal import parse_image_header
+    read of the same files.
+
+    Every modality gets HEADER-ONLY metadata executor-side (round 6 for
+    audio/video): image dimensions from PNG/JPEG/GIF headers, WAV sample
+    rate + exact duration from the fmt/fact chunk walk (PCM, IMA-ADPCM,
+    G.711 — sample data bytes are never read), y4m dimensions + frame
+    count + duration from the stream header plus total length alone.  So
+    a 100 TB triage pass (count media hours per source, drop sub-second
+    clips, bucket by resolution) runs on header IO only.  ``sample_rate``
+    and ``n_frames`` ride as top-level columns; ``meta`` keeps the
+    canonical MEDIA_SCHEMA shape."""
+    from ..operators.multimodal import (
+        parse_audio_header,
+        parse_image_header,
+        parse_video_header,
+    )
 
     out_schema = StructType([
         StructField("source_path", StringType()),
@@ -97,6 +111,9 @@ def _project_media(raw: DataFrame) -> DataFrame:
         StructField("mime", StringType()),
         StructField("width", LongType()),
         StructField("height", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_frames", LongType()),
     ])
 
     @F.pandas_udf(out_schema)
@@ -105,15 +122,24 @@ def _project_media(raw: DataFrame) -> DataFrame:
         for p, b in zip(paths, payloads):
             raw_b = bytes(b) if b is not None else b""
             modality, mime = classify_payload(raw_b)
-            w = h = 0
+            w = h = dur = sr = nf = 0
             if modality == "image":
                 hdr = parse_image_header(raw_b)
                 if hdr is not None:
                     _m, w, h = hdr
-            rows.append((p, modality, mime, w, h))
+            elif modality == "audio":
+                hdr = parse_audio_header(raw_b)
+                if hdr is not None:
+                    _m, sr, _ch, _bits, _n, dur = hdr
+            elif modality == "video":
+                hdr = parse_video_header(raw_b)
+                if hdr is not None:
+                    _m, w, h, _fn, _fd, nf, dur = hdr
+            rows.append((p, modality, mime, w, h, dur, sr, nf))
         return pd.DataFrame(
             rows, columns=["source_path", "modality", "mime",
-                           "width", "height"]
+                           "width", "height", "duration_ms",
+                           "sample_rate", "n_frames"]
         )
 
     meta = raw.select(
@@ -128,7 +154,9 @@ def _project_media(raw: DataFrame) -> DataFrame:
             F.col("c.mime").alias("mime"),
             F.col("c.width").alias("width"),
             F.col("c.height").alias("height"),
-            F.lit(0).cast("long").alias("duration_ms"),
+            F.col("c.duration_ms").alias("duration_ms"),
         ).alias("meta"),
         F.col("c.source_path").alias("source_path"),
+        F.col("c.sample_rate").alias("sample_rate"),
+        F.col("c.n_frames").alias("n_frames"),
     )
