@@ -1,9 +1,10 @@
-"""sf1-scale bench point for the three heaviest headline queries
-(VERDICT r4 stretch #6) — extends the measured scaling story one decade
-past the per-round sf0.1 bench.
+"""sf1-scale bench point for the FULL 12-query headline suite (VERDICT r5
+task 5; r4's version covered only dedup/fuzzy/kNN) — extends the measured
+scaling story one decade past the per-round sf0.1 bench, for EVERY
+headline plan.
 
-Synthesizes sf1-shaped tables (10x sf0.1: 50k documents, 50k embeddings)
-by DETERMINISTIC 10x replication of the driver's sf0.1 parquet:
+Synthesizes sf1-shaped tables (10× sf0.1) by DETERMINISTIC 10× replication
+of the driver's sf0.1 parquet:
 
 - ``documents``: replica ``r`` suffixes every token with ``_r`` — replicas
   are shingle-disjoint across reps (Jaccard 0), so the corpus is 10
@@ -13,11 +14,21 @@ by DETERMINISTIC 10x replication of the driver's sf0.1 parquet:
   scaling measurement.
 - ``embeddings``: replica ``r`` shifts ids by ``r * 10_000_000`` and adds
   ``r * 0.001`` to the first component (distinct vectors, same geometry).
+- ``lineitem``/``orders``/``customer``/``supplier``: every entity key
+  (orderkey, custkey, suppkey, partkey) shifts by ``r * 10_000_000``, so
+  the join graph stays referentially intact per replica and fact joins
+  carry exactly 10× the rows; nation/region/part stay fixed dims (each
+  replica maps onto the same groups, so group-by outputs keep their
+  cardinality while inputs grow 10× — the scaling-measurement shape).
+- ``events``: event/user ids shift; timestamps keep, so windowed aggs
+  keep their group count at 10× the input.
 
-Runs ``dedup_minhash_lsh``, ``fuzzy_topk`` and ``knn_batch32_k10`` with
-the exact bench.py shapes, best-of-2, and records wall + shuffle-write
-bytes per query (Spark UI REST API, bracketed).  Prints ONE JSON line;
-the committed numbers live in SCALE.md next to the 1M smokes.
+Runs all 12 ``bench.bench_queries`` shapes at BOTH sf0.1 (the source) and
+the synthesized sf1, best-of-2 each in the same session, and records wall
++ shuffle-write bytes per query (Spark UI REST API, bracketed).  The
+sf1/sf0.1 wall ratio printed per query is the headline scaling evidence —
+sub-quadratic (ideally ≈linear) growth for every plan.  Prints ONE JSON
+line; the committed numbers live in SCALE.md.
 
 Usage: ``python tools/sf1_bench.py [src_sf_dir]`` (default
 /root/testdata/sf0.1; pass sf0.01 for a fast self-check).
@@ -36,6 +47,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 REPS = 10
+SHIFT = 10_000_000
 
 
 def _shuffle_write(spark) -> int:
@@ -56,13 +68,23 @@ def _shuffle_write(spark) -> int:
     return sum(s.get("shuffleWriteBytes", 0) for s in stages)
 
 
+def _replicate(df, key_cols: list[str], reps):
+    """10× cross-join replication shifting every key column by
+    ``rep · SHIFT`` — referential integrity preserved within a replica."""
+    out = df.crossJoin(F.broadcast(reps))
+    for k in key_cols:
+        out = out.withColumn(k, F.col(k) + F.col("rep").cast("long") * SHIFT)
+    return out.drop("rep")
+
+
 def build_sf1(spark, src_dir: str, out_dir: str) -> None:
-    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
     reps = spark.range(REPS).select(F.col("id").cast("int").alias("rep"))
+
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
     docs10 = (
         docs.crossJoin(F.broadcast(reps))
         .select(
-            (F.col("doc_id") + F.col("rep").cast("long") * 10_000_000)
+            (F.col("doc_id") + F.col("rep").cast("long") * SHIFT)
             .alias("doc_id"),
             F.when(F.col("rep") == 0, F.col("text")).otherwise(
                 F.array_join(
@@ -84,7 +106,7 @@ def build_sf1(spark, src_dir: str, out_dir: str) -> None:
     emb10 = (
         emb.crossJoin(F.broadcast(reps))
         .select(
-            (F.col("vec_id") + F.col("rep").cast("long") * 10_000_000)
+            (F.col("vec_id") + F.col("rep").cast("long") * SHIFT)
             .alias("vec_id"),
             F.concat(
                 F.array(
@@ -99,15 +121,25 @@ def build_sf1(spark, src_dir: str, out_dir: str) -> None:
     emb10.repartition(32).write.mode("overwrite") \
         .parquet(f"{out_dir}/embeddings.parquet")
 
+    shifted = {
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+        "events": ["event_id", "user_id"],
+    }
+    for table, keys in shifted.items():
+        df = spark.read.parquet(f"{src_dir}/{table}.parquet")
+        _replicate(df, keys, reps).repartition(32).write \
+            .mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+    for table in ("nation", "region", "part"):
+        spark.read.parquet(f"{src_dir}/{table}.parquet").write \
+            .mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+
 
 def main() -> None:
-    from vector_db_at_home_spark.operators.dedup import minhash_lsh_pairs
-    from vector_db_at_home_spark.operators.fuzzysearch import (
-        fuzzy_search_by_doc,
-    )
-    from vector_db_at_home_spark.operators.knn import knn_search
+    from bench import bench_queries
     from vector_db_at_home_spark.session import get_spark
-    from vector_db_at_home_spark.sources import load_table
 
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("sf1_bench",
@@ -118,62 +150,41 @@ def main() -> None:
     t0 = time.time()
     build_sf1(spark, src, out_dir)
     n_docs = spark.read.parquet(f"{out_dir}/documents.parquet").count()
-    n_vecs = spark.read.parquet(f"{out_dir}/embeddings.parquet").count()
+    n_li = spark.read.parquet(f"{out_dir}/lineitem.parquet").count()
     print(f"# built sf1 tables in {time.time() - t0:.1f}s: "
-          f"{n_docs} docs, {n_vecs} vecs", file=sys.stderr)
+          f"{n_docs} docs, {n_li} lineitems", file=sys.stderr)
 
-    def dedup(spark, sf_dir):
-        docs = load_table(spark, sf_dir, "documents")
-        return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5,
-                                 max_doc_freq=100, max_band_bucket=200)
-
-    def fuzzy(spark, sf_dir):
-        docs = load_table(spark, sf_dir, "documents")
-        return fuzzy_search_by_doc(
-            docs,
-            ["spark window merge sort", "the fast key order sort table"],
-            k=10, doc_col="text", id_col="doc_id",
-        )
-
-    def knn_batch(spark, sf_dir):
-        emb = load_table(spark, sf_dir, "embeddings")
-        qs = (
-            emb.orderBy("vec_id")
-            .limit(32)
-            .select(F.col("vec_id").alias("query_id"),
-                    F.col("embedding").alias("qvec"))
-        )
-        return knn_search(emb, qs, k=10, id_col="vec_id",
-                          vec_col="embedding", impl="pandas")
-
-    benches = {
-        "dedup_minhash_lsh": dedup,
-        "fuzzy_topk": fuzzy,
-        "knn_batch32_k10": knn_batch,
-    }
+    benches = bench_queries(spark)
     results: dict[str, dict] = {}
     for name, fn in benches.items():
         fn(spark, out_dir).collect()  # codegen warmup, same plan shape
-        best, rows, sw = None, 0, 0
-        for _rep in range(2):
-            s0 = _shuffle_write(spark)
-            t0 = time.time()
-            rows = len(fn(spark, out_dir).collect())
-            dt = time.time() - t0
-            if best is None or dt < best:
-                best, sw = dt, _shuffle_write(spark) - s0
-        results[name] = {
-            "wall_sec": round(best, 2),
-            "shuffle_write_mb": round(sw / 2**20, 1),
-            "rows": rows,
-        }
-        print(f"# {name}: {best:.2f}s, {results[name]['shuffle_write_mb']}"
-              f" MB shuffle, {rows} rows", file=sys.stderr)
+        per_scale = {}
+        for label, d in (("sf0.1", src), ("sf1", out_dir)):
+            best, rows, sw = None, 0, 0
+            for _rep in range(2):
+                s0 = _shuffle_write(spark)
+                t1 = time.time()
+                rows = len(fn(spark, d).collect())
+                dt = time.time() - t1
+                if best is None or dt < best:
+                    best, sw = dt, _shuffle_write(spark) - s0
+            per_scale[label] = {
+                "wall_sec": round(best, 2),
+                "shuffle_write_mb": round(sw / 2**20, 1),
+                "rows": rows,
+            }
+        ratio = (per_scale["sf1"]["wall_sec"]
+                 / max(per_scale["sf0.1"]["wall_sec"], 1e-9))
+        results[name] = {**per_scale, "wall_ratio_10x": round(ratio, 1)}
+        print(f"# {name}: sf0.1 {per_scale['sf0.1']['wall_sec']}s -> "
+              f"sf1 {per_scale['sf1']['wall_sec']}s "
+              f"(x{ratio:.1f}, {per_scale['sf1']['shuffle_write_mb']} MB "
+              f"shuffle, {per_scale['sf1']['rows']} rows)", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "sf1_heavy_queries",
+        "metric": "sf1_headline_suite",
         "n_docs": n_docs,
-        "n_vecs": n_vecs,
+        "n_lineitem": n_li,
         "queries": results,
         "src": src,
     }))
