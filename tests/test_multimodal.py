@@ -834,7 +834,8 @@ def test_color_decoders_reject_wrong_streams():
 
 def test_color_media_pipeline(spark):
     """synthesize_color_media → color_image_stats over a small doc table:
-    every row decodes, PNG rows are formula-exact, JPEG rows within 3."""
+    every row decodes through its real container — PNG and GIF rows are
+    formula-exact (lossless), JPEG rows within 3."""
     from vector_db_at_home_spark.operators.multimodal import (
         color_image_stats,
         synthesize_color_media,
@@ -846,13 +847,41 @@ def test_color_media_pipeline(spark):
     media = synthesize_color_media(docs, "text", "doc_id")
     rows = color_image_stats(media).collect()
     assert len(rows) == 12
+    seen = set()
     for r in rows:
+        seen.add(r.mime)
         if r.mime == "image/png":
             assert r.max_err == 0
             src = _formula(r.media_id, r.width, r.height)
             assert r.sum_r == int(src[..., 0].sum())
+        elif r.mime == "image/gif":
+            assert r.max_err == 0
         else:
             assert r.mime == "image/jpeg"
             assert r.max_err <= 3
+        assert r.mime == ("image/png", "image/jpeg",
+                          "image/gif")[r.media_id % 3]
         assert r.width == 4 + r.media_id % 29
         assert r.n_px == r.width * r.height
+    assert seen == {"image/png", "image/jpeg", "image/gif"}
+
+
+def test_gif_rgb_roundtrip_exact():
+    """Palette GIF color decode is index-exact: decoded RGB equals
+    palette[idx] verbatim for the formula palette/index pair."""
+    from vector_db_at_home_spark.operators.multimodal import (
+        _gif_color_indices,
+        _gif_color_palette,
+        _gif_rgb_bytes,
+        decode_gif_rgb,
+        parse_image_header,
+    )
+
+    pal = _gif_color_palette()
+    for w, h, did in [(10, 20, 7), (5, 3, 2), (1, 1, 8)]:
+        idx = _gif_color_indices(did, w, h)
+        gif = _gif_rgb_bytes(idx, w, pal)
+        assert parse_image_header(gif) == ("image/gif", w, h)
+        dw, dh, rgb = decode_gif_rgb(gif)
+        assert (dw, dh) == (w, h)
+        assert rgb == b"".join(pal[3 * v:3 * v + 3] for v in idx)

@@ -713,6 +713,11 @@ def _gif_bytes(pixels: bytes, width: int) -> bytes:
     global color table (palette[i] = (i,i,i), so index == gray value),
     image descriptor, LZW-compressed indices in 255-byte sub-blocks,
     trailer."""
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    return _gif_payload(pixels, width, palette)
+
+
+def _gif_payload(pixels: bytes, width: int, palette: bytes) -> bytes:
     import struct
 
     width = max(1, width)
@@ -763,7 +768,6 @@ def _gif_bytes(pixels: bytes, width: int) -> bytes:
         bytes([min(255, len(packed) - i)]) + bytes(packed[i:i + 255])
         for i in range(0, len(packed), 255)
     )
-    palette = bytes(v for i in range(256) for v in (i, i, i))
     return (
         b"GIF89a"
         + struct.pack("<HH", width, height) + bytes([0xF7, 0, 0])  # GCT 256
@@ -792,6 +796,21 @@ def decode_gif_gray(payload: bytes) -> tuple[int, int, bytes]:
 
 
 def _decode_gif_gray_inner(payload: bytes) -> tuple[int, int, bytes]:
+    w, h, idx, pal = _decode_gif_indices(payload)
+    # palette -> grayscale (integer BT.601 luma; exact identity for
+    # the (i,i,i) palettes our encoder writes)
+    lut = bytes(
+        (299 * pal[3 * i] + 587 * pal[3 * i + 1] + 114 * pal[3 * i + 2]
+         + 500) // 1000
+        if 3 * i + 2 < len(pal) else 0
+        for i in range(256)
+    )
+    return w, h, idx.translate(lut)
+
+
+def _decode_gif_indices(payload: bytes) -> tuple[int, int, bytes, bytes]:
+    """``(width, height, palette_indices, palette)`` — the shared LZW +
+    de-interlace core under both the grayscale and RGB GIF decoders."""
     import struct
 
     sw, sh = struct.unpack("<HH", payload[6:10])
@@ -890,16 +909,39 @@ def _decode_gif_gray_inner(payload: bytes) -> tuple[int, int, bytes]:
             for src, dst in enumerate(order):
                 deint[dst] = rows[src]
             idx = b"".join(deint)
-        # palette -> grayscale (integer BT.601 luma; exact identity for
-        # the (i,i,i) palettes our encoder writes)
-        lut = bytes(
-            (299 * pal[3 * i] + 587 * pal[3 * i + 1] + 114 * pal[3 * i + 2]
-             + 500) // 1000
-            if 3 * i + 2 < len(pal) else 0
-            for i in range(256)
-        )
-        return w, h, idx.translate(lut)
+        return w, h, idx, bytes(pal)
     raise ValueError("GIF contains no image block")
+
+
+def decode_gif_rgb(payload: bytes) -> tuple[int, int, bytes]:
+    """``(width, height, rgb)`` from a GIF87a/GIF89a image — the same
+    stdlib LZW core as ``decode_gif_gray``, with each palette index
+    expanded to its RGB triple (GIF color is palette-exact, so the decode
+    is lossless for ANY palette, unlike the luma fold the gray path
+    applies)."""
+    import struct
+
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    try:
+        w, h, idx, pal = _decode_gif_indices(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt GIF stream: {e}") from e
+    pal = pal.ljust(768, b"\x00")
+    out = bytearray(3 * len(idx))
+    for i, v in enumerate(idx):
+        out[3 * i:3 * i + 3] = pal[3 * v:3 * v + 3]
+    return w, h, bytes(out)
+
+
+def _gif_rgb_bytes(indices: bytes, width: int, palette: bytes) -> bytes:
+    """A valid GIF89a from palette INDICES + a 256-entry RGB palette —
+    the color companion of ``_gif_bytes`` (which is exactly this with the
+    identity grayscale palette).  GIF color is index-exact: decode
+    returns ``palette[index]`` verbatim, no quantization loss."""
+    if len(palette) != 768:
+        raise ValueError("palette must be 256 RGB triples (768 bytes)")
+    return _gif_payload(indices, width, palette)
 
 
 def _wav_bytes(samples: bytes, sample_rate: int = 8000) -> bytes:
@@ -1992,14 +2034,32 @@ def _color_formula(doc_id: int, w: int, h: int):
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
+def _gif_color_palette() -> bytes:
+    """The deterministic 256-entry RGB palette of the GIF color synthesis:
+    ``palette[i] = ((3i) mod 256, (7i) mod 256, (11i) mod 256)`` — like
+    ``_color_formula``, closed-form re-derivable in SQL."""
+    return bytes(v for i in range(256)
+                 for v in ((i * 3) % 256, (i * 7) % 256, (i * 11) % 256))
+
+
+def _gif_color_indices(doc_id: int, w: int, h: int) -> bytes:
+    """Palette indices of the GIF color synthesis:
+    ``idx(p) = (5p + doc_id) mod 256`` over the flat pixel index."""
+    return bytes((p * 5 + doc_id) % 256 for p in range(w * h))
+
+
 def synthesize_color_media(df: DataFrame, text_col: str,
                            id_col: str) -> DataFrame:
     """Deterministic RGB media from a text table: every row gets a REAL
-    decodable color payload of the ``_color_formula`` pattern at
-    ``width = 4 + id % 29``, ``height = ceil(utf8_len / width)`` (min 1) —
-    even ids as truecolor PNG (lossless), odd ids as baseline YCbCr 4:2:0
-    JPEG.  Output matches ``MEDIA_SCHEMA`` with meta dimensions left 0
-    (unknown until ``attach_image_meta`` parses the real headers)."""
+    decodable color payload at ``width = 4 + id % 29``, ``height =
+    ceil(utf8_len / width)`` (min 1), rotating the three color
+    containers — ``id % 3 == 0`` truecolor PNG (lossless, pixels =
+    ``_color_formula``), ``1`` baseline YCbCr 4:2:0 JPEG (same pattern,
+    lossy-by-format), ``2`` palette GIF (index-exact: pixels =
+    ``palette[idx]`` from the closed-form palette/index formulas).
+    Output matches ``MEDIA_SCHEMA`` with meta dimensions left 0 (unknown
+    until ``attach_image_meta`` parses the real headers)."""
+    gif_pal = _gif_color_palette()
 
     @F.pandas_udf(BinaryType())
     def payload(texts: pd.Series, ids: pd.Series) -> pd.Series:
@@ -2009,8 +2069,12 @@ def synthesize_color_media(df: DataFrame, text_col: str,
             nb = len((t or "").encode("utf-8"))
             w = 4 + i % 29
             h = max(1, -(-nb // w))
+            if i % 3 == 2:
+                out.append(_gif_rgb_bytes(_gif_color_indices(i, w, h),
+                                          w, gif_pal))
+                continue
             rgb = _color_formula(i, w, h).tobytes()
-            out.append(_png_rgb_bytes(rgb, w) if i % 2 == 0
+            out.append(_png_rgb_bytes(rgb, w) if i % 3 == 0
                        else _jpeg_rgb_bytes(rgb, w))
         return pd.Series(out)
 
@@ -2019,8 +2083,9 @@ def synthesize_color_media(df: DataFrame, text_col: str,
         F.lit("image").alias("modality"),
         payload(F.col(text_col), F.col(id_col)).alias("payload"),
         F.struct(
-            F.when(F.col(id_col) % 2 == 0, "image/png")
-            .otherwise("image/jpeg").alias("mime"),
+            F.when(F.col(id_col) % 3 == 0, "image/png")
+            .when(F.col(id_col) % 3 == 1, "image/jpeg")
+            .otherwise("image/gif").alias("mime"),
             F.lit(0).cast("long").alias("width"),
             F.lit(0).cast("long").alias("height"),
             F.lit(0).cast("long").alias("duration_ms"),
@@ -2045,11 +2110,12 @@ COLOR_STATS_SCHEMA = StructType(
 
 def color_image_stats(media: DataFrame) -> DataFrame:
     """Per-image color decode stats — REAL pixel work, Arrow-batched, no
-    shuffle: decode each payload through its container (PNG truecolor or
-    baseline 4:2:0 JPEG, dispatched on magic bytes), report parsed
-    dimensions, per-channel pixel sums of the DECODED image, and the max
-    per-pixel deviation from the ``_color_formula`` source pattern
-    (0 for PNG by losslessness; ≤ 2 for JPEG by measurement)."""
+    shuffle: decode each payload through its container (PNG truecolor,
+    baseline 4:2:0 JPEG, or palette GIF — dispatched on magic bytes),
+    report parsed dimensions, per-channel pixel sums of the DECODED
+    image, and the max per-pixel deviation from the synthesis source
+    pattern (0 for PNG/GIF by losslessness; ≤ 2 for JPEG by
+    measurement)."""
     import numpy as np
 
     def work(batches):
@@ -2060,11 +2126,24 @@ def color_image_stats(media: DataFrame) -> DataFrame:
                 if raw[:8] == b"\x89PNG\r\n\x1a\n":
                     w, h, px = decode_png_rgb(raw)
                     mime = "image/png"
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    w, h, px = decode_gif_rgb(raw)
+                    mime = "image/gif"
                 else:
                     w, h, px = decode_jpeg_rgb(raw)
                     mime = "image/jpeg"
                 arr = np.frombuffer(px, np.uint8).reshape(h, w, 3)
-                src = _color_formula(int(mid), w, h)
+                if mime == "image/gif":
+                    pal = np.frombuffer(
+                        _gif_color_palette(), np.uint8
+                    ).reshape(256, 3)
+                    src = pal[
+                        np.frombuffer(
+                            _gif_color_indices(int(mid), w, h), np.uint8
+                        )
+                    ].reshape(h, w, 3)
+                else:
+                    src = _color_formula(int(mid), w, h)
                 err = int(np.abs(arr.astype(np.int64)
                                  - src.astype(np.int64)).max())
                 rows.append((

@@ -2944,37 +2944,49 @@ def q_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_color_stats",
-    # COLOR decode, value-hashed: Spark synthesizes RGB payloads (even ids
-    # truecolor PNG, odd ids baseline YCbCr 4:2:0 JPEG) from the
-    # 2×2-block-constant _color_formula pattern, REALLY decodes them
-    # (inflate+unfilter at bpp 3; 3-component MCU-interleaved Huffman +
-    # IDCT + chroma upsample + YCbCr→RGB), and reports per-channel decoded
-    # pixel sums.  DuckDB re-derives the PNG sums INDEPENDENTLY from the
-    # closed-form pattern over the pixel grid (PNG is lossless, so decoded
-    # == formula or the hash breaks); JPEG is lossy-by-format, so its
-    # channel sums are excluded (0 both sides) and its proof is the
-    # engine-side fidelity boolean: max per-pixel |decoded − formula| ≤ 3
-    # across every image (measured ≤ 2; a broken color path lands nowhere
-    # near).  Dimensions and pixel counts hash for BOTH containers.
+    # COLOR decode, value-hashed: Spark synthesizes RGB payloads (id%3
+    # rotation — truecolor PNG, baseline YCbCr 4:2:0 JPEG, palette GIF),
+    # REALLY decodes every one (inflate+unfilter at bpp 3; 3-component
+    # MCU-interleaved Huffman + IDCT + chroma upsample + YCbCr→RGB; LZW +
+    # palette expand), and reports per-channel decoded pixel sums.
+    # DuckDB re-derives the LOSSLESS containers' sums INDEPENDENTLY from
+    # the closed-form patterns over the pixel grid — PNG from the
+    # 2×2-block-constant _color_formula, GIF from palette[idx] where both
+    # palette and index are mod-arithmetic formulas — so decoded ==
+    # formula or the hash breaks.  JPEG is lossy-by-format: its channel
+    # sums are excluded (0 both sides) and its proof is the engine-side
+    # fidelity boolean max per-pixel |decoded − formula| ≤ 3 (measured
+    # ≤ 2); PNG/GIF fidelity booleans require EXACTLY 0.  Dimensions and
+    # pixel counts hash for all three containers.
     """
 WITH m AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END
-           AS mime,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+           ELSE 'image/gif' END AS mime,
          CAST(4 + (doc_id % 29) AS BIGINT) AS w,
          greatest(CAST(1 AS BIGINT),
                   CAST(ceil(CAST(strlen(text) AS DOUBLE)
                             / (4 + (doc_id % 29))) AS BIGINT)) AS h
   FROM documents
 ),
-pr AS (SELECT doc_id, w, unnest(range(h)) AS rr
-       FROM m WHERE mime = 'image/png'),
-px AS (SELECT doc_id, rr, unnest(range(w)) AS cc FROM pr),
+pr AS (SELECT doc_id, mime, w, unnest(range(h)) AS rr
+       FROM m WHERE mime <> 'image/jpeg'),
+px AS (SELECT doc_id, mime, w, rr, unnest(range(w)) AS cc FROM pr),
 chan AS (
   SELECT doc_id,
-         sum(((rr // 2) * 3 + (cc // 2) * 5 + doc_id) % 256) AS sr,
-         sum(((rr // 2) * 7 + (cc // 2) * 11 + 2 * doc_id) % 256) AS sg,
-         sum(((rr // 2) * 13 + (cc // 2) * 17 + 3 * doc_id) % 256) AS sb
+         sum(CASE WHEN mime = 'image/png'
+             THEN ((rr // 2) * 3 + (cc // 2) * 5 + doc_id) % 256
+             ELSE (((rr * w + cc) * 5 + doc_id) % 256) * 3 % 256 END)
+           AS sr,
+         sum(CASE WHEN mime = 'image/png'
+             THEN ((rr // 2) * 7 + (cc // 2) * 11 + 2 * doc_id) % 256
+             ELSE (((rr * w + cc) * 5 + doc_id) % 256) * 7 % 256 END)
+           AS sg,
+         sum(CASE WHEN mime = 'image/png'
+             THEN ((rr // 2) * 13 + (cc // 2) * 17 + 3 * doc_id) % 256
+             ELSE (((rr * w + cc) * 5 + doc_id) % 256) * 11 % 256 END)
+           AS sb
   FROM px GROUP BY doc_id
 )
 SELECT m.mime, count(*) AS n_items,
@@ -2991,10 +3003,11 @@ GROUP BY m.mime ORDER BY m.mime
 )
 def q_multimodal_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RGB decode end-to-end (operators/multimodal.py round-6 color
-    codecs): synthesize color payloads from documents, decode every one
-    for real, value-hash dimensions + pixel counts for both containers
-    and per-channel sums for the lossless one; JPEG fidelity enters as a
-    max-error ≤ 3 boolean vs the synthesis formula."""
+    codecs): synthesize color payloads from documents across all three
+    color containers, decode every one for real, value-hash dimensions +
+    pixel counts everywhere and per-channel sums for the lossless two
+    (PNG, GIF); JPEG fidelity enters as a max-error ≤ 3 boolean vs the
+    synthesis formula, PNG/GIF fidelity as exact-zero booleans."""
     from .operators.multimodal import (
         color_image_stats,
         synthesize_color_media,
@@ -3003,7 +3016,7 @@ def q_multimodal_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_color_media(docs, "text", "doc_id")
     stats = color_image_stats(media)
-    is_png = F.col("mime") == "image/png"
+    lossless = F.col("mime") != "image/jpeg"
     return (
         stats.groupBy("mime")
         .agg(
@@ -3011,14 +3024,14 @@ def q_multimodal_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("width").cast("long").alias("sum_width"),
             F.sum("height").cast("long").alias("sum_height"),
             F.sum("n_px").cast("long").alias("sum_px"),
-            F.sum(F.when(is_png, F.col("sum_r")).otherwise(0))
+            F.sum(F.when(lossless, F.col("sum_r")).otherwise(0))
             .cast("long").alias("sum_r"),
-            F.sum(F.when(is_png, F.col("sum_g")).otherwise(0))
+            F.sum(F.when(lossless, F.col("sum_g")).otherwise(0))
             .cast("long").alias("sum_g"),
-            F.sum(F.when(is_png, F.col("sum_b")).otherwise(0))
+            F.sum(F.when(lossless, F.col("sum_b")).otherwise(0))
             .cast("long").alias("sum_b"),
             F.max(
-                F.when(is_png, F.col("max_err"))
+                F.when(lossless, F.col("max_err"))
                 .otherwise(F.col("max_err") - 3)
             ).alias("__worst"),
         )
