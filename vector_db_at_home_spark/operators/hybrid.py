@@ -1,0 +1,133 @@
+"""Hybrid retrieval: lexical + vector legs fused by Reciprocal Rank
+Fusion — the standard two-tower search a vector-store user reaches for
+the moment pure-vector recall misses keyword intent (RRF per
+Cormack/Clarke/Buettcher 2009; the fusion every mainstream hybrid search
+ships).
+
+Spark-first shape: both legs are pure DataFrame plans — the lexical leg
+is an explode→filter→count aggregate (no UDF), the vector leg the same
+codegen cosine expression the kNN kernel uses — each ranked by a window,
+truncated to its top ``depth``, then full-outer-joined on the doc id and
+scored ``Σ 1/(rrf_k + rank)``.  Rank fusion (not score fusion) is what
+makes the result CROSS-ENGINE EXACT: ranks are integers derived from
+deterministic orderings, so the fused score is the same double in Spark
+and DuckDB and the whole query value-hashes.
+
+At scale: the lexical leg shuffles (term-filtered tokens → per-doc
+counts); the vector leg is an unshuffled scan + one ≤depth-row window
+shuffle; the fusion joins two ≤depth-row lists — broadcast territory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import cosine_similarity
+
+RRF_K = 60
+
+
+def hybrid_search_rrf(docs: DataFrame, emb: DataFrame, terms: list[str],
+                      qvec, k: int = 10, depth: int = 50,
+                      doc_id_col: str = "doc_id", text_col: str = "text",
+                      vec_id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Top-``k`` ids fusing a term-frequency lexical leg over ``docs``
+    with a cosine vector leg over ``emb`` (ids shared), RRF with the
+    standard k=60.  ``qvec`` is a DataFrame of one row ``(qvec)`` (kept
+    as a broadcast join, never a driver literal, so the query vector may
+    itself be the output of a plan).
+
+    Output: ``(id, lex_rank, vec_rank, rrf_e6)`` — ranks NULL where a
+    leg did not retrieve the doc within ``depth``; ``rrf_e6`` =
+    ``floor(1e6·score + 0.5)``, hash-stable cross-engine."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    tf = (
+        docs.select(
+            F.col(doc_id_col).alias("id"),
+            F.size(
+                F.filter(
+                    toks,
+                    lambda t: t.isin([term.lower() for term in terms]),
+                )
+            ).alias("tf"),
+        )
+        .filter(F.col("tf") > 0)
+    )
+    w_lex = Window.orderBy(F.col("tf").desc(), F.col("id").asc())
+    lex = (
+        tf.withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= depth)
+        .select("id", "lex_rank")
+    )
+
+    sims = (
+        emb.crossJoin(F.broadcast(qvec))
+        .select(
+            F.col(vec_id_col).alias("id"),
+            cosine_similarity(F.col(vec_col), F.col("qvec")).alias("sim"),
+        )
+    )
+    w_vec = Window.orderBy(F.col("sim").desc(), F.col("id").asc())
+    vec = (
+        sims.withColumn("vec_rank", F.row_number().over(w_vec))
+        .filter(F.col("vec_rank") <= depth)
+        .select("id", "vec_rank")
+    )
+
+    score = (
+        F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0))
+    )
+    return (
+        lex.join(vec, "id", "full_outer")
+        .select(
+            "id", "lex_rank", "vec_rank",
+            F.floor(score * 1e6 + F.lit(0.5)).cast("long").alias("rrf_e6"),
+        )
+        .orderBy(F.col("rrf_e6").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def render_hybrid_rrf_sql(terms: list[str], k: int = 10,
+                          depth: int = 50) -> str:
+    """DuckDB oracle for ``hybrid_search_rrf`` over the test tables
+    (query vector = embedding of vec_id 0, as the registry query uses)."""
+    term_list = ", ".join(f"'{t.lower()}'" for t in terms)
+    return f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+tf AS (
+  SELECT doc_id AS id,
+         len(list_filter(string_split(lower(text), ' '),
+                         t -> t IN ({term_list}))) AS tf
+  FROM documents
+),
+lex AS (
+  SELECT id, row_number() OVER (ORDER BY tf DESC, id) AS lex_rank
+  FROM tf WHERE tf > 0 QUALIFY lex_rank <= {depth}
+),
+sims AS (
+  SELECT e.vec_id AS id,
+         (SELECT sum(u.a * u.b)
+          FROM (SELECT unnest(e.embedding) AS a, unnest(q.qvec) AS b) u)
+         / (sqrt((SELECT sum(u.a * u.a)
+                  FROM (SELECT unnest(e.embedding) AS a) u))
+            * sqrt((SELECT sum(u.b * u.b)
+                    FROM (SELECT unnest(q.qvec) AS b) u))) AS sim
+  FROM embeddings e CROSS JOIN q
+),
+vec AS (
+  SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS vec_rank
+  FROM sims QUALIFY vec_rank <= {depth}
+)
+SELECT coalesce(lex.id, vec.id) AS id, lex_rank, vec_rank,
+       CAST(floor((coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
+                   + coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank), 0))
+                  * 1e6 + 0.5)
+            AS BIGINT) AS rrf_e6
+FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+ORDER BY rrf_e6 DESC, id
+LIMIT {k}
+"""
