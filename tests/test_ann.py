@@ -250,3 +250,30 @@ def test_ivf_cosine_via_normalization(spark):
     got = ivf_search(ivf, uq, k=5, n_probes=4).collect()  # all cells
     assert [(r.query_id, r.id) for r in got] == \
         [(r.query_id, r.id) for r in exact]
+
+
+def test_ivf_filtered_search_prefilters(spark, emb, queries):
+    """Round-6 filtered ANN: the predicate lands before the distance scan
+    — results only carry matching labels, full-probe filtered search
+    equals exact filtered kNN, and k stays full within the slice."""
+    from vector_db_at_home_spark.operators.ann import IVFIndex
+
+    ivf = ivf_build(emb, id_col="vec_id", vec_col="embedding", n_cells=8)
+    enriched = IVFIndex(
+        assigned=ivf.assigned.join(
+            emb.select(F.col("vec_id").alias("id"), "label"), "id"
+        ),
+        centroids=ivf.centroids,
+        n_cells=ivf.n_cells,
+    )
+    pred = F.col("label").isin(2, 5, 7)
+    approx = ivf_search(enriched, queries, k=5, n_probes=8, where=pred)
+    got = approx.join(
+        emb.select(F.col("vec_id").alias("id"), "label"), "id"
+    ).collect()
+    assert got and all(r.label in (2, 5, 7) for r in got)
+    exact = knn_search(
+        emb.filter(pred), queries, k=5, id_col="vec_id",
+        vec_col="embedding", impl="expr",
+    )
+    assert recall_at_k(approx, exact) == 1.0  # all cells probed

@@ -77,14 +77,26 @@ def ivf_build(index: DataFrame, id_col: str = "id", vec_col: str = "vec",
 def ivf_search(ivf: IVFIndex, queries: DataFrame, k: int,
                n_probes: int = 4,
                query_id_col: str = "query_id",
-               query_vec_col: str = "qvec") -> DataFrame:
+               query_vec_col: str = "qvec",
+               where=None) -> DataFrame:
     """Probe the ``n_probes`` nearest cells per query, exact search within.
 
     Plan: query×centroid distance (tiny, broadcast) → top-probes per query →
     semi-join restricts the big side to probed cells (with partition pruning
     when ``assigned`` is stored partitioned by cell) → exact distance +
     window top-k.  Shuffle volume is the probed fraction only.
-    """
+
+    ``where`` (optional ``Column`` predicate over the index frame)
+    implements FILTERED approximate search — the predicate lands on the
+    assigned-vector scan BEFORE distances are computed (pre-filtering),
+    composing with both pruning levers: a probed cell that the filter
+    empties contributes nothing, and the filter reaches the parquet scan
+    of a ``partitionBy(cell)`` store just like any pushed predicate.
+    Post-filtering (filter after top-k) would starve k in selective
+    slices; this keeps k full within the probed cells.  Note the classic
+    filtered-ANN recall caveat applies: a highly selective filter can
+    empty the probed cells even though matching vectors exist in
+    unprobed ones — raise ``n_probes`` as selectivity rises."""
     # nearest cells per query (exact kNN over the centroid table)
     probe = knn_search(
         ivf.centroids,
@@ -101,7 +113,8 @@ def ivf_search(ivf: IVFIndex, queries: DataFrame, k: int,
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
     )
     # candidate rows: only vectors in probed cells for that query
-    cand = ivf.assigned.join(F.broadcast(probe), "cell").join(
+    indexed = ivf.assigned if where is None else ivf.assigned.filter(where)
+    cand = indexed.join(F.broadcast(probe), "cell").join(
         F.broadcast(qvecs), "query_id"
     )
     from ..functions.distance import l2_distance

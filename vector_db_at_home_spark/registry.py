@@ -3094,6 +3094,95 @@ def q_knn_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_filtered_recall",
+    # Filtered APPROXIMATE search — the hard vector-DB composition
+    # (filter + ANN).  Exact filtered kNN leg value-hashed by DuckDB (the
+    # knn_filtered_topk distance SQL, aggregated); the IVF leg applies
+    # the SAME predicate on the assigned-vector scan BEFORE distances
+    # (pre-filtering, ann.ivf_search(where=...)) and its quality enters
+    # as the engine-side recall >= 3/5 boolean.
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings ORDER BY vec_id LIMIT 4
+), d AS (
+  SELECT q.query_id, e.vec_id AS id,
+         sqrt((SELECT sum((u.a - u.b) * (u.a - u.b))
+               FROM (SELECT unnest(e.embedding) AS a,
+                            unnest(q.qvec) AS b) u)) AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label IN (2, 5, 7)
+), r AS (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT query_id,
+       count(*) AS n_exact,
+       CAST(sum(CAST(floor(dist * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS exact_dist_e6_sum,
+       CAST(1 AS BOOLEAN) AS ivf_filtered_found_ge_3
+FROM r WHERE rn <= 5
+GROUP BY query_id ORDER BY query_id
+""",
+)
+def q_ann_ivf_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered IVF search graded in-plan: the assigned frame is enriched
+    with the label payload and the predicate lands BEFORE the distance
+    scan (``ivf_search(where=...)``); per query the exact filtered top-5
+    distances are value-hashed and the approximate leg must recover
+    >= 3/5 of them at 16 cells / 8 probes."""
+    from .operators.ann import IVFIndex, ivf_build, ivf_search
+    from .operators.knn import knn_search as _knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+    )
+    pred_labels = (2, 5, 7)
+    exact = _knn(emb.filter(F.col("label").isin(*pred_labels)), qs, k=5,
+                 id_col="vec_id", vec_col="embedding", impl="expr")
+    ivf = ivf_build(emb, id_col="vec_id", vec_col="embedding", n_cells=16)
+    enriched = IVFIndex(
+        assigned=ivf.assigned.join(
+            emb.select(F.col("vec_id").alias("id"), "label"), "id"
+        ),
+        centroids=ivf.centroids,
+        n_cells=ivf.n_cells,
+    )
+    approx = ivf_search(enriched, qs, k=5, n_probes=8,
+                        where=F.col("label").isin(*pred_labels))
+    hits = (
+        exact.select("query_id", "id")
+        .join(approx.select("query_id", "id"), ["query_id", "id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                F.floor(F.col("distance") * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("exact_dist_e6_sum"),
+        )
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            "exact_dist_e6_sum",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3).alias(
+                "ivf_filtered_found_ge_3"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _register_hybrid() -> None:
     from .operators.hybrid import hybrid_search_rrf, render_hybrid_rrf_sql
 
@@ -3179,7 +3268,7 @@ _TAIL_ORDER = [
     "knn_with_payload", "adpcm_roundtrip_docs", "multimodal_color_stats",
     "dedup_minhash_prepared", "dedup_simhash_incremental",
     "ann_dot_topk", "ann_ivf_cosine_recall", "ivfsq_recall",
-    "knn_filtered_topk", "hybrid_search_rrf",
+    "knn_filtered_topk", "hybrid_search_rrf", "ann_ivf_filtered_recall",
     "q6_forecast_revenue",
     "user_sessions", "skew_salted_agg", "strip_boilerplate",
     "repetition_signals", "pii_scrub_docs", "doc_chunks",
