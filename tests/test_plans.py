@@ -285,3 +285,58 @@ def test_q19_disjunction_split_across_both_scans(spark):
     plan = formatted_plan(df)
     assert has_pushed_filters(df, "l_quantity")
     assert "PushedFilters" in plan and "p_brand" in plan
+
+
+def test_q2_window_decorrelation_no_cartesian(spark):
+    """The Q2 shape: the correlated scalar-min runs as a window MIN over
+    the part key (one Window node, no join-back, no second partsupp
+    scan); part and the supplier⋈nation⋈region chain broadcast."""
+    from vector_db_at_home_spark.operators.relational import (
+        min_cost_supplier,
+    )
+
+    df = min_cost_supplier(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert broadcast_join_count(df) >= 3
+
+
+def test_q9_part_filter_prunes_both_sides(spark):
+    """The Q9 shape: the LIKE-filtered part list broadcasts into BOTH the
+    lineitem scan and the derived partsupp; no cartesian anywhere."""
+    from vector_db_at_home_spark.operators.relational import product_profit
+
+    df = product_profit(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 4
+
+
+def test_q16_not_in_becomes_anti_join(spark):
+    """The Q16 shape: NOT IN over the flagged suppliers decorrelates to a
+    broadcast LEFT ANTI, never a nested-loop."""
+    from vector_db_at_home_spark.operators.relational import (
+        part_supplier_counts,
+    )
+
+    df = part_supplier_counts(spark, SF)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_one_conditional_aggregate_semi_join(spark):
+    """The Q20 shape: BOTH correlated inner sums collapse into ONE
+    conditional aggregate over the part-pruned fact; the supplier side
+    arrives via a semi-join; no repeated lineitem scans beyond the
+    aggregate (no cartesian, no nested-loop)."""
+    from vector_db_at_home_spark.operators.relational import excess_shippers
+
+    df = excess_shippers(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
