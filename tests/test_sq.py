@@ -143,3 +143,59 @@ def test_ivfsq_sync_with_store_incremental(spark, tmp_path):
                                  id_col="id", vec_col="vec") == 0
     re = ivfsq_load(spark, path)
     assert re.codes.count() == 55
+
+
+def test_stream_ingest_then_ivfsq_sync_loop(spark, tmp_path):
+    """The full production loop for the int8 tier: streaming feed → store
+    append → ivfsq_sync_with_store per cadence — synced vectors are
+    immediately searchable at rank 1 through the saved index, and the
+    sync is O(batch)-idempotent across repeats."""
+    import numpy as np
+
+    from vector_db_at_home_spark.store import VectorStore
+    from vector_db_at_home_spark.streaming.ingest import stream_into_store
+
+    rng = np.random.default_rng(11)
+    feed = str(tmp_path / "feed")
+    first = rng.normal(size=(20, 8)).astype("float32")
+    spark.createDataFrame(
+        [(v.tolist(), "{}") for v in first], "vec array<float>, doc string"
+    ).coalesce(1).write.parquet(feed, mode="append")
+
+    store = VectorStore(spark, tmp_path / "store", dim=8)
+    stream = (spark.readStream.schema("vec array<float>, doc string")
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    q = stream_into_store(stream, store,
+                          checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    path = str(tmp_path / "sqidx")
+    sq = ivfsq_build(store.df().select("id", "vec"),
+                     id_col="id", vec_col="vec", n_cells=4)
+    ivfsq_save(sq, path)
+
+    # second micro-batch lands, store grows, index syncs
+    second = rng.normal(size=(7, 8)).astype("float32")
+    spark.createDataFrame(
+        [(v.tolist(), "{}") for v in second], "vec array<float>, doc string"
+    ).coalesce(1).write.parquet(feed, mode="append")
+    stream2 = (spark.readStream.schema("vec array<float>, doc string")
+               .option("maxFilesPerTrigger", 1).parquet(feed))
+    q2 = stream_into_store(stream2, store,
+                           checkpoint_dir=str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+    assert store.count() == 27
+    assert ivfsq_sync_with_store(spark, store, path,
+                                 id_col="id", vec_col="vec") == 7
+    assert ivfsq_sync_with_store(spark, store, path,
+                                 id_col="id", vec_col="vec") == 0
+
+    # a synced vector is its own nearest neighbor through the saved index
+    re = ivfsq_load(spark, path)
+    from pyspark.sql import functions as FF
+
+    probe_vec = store.df().filter(FF.col("id") == 25).select(
+        FF.lit(25).alias("query_id"), FF.col("vec").alias("qvec")
+    )
+    hit = ivfsq_search(re, probe_vec, k=1, n_probes=4).collect()
+    assert hit and hit[0].id == 25
