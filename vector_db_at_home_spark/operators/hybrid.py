@@ -14,8 +14,12 @@ deterministic orderings, so the fused score is the same double in Spark
 and DuckDB and the whole query value-hashes.
 
 At scale: the lexical leg shuffles (term-filtered tokens → per-doc
-counts); the vector leg is an unshuffled scan + one ≤depth-row window
-shuffle; the fusion joins two ≤depth-row lists — broadcast territory.
+counts); the vector leg is an unshuffled scan; each leg truncates to
+its top ``depth`` via a DISTRIBUTED ``orderBy().limit`` (Spark's
+TakeOrderedAndProject: per-partition heads, merged — never a
+full-table single-partition window) before the rank window runs over
+the ≤depth survivors; the fusion joins two ≤depth-row lists —
+broadcast territory.
 """
 
 from __future__ import annotations
@@ -55,10 +59,14 @@ def hybrid_search_rrf(docs: DataFrame, emb: DataFrame, terms: list[str],
         )
         .filter(F.col("tf") > 0)
     )
+    # distributed top-depth FIRST (TakeOrderedAndProject — per-partition
+    # heads merged, no full shuffle), THEN the rank window over the ≤depth
+    # survivors; ranking the raw leg directly would single-partition the
+    # whole table
     w_lex = Window.orderBy(F.col("tf").desc(), F.col("id").asc())
     lex = (
-        tf.withColumn("lex_rank", F.row_number().over(w_lex))
-        .filter(F.col("lex_rank") <= depth)
+        tf.orderBy(F.col("tf").desc(), F.col("id").asc()).limit(depth)
+        .withColumn("lex_rank", F.row_number().over(w_lex))
         .select("id", "lex_rank")
     )
 
@@ -71,8 +79,8 @@ def hybrid_search_rrf(docs: DataFrame, emb: DataFrame, terms: list[str],
     )
     w_vec = Window.orderBy(F.col("sim").desc(), F.col("id").asc())
     vec = (
-        sims.withColumn("vec_rank", F.row_number().over(w_vec))
-        .filter(F.col("vec_rank") <= depth)
+        sims.orderBy(F.col("sim").desc(), F.col("id").asc()).limit(depth)
+        .withColumn("vec_rank", F.row_number().over(w_vec))
         .select("id", "vec_rank")
     )
 
