@@ -253,3 +253,37 @@ def test_upsert_length_mismatch_raises(store):
     store.insert(np.ones((1, DIM), dtype=np.float32))
     with pytest.raises(ValueError):
         store.upsert([1, 2], np.ones((1, DIM), dtype=np.float32))
+
+
+def test_vacuum_retention(spark, tmp_path):
+    """vacuum drops old snapshots, keeps the newest keep_last (current
+    always retained), time travel to retained versions still works, and
+    the live table is untouched."""
+    import numpy as np
+    import pytest
+
+    from vector_db_at_home_spark.store import VectorStore
+
+    store = VectorStore(spark, tmp_path / "vac", dim=2)
+    store.insert(np.array([[1.0, 0.0]], dtype=np.float32))
+    v0 = store._current_version()
+    store.delete([0])        # new version
+    store.insert(np.array([[0.0, 1.0]], dtype=np.float32))
+    store.compact(1)         # another new version
+    all_versions = store.versions()
+    assert len(all_versions) >= 3
+
+    with pytest.raises(ValueError):
+        store.vacuum(keep_last=0)
+
+    removed = store.vacuum(keep_last=2)
+    assert removed == sorted(all_versions)[:-2]
+    assert v0 in removed
+    kept = store.versions()
+    assert len(kept) == 2
+    assert store._current_version() in kept
+    # live reads and retained time travel unaffected
+    assert store.count() == 1
+    assert store.df_at_version(kept[0]).count() >= 0
+    with pytest.raises(ValueError):
+        store.df_at_version(removed[0])

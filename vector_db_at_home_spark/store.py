@@ -220,6 +220,34 @@ class VectorStore:
             self._snapshot_dir(version)
         )
 
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop old snapshot versions, retaining the ``keep_last`` most
+        recent (the current version is always retained).  Returns the
+        versions removed.
+
+        Every delete/compact writes a NEW snapshot, so long-lived stores
+        accumulate full copies — the Delta-style retention problem.
+        Vacuum is safe against concurrent READERS of retained versions
+        (removal never touches them) but, like Delta's, not against a
+        reader pinned to a version being dropped; pick ``keep_last``
+        to cover the longest-running query.  The current version is
+        re-read AFTER listing so a concurrent writer's new snapshot is
+        never collected."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self.versions()
+        current = self._current_version()
+        keep = set(sorted(versions)[-keep_last:]) | {current}
+        removed = []
+        for v in versions:
+            if v in keep:
+                continue
+            shutil.rmtree(self._snapshot_dir(v))
+            removed.append(v)
+        return removed
+
     def index_df(self) -> DataFrame:
         """Cached (id, vec) projection — the analog of the reference's
         in-memory NumPy index (vector_store.py:64-67)."""
