@@ -885,3 +885,75 @@ def test_gif_rgb_roundtrip_exact():
         dw, dh, rgb = decode_gif_rgb(gif)
         assert (dw, dh) == (w, h)
         assert rgb == b"".join(pal[3 * v:3 * v + 3] for v in idx)
+
+
+def test_png_alpha_decode():
+    """RGBA (type 6) roundtrips exactly; grayscale+alpha (type 4) expands
+    to RGBA with gray replicated and alpha preserved; filters 1-4 invert
+    at bpp 4; gray/truecolor decoders reject alpha streams and vice
+    versa."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from vector_db_at_home_spark.operators.multimodal import (
+        _png_rgb_bytes,
+        _png_rgba_bytes,
+        decode_png_rgb,
+        decode_png_rgba,
+    )
+
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 256, (6, 5, 4), dtype=np.uint8)
+    w, h, px = decode_png_rgba(_png_rgba_bytes(src.tobytes(), 5))
+    assert (w, h) == (5, 6) and px == src.tobytes()
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    # hand-filtered type-6 stream with filter 4 on every row (bpp=4 Paeth)
+    stride = 5 * 4
+    flat = src.tobytes()
+    prev = bytes(stride)
+    enc = bytearray()
+    for r in range(6):
+        line = flat[r * stride:(r + 1) * stride]
+        enc.append(4)
+        for i in range(stride):
+            a = line[i - 4] if i >= 4 else 0
+            b = prev[i]
+            c = prev[i - 4] if i >= 4 else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc.append((line[i] - pred) & 0xFF)
+        prev = line
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 6, 8, 6, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(enc)))
+           + chunk(b"IEND", b""))
+    w, h, px = decode_png_rgba(png)
+    assert px == flat
+
+    # LA (type 4): gray replicated to RGB, alpha preserved
+    la = rng.integers(0, 256, (4, 3, 2), dtype=np.uint8)
+    raw = b"".join(b"\x00" + la[r].tobytes() for r in range(4))
+    png4 = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 4, 8, 4, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+    w, h, px = decode_png_rgba(png4)
+    arr = np.frombuffer(px, np.uint8).reshape(4, 3, 4)
+    assert (arr[..., 0] == la[..., 0]).all()
+    assert (arr[..., 1] == arr[..., 0]).all()
+    assert (arr[..., 2] == arr[..., 0]).all()
+    assert (arr[..., 3] == la[..., 1]).all()
+
+    rgb = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="alpha"):
+        decode_png_rgba(_png_rgb_bytes(rgb.tobytes(), 4))
+    with pytest.raises(ValueError, match="truecolor"):
+        decode_png_rgb(_png_rgba_bytes(src.tobytes(), 5))

@@ -1661,11 +1661,85 @@ def decode_png_rgb(payload: bytes) -> tuple[int, int, bytes]:
 
 
 def _decode_png_rgb_inner(payload: bytes) -> tuple[int, int, bytes]:
+    w, h, nch, px = _decode_png_channels(
+        payload, {2: 3},
+        "only 8-bit truecolor non-interlaced PNG is supported",
+    )
+    return w, h, px
+
+
+#: PNG color type → samples per pixel (8-bit depths)
+_PNG_TYPE_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png_rgba(payload: bytes) -> tuple[int, int, bytes]:
+    """``(width, height, rgba)`` from an 8-bit PNG with an ALPHA channel
+    — truecolor+alpha (color type 6) decoded natively; grayscale+alpha
+    (type 4) expanded to RGBA (gray replicated to R=G=B).  Real-corpus
+    PNGs are frequently RGBA (web graphics, screenshots); the filter
+    arithmetic is the same five scanline filters at bpp 4 (or 2)."""
+    import struct
+    import zlib
+
+    if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    try:
+        w, h, nch, px = _decode_png_channels(
+            payload, {4: 2, 6: 4},
+            "only 8-bit alpha PNG (color type 4 or 6) is supported here",
+        )
+    except (IndexError, struct.error, zlib.error) as e:
+        raise ValueError(f"corrupt PNG stream: {e}") from e
+    if nch == 4:
+        return w, h, px
+    out = bytearray(4 * w * h)  # LA -> RGBA
+    for i in range(w * h):
+        g, a = px[2 * i], px[2 * i + 1]
+        out[4 * i:4 * i + 4] = bytes((g, g, g, a))
+    return w, h, bytes(out)
+
+
+def _png_rgba_bytes(rgba: bytes, width: int) -> bytes:
+    """A valid truecolor+alpha (color type 6) PNG from interleaved RGBA
+    bytes — stdlib only, same chunk layout as ``_png_rgb_bytes``."""
+    import struct
+    import zlib
+
+    width = max(1, width)
+    stride = 4 * width
+    height = max(1, (len(rgba) + stride - 1) // stride)
+    padded = rgba.ljust(stride * height, b"\x00")
+    raw = b"".join(
+        b"\x00" + padded[r * stride:(r + 1) * stride] for r in range(height)
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png_channels(payload: bytes, allowed: dict[int, int],
+                         type_err: str) -> tuple[int, int, int, bytes]:
+    """Shared 8-bit non-interlaced PNG core: parse chunks, inflate,
+    unfilter with the color type's byte-per-pixel stride (Sub/Average/
+    Paeth reference the sample ``bpp`` bytes left — PNG spec §6).
+    ``allowed`` maps accepted color types → channel counts."""
     import struct
     import zlib
 
     pos, idat = 8, []
     w = h = None
+    bpp = None
     while pos + 8 <= len(payload):
         ln, typ = struct.unpack(">I4s", payload[pos:pos + 8])
         data = payload[pos + 8:pos + 8 + ln]
@@ -1673,10 +1747,9 @@ def _decode_png_rgb_inner(payload: bytes) -> tuple[int, int, bytes]:
             w, h, bitdepth, colortype, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if bitdepth != 8 or colortype != 2 or interlace != 0:
-                raise ValueError(
-                    "only 8-bit truecolor non-interlaced PNG is supported"
-                )
+            if bitdepth != 8 or colortype not in allowed or interlace != 0:
+                raise ValueError(type_err)
+            bpp = allowed[colortype]
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -1685,10 +1758,9 @@ def _decode_png_rgb_inner(payload: bytes) -> tuple[int, int, bytes]:
     if w is None:
         raise ValueError("PNG missing IHDR")
     raw = zlib.decompress(b"".join(idat))
-    stride = 3 * w
+    stride = bpp * w
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
-    bpp = 3
     out = bytearray()
     prev = bytes(stride)
     for r in range(h):
@@ -1722,7 +1794,7 @@ def _decode_png_rgb_inner(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"unknown PNG filter type {ft}")
         out += line
         prev = bytes(line)
-    return w, h, bytes(out)
+    return w, h, bpp, bytes(out)
 
 
 def _rgb_to_ycbcr(rgb):
