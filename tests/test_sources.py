@@ -356,3 +356,34 @@ def test_load_media_dir_header_only_metadata(spark, tmp_path):
     ri = rows2["i.png"]
     assert ri.sample_rate == 0 and ri.n_frames == 0
     assert ri.meta.width == 6 and ri.meta.duration_ms == 0
+
+
+def test_zorder_write_prunes_on_every_clustered_column(spark, tmp_path):
+    """Z-order clustered parquet: a selective filter on EITHER clustered
+    column skips most files (parquet min-max stats), whereas a single-
+    column sort only helps its own column and an unclustered layout
+    helps neither."""
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.sources.layout import zorder_write
+
+    df = spark.range(50_000).select(
+        (F.col("id") % 500).alias("x"),
+        ((F.col("id") * 37) % 500).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    plain = str(tmp_path / "plain")
+    zo = str(tmp_path / "zo")
+    df.repartition(8).write.parquet(plain)
+    zorder_write(df, zo, ["x", "y"], n_files=8)
+
+    def touched(path, cond):
+        d = spark.read.parquet(path).filter(cond)
+        return (d.select(F.input_file_name()).distinct().count(), d.count())
+
+    for cond in ("x BETWEEN 50 AND 60", "y BETWEEN 50 AND 60"):
+        pf, prows = touched(plain, cond)
+        zf, zrows = touched(zo, cond)
+        assert zrows == prows  # clustering never changes results
+        assert pf == 8         # unclustered: every file touched
+        assert zf <= 4, f"{cond}: z-order touched {zf}/8 files"
