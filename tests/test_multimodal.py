@@ -957,3 +957,61 @@ def test_png_alpha_decode():
         decode_png_rgba(_png_rgb_bytes(rgb.tobytes(), 4))
     with pytest.raises(ValueError, match="truecolor"):
         decode_png_rgb(_png_rgba_bytes(src.tobytes(), 5))
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 interlaced PNGs decode identically to their sequential form
+    for gray, truecolor and RGBA — seven independently-filtered passes
+    scattered per the spec grid.  Legacy web encoders default to
+    interlacing, so a real corpus contains these."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.multimodal import (
+        _ADAM7_PASSES,
+        decode_png_gray,
+        decode_png_rgb,
+        decode_png_rgba,
+    )
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    def interlaced_png(img, colortype, bpp):
+        h, w = img.shape[0], img.shape[1]
+        flat = img.tobytes()
+        raw = bytearray()
+        for xs, ys, xstep, ystep in _ADAM7_PASSES:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            for r in range(ph):
+                raw.append(0)  # filter type 0 per pass row
+                y = ys + r * ystep
+                for c in range(pw):
+                    x = xs + c * xstep
+                    src = (y * w + x) * bpp
+                    raw += flat[src:src + bpp]
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 1))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(23)
+    for shape, colortype, bpp, decoder in [
+        ((11, 9), 0, 1, decode_png_gray),
+        ((11, 9, 3), 2, 3, decode_png_rgb),
+        ((7, 13, 4), 6, 4, decode_png_rgba),
+        ((8, 8, 3), 2, 3, decode_png_rgb),   # exact pass-grid boundary
+        ((1, 1), 0, 1, decode_png_gray),     # only pass 1 non-empty
+    ]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        w, h = shape[1], shape[0]
+        dw, dh, px = decoder(interlaced_png(img, colortype, bpp))
+        assert (dw, dh) == (w, h)
+        assert px == img.tobytes(), f"interlaced mismatch for {shape}"

@@ -277,66 +277,11 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
 
 
 def _decode_png_gray_inner(payload: bytes) -> tuple[int, int, bytes]:
-    import struct
-    import zlib
-
-    pos, idat = 8, []
-    w = h = None
-    while pos + 8 <= len(payload):
-        ln, typ = struct.unpack(">I4s", payload[pos:pos + 8])
-        data = payload[pos + 8:pos + 8 + ln]
-        if typ == b"IHDR":
-            w, h, bitdepth, colortype, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", data)
-            )
-            if bitdepth != 8 or colortype != 0 or interlace != 0:
-                raise ValueError(
-                    "only 8-bit grayscale non-interlaced PNG is supported"
-                )
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (w + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    out = bytearray()
-    prev = bytes(w)
-    for r in range(h):
-        ft = raw[r * (w + 1)]
-        line = bytearray(raw[r * (w + 1) + 1:(r + 1) * (w + 1)])
-        if ft == 1:      # Sub: + reconstructed left (bpp = 1)
-            for i in range(1, w):
-                line[i] = (line[i] + line[i - 1]) & 0xFF
-        elif ft == 2:    # Up: + reconstructed above
-            for i in range(w):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ft == 3:    # Average: + floor((left + up) / 2)
-            for i in range(w):
-                left = line[i - 1] if i else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ft == 4:    # Paeth predictor
-            for i in range(w):
-                a = line[i - 1] if i else 0
-                b = prev[i]
-                c = prev[i - 1] if i else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                if pa <= pb and pa <= pc:
-                    pred = a
-                elif pb <= pc:
-                    pred = b
-                else:
-                    pred = c
-                line[i] = (line[i] + pred) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        out += line
-        prev = bytes(line)
-    return w, h, bytes(out)
+    w, h, _nch, px = _decode_png_channels(
+        payload, {0: 1},
+        "only 8-bit grayscale PNG is supported here",
+    )
+    return w, h, px
 
 
 #: JPEG zigzag scan order (public, ITU T.81 figure 5)
@@ -1747,7 +1692,7 @@ def _decode_png_channels(payload: bytes, allowed: dict[int, int],
             w, h, bitdepth, colortype, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if bitdepth != 8 or colortype not in allowed or interlace != 0:
+            if bitdepth != 8 or colortype not in allowed or interlace > 1:
                 raise ValueError(type_err)
             bpp = allowed[colortype]
         elif typ == b"IDAT":
@@ -1758,6 +1703,46 @@ def _decode_png_channels(payload: bytes, allowed: dict[int, int],
     if w is None:
         raise ValueError("PNG missing IHDR")
     raw = zlib.decompress(b"".join(idat))
+    if not interlace:
+        stride = bpp * w
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        return w, h, bpp, _png_unfilter(raw, w, h, bpp)
+    # Adam7: seven independently-filtered sub-images, scattered onto the
+    # pixel grid (PNG spec §8.2) — interlaced files are a real-corpus
+    # reality (legacy web encoders default to them)
+    out = bytearray(w * h * bpp)
+    pos = 0
+    for xs, ys, xstep, ystep in _ADAM7_PASSES:
+        pw = (w - xs + xstep - 1) // xstep
+        ph = (h - ys + ystep - 1) // ystep
+        if pw <= 0 or ph <= 0:
+            continue
+        seg_len = ph * (pw * bpp + 1)
+        sub = _png_unfilter(raw[pos:pos + seg_len], pw, ph, bpp)
+        pos += seg_len
+        for r in range(ph):
+            y = ys + r * ystep
+            for c in range(pw):
+                x = xs + c * xstep
+                src = (r * pw + c) * bpp
+                dst = (y * w + x) * bpp
+                out[dst:dst + bpp] = sub[src:src + bpp]
+    if pos != len(raw):
+        raise ValueError("PNG interlaced data length mismatch")
+    return w, h, bpp, bytes(out)
+
+
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per PNG spec §8.2
+_ADAM7_PASSES = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytes:
+    """Invert the five scanline filters over one (sub-)image — shared by
+    the sequential path and each Adam7 pass."""
     stride = bpp * w
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
@@ -1794,7 +1779,7 @@ def _decode_png_channels(payload: bytes, allowed: dict[int, int],
             raise ValueError(f"unknown PNG filter type {ft}")
         out += line
         prev = bytes(line)
-    return w, h, bpp, bytes(out)
+    return bytes(out)
 
 
 def _rgb_to_ycbcr(rgb):
