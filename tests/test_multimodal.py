@@ -1015,3 +1015,46 @@ def test_png_adam7_interlaced_decode():
         dw, dh, px = decoder(interlaced_png(img, colortype, bpp))
         assert (dw, dh) == (w, h)
         assert px == img.tobytes(), f"interlaced mismatch for {shape}"
+
+
+def test_jpeg_color_444_and_restart_markers():
+    """Decoder coverage for the other standard color layouts: 4:4:4 (no
+    chroma subsampling — max err from DCT rounding only, even on random
+    content) and restart-marker streams (DRI + RST0-7 with DC resets,
+    byte-aligned per T.81) at both samplings."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.multimodal import (
+        _color_formula,
+        _jpeg_rgb_bytes,
+        decode_jpeg_rgb,
+    )
+
+    def err(src, payload):
+        h, w = src.shape[0], src.shape[1]
+        dw, dh, px = decode_jpeg_rgb(payload)
+        assert (dw, dh) == (w, h)
+        return int(np.abs(
+            np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
+            - src.astype(int)
+        ).max())
+
+    for w, h, did in [(7, 5, 3), (29, 23, 42), (16, 16, 1)]:
+        src = _color_formula(did, w, h)
+        assert err(src, _jpeg_rgb_bytes(src.tobytes(), w,
+                                        subsample="444")) <= 2
+        assert err(src, _jpeg_rgb_bytes(src.tobytes(), w,
+                                        restart_interval=2)) <= 3
+        assert err(src, _jpeg_rgb_bytes(src.tobytes(), w, subsample="444",
+                                        restart_interval=1)) <= 2
+
+    # random content: 4:4:4 has no subsampling loss at all
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    assert err(src, _jpeg_rgb_bytes(src.tobytes(), 24,
+                                    subsample="444")) <= 4
+
+    import pytest
+
+    with pytest.raises(ValueError, match="subsample"):
+        _jpeg_rgb_bytes(src.tobytes(), 24, subsample="422")

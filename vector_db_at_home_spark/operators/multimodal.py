@@ -371,10 +371,19 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 restart alignment);
+        the normal write path handles 0xFF stuffing on the pad byte."""
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)
+
+    def marker(self, byte: int) -> None:
+        """Emit a raw marker (byte-aligned caller responsibility)."""
+        self.out += bytes([0xFF, byte])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -1800,27 +1809,38 @@ def _ycbcr_to_rgb(y, cb, cr):
     return np.stack([r, g, b], axis=-1)
 
 
-def _jpeg_rgb_bytes(rgb: bytes, width: int, quant: int = 1) -> bytes:
-    """A valid baseline-DCT YCbCr 4:2:0 color JPEG from interleaved RGB
-    bytes — stdlib + NumPy only.  Public byte format per ITU T.81 / JFIF:
-    SOF0 declares three components (Y sampling 2×2, Cb/Cr 1×1, chroma on
-    quant table 1), the scan interleaves 16×16 MCUs as four Y blocks +
-    one Cb + one Cr with per-component DC predictors.  Chroma planes are
-    2×2 box means of the full-resolution transform — exact for the
-    2×2-block-constant synthesis patterns, standard-lossy otherwise."""
+def _jpeg_rgb_bytes(rgb: bytes, width: int, quant: int = 1,
+                    subsample: str = "420",
+                    restart_interval: int = 0) -> bytes:
+    """A valid baseline-DCT YCbCr color JPEG from interleaved RGB bytes —
+    stdlib + NumPy only.  Public byte format per ITU T.81 / JFIF: SOF0
+    declares three components (chroma on quant table 1), the scan
+    interleaves MCUs with per-component DC predictors.
+
+    ``subsample``: ``"420"`` (default — Y 2×2, Cb/Cr 1×1, 16×16 MCUs of
+    four Y blocks + Cb + Cr; chroma planes are 2×2 box means, exact for
+    the 2×2-block-constant synthesis patterns) or ``"444"`` (all 1×1,
+    8×8 MCUs of one block each — no chroma loss).  ``restart_interval``
+    > 0 writes a DRI segment and RST0-7 markers every that many MCUs
+    with DC-predictor resets — the error-resilience layout real encoders
+    emit for streamable files."""
     import struct
 
     import numpy as np
 
+    if subsample not in ("420", "444"):
+        raise ValueError("subsample must be '420' or '444'")
+    sub = 2 if subsample == "420" else 1
+    mcu = 8 * sub
     width = max(1, width)
     stride = 3 * width
     height = max(1, (len(rgb) + stride - 1) // stride)
     img = np.frombuffer(
         rgb.ljust(stride * height, b"\x00"), dtype=np.uint8
     ).reshape(height, width, 3).astype(np.float64)
-    # pad to 16×16 MCUs by edge replication
-    ph = (height + 15) // 16 * 16
-    pw = (width + 15) // 16 * 16
+    # pad to whole MCUs by edge replication
+    ph = (height + mcu - 1) // mcu * mcu
+    pw = (width + mcu - 1) // mcu * mcu
     padded = np.empty((ph, pw, 3))
     padded[:height, :width] = img
     padded[height:, :width] = img[-1:, :]
@@ -1828,8 +1848,11 @@ def _jpeg_rgb_bytes(rgb: bytes, width: int, quant: int = 1) -> bytes:
     padded[height:, width:] = padded[height - 1, width - 1]
 
     y, cb, cr = _rgb_to_ycbcr(padded)
-    cb_s = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-    cr_s = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    if sub == 2:
+        cb_s = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr_s = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    else:
+        cb_s, cr_s = cb, cr
 
     C = _dct_matrix()
     qtab = np.full((8, 8), quant, dtype=np.float64)
@@ -1873,25 +1896,38 @@ def _jpeg_rgb_bytes(rgb: bytes, width: int, quant: int = 1) -> bytes:
             code, ln = ac_codes[0x00]
             bw.write(code, ln)
 
-    for my in range(0, ph, 16):
-        for mx in range(0, pw, 16):
+    mcus = [(my, mx) for my in range(0, ph, mcu) for mx in range(0, pw, mcu)]
+    for mi, (my, mx) in enumerate(mcus):
+        if restart_interval and mi and mi % restart_interval == 0:
+            bw.align()
+            bw.marker(0xD0 + ((mi // restart_interval - 1) % 8))
+            prev_dc[0] = prev_dc[1] = prev_dc[2] = 0
+        if sub == 2:
             for vy in (0, 8):
                 for vx in (0, 8):
                     write_block(y, my + vy, mx + vx, 0)
             write_block(cb_s, my // 2, mx // 2, 1)
             write_block(cr_s, my // 2, mx // 2, 2)
+        else:
+            write_block(y, my, mx, 0)
+            write_block(cb_s, my, mx, 1)
+            write_block(cr_s, my, mx, 2)
 
     def seg(marker: int, data: bytes) -> bytes:
         return struct.pack(">HH", marker, len(data) + 2) + data
 
+    y_sampling = 0x22 if sub == 2 else 0x11
     dqt = (seg(0xFFDB, bytes([0]) + bytes([quant] * 64))
            + seg(0xFFDB, bytes([1]) + bytes([quant] * 64)))
     sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3)
-               + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+               + bytes([1, y_sampling, 0, 2, 0x11, 1, 3, 0x11, 1]))
     dht = seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) \
         + seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    dri = (seg(0xFFDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
-    return (b"\xff\xd8" + dqt + sof0 + dht + sos + bw.flush() + b"\xff\xd9")
+    return (b"\xff\xd8" + dqt + sof0 + dht + dri + sos
+            + bw.flush() + b"\xff\xd9")
 
 
 def decode_jpeg_rgb(payload: bytes) -> tuple[int, int, bytes]:
