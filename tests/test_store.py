@@ -287,3 +287,26 @@ def test_vacuum_retention(spark, tmp_path):
     assert store.df_at_version(kept[0]).count() >= 0
     with pytest.raises(ValueError):
         store.df_at_version(removed[0])
+
+
+def test_diff_change_feed(spark, tmp_path):
+    """diff(v1, v2) recovers the exact insert/delete delta between
+    snapshots — the change feed incremental consumers (index syncs,
+    replication) read instead of rescanning."""
+    import numpy as np
+
+    from vector_db_at_home_spark.store import VectorStore
+
+    store = VectorStore(spark, tmp_path / "feed", dim=2)
+    store.insert(np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+                          dtype=np.float32))
+    v1 = store._current_version()
+    store.delete([1])
+    store.insert(np.array([[2.0, 2.0]], dtype=np.float32))
+    changes = [(r.change, r.id) for r in store.diff(v1).collect()]
+    assert changes == [("delete", 1), ("insert", 3)]
+    # identity diff is empty; explicit to_version works
+    assert store.diff(v1, v1).count() == 0
+    v_now = store._current_version()
+    assert [(r.change, r.id) for r in store.diff(v1, v_now).collect()] \
+        == changes
