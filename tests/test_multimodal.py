@@ -1044,9 +1044,13 @@ def test_jpeg_color_444_and_restart_markers():
         assert err(src, _jpeg_rgb_bytes(src.tobytes(), w,
                                         subsample="444")) <= 2
         assert err(src, _jpeg_rgb_bytes(src.tobytes(), w,
+                                        subsample="422")) <= 3
+        assert err(src, _jpeg_rgb_bytes(src.tobytes(), w,
                                         restart_interval=2)) <= 3
         assert err(src, _jpeg_rgb_bytes(src.tobytes(), w, subsample="444",
                                         restart_interval=1)) <= 2
+        assert err(src, _jpeg_rgb_bytes(src.tobytes(), w, subsample="422",
+                                        restart_interval=2)) <= 3
 
     # random content: 4:4:4 has no subsampling loss at all
     rng = np.random.default_rng(0)
@@ -1057,4 +1061,4 @@ def test_jpeg_color_444_and_restart_markers():
     import pytest
 
     with pytest.raises(ValueError, match="subsample"):
-        _jpeg_rgb_bytes(src.tobytes(), 24, subsample="422")
+        _jpeg_rgb_bytes(src.tobytes(), 24, subsample="411")

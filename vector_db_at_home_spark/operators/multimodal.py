@@ -1819,19 +1819,21 @@ def _jpeg_rgb_bytes(rgb: bytes, width: int, quant: int = 1,
 
     ``subsample``: ``"420"`` (default — Y 2×2, Cb/Cr 1×1, 16×16 MCUs of
     four Y blocks + Cb + Cr; chroma planes are 2×2 box means, exact for
-    the 2×2-block-constant synthesis patterns) or ``"444"`` (all 1×1,
-    8×8 MCUs of one block each — no chroma loss).  ``restart_interval``
-    > 0 writes a DRI segment and RST0-7 markers every that many MCUs
-    with DC-predictor resets — the error-resilience layout real encoders
-    emit for streamable files."""
+    the 2×2-block-constant synthesis patterns), ``"422"`` (Y 2×1, 16×8
+    MCUs of two Y blocks + Cb + Cr; chroma is a horizontal 2-mean) or
+    ``"444"`` (all 1×1, 8×8 MCUs of one block each — no chroma loss).
+    ``restart_interval`` > 0 writes a DRI segment and RST0-7 markers
+    every that many MCUs with DC-predictor resets — the error-resilience
+    layout real encoders emit for streamable files."""
     import struct
 
     import numpy as np
 
-    if subsample not in ("420", "444"):
-        raise ValueError("subsample must be '420' or '444'")
-    sub = 2 if subsample == "420" else 1
-    mcu = 8 * sub
+    if subsample not in ("420", "422", "444"):
+        raise ValueError("subsample must be '420', '422' or '444'")
+    sub_x = 2 if subsample in ("420", "422") else 1
+    sub_y = 2 if subsample == "420" else 1
+    mcu_w, mcu_h = 8 * sub_x, 8 * sub_y
     width = max(1, width)
     stride = 3 * width
     height = max(1, (len(rgb) + stride - 1) // stride)
@@ -1839,8 +1841,8 @@ def _jpeg_rgb_bytes(rgb: bytes, width: int, quant: int = 1,
         rgb.ljust(stride * height, b"\x00"), dtype=np.uint8
     ).reshape(height, width, 3).astype(np.float64)
     # pad to whole MCUs by edge replication
-    ph = (height + mcu - 1) // mcu * mcu
-    pw = (width + mcu - 1) // mcu * mcu
+    ph = (height + mcu_h - 1) // mcu_h * mcu_h
+    pw = (width + mcu_w - 1) // mcu_w * mcu_w
     padded = np.empty((ph, pw, 3))
     padded[:height, :width] = img
     padded[height:, :width] = img[-1:, :]
@@ -1848,11 +1850,10 @@ def _jpeg_rgb_bytes(rgb: bytes, width: int, quant: int = 1,
     padded[height:, width:] = padded[height - 1, width - 1]
 
     y, cb, cr = _rgb_to_ycbcr(padded)
-    if sub == 2:
-        cb_s = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        cr_s = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-    else:
-        cb_s, cr_s = cb, cr
+    cb_s = cb.reshape(ph // sub_y, sub_y, pw // sub_x, sub_x) \
+        .mean(axis=(1, 3))
+    cr_s = cr.reshape(ph // sub_y, sub_y, pw // sub_x, sub_x) \
+        .mean(axis=(1, 3))
 
     C = _dct_matrix()
     qtab = np.full((8, 8), quant, dtype=np.float64)
@@ -1896,27 +1897,23 @@ def _jpeg_rgb_bytes(rgb: bytes, width: int, quant: int = 1,
             code, ln = ac_codes[0x00]
             bw.write(code, ln)
 
-    mcus = [(my, mx) for my in range(0, ph, mcu) for mx in range(0, pw, mcu)]
+    mcus = [(my, mx)
+            for my in range(0, ph, mcu_h) for mx in range(0, pw, mcu_w)]
     for mi, (my, mx) in enumerate(mcus):
         if restart_interval and mi and mi % restart_interval == 0:
             bw.align()
             bw.marker(0xD0 + ((mi // restart_interval - 1) % 8))
             prev_dc[0] = prev_dc[1] = prev_dc[2] = 0
-        if sub == 2:
-            for vy in (0, 8):
-                for vx in (0, 8):
-                    write_block(y, my + vy, mx + vx, 0)
-            write_block(cb_s, my // 2, mx // 2, 1)
-            write_block(cr_s, my // 2, mx // 2, 2)
-        else:
-            write_block(y, my, mx, 0)
-            write_block(cb_s, my, mx, 1)
-            write_block(cr_s, my, mx, 2)
+        for vy in range(sub_y):
+            for vx in range(sub_x):
+                write_block(y, my + 8 * vy, mx + 8 * vx, 0)
+        write_block(cb_s, my // sub_y, mx // sub_x, 1)
+        write_block(cr_s, my // sub_y, mx // sub_x, 2)
 
     def seg(marker: int, data: bytes) -> bytes:
         return struct.pack(">HH", marker, len(data) + 2) + data
 
-    y_sampling = 0x22 if sub == 2 else 0x11
+    y_sampling = (sub_x << 4) | sub_y
     dqt = (seg(0xFFDB, bytes([0]) + bytes([quant] * 64))
            + seg(0xFFDB, bytes([1]) + bytes([quant] * 64)))
     sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3)
