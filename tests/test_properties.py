@@ -318,3 +318,91 @@ def test_g711_roundtrip_any_payload(samples, law):
     rate, n, out = decode_wav(_g711_wav_bytes(samples, law))
     assert (rate, n) == (8000, len(samples))
     assert all(abs(a - b) <= 2 for a, b in zip(samples, out))
+
+
+# ---------------------------------------------------------------------------
+# Round-6 decoder robustness fuzzing: corrupted media payloads must raise
+# the decoder's documented ValueError (or decode successfully, when the
+# mutation misses load-bearing bytes) — never hang, never escape with an
+# arbitrary exception.  A 100 TB corpus WILL contain truncated and
+# bit-flipped files; the pipeline's error contract is what lets callers
+# route them to quarantine instead of crashing an executor.
+# ---------------------------------------------------------------------------
+
+
+def _mutate(payload: bytes, pos: int, mode: int, cut: int) -> bytes:
+    if mode == 0:                      # flip a byte
+        pos = pos % max(1, len(payload))
+        return payload[:pos] + bytes([payload[pos] ^ 0xFF]) \
+            + payload[pos + 1:]
+    if mode == 1:                      # truncate
+        return payload[:cut % max(1, len(payload))]
+    pos = pos % max(1, len(payload))   # insert garbage
+    return payload[:pos] + b"\xde\xad" + payload[pos:]
+
+
+def _assert_decodes_or_value_errors(decoder, payload: bytes) -> None:
+    try:
+        decoder(payload)
+    except ValueError:
+        pass  # the documented corrupt-stream contract
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 1 << 30), st.integers(0, 2), st.integers(0, 1 << 30),
+       st.binary(min_size=0, max_size=60))
+def test_png_decoders_never_escape_valueerror(pos, mode, cut, pixels):
+    from vector_db_at_home_spark.operators.multimodal import (
+        _png_bytes,
+        _png_rgb_bytes,
+        decode_png_gray,
+        decode_png_rgb,
+    )
+
+    gray = _mutate(_png_bytes(pixels, 5), pos, mode, cut)
+    _assert_decodes_or_value_errors(decode_png_gray, gray)
+    rgb = _mutate(_png_rgb_bytes((pixels * 3)[:3 * len(pixels)], 5),
+                  pos, mode, cut)
+    _assert_decodes_or_value_errors(decode_png_rgb, rgb)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 1 << 30), st.integers(0, 2), st.integers(0, 1 << 30),
+       st.binary(min_size=0, max_size=60))
+def test_jpeg_decoders_never_escape_valueerror(pos, mode, cut, pixels):
+    from vector_db_at_home_spark.operators.multimodal import (
+        _jpeg_bytes,
+        _jpeg_rgb_bytes,
+        decode_jpeg_gray,
+        decode_jpeg_rgb,
+    )
+
+    gray = _mutate(_jpeg_bytes(pixels, 5), pos, mode, cut)
+    _assert_decodes_or_value_errors(decode_jpeg_gray, gray)
+    rgb = _mutate(_jpeg_rgb_bytes((pixels * 3)[:3 * len(pixels)], 5),
+                  pos, mode, cut)
+    _assert_decodes_or_value_errors(decode_jpeg_rgb, rgb)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 1 << 30), st.integers(0, 2), st.integers(0, 1 << 30),
+       st.binary(min_size=0, max_size=60))
+def test_gif_wav_y4m_decoders_never_escape_valueerror(pos, mode, cut,
+                                                      payload):
+    from vector_db_at_home_spark.operators.multimodal import (
+        _gif_bytes,
+        _wav_bytes,
+        _y4m_bytes,
+        decode_gif_gray,
+        decode_gif_rgb,
+        decode_wav,
+        decode_y4m_gray,
+    )
+
+    gif = _mutate(_gif_bytes(payload, 5), pos, mode, cut)
+    _assert_decodes_or_value_errors(decode_gif_gray, gif)
+    _assert_decodes_or_value_errors(decode_gif_rgb, gif)
+    wav = _mutate(_wav_bytes(payload), pos, mode, cut)
+    _assert_decodes_or_value_errors(decode_wav, wav)
+    y4m = _mutate(_y4m_bytes(payload, 6, 4), pos, mode, cut)
+    _assert_decodes_or_value_errors(decode_y4m_gray, y4m)

@@ -934,6 +934,8 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, bytes]:
         (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
         body = payload[pos + 8:pos + 8 + ln]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk truncated")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -1080,6 +1082,8 @@ def decode_wav_adpcm(payload: bytes) -> tuple[int, int, bytes]:
             else:
                 spb = None
         elif cid == b"fact":
+            if len(body) < 4:
+                raise ValueError("WAV fact chunk truncated")
             (n_total,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
             data = body
@@ -2271,11 +2275,11 @@ def parse_audio_header(payload: bytes):
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         sz = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
-        if cid == b"fmt " and sz >= 16:
+        if cid == b"fmt " and sz >= 16 and pos + 24 <= len(payload):
             tag, ch, sr, _br, block, bits = struct.unpack(
                 "<HHIIHH", payload[pos + 8:pos + 24]
             )
-        elif cid == b"fact" and sz >= 4:
+        elif cid == b"fact" and sz >= 4 and pos + 12 <= len(payload):
             fact_samples = struct.unpack(
                 "<I", payload[pos + 8:pos + 12]
             )[0]
