@@ -14,6 +14,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .fuzzysearch import fuzzy_search_by_doc
+from .hybrid import hybrid_search_rrf
 from .knn import knn_join_payload, knn_search
 from .pq import ivfpq_search, pq_build, pq_load, pq_save, pq_search
 from .sampling import (
@@ -24,6 +25,14 @@ from .sampling import (
     stratified_hash_sample,
 )
 from .skew import salted_aggregate, salted_broadcast_left
+from .sq import (
+    ivfsq_append,
+    ivfsq_build,
+    ivfsq_load,
+    ivfsq_save,
+    ivfsq_search,
+    ivfsq_sync_with_store,
+)
 from .temporal import asof_join, range_join_binned
 from .topk import top_k_per_group
 
@@ -45,6 +54,13 @@ __all__ = [
     "ivf_save",
     "ivfpq_search",
     "ivf_search",
+    "ivfsq_append",
+    "ivfsq_build",
+    "ivfsq_load",
+    "ivfsq_save",
+    "ivfsq_search",
+    "ivfsq_sync_with_store",
+    "hybrid_search_rrf",
     "knn_join_payload",
     "knn_search",
     "minhash_lsh_pairs",
