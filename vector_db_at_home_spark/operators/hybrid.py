@@ -46,7 +46,10 @@ def hybrid_search_rrf(docs: DataFrame, emb: DataFrame, terms: list[str],
     Output: ``(id, lex_rank, vec_rank, rrf_e6)`` — ranks NULL where a
     leg did not retrieve the doc within ``depth``; ``rrf_e6`` =
     ``floor(1e6·score + 0.5)``, hash-stable cross-engine."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # literal single-space split, matching the oracle's string_split
+    # exactly (the corpus is single-spaced; \s+ would silently diverge
+    # from the oracle on tab/multi-space text)
+    toks = F.split(F.lower(F.col(text_col)), " ")
     tf = (
         docs.select(
             F.col(doc_id_col).alias("id"),
