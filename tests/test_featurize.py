@@ -1,0 +1,81 @@
+"""Hashing-trick embedder tests: sparse/dense consistency and the full
+text→vector→ANN composition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_at_home_spark.operators.featurize import (
+    hash_embed_selfsearch,
+    hashing_embed,
+    hashing_embed_sparse,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(80)
+
+
+def test_dense_matches_sparse(spark, docs):
+    """The dense pivot carries exactly the sparse values (pre-norm) and
+    unit L2 norm after normalization."""
+    sparse = {
+        (r.id, r.bucket): r.val
+        for r in hashing_embed_sparse(docs, "text", "doc_id",
+                                      dim=32).collect()
+    }
+    dense = hashing_embed(docs, "text", "doc_id", dim=32,
+                          normalize=False).collect()
+    assert dense
+    for r in dense:
+        for b, v in enumerate(r.vec):
+            assert v == float(sparse.get((r.id, b), 0))
+    unit = hashing_embed(docs, "text", "doc_id", dim=32).collect()
+    for r in unit:
+        n = sum(x * x for x in r.vec)
+        assert n == pytest.approx(1.0, abs=1e-9) or n == 0.0
+
+
+def test_selfsearch_agrees_with_dense_cosine(spark, docs):
+    """The integer-domain self-search returns the same ranking as a
+    cosine computed from the dense normalized vectors."""
+    import numpy as np
+
+    got = hash_embed_selfsearch(docs, "text", "doc_id", query_id=0,
+                                k=5, dim=32).collect()
+    dense = {r.id: np.array(r.vec)
+             for r in hashing_embed(docs, "text", "doc_id",
+                                    dim=32).collect()}
+    q = dense[0]
+    sims = sorted(
+        ((float(q @ v), i) for i, v in dense.items() if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert [r.id for r in got] == [i for _, i in sims[:5]]
+    for r, (s, _) in zip(got, sims):
+        assert r.cos_e6 == int(s * 1e6 + 0.5)
+
+
+def test_text_to_ann_composition(spark, docs):
+    """End-to-end with no external embeddings: hash-embed the corpus,
+    build IVF-SQ8 over the dense vectors, search with a document's own
+    vector — the query doc comes back at rank 1 (cosine ≡ L2 on the
+    unit sphere)."""
+    from vector_db_at_home_spark.operators.sq import (
+        ivfsq_build,
+        ivfsq_search,
+    )
+
+    emb = hashing_embed(docs, "text", "doc_id", dim=32)
+    sq = ivfsq_build(emb, id_col="id", vec_col="vec", n_cells=4)
+    qv = emb.filter(F.col("id") == 3).select(
+        F.lit(3).alias("query_id"), F.col("vec").alias("qvec")
+    )
+    hits = ivfsq_search(sq, qv, k=3, n_probes=4,
+                        refine_with=emb, id_col="id",
+                        vec_col="vec").collect()
+    assert hits and hits[0].id == 3 and hits[0].distance <= 1e-6

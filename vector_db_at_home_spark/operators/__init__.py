@@ -13,6 +13,11 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from .featurize import (
+    hash_embed_selfsearch,
+    hashing_embed,
+    hashing_embed_sparse,
+)
 from .fuzzysearch import fuzzy_search_by_doc
 from .hybrid import hybrid_search_rrf
 from .knn import knn_join_payload, knn_search
@@ -61,6 +66,9 @@ __all__ = [
     "ivfsq_search",
     "ivfsq_sync_with_store",
     "hybrid_search_rrf",
+    "hash_embed_selfsearch",
+    "hashing_embed",
+    "hashing_embed_sparse",
     "knn_join_payload",
     "knn_search",
     "minhash_lsh_pairs",

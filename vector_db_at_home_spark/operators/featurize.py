@@ -1,0 +1,197 @@
+"""Text featurization: the hashing-trick embedder (feature hashing /
+"hashing vectorizer" — Weinberger et al. 2009, the public technique
+behind scikit-learn's ``HashingVectorizer``).
+
+Closes the text→vector gap: every similarity operator in this engine
+(exact kNN, IVF, IVF-SQ8, PQ, cosine LSH) consumes an embedding column;
+this module PRODUCES one from raw text with no model weights and no
+external service — each token hashes to one of ``dim`` buckets with a
+±1 sign (the signed sum keeps collisions unbiased), giving a sparse
+integer vector whose cosine geometry tracks token overlap.
+
+Everything is md5-derived and INTEGER-exact, so the whole pipeline —
+embedding components AND a cosine top-k over them — is value-hashable
+against a DuckDB re-derivation with zero float-reduction risk: dot
+products and squared norms are exact integers; the only float op is one
+``dot / sqrt(n1·n2)`` per pair, identical in both engines.
+
+Plan shape: explode tokens → md5 in the projection (strings never
+shuffle) → one partial-aggregated groupBy on (id, bucket).  The dense
+form assembles the array JVM-side from the sparse rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _md5_h60, _sql_hex2int
+
+
+def _token_col(text_col: str) -> Column:
+    # literal single-space split, matching the oracle's string_split
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def hashing_embed_sparse(docs: DataFrame, text_col: str, id_col: str,
+                         dim: int = 64) -> DataFrame:
+    """Sparse integer embedding: ``(id, bucket, val)`` where ``bucket =
+    md5₆₀(token) mod dim`` and ``val`` sums the token's ±1 sign (16th
+    md5 hex digit parity).  Tokens hash inside the explode projection;
+    the single shuffle is the (id, bucket) partial aggregate.  Zero
+    rows are naturally absent (sparse)."""
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_token_col(text_col)).alias("t"),
+    )
+    h = _md5_h60(F.col("t"))
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.col("t")), 16, 1), 16, 10)
+        .cast("int") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select("id", (h % dim).cast("int").alias("bucket"),
+                   sign.alias("s"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("s").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+def hashing_embed(docs: DataFrame, text_col: str, id_col: str,
+                  dim: int = 64, normalize: bool = True) -> DataFrame:
+    """Dense embedding ``(id, vec array<double>)`` ready for the ANN
+    stack (``knn_search`` / ``ivf_build`` / ``ivfsq_build`` /
+    ``pq_build``): the sparse rows pivot into a ``dim``-length array
+    JVM-side (map lookup over a static index sequence — no UDF), L2-
+    normalized by default so dot ≡ cosine."""
+    sparse = hashing_embed_sparse(docs, text_col, id_col, dim)
+    dense = (
+        sparse.groupBy("id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "val"))
+            ).alias("m")
+        )
+        .select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("m", i.cast("int")).cast("double"),
+                    F.lit(0.0),
+                ),
+            ).alias("vec"),
+        )
+    )
+    if not normalize:
+        return dense
+    norm = F.sqrt(
+        F.aggregate(F.col("vec"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return dense.select(
+        "id",
+        F.when(norm == 0.0, F.col("vec"))
+        .otherwise(F.transform(F.col("vec"), lambda x: x / norm))
+        .alias("vec"),
+    )
+
+
+def hash_embed_selfsearch(docs: DataFrame, text_col: str, id_col: str,
+                          query_id: int, k: int = 10,
+                          dim: int = 64) -> DataFrame:
+    """Cosine top-``k`` documents for one query document over the
+    hashing embeddings, computed ENTIRELY in the exact integer domain:
+    ``dot = Σ v_q·v_d`` (integer), ``cos = dot / sqrt(nq·nd)`` (one
+    float op per candidate pair), ranked ``(cos desc, id)``.  Output
+    ``(id, cos_e6)`` with the e6 quantization convention.
+
+    Plan: sparse query rows broadcast; the bucket join touches only
+    docs sharing ≥ 1 non-zero bucket with the query (an inverted-index
+    probe, not a corpus scan at high dim); norms come from the same
+    sparse aggregate via exchange reuse."""
+    sparse = hashing_embed_sparse(docs, text_col, id_col, dim)
+    norms = sparse.groupBy("id").agg(
+        F.sum(F.col("val") * F.col("val")).alias("nsq")
+    )
+    q = sparse.filter(F.col("id") == query_id).select(
+        F.col("bucket"), F.col("val").alias("qval")
+    )
+    qn = norms.filter(F.col("id") == query_id).select(
+        F.col("nsq").alias("qnsq")
+    )
+    dots = (
+        sparse.join(F.broadcast(q), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
+    )
+    cos = F.col("dot") / F.sqrt(
+        (F.col("nsq") * F.col("qnsq")).cast("double")
+    )
+    return (
+        dots.join(norms, "id")
+        .join(F.broadcast(qn))
+        .filter(F.col("id") != query_id)
+        .select(
+            "id",
+            cos.alias("__cos"),
+            F.floor(cos * 1e6 + F.lit(0.5)).cast("long").alias("cos_e6"),
+        )
+        .orderBy(F.col("__cos").desc(), F.col("id").asc())
+        .limit(k)
+        .drop("__cos")
+    )
+
+
+def render_hash_embed_sql(dim: int = 64) -> str:
+    """DuckDB oracle for ``hashing_embed_sparse`` over ``documents`` —
+    the identical md5 bucket/sign derivation, pure integers."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, md5(unnest(string_split(lower(text), ' '))) AS hx
+  FROM documents
+)
+SELECT id,
+       CAST({_sql_hex2int('hx', 1, 15)} % {dim} AS INTEGER) AS bucket,
+       CAST(sum(CASE WHEN {_sql_hex2int('hx', 16, 1)} % 2 = 0
+                     THEN 1 ELSE -1 END) AS BIGINT) AS val
+FROM tok
+GROUP BY id, bucket
+HAVING sum(CASE WHEN {_sql_hex2int('hx', 16, 1)} % 2 = 0
+                THEN 1 ELSE -1 END) <> 0
+ORDER BY id, bucket
+"""
+
+
+def render_selfsearch_sql(query_id: int, k: int = 10,
+                          dim: int = 64) -> str:
+    """DuckDB oracle for ``hash_embed_selfsearch`` — integer dot/norms,
+    one float division, same (cos desc, id) ranking."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, md5(unnest(string_split(lower(text), ' '))) AS hx
+  FROM documents
+),
+sp AS (
+  SELECT id,
+         CAST({_sql_hex2int('hx', 1, 15)} % {dim} AS INTEGER) AS bucket,
+         CAST(sum(CASE WHEN {_sql_hex2int('hx', 16, 1)} % 2 = 0
+                       THEN 1 ELSE -1 END) AS BIGINT) AS val
+  FROM tok GROUP BY id, bucket
+  HAVING sum(CASE WHEN {_sql_hex2int('hx', 16, 1)} % 2 = 0
+                  THEN 1 ELSE -1 END) <> 0
+),
+norms AS (SELECT id, sum(val * val) AS nsq FROM sp GROUP BY id),
+q AS (SELECT bucket, val AS qval FROM sp WHERE id = {query_id}),
+qn AS (SELECT nsq AS qnsq FROM norms WHERE id = {query_id}),
+dots AS (SELECT sp.id, sum(sp.val * q.qval) AS dot
+         FROM sp JOIN q USING (bucket) GROUP BY sp.id)
+SELECT id,
+       CAST(floor(dot / sqrt(CAST(norms.nsq * qn.qnsq AS DOUBLE))
+                  * 1e6 + 0.5) AS BIGINT) AS cos_e6
+FROM dots JOIN norms USING (id), qn
+WHERE id <> {query_id}
+ORDER BY dot / sqrt(CAST(norms.nsq * qn.qnsq AS DOUBLE)) DESC, id
+LIMIT {k}
+"""

@@ -3183,6 +3183,43 @@ def q_ann_ivf_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_featurize() -> None:
+    from .operators.featurize import (
+        hash_embed_selfsearch,
+        hashing_embed_sparse,
+        render_hash_embed_sql,
+        render_selfsearch_sql,
+    )
+
+    def q_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hashing-trick text embedding (operators/featurize.py):
+        token → md5 bucket (mod 64) with ±1 sign, summed per (doc,
+        bucket) — the sparse integer form, value-hashed row-for-row
+        (pure integers, no float anywhere)."""
+        docs = load_table(spark, sf_dir, "documents")
+        return hashing_embed_sparse(docs, "text", "doc_id", dim=64) \
+            .orderBy("id", "bucket")
+
+    def q_selfsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Text→vector→search end-to-end with no external embeddings:
+        cosine top-10 for doc 0 over the hashing embeddings, computed in
+        the exact integer domain (integer dot + norms; ONE float
+        division per pair) so the full retrieval result value-hashes."""
+        docs = load_table(spark, sf_dir, "documents")
+        return hash_embed_selfsearch(docs, "text", "doc_id",
+                                     query_id=0, k=10, dim=64)
+
+    _QUERIES["text_hash_embed"] = q_embed
+    _ORACLES["text_hash_embed"] = render_hash_embed_sql(dim=64)
+    _QUERIES["text_hash_selfsearch"] = q_selfsearch
+    _ORACLES["text_hash_selfsearch"] = render_selfsearch_sql(
+        query_id=0, k=10, dim=64
+    )
+
+
+_register_featurize()
+
+
 def _register_hybrid() -> None:
     from .operators.hybrid import hybrid_search_rrf, render_hybrid_rrf_sql
 
@@ -3269,6 +3306,7 @@ _TAIL_ORDER = [
     "dedup_minhash_prepared", "dedup_simhash_incremental",
     "ann_dot_topk", "ann_ivf_cosine_recall", "ivfsq_recall",
     "knn_filtered_topk", "hybrid_search_rrf", "ann_ivf_filtered_recall",
+    "text_hash_embed", "text_hash_selfsearch",
     "q6_forecast_revenue",
     "user_sessions", "skew_salted_agg", "strip_boilerplate",
     "repetition_signals", "pii_scrub_docs", "doc_chunks",
