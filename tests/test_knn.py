@@ -178,3 +178,35 @@ def test_dot_metric_both_impls_agree(spark):
 
     with __import__("pytest").raises(ValueError, match="metric"):
         knn_search(df, q, k=1, metric="nope").collect()
+
+
+def test_knn_join_blocked_bit_identical_to_expr(spark):
+    """The two-table blocked GEMM join returns EXACTLY impl='expr''s
+    result — same ids, bit-identical distances — across block
+    configurations and both metrics (the winner vectors re-score through
+    the same expression in the original element types)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.operators.knn import (
+        knn_join_blocked,
+        knn_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    for metric in ("l2", "cosine"):
+        exact = knn_search(emb, qs, k=5, id_col="vec_id",
+                           vec_col="embedding", impl="expr",
+                           metric=metric).collect()
+        for nq, ni in [(4, 4), (2, 7), (1, 1)]:
+            got = knn_join_blocked(
+                qs, emb, k=5, id_col="vec_id", vec_col="embedding",
+                metric=metric, n_query_blocks=nq, n_index_blocks=ni,
+            ).collect()
+            assert [(r.query_id, r.id) for r in got] \
+                == [(r.query_id, r.id) for r in exact]
+            assert all(a.distance == b.distance
+                       for a, b in zip(exact, got)), (metric, nq, ni)

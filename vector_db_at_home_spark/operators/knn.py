@@ -248,3 +248,152 @@ def knn_join_payload(result: DataFrame, store: DataFrame,
     reference's ``np.unique`` + single IN-lookup.
     """
     return result.join(store, on=id_col, how="left")
+
+
+def knn_join_blocked(queries: DataFrame, index: DataFrame, k: int,
+                     query_id_col: str = "query_id",
+                     query_vec_col: str = "qvec",
+                     id_col: str = "id", vec_col: str = "vec",
+                     metric: str = "l2",
+                     n_query_blocks: int = 8,
+                     n_index_blocks: int = 8) -> DataFrame:
+    """Exact kNN JOIN of two LARGE tables — top-``k`` index rows for
+    EVERY query row, fully distributed, no driver collect on either side.
+
+    ``knn_search``'s pandas kernel broadcasts the query batch (capped at
+    65k rows); this is the other regime — "find the nearest train-set
+    neighbor for every eval document" where BOTH sides are tables.  The
+    ``cosine_topk_pairs_blocked`` decomposition generalized to two
+    tables: each side hashes into blocks, each block PACKS once into a
+    single blob row (ids + float64 matrix), every (query-block,
+    index-block) pair joins its two blobs and computes one NumPy GEMM,
+    emitting its block-local per-query top-k WITH the winner vectors
+    riding along; a global per-query window merges, and the winners are
+    re-scored with the exact column expression so returned distances are
+    bit-identical to ``impl='expr'`` (same convention as the pandas
+    kernel — GEMM selects, the expression scores).
+
+    Shuffle: |Q| + |I| narrow pack rows, then each query blob replicated
+    ``n_index_blocks`` times and each index blob ``n_query_blocks``
+    times (coarse blobs, never per-row replication), then
+    ``N_q · k · n_index_blocks`` candidate rows into the merge.  Pick
+    block counts so a block (rows/blocks × dim doubles) fits executor
+    memory.  ``metric``: ``l2`` or ``cosine``."""
+    import numpy as np
+
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"unsupported metric for blocked join: {metric}")
+    spark = index.sparkSession
+
+    def packer(n_blocks):
+        def pack(key, pdf):
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            return pd.DataFrame({
+                "blk": [int(key[0])],
+                "n": [len(ids)],
+                "dim": [int(mat.shape[1])],
+                "ids": [ids.tobytes()],
+                "mat": [mat.tobytes()],
+            })
+        return pack
+
+    pack_schema = "blk int, n long, dim long, ids binary, mat binary"
+    qn = queries.select(
+        F.col(query_id_col).alias("id"),
+        F.col(query_vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(n_query_blocks))
+        .cast("int").alias("blk"),
+    )
+    xn = index.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_index_blocks))
+        .cast("int").alias("blk"),
+    )
+    qp = qn.groupBy("blk").applyInPandas(packer(n_query_blocks),
+                                         schema=pack_schema)
+    xp = xn.groupBy("blk").applyInPandas(packer(n_index_blocks),
+                                         schema=pack_schema)
+
+    keys = spark.createDataFrame(
+        [(i, j) for i in range(n_query_blocks)
+         for j in range(n_index_blocks)],
+        "qb int, ib int",
+    )
+    a = qp.select(F.col("blk").alias("qb"), F.col("n").alias("q_n"),
+                  F.col("dim").alias("q_dim"), F.col("ids").alias("q_ids"),
+                  F.col("mat").alias("q_mat"))
+    b = xp.select(F.col("blk").alias("ib"), F.col("n").alias("i_n"),
+                  F.col("dim").alias("i_dim"), F.col("ids").alias("i_ids"),
+                  F.col("mat").alias("i_mat"))
+    pairs = a.join(F.broadcast(keys), "qb").join(b, "ib")
+
+    def gemm(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                qi = np.frombuffer(r.q_ids, dtype=np.int64)
+                qm = np.frombuffer(r.q_mat, dtype=np.float64).reshape(
+                    r.q_n, r.q_dim)
+                xi = np.frombuffer(r.i_ids, dtype=np.int64)
+                xm = np.frombuffer(r.i_mat, dtype=np.float64).reshape(
+                    r.i_n, r.i_dim)
+                if metric == "l2":
+                    d = (
+                        (qm * qm).sum(1)[:, None]
+                        + (xm * xm).sum(1)[None, :]
+                        - 2.0 * (qm @ xm.T)
+                    )
+                    np.maximum(d, 0.0, out=d)
+                    np.sqrt(d, out=d)
+                else:
+                    qnorm = np.linalg.norm(qm, axis=1)
+                    xnorm = np.linalg.norm(xm, axis=1)
+                    denom = qnorm[:, None] * xnorm[None, :]
+                    sim = np.divide(qm @ xm.T, denom,
+                                    out=np.zeros_like(denom),
+                                    where=denom != 0)
+                    d = 1.0 - sim
+                kk = min(k, d.shape[1])
+                rows_q, rows_i, rows_d, rows_v = [], [], [], []
+                xlist = [xm[j] for j in range(xm.shape[0])]
+                for i in range(d.shape[0]):
+                    order = np.lexsort((xi, d[i]))[:kk]
+                    rows_q.extend([int(qi[i])] * kk)
+                    rows_i.extend(int(xi[j]) for j in order)
+                    rows_d.extend(float(d[i, j]) for j in order)
+                    rows_v.extend(xlist[j].tolist() for j in order)
+                yield pd.DataFrame({
+                    "query_id": rows_q, "id": rows_i,
+                    "distance": rows_d, "__vec": rows_v,
+                })
+
+    cand = pairs.mapInPandas(
+        gemm,
+        schema="query_id long, id long, distance double, "
+               "__vec array<double>",
+    )
+    winners = top_k_per_group(
+        cand, ["query_id"],
+        [F.col("distance").asc(), F.col("id").asc()], k,
+    )
+    # exact re-score in the ORIGINAL element types (same convention as
+    # the pandas kernel): the float64 GEMM copy selected the winners;
+    # casting it back to the index column's element type restores the
+    # original values exactly (float→double→float is lossless), so the
+    # returned distances are bit-identical to impl='expr'
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+    )
+    orig_t = index.schema[vec_col].dataType
+    return (
+        winners.withColumn("__vec", F.col("__vec").cast(orig_t))
+        .drop("distance")
+        .join(qv, "query_id")
+        .select(
+            "query_id", "id",
+            _distance_expr(metric, "__vec", "__qv").alias("distance"),
+        )
+        .orderBy("query_id", "distance", "id")
+    )

@@ -3183,6 +3183,50 @@ def q_ann_ivf_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_join_blocked_topk",
+    # The two-LARGE-tables regime: exact top-5 for EVERY query-side row
+    # (every 500th vector) via the blocked GEMM join — no driver collect,
+    # no broadcast of the query side.  Full value oracle: the same
+    # distance SQL as knn_l2 with the query-side predicate.
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id % 500 = 0
+), d AS (
+  SELECT q.query_id, e.vec_id AS id,
+         sqrt((SELECT sum((u.a - u.b) * (u.a - u.b))
+               FROM (SELECT unnest(e.embedding) AS a,
+                            unnest(q.qvec) AS b) u)) AS dist
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT query_id, id, round(dist, 6) AS distance
+FROM r WHERE rn <= 5 ORDER BY query_id, distance, id
+""",
+)
+def q_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact kNN JOIN (operators/knn.py:knn_join_blocked):
+    both sides are tables — each hashes into blocks, block pairs meet as
+    packed blobs for one NumPy GEMM each, winners re-score through the
+    exact column expression (distances bit-identical to impl='expr',
+    pinned in tests across block configurations)."""
+    from .operators.knn import knn_join_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    res = knn_join_blocked(qs, emb, k=5, id_col="vec_id",
+                           vec_col="embedding",
+                           n_query_blocks=4, n_index_blocks=4)
+    return res.withColumn("distance", F.round("distance", 6))
+
+
 def _register_featurize() -> None:
     from .operators.featurize import (
         hash_embed_selfsearch,
@@ -3306,7 +3350,7 @@ _TAIL_ORDER = [
     "dedup_minhash_prepared", "dedup_simhash_incremental",
     "ann_dot_topk", "ann_ivf_cosine_recall", "ivfsq_recall",
     "knn_filtered_topk", "hybrid_search_rrf", "ann_ivf_filtered_recall",
-    "text_hash_embed", "text_hash_selfsearch",
+    "text_hash_embed", "text_hash_selfsearch", "knn_join_blocked_topk",
     "q6_forecast_revenue",
     "user_sessions", "skew_salted_agg", "strip_boilerplate",
     "repetition_signals", "pii_scrub_docs", "doc_chunks",
