@@ -61,6 +61,8 @@ def main() -> None:
     index = spark.read.parquet(f"{base}/idx")
     queries = spark.read.parquet(f"{base}/qry")
 
+    from pyspark.sql import Window
+
     t0 = time.time()
     res = knn_join_blocked(queries, index, k=K,
                            n_query_blocks=8, n_index_blocks=8)
@@ -68,8 +70,7 @@ def main() -> None:
         res.withColumn(
             "rn",
             F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"])
-                .Window.partitionBy("query_id")
+                Window.partitionBy("query_id")
                 .orderBy(F.col("distance").asc(), F.col("id").asc())
             ),
         )
