@@ -1062,3 +1062,35 @@ def test_jpeg_color_444_and_restart_markers():
 
     with pytest.raises(ValueError, match="subsample"):
         _jpeg_rgb_bytes(src.tobytes(), 24, subsample="411")
+
+
+def test_decode_image_rgb_dispatcher():
+    """Magic-byte dispatch across all color containers; alpha PNGs are
+    composited over black (c*a/255)."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.multimodal import (
+        _color_formula,
+        _gif_color_indices,
+        _gif_color_palette,
+        _gif_rgb_bytes,
+        _jpeg_rgb_bytes,
+        _png_rgb_bytes,
+        _png_rgba_bytes,
+        decode_image_rgb,
+    )
+
+    src = _color_formula(5, 8, 6)
+    assert decode_image_rgb(_png_rgb_bytes(src.tobytes(), 8))[2] \
+        == src.tobytes()
+    w, h, px = decode_image_rgb(_jpeg_rgb_bytes(src.tobytes(), 8))
+    err = np.abs(np.frombuffer(px, np.uint8).reshape(6, 8, 3).astype(int)
+                 - src.astype(int)).max()
+    assert (w, h) == (8, 6) and err <= 3
+    pal = _gif_color_palette()
+    idx = _gif_color_indices(5, 8, 6)
+    assert decode_image_rgb(_gif_rgb_bytes(idx, 8, pal))[2] \
+        == b"".join(pal[3 * v:3 * v + 3] for v in idx)
+    rgba = np.dstack([src, np.full((6, 8), 128, np.uint8)])
+    got = decode_image_rgb(_png_rgba_bytes(rgba.tobytes(), 8))[2]
+    assert got == (src.astype(int) * 128 // 255).astype(np.uint8).tobytes()

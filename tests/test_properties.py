@@ -359,11 +359,19 @@ def test_png_decoders_never_escape_valueerror(pos, mode, cut, pixels):
         decode_png_rgb,
     )
 
+    from vector_db_at_home_spark.operators.multimodal import (
+        _png_rgba_bytes,
+        decode_png_rgba,
+    )
+
     gray = _mutate(_png_bytes(pixels, 5), pos, mode, cut)
     _assert_decodes_or_value_errors(decode_png_gray, gray)
     rgb = _mutate(_png_rgb_bytes((pixels * 3)[:3 * len(pixels)], 5),
                   pos, mode, cut)
     _assert_decodes_or_value_errors(decode_png_rgb, rgb)
+    rgba = _mutate(_png_rgba_bytes((pixels * 4)[:4 * len(pixels)], 5),
+                   pos, mode, cut)
+    _assert_decodes_or_value_errors(decode_png_rgba, rgba)
 
 
 @settings(max_examples=60, deadline=None)

@@ -199,3 +199,26 @@ def test_stream_ingest_then_ivfsq_sync_loop(spark, tmp_path):
     )
     hit = ivfsq_search(re, probe_vec, k=1, n_probes=4).collect()
     assert hit and hit[0].id == 25
+
+
+def test_ivfsq_cosine_via_normalization(spark, emb):
+    """The unit-sphere identity carries to the int8 tier: IVF-SQ8 over
+    l2-normalized vectors with exact re-rank returns exactly the cosine
+    kNN ranking (argmin L2 on the sphere == argmax cosine)."""
+    from vector_db_at_home_spark.operators.embeddings import l2_normalize
+
+    unit = l2_normalize(emb, "embedding", "vec_id", out_col="vec")
+    qs = (
+        unit.orderBy("id").limit(6)
+        .select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+    )
+    sq = ivfsq_build(unit, id_col="id", vec_col="vec", n_cells=8)
+    approx = ivfsq_search(sq, qs, k=5, n_probes=8,
+                          refine_with=unit, id_col="id", vec_col="vec")
+    cos_exact = knn_search(emb, emb.orderBy("vec_id").limit(6).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec")), k=5,
+        id_col="vec_id", vec_col="embedding",
+        impl="expr", metric="cosine")
+    assert [(r.query_id, r.id) for r in approx.collect()] \
+        == [(r.query_id, r.id) for r in cos_exact.collect()]

@@ -2347,3 +2347,27 @@ def parse_video_header(payload: bytes):
         int(n_frames * 1000 * fps_den / fps_num + 0.5) if fps_num else 0
     )
     return "video/x-yuv4mpeg", w, h, fps_num, fps_den, n_frames, duration_ms
+
+
+def decode_image_rgb(payload: bytes) -> tuple[int, int, bytes]:
+    """``(width, height, rgb)`` from any supported COLOR container,
+    dispatched on magic bytes — the color companion of
+    ``decode_image_gray``: truecolor/alpha PNG (alpha composited over
+    black, i.e. premultiplied-dropped: ``c·a/255``), baseline YCbCr
+    JPEG, palette GIF."""
+    if payload and payload[:2] == b"\xff\xd8":
+        return decode_jpeg_rgb(payload)
+    if payload and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_rgb(payload)
+    if payload and payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) > 25:
+        colortype = payload[25]
+        if colortype in (4, 6):
+            w, h, rgba = decode_png_rgba(payload)
+            out = bytearray(3 * w * h)
+            for i in range(w * h):
+                a = rgba[4 * i + 3]
+                out[3 * i] = rgba[4 * i] * a // 255
+                out[3 * i + 1] = rgba[4 * i + 1] * a // 255
+                out[3 * i + 2] = rgba[4 * i + 2] * a // 255
+            return w, h, bytes(out)
+    return decode_png_rgb(payload)
