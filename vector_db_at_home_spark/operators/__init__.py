@@ -20,7 +20,13 @@ from .featurize import (
 )
 from .fuzzysearch import fuzzy_search_by_doc
 from .hybrid import hybrid_search_rrf
-from .knn import knn_join_payload, knn_search
+from .knn import knn_join_blocked, knn_join_payload, knn_search
+from .maintenance import (
+    compact_saved_table,
+    ivf_compact_saved,
+    ivfsq_compact_saved,
+    pq_compact_saved,
+)
 from .pq import ivfpq_search, pq_build, pq_load, pq_save, pq_search
 from .sampling import (
     hash_sample,
@@ -69,7 +75,12 @@ __all__ = [
     "hash_embed_selfsearch",
     "hashing_embed",
     "hashing_embed_sparse",
+    "knn_join_blocked",
     "knn_join_payload",
+    "compact_saved_table",
+    "ivf_compact_saved",
+    "ivfsq_compact_saved",
+    "pq_compact_saved",
     "knn_search",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_incremental",

@@ -1,0 +1,89 @@
+"""Saved-index maintenance: small-file compaction for the append-only
+index stores.
+
+Every incremental sync (``ann.ivf_sync_with_store``,
+``pq.pq_sync_with_store``, ``sq.ivfsq_sync_with_store``) APPENDS a small
+parquet file set; at a per-micro-batch cadence the saved index
+accumulates thousands of tiny files — the classic small-files problem
+(each costs a task + an open at probe time).  ``compact_saved_table``
+rewrites one table directory into well-sized files with the same
+crash-safe two-rename swap as ``dedup.minhash_corpus_state_compact``:
+
+- stage the rewrite next to the table (``_compact_<name>``),
+- rename the live table to ``_old_<name>``, the stage to the live name,
+- drop the old copy.
+
+A crash before the first rename leaves the old layout; a crash between
+the renames parks the table at ``_old_<name>`` with no live copy —
+``recover_compact_crash`` (run at the top of every compact; call it
+before direct reads of a possibly-crashed store) renames it back.  All
+path operations go through the Hadoop FileSystem API
+(``functions.fsutil``) so indexes may live on HDFS/S3A.
+
+Reader caveat (same as Delta OPTIMIZE): a DataFrame loaded BEFORE the
+compact holds the old file listing and fails on next action once the
+rewrite lands — re-``load`` after compacting.  Unlike ``store.vacuum``
+no data version disappears; only the file layout changes.
+"""
+
+from __future__ import annotations
+
+
+def recover_compact_crash(spark, table_dir: str) -> None:
+    """Heal the non-atomic window: if ``_old_<name>`` exists and the live
+    table does not, rename it back and drop stale staging."""
+    from ..functions.fsutil import fs_exists, fs_rename, fs_rmtree
+
+    parent, _, name = table_dir.rstrip("/").rpartition("/")
+    old = f"{parent}/_old_{name}"
+    if fs_exists(spark, old) and not fs_exists(spark, table_dir):
+        fs_rename(spark, old, table_dir)
+        fs_rmtree(spark, f"{parent}/_compact_{name}")
+
+
+def compact_saved_table(spark, table_dir: str,
+                        target_partitions: int = 32,
+                        partition_by: str | None = None) -> None:
+    """Rewrite ``table_dir`` into ``target_partitions`` in-memory
+    partitions before the write.  With ``partition_by`` the repartition
+    keys on that column, so each output partition directory receives its
+    rows from few tasks (one file per low-cardinality partition value
+    instead of ``target_partitions`` slivers each).  Content identical;
+    crash-safe per the module docstring."""
+    recover_compact_crash(spark, table_dir)
+    from ..functions.fsutil import fs_rename, fs_rmtree
+
+    parent, _, name = table_dir.rstrip("/").rpartition("/")
+    stage = f"{parent}/_compact_{name}"
+    df = spark.read.parquet(table_dir)
+    if partition_by is not None:
+        rewritten = df.repartition(target_partitions, partition_by) \
+            .write.partitionBy(partition_by)
+    else:
+        rewritten = df.repartition(target_partitions).write
+    rewritten.mode("overwrite").parquet(stage)
+    old = f"{parent}/_old_{name}"
+    fs_rename(spark, table_dir, old)
+    fs_rename(spark, stage, table_dir)
+    fs_rmtree(spark, old)
+
+
+def ivf_compact_saved(spark, path: str,
+                      target_partitions: int = 32) -> None:
+    """Compact a saved IVF index's appended assignment store
+    (``ivf_save`` layout, cell-partitioned)."""
+    compact_saved_table(spark, f"{path}/assigned",
+                        target_partitions, partition_by="cell")
+
+
+def ivfsq_compact_saved(spark, path: str,
+                        target_partitions: int = 32) -> None:
+    """Compact a saved IVF-SQ8 index's appended code store."""
+    compact_saved_table(spark, f"{path}/codes",
+                        target_partitions, partition_by="cell")
+
+
+def pq_compact_saved(spark, path: str,
+                     target_partitions: int = 32) -> None:
+    """Compact a saved PQ index's appended code table (unpartitioned)."""
+    compact_saved_table(spark, f"{path}/codes", target_partitions)
