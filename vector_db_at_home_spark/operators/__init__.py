@@ -18,9 +18,18 @@ from .featurize import (
     hashing_embed,
     hashing_embed_sparse,
 )
+from .bq import (
+    binary_encode,
+    bq_load,
+    bq_save,
+    bq_search,
+    bq_sync_with_store,
+    bq_topk,
+    hamming_distance,
+)
 from .fuzzysearch import fuzzy_search_by_doc
 from .hybrid import hybrid_search_rrf
-from .knn import knn_join_blocked, knn_join_payload, knn_search
+from .knn import knn_join_blocked, knn_join_payload, knn_search, range_search
 from .maintenance import (
     compact_saved_table,
     ivf_compact_saved,
@@ -49,6 +58,14 @@ from .topk import top_k_per_group
 
 __all__ = [
     "asof_join",
+    "binary_encode",
+    "bq_load",
+    "bq_save",
+    "bq_search",
+    "bq_sync_with_store",
+    "bq_topk",
+    "hamming_distance",
+    "range_search",
     "cosine_neardup_bucketed",
     "cosine_topk_pairs",
     "cosine_topk_pairs_blocked",

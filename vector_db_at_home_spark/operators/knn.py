@@ -240,6 +240,38 @@ def _knn_pandas(index, queries, k, id_col, vec_col, query_id_col,
     return rescored.orderBy("query_id", "distance", "id")
 
 
+def range_search(index: DataFrame, queries: DataFrame, radius: float,
+                 id_col: str = "id", vec_col: str = "vec",
+                 query_id_col: str = "query_id", query_vec_col: str = "qvec",
+                 metric: str = "l2") -> DataFrame:
+    """Radius search — every index row within ``radius`` of each query
+    (faiss ``range_search`` semantics; the reference has only top-k).
+
+    ``(query_id, id, distance)`` with ``distance <= radius``, ordered
+    ``(query_id, distance ASC, id ASC)``.  Unlike top-k the result size
+    is data-dependent, which is exactly what dedup-style "everything
+    closer than τ" queries need.
+
+    Plan: broadcast the query batch, distance + filter inside one
+    codegen stage over the unshuffled index scan — rows leave the scan
+    task only if they pass the radius predicate, so the shuffle carries
+    the (small) result set, not the corpus.  ``metric`` as in
+    :func:`knn_search`; for ``cosine`` the radius bounds cosine
+    *distance* (1 − similarity)."""
+    if metric not in ("l2", "sqeuclidean", "cosine", "dot"):
+        raise ValueError(f"unknown metric: {metric}")
+    joined = index.crossJoin(F.broadcast(queries))
+    dist = joined.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("id"),
+        _distance_expr(metric, vec_col, query_vec_col).alias("distance"),
+    )
+    return (
+        dist.filter(F.col("distance") <= F.lit(float(radius)))
+        .orderBy("query_id", "distance", "id")
+    )
+
+
 def knn_join_payload(result: DataFrame, store: DataFrame,
                      id_col: str = "id") -> DataFrame:
     """Late-materialize payload columns for kNN hits (vector_store.py:303-313).

@@ -3292,6 +3292,118 @@ def _register_hybrid() -> None:
 _register_hybrid()
 
 
+@register(
+    "bq_hamming_topk",
+    # The 1-bit index tier (operators/bq.py): sign-bit codes packed into
+    # 32-bit words, Hamming-top-50 prefilter (pure integers: the packing,
+    # the xor/popcount, and the (hamming, id) rank all value-hash), exact
+    # L2 re-rank of the short list with the bit-exact knn_l2 distance SQL.
+    """
+WITH el AS (
+  SELECT vec_id, i, embedding[i] AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+),
+words AS (
+  SELECT vec_id,
+         coalesce(sum(CASE WHEN i <= 32 AND x > 0
+                           THEN CAST(1 AS BIGINT) << (i - 1) END), 0) AS w0,
+         coalesce(sum(CASE WHEN i > 32 AND x > 0
+                           THEN CAST(1 AS BIGINT) << (i - 33) END), 0) AS w1
+  FROM el GROUP BY vec_id
+),
+q AS (
+  SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
+  FROM words WHERE vec_id IN (0, 1, 2, 3)
+),
+ham AS (
+  SELECT q.query_id, w.vec_id AS id,
+         CAST(bit_count(xor(w.w0, q.qw0))
+              + bit_count(xor(w.w1, q.qw1)) AS BIGINT) AS hamming
+  FROM words w CROSS JOIN q
+),
+cand AS (
+  SELECT query_id, id, hamming,
+         row_number() OVER (PARTITION BY query_id ORDER BY hamming, id) AS rn
+  FROM ham
+),
+rer AS (
+  SELECT c.query_id, c.id, c.hamming,
+         sqrt((SELECT sum((u.a - u.b) * (u.a - u.b))
+               FROM (SELECT unnest(e.embedding) AS a,
+                            unnest(qe.embedding) AS b) u)) AS dist
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.id
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  WHERE c.rn <= 50
+),
+top AS (
+  SELECT query_id, id, hamming, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM rer
+)
+SELECT query_id, id, hamming, round(dist, 6) AS distance
+FROM top WHERE rn <= 5 ORDER BY query_id, distance, id
+""",
+)
+def q_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization search (operators/bq.py): 1-bit sign codes
+    (32x smaller than float32), Hamming prefilter in whole-stage codegen
+    (bit_count(xor) over packed words), exact re-rank of the top-50 short
+    list.  The candidate stage is integer-exact end to end; the re-rank
+    reuses the knn_l2 distance fold, so the whole result value-hashes."""
+    from .operators.bq import bq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.filter(F.col("vec_id").isin([0, 1, 2, 3]))
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+    )
+    res = bq_search(emb, qs, k=5, rerank_factor=10,
+                    id_col="vec_id", vec_col="embedding")
+    return res.withColumn("distance", F.round("distance", 6))
+
+
+@register(
+    "range_search_radius",
+    # faiss-style radius search (operators/knn.py:range_search): every
+    # vector within L2 radius 1.3 of each query — data-dependent result
+    # size, the "everything closer than tau" primitive top-k can't express.
+    # Same bit-exact distance SQL as knn_l2.
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id IN (0, 7)
+), d AS (
+  SELECT q.query_id, e.vec_id AS id,
+         sqrt((SELECT sum((u.a - u.b) * (u.a - u.b))
+               FROM (SELECT unnest(e.embedding) AS a,
+                            unnest(q.qvec) AS b) u)) AS dist
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, id, round(dist, 6) AS distance
+FROM d WHERE dist <= 1.3 ORDER BY query_id, dist, id
+""",
+)
+def q_range_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: distance + predicate inside one codegen stage over
+    the unshuffled scan — only rows within the radius leave the scan
+    task.  The boundary compare is on identically-derived doubles in
+    both engines (the knn_l2 bit-exactness argument), so the <= radius
+    cut cannot flip between them."""
+    from .operators.knn import range_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.filter(F.col("vec_id").isin([0, 7]))
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+    )
+    res = range_search(emb, qs, radius=1.3,
+                       id_col="vec_id", vec_col="embedding")
+    return res.withColumn("distance", F.round("distance", 6))
+
+
 # --------------------------------------------------------------------------
 # Explicit priority order — the driver scores the FIRST 50 entries of
 # queries(), so this list IS the official correctness record's contents.
@@ -3364,6 +3476,8 @@ _TAIL_ORDER = [
     # round-6: the TPC-H suite completed — all 22 shapes now registered
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
     "q12_ship_priority", "q16_part_supplier_cnt", "q20_excess_shippers",
+    # round-6 continuation: the 1-bit index tier + radius search
+    "bq_hamming_topk", "range_search_radius",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
