@@ -79,3 +79,41 @@ def test_text_to_ann_composition(spark, docs):
                         refine_with=emb, id_col="id",
                         vec_col="vec").collect()
     assert hits and hits[0].id == 3 and hits[0].distance <= 1e-6
+
+
+def test_maxsim_exact_term_dominates(spark):
+    """A doc containing a query term verbatim gets that term's full
+    self-dot (the max aligns on the identical token); unrelated docs
+    score lower."""
+    from vector_db_at_home_spark.operators.featurize import (
+        _char_trigrams,
+        maxsim_search,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "we merge the vector batch nightly"),
+         (2, "completely unrelated words here xyzzy"),
+         (3, "merging vectors in batches")],
+        "id long, text string",
+    )
+    terms = ["vector", "merge", "batch"]
+    out = {r.id: r.score
+           for r in maxsim_search(df, terms, "text", "id", k=3).collect()}
+    # doc 1 contains all three terms verbatim -> highest score
+    assert out[1] == max(out.values())
+    # subword sharing: doc 3's inflected forms still beat the unrelated doc
+    assert out.get(3, 0) > out.get(2, 0)
+
+
+def test_maxsim_trigram_edgecases(spark):
+    """Tokens shorter than 3 chars hash as themselves (no empty grams)."""
+    from vector_db_at_home_spark.operators.featurize import _char_trigrams
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("ab",), ("abc",), ("abcd",)], "t string")
+    rows = {r.t: r.g for r in df.select(
+        "t", _char_trigrams(F.col("t")).alias("g")).collect()}
+    assert rows["ab"] == ["ab"]
+    assert rows["abc"] == ["abc"]
+    assert rows["abcd"] == ["abc", "bcd"]

@@ -274,3 +274,47 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert [r.chunk_text for r in by_doc[2]] == ["solo"]
     with pytest.raises(ValueError):
         chunk_documents(df, "text", "id", chunk_tokens=4, overlap=4)
+
+
+def test_gopher_quality_flags_rules(spark):
+    from vector_db_at_home_spark.operators.textstats import (
+        gopher_quality_flags,
+    )
+
+    good = ("the quick brown fox jumps with energy and grace that have "
+            "been admired " * 6).strip()          # 78 words, stopword-rich
+    short = "the cat sat with that hat"            # fails word count only
+    bullets = "\n".join(["- item one of the list"] * 10)
+    symbols = ("the " * 50).strip() + " " + "# # # # # # # # # #"
+    numeric = " ".join(str(i) for i in range(60)) + " the of"
+    nostop = ("alpha beta gamma delta epsilon zeta " * 10).strip()
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, bullets), (4, symbols), (5, numeric),
+         (6, nostop)],
+        "id long, text string",
+    )
+    out = {r.id: r for r in gopher_quality_flags(df, "text", "id").collect()}
+
+    assert out[1].gopher_pass
+    assert not out[2].flag_word_count and out[2].flag_stopwords
+    assert not out[3].flag_bullet_lines and not out[3].gopher_pass
+    assert not out[4].flag_symbol_ratio and out[4].n_symbols == 10
+    assert not out[5].flag_alpha_words      # 60 of 62 words digit-only
+    assert not out[6].flag_stopwords and out[6].n_required_stopwords == 0
+    # integer bookkeeping: word_chars = chars minus separators
+    assert out[2].n_words == 6 and out[2].word_chars == len(short) - 5
+
+
+def test_gopher_ellipsis_and_mean_len(spark):
+    from vector_db_at_home_spark.operators.textstats import (
+        gopher_quality_flags,
+    )
+
+    dots = "\n".join(["the line of text that trails off..."] * 5)
+    longwords = ("supercalifragilistic " * 60).strip()
+    df = spark.createDataFrame(
+        [(1, dots), (2, longwords)], "id long, text string"
+    )
+    out = {r.id: r for r in gopher_quality_flags(df, "text", "id").collect()}
+    assert not out[1].flag_ellipsis_lines   # 100% of lines end with ...
+    assert not out[2].flag_mean_word_len    # mean word length 20 > 10

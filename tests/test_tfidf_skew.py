@@ -90,3 +90,43 @@ def test_store_time_travel(spark, tmp_path):
     assert old.count() == 3  # pre-delete state still readable
     with pytest.raises(ValueError, match="unknown version"):
         vs.df_at_version(999)
+
+
+def test_bm25_matches_python_reference(spark):
+    """bm25_search vs an independent float implementation of the same
+    formula on a toy corpus — rank AND e4 values agree."""
+    import math
+
+    from vector_db_at_home_spark.operators.tfidf import bm25_search
+
+    corpus = {
+        1: "the vector engine handles vector merge and vector batch jobs",
+        2: "merge conflicts are resolved during the merge window",
+        3: "a batch of documents with no relevant words at all",
+        4: "vector vector vector vector vector",
+        5: "completely unrelated text about weather patterns",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "id long, text string")
+    terms = ["vector", "merge", "batch"]
+    got = {r.id: r.score_e4 for r in
+           bm25_search(df, terms, "text", "id", k=5).collect()}
+
+    toks = {i: t.split(" ") for i, t in corpus.items()}
+    N = len(corpus)
+    T = sum(len(t) for t in toks.values())
+    want = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for term in terms:
+            tf = tk.count(term)
+            if tf == 0:
+                continue
+            dfq = sum(1 for t2 in toks.values() if term in t2)
+            idf = math.log((2 * N + 2) / (2 * dfq + 1))
+            s += idf * (22 * tf * T) / (10 * tf * T + 3 * T + 9 * len(tk) * N)
+        if s > 0:
+            want[i] = math.floor(s * 1e4 + 0.5)
+    assert got == want
+    # saturation: doc 4 (tf=5, short) beats doc 1's vector leg but the
+    # multi-term doc 1 wins overall
+    assert got[1] == max(got.values())

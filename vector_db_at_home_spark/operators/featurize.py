@@ -144,6 +144,142 @@ def hash_embed_selfsearch(docs: DataFrame, text_col: str, id_col: str,
     )
 
 
+def _char_trigrams(tok: Column) -> Column:
+    # char 3-grams; tokens shorter than 3 chars hash as themselves
+    return F.when(F.length(tok) < 3, F.array(tok)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(tok) - 2),
+            lambda i: tok.substr(i, F.lit(3)),
+        )
+    )
+
+
+def _token_vectors(tok_df: DataFrame, tok_col: str, dim: int,
+                   out_val: str) -> DataFrame:
+    """Per-TOKEN signed-hash vector over char trigrams: every row of
+    ``tok_df`` explodes into its trigrams, each hashing to ``md5₆₀(g) mod
+    dim`` with a ±1 sign (16th md5 hex digit parity), summed per (row,
+    bucket).  Subword features, so near-identical tokens ("merge" /
+    "merges") share most buckets — the property MaxSim needs."""
+    g = F.explode(_char_trigrams(F.col(tok_col))).alias("g")
+    keys = [c for c in tok_df.columns]
+    ex = tok_df.select(*keys, g)
+    h = _md5_h60(F.col("g"))
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.col("g")), 16, 1), 16, 10)
+        .cast("int") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        ex.select(*keys, (h % dim).cast("int").alias("bucket"),
+                  sign.alias("s"))
+        .groupBy(*keys, "bucket")
+        .agg(F.sum("s").cast("long").alias(out_val))
+        .filter(F.col(out_val) != 0)
+    )
+
+
+def maxsim_search(docs: DataFrame, terms: list[str], text_col: str,
+                  id_col: str, k: int = 10, dim: int = 16) -> DataFrame:
+    """Late-interaction retrieval (the ColBERT MaxSim operator, Khattab &
+    Zaharia 2020) over model-free subword hash vectors: every DISTINCT
+    document token and every query term embeds as a signed trigram-hash
+    vector (integer components), and
+
+        ``score(doc) = Σ_{q term} max(0, max_{doc token} ⟨v_q, v_t⟩)``
+
+    — each query term independently finds its best-matching document
+    token (token-level alignment, what distinguishes late interaction
+    from the single-vector cosine of ``hash_embed_selfsearch``).  The 0
+    floor IS the exact max over all doc tokens whenever some token
+    shares no bucket with the term (dot 0), i.e. essentially always.
+
+    Everything is INTEGER-exact — trigram hashing, dots, maxes, the
+    final sum — so the ranking value-hashes against the DuckDB oracle
+    with no float anywhere.
+
+    Plan: doc tokens explode at the scan; the bucket join against the
+    broadcast query vectors touches only (doc-token, term) pairs sharing
+    ≥ 1 bucket (inverted-index probe); two partial-agg groupBys (dot,
+    then max/sum) both partition by id.  Returns ``(id, score)`` top-k
+    ranked ``(score DESC, id ASC)``."""
+    spark = docs.sparkSession
+    dtok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+        ).alias("tok"),
+    )
+    dvec = _token_vectors(dtok, "tok", dim, "val")
+    qdf = spark.createDataFrame([(t.lower(),) for t in terms], "qt string")
+    qvec = _token_vectors(qdf, "qt", dim, "qval")
+    dots = (
+        dvec.join(F.broadcast(qvec), "bucket")
+        .groupBy("id", "tok", "qt")
+        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
+    )
+    per_term = dots.groupBy("id", "qt").agg(
+        F.greatest(F.max("dot"), F.lit(0).cast("long")).alias("mx")
+    )
+    scores = per_term.groupBy("id").agg(F.sum("mx").alias("score"))
+    return (
+        scores.orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def render_maxsim_sql(terms: list[str], k: int = 10, dim: int = 16) -> str:
+    """DuckDB oracle for ``maxsim_search`` — identical trigram/bucket/sign
+    derivation, integer dots/maxes/sums, same (score desc, id) rank."""
+    lit_terms = ", ".join("'" + t.lower().replace("'", "''") + "'"
+                          for t in terms)
+    tri = ("CASE WHEN length(tok) < 3 THEN [tok] "
+           "ELSE list_transform(range(1, length(tok) - 1), "
+           "i -> substr(tok, i, 3)) END")
+    qtri = tri.replace("tok", "qt")
+    return f"""
+WITH dtok AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+  FROM documents
+),
+dgram AS (
+  SELECT id, tok, md5(unnest({tri})) AS hx FROM dtok
+),
+dvec AS (
+  SELECT id, tok,
+         CAST({_sql_hex2int('hx', 1, 15)} % {dim} AS INTEGER) AS bucket,
+         CAST(sum(CASE WHEN {_sql_hex2int('hx', 16, 1)} % 2 = 0
+                       THEN 1 ELSE -1 END) AS BIGINT) AS val
+  FROM dgram GROUP BY id, tok, bucket
+  HAVING sum(CASE WHEN {_sql_hex2int('hx', 16, 1)} % 2 = 0
+                  THEN 1 ELSE -1 END) <> 0
+),
+qtok AS (SELECT unnest([{lit_terms}]) AS qt),
+qgram AS (SELECT qt, md5(unnest({qtri})) AS hx FROM qtok),
+qvec AS (
+  SELECT qt,
+         CAST({_sql_hex2int('hx', 1, 15)} % {dim} AS INTEGER) AS bucket,
+         CAST(sum(CASE WHEN {_sql_hex2int('hx', 16, 1)} % 2 = 0
+                       THEN 1 ELSE -1 END) AS BIGINT) AS qval
+  FROM qgram GROUP BY qt, bucket
+  HAVING sum(CASE WHEN {_sql_hex2int('hx', 16, 1)} % 2 = 0
+                  THEN 1 ELSE -1 END) <> 0
+),
+dots AS (
+  SELECT d.id, d.tok, q.qt, sum(d.val * q.qval) AS dot
+  FROM dvec d JOIN qvec q USING (bucket)
+  GROUP BY d.id, d.tok, q.qt
+),
+per_term AS (
+  SELECT id, qt, greatest(max(dot), 0) AS mx FROM dots GROUP BY id, qt
+),
+scores AS (SELECT id, CAST(sum(mx) AS BIGINT) AS score
+           FROM per_term GROUP BY id)
+SELECT id, score FROM scores ORDER BY score DESC, id LIMIT {k}
+"""
+
+
 def render_hash_embed_sql(dim: int = 64) -> str:
     """DuckDB oracle for ``hashing_embed_sparse`` over ``documents`` —
     the identical md5 bucket/sign derivation, pure integers."""

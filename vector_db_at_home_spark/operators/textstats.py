@@ -413,6 +413,88 @@ def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).orderBy("id")
 
 
+#: Gopher rule 7's required stopwords (Rae et al. 2021, §A1.1 — public):
+#: a doc must contain at least 2 of these to pass.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The Gopher/MassiveText rule-based document filter (Rae et al.
+    2021, §A1.1) as named per-rule boolean flags plus the conjunction.
+
+    Every threshold is a ratio in the paper; here each compare is
+    CROSS-MULTIPLIED into the exact integer domain (``mean word length
+    ≥ 3`` ⇒ ``word_chars ≥ 3·n_words``), so no division exists anywhere
+    and the whole operator value-hashes against a SQL re-derivation.
+    Rules:
+
+    1. 50 ≤ word count ≤ 100 000
+    2. 3 ≤ mean word length ≤ 10
+    3. symbol-to-word ratio ≤ 0.1  (symbols: ``#`` and ``...``)
+    4. ≤ 90% of lines start with a bullet (``-``/``*``/``•``)
+    5. ≤ 30% of lines end with an ellipsis (``...``/``…``)
+    6. ≥ 80% of words contain ≥ 1 alphabetic character
+    7. ≥ 2 of the 8 required stopwords appear
+
+    One projection, whole-stage codegen, no shuffle — the triage pass a
+    100 TB corpus runs before anything expensive."""
+    toks = _tokens(text_col)
+    n_words = F.size(toks).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    word_chars = n_chars - (n_words - 1)  # single-space split: chars minus seps
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.substring(l, 1, 1).isin("-", "*", "•"))
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_hash = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    ).cast("long")
+    # '...' occurrences: non-overlapping left-to-right replace (same
+    # semantics in both engines), length delta exactly divisible by 3
+    n_dots = (
+        n_chars - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ).cast("long") / F.lit(3)
+    n_sym = (n_hash + n_dots).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+
+    f_words = (n_words >= 50) & (n_words <= 100_000)
+    f_meanlen = (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
+    f_sym = 10 * n_sym <= n_words
+    f_bullet = 10 * n_bullet <= 9 * n_lines
+    f_ellipsis = 10 * n_ellipsis <= 3 * n_lines
+    f_alpha = 5 * n_alpha >= 4 * n_words
+    f_stop = n_stop >= 2
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_sym.alias("n_symbols"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_required_stopwords"),
+        f_words.alias("flag_word_count"),
+        f_meanlen.alias("flag_mean_word_len"),
+        f_sym.alias("flag_symbol_ratio"),
+        f_bullet.alias("flag_bullet_lines"),
+        f_ellipsis.alias("flag_ellipsis_lines"),
+        f_alpha.alias("flag_alpha_words"),
+        f_stop.alias("flag_stopwords"),
+        (f_words & f_meanlen & f_sym & f_bullet & f_ellipsis & f_alpha
+         & f_stop).alias("gopher_pass"),
+    ).orderBy("id")
+
+
 def chunk_documents(df: DataFrame, text_col: str, id_col: str,
                     chunk_tokens: int = 32, overlap: int = 8) -> DataFrame:
     """Sliding-window chunking for training-sequence prep:

@@ -88,3 +88,129 @@ r AS (
 SELECT id, token, tf, df_count, tfidf, rank
 FROM r WHERE rank <= {k} ORDER BY id, rank
 """
+
+
+def bm25_search(docs: DataFrame, terms: list[str], text_col: str,
+                id_col: str, k: int = 10) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009; the Lucene
+    ``k1 = 1.2, b = 0.75`` defaults) — the standard lexical ranking the
+    RRF hybrid's plain term-frequency leg approximates.
+
+    Determinism discipline (the engine's float laws): with k1 = 6/5 and
+    b = 3/4 the whole tf saturation term is one exact-integer rational —
+
+        tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+          = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)      (avgdl = T/N)
+
+    where T = total corpus tokens, N = total docs; idf is the Lucene
+    ``ln(1 + (N − df + ½)/(df + ½)) = ln((2N+2)/(2df+1))`` — a log of an
+    exact integer ratio.  Per-term contributions are pivoted to columns
+    and summed IN THE LITERAL TERM ORDER (no data-dependent reduction
+    order), and the rank key is the e4-quantized score in BOTH engines,
+    so the result value-hashes.
+
+    Plan: the exploded token stream filters to the query terms AT THE
+    SCAN (a handful of rows survive per doc); df and the two corpus
+    scalars broadcast; one groupBy(id) pivot.  Returns ``(id,
+    score_e4)`` top-k ranked ``(score_e4 DESC, id ASC)``."""
+    lterms = [t.lower() for t in terms]
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("total_toks"),
+    )
+    dl = base.select("id", F.size("toks").cast("long").alias("dl"))
+    tf = (
+        base.select("id", F.explode("toks").alias("t"))
+        .filter(F.col("t").isin(lterms))
+        .groupBy("id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "t")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (2 * F.col("n_docs") + 2).cast("double")
+        / (2 * F.col("df") + 1).cast("double")
+    )
+    num = (22 * F.col("tf") * F.col("total_toks")).cast("double")
+    den = (
+        10 * F.col("tf") * F.col("total_toks")
+        + 3 * F.col("total_toks")
+        + 9 * F.col("dl") * F.col("n_docs")
+    ).cast("double")
+    contrib = scored.select(
+        "id", "t", ((idf * num) / den).alias("c")
+    )
+    # pivot to per-term columns, sum in literal order (fixed fp order)
+    agg_cols = [
+        F.coalesce(F.max(F.when(F.col("t") == t, F.col("c"))), F.lit(0.0))
+        .alias(f"__c{i}")
+        for i, t in enumerate(lterms)
+    ]
+    pivoted = contrib.groupBy("id").agg(*agg_cols)
+    score = F.col("__c0")
+    for i in range(1, len(lterms)):
+        score = score + F.col(f"__c{i}")
+    return (
+        pivoted.select(
+            "id",
+            F.floor(score * 1e4 + F.lit(0.5)).cast("long").alias("score_e4"),
+        )
+        .orderBy(F.col("score_e4").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def render_bm25_sql(terms: list[str], k: int = 10) -> str:
+    """DuckDB oracle for ``bm25_search`` — identical integer rational,
+    identical idf log argument, identical literal-order sum and e4 rank
+    key."""
+    lterms = [t.lower() for t in terms]
+    lit = ", ".join("'" + t.replace("'", "''") + "'" for t in lterms)
+    pivot_cols = ",\n         ".join(
+        f"coalesce(max(CASE WHEN t = '{t}' THEN c END), 0.0) AS __c{i}"
+        for i, t in enumerate(lterms)
+    )
+    score = " + ".join(f"__c{i}" for i in range(len(lterms)))
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS total_toks
+  FROM base
+),
+dl AS (SELECT id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+tf AS (
+  SELECT id, t, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT id, unnest(toks) AS t FROM base)
+  WHERE t IN ({lit})
+  GROUP BY id, t
+),
+dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+contrib AS (
+  SELECT tf.id, tf.t,
+         ln(CAST(2 * s.n_docs + 2 AS DOUBLE)
+            / CAST(2 * dfreq.df + 1 AS DOUBLE))
+         * CAST(22 * tf.tf * s.total_toks AS DOUBLE)
+         / CAST(10 * tf.tf * s.total_toks + 3 * s.total_toks
+                + 9 * dl.dl * s.n_docs AS DOUBLE) AS c
+  FROM tf JOIN dfreq USING (t) JOIN dl USING (id), stats s
+),
+pivoted AS (
+  SELECT id,
+         {pivot_cols}
+  FROM contrib GROUP BY id
+)
+SELECT id,
+       CAST(floor(({score}) * 1e4 + 0.5) AS BIGINT) AS score_e4
+FROM pivoted
+ORDER BY score_e4 DESC, id
+LIMIT {k}
+"""
