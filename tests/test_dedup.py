@@ -489,3 +489,43 @@ def test_simhash_incremental_equals_self_join_cross_pairs(spark, tmp_path):
         spark, path, probe, "text", "doc_id", max_hamming=5).collect()
     assert any(r.corpus_id == probe_src.doc_id and r.hamming == 0
                for r in hits)
+
+
+def test_substring_dedup_stats_hand_corpus(spark):
+    """Known span arithmetic on a 4-doc corpus with W=3."""
+    from vector_db_at_home_spark.operators.dedup import substring_dedup_stats
+
+    boiler = "all rights reserved by us"            # 5 toks -> 3 spans of 3
+    df = spark.createDataFrame(
+        [(1, boiler + " apples and pears today"),   # 9 toks -> 7 spans
+         (2, boiler + " oranges and lemons maybe"), # shares the 3 boiler spans
+         (3, "x y z x y z x y z"),                  # 9 toks, self-repeating
+         (4, "too short")],                         # 2 toks -> 0 spans
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in
+           substring_dedup_stats(df, "text", "doc_id", window=3).collect()}
+
+    assert out[1].n_spans == 7 and out[2].n_spans == 7
+    # docs 1 and 2 share exactly the 3 all-boilerplate spans; the
+    # straddling spans differ past token 5 ('by us apples' vs 'by us oranges')
+    assert out[1].n_crossdoc_spans == 3 == out[2].n_crossdoc_spans
+    # flag is 5*n_dup >= n_spans i.e. >=20% duplicated; 15 >= 7 -> heavy
+    assert out[1].n_dup_spans == 3 and out[1].flag_dup_heavy
+    # doc 3: spans of 'x y z x y z x y z' W=3: 7 spans, pattern period 3
+    # distinct spans: 'x y z','y z x','z x y' -> counts 3,2,2 all >=2
+    assert out[3].n_spans == 7 and out[3].n_dup_spans == 7
+    assert out[3].n_crossdoc_spans == 0 and out[3].flag_dup_heavy
+    # short doc present with zeros, unflagged
+    assert out[4].n_spans == 0 and not out[4].flag_dup_heavy
+
+
+def test_substring_dedup_spans_ranking(spark):
+    from vector_db_at_home_spark.operators.dedup import substring_dedup_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "a b c f"), (4, "q r s t")],
+        "doc_id long, text string",
+    )
+    rows = substring_dedup_spans(df, "text", "doc_id", window=3, k=5).collect()
+    assert [(r.span, r.occ, r.ndocs) for r in rows] == [("a b c", 3, 3)]

@@ -1477,3 +1477,179 @@ def cosine_neardup_bucketed(df: DataFrame, vec_col: str, id_col: str,
         F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
     )
     return out.limit(k) if k is not None else out
+
+
+# ---------------------------------------------------------------------------
+# Exact substring deduplication (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" — public).  The paper finds duplicate
+# token SPANS (their suffix-array threshold: 50 BPE tokens) rather than
+# duplicate documents: boilerplate, licenses and templated text repeat
+# verbatim inside otherwise-distinct pages, and document-level MinHash
+# never sees them.  Spark-first re-expression: every length-W token window
+# hashes at the scan (md5 executor-side, like hashed_shingles), so the
+# corpus-wide duplicate-span count is two keyed aggregations over
+# fixed-width rows — no suffix array, no sort of the whole corpus, and the
+# O(N) shuffle carries (hash, id) pairs only.
+# ---------------------------------------------------------------------------
+
+def _span_windows(text_col: str, window: int) -> Column:
+    """Array of all length-``window`` token windows of ``lower(text)``,
+    each rendered back to a space-joined string.  Empty for docs shorter
+    than ``window`` tokens (F.sequence would count DOWN for a negative
+    extent — the guard is load-bearing)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks) - window + 1
+    wins = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, window)),
+    )
+    return F.when(n >= 1, wins).otherwise(F.array().cast("array<string>"))
+
+
+def substring_dedup_stats(df: DataFrame, text_col: str, id_col: str,
+                          window: int = 8) -> DataFrame:
+    """Per-document exact-substring duplication profile.
+
+    For every document: ``n_spans`` (total length-``window`` token
+    windows), ``n_dup_spans`` (window occurrences whose hash appears ≥ 2
+    times corpus-wide — within-doc self-repetition counts, exactly as a
+    suffix array would see it), ``n_crossdoc_spans`` (occurrences whose
+    hash appears in ≥ 2 distinct documents), and ``flag_dup_heavy``
+    (≥ 20% of spans duplicated — the cheap "mostly boilerplate" triage
+    bit).  All counts are integers; the whole result value-hashes.
+
+    Plan: windows hash to md5 AT THE SCAN, so span text never shuffles
+    anywhere.  Two partial-agg groupBys — (hash, id) then (hash) — plus
+    one hash-keyed join back and a final groupBy(id).  Every shuffled row
+    is (32-char hash, long, long); the width is constant in W and
+    independent of document length, which is what lets the same plan run
+    at 100 TB."""
+    ids = df.select(F.col(id_col).alias("id"))
+    base = _fan_out_small_input(
+        df.select(F.col(id_col).alias("id"),
+                  _span_windows(text_col, window).alias("wins"))
+    )
+    ex = base.select(
+        "id", F.explode(F.transform(F.col("wins"), F.md5)).alias("h")
+    )
+    per_doc = ex.groupBy("h", "id").agg(F.count(F.lit(1)).alias("c"))
+    g = per_doc.groupBy("h").agg(
+        F.sum("c").alias("occ"), F.count(F.lit(1)).alias("ndocs")
+    )
+    j = per_doc.join(g, "h")
+    stats = j.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("occ") >= 2, F.col("c")).otherwise(0))
+        .cast("long").alias("n_dup_spans"),
+        F.sum(F.when(F.col("ndocs") >= 2, F.col("c")).otherwise(0))
+        .cast("long").alias("n_crossdoc_spans"),
+    )
+    out = ids.join(stats, "id", "left").select(
+        "id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("n_crossdoc_spans", F.lit(0)).alias("n_crossdoc_spans"),
+    )
+    return out.select(
+        "*",
+        ((F.col("n_spans") > 0)
+         & (5 * F.col("n_dup_spans") >= F.col("n_spans")))
+        .alias("flag_dup_heavy"),
+    ).orderBy("id")
+
+
+def substring_dedup_spans(df: DataFrame, text_col: str, id_col: str,
+                          window: int = 8, k: int = 20) -> DataFrame:
+    """The duplicated spans themselves — the diagnostic report a human
+    reads to find the boilerplate worth stripping.  Returns the top-``k``
+    most-repeated length-``window`` token spans as ``(span, occ,
+    ndocs)``, ranked ``(occ DESC, span ASC)``.
+
+    Unlike :func:`substring_dedup_stats` (the production pass), span TEXT
+    must survive to the output here, so it rides the first groupBy — but
+    a span is exactly ``window`` tokens, so the shuffled width is bounded
+    by W words, not by document length; the second aggregation and
+    everything after see one row per distinct hash."""
+    base = _fan_out_small_input(
+        df.select(F.col(id_col).alias("id"),
+                  _span_windows(text_col, window).alias("wins"))
+    )
+    ex = base.select("id", F.explode("wins").alias("span"))
+    per_doc = (
+        ex.select("id", "span", F.md5("span").alias("h"))
+        .groupBy("h", "id")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("span").alias("mspan"))
+    )
+    g = per_doc.groupBy("h").agg(
+        F.sum("c").cast("long").alias("occ"),
+        F.count(F.lit(1)).cast("long").alias("ndocs"),
+        F.min("mspan").alias("span"),
+    )
+    return (
+        g.filter(F.col("occ") >= 2)
+        .select("span", "occ", "ndocs")
+        .orderBy(F.col("occ").desc(), F.col("span").asc())
+        .limit(k)
+    )
+
+
+def render_substring_stats_sql(window: int = 8) -> str:
+    """DuckDB oracle for ``substring_dedup_stats`` over ``documents`` —
+    identical window/hash derivation, identical integer bookkeeping."""
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents
+),
+w AS (
+  SELECT id,
+         md5(array_to_string(list_slice(toks, i, i + {window} - 1), ' ')) AS h
+  FROM base, unnest(range(1, greatest(len(toks) - {window} + 2, 1))) AS u(i)
+),
+pd AS (SELECT id, h, count(*) AS c FROM w GROUP BY id, h),
+g AS (SELECT h, sum(c) AS occ, count(*) AS ndocs FROM pd GROUP BY h),
+j AS (SELECT pd.id, pd.c, g.occ, g.ndocs FROM pd JOIN g USING (h)),
+s AS (
+  SELECT id,
+         CAST(sum(c) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN occ >= 2 THEN c ELSE 0 END) AS BIGINT)
+           AS n_dup_spans,
+         CAST(sum(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS BIGINT)
+           AS n_crossdoc_spans
+  FROM j GROUP BY id
+)
+SELECT d.doc_id AS id,
+       coalesce(s.n_spans, 0) AS n_spans,
+       coalesce(s.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(s.n_crossdoc_spans, 0) AS n_crossdoc_spans,
+       (coalesce(s.n_spans, 0) > 0
+        AND 5 * coalesce(s.n_dup_spans, 0) >= coalesce(s.n_spans, 0))
+         AS flag_dup_heavy
+FROM documents d LEFT JOIN s ON s.id = d.doc_id
+ORDER BY id
+"""
+
+
+def render_substring_spans_sql(window: int = 8, k: int = 20) -> str:
+    """DuckDB oracle for ``substring_dedup_spans``."""
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents
+),
+w AS (
+  SELECT id, array_to_string(list_slice(toks, i, i + {window} - 1), ' ') AS span
+  FROM base, unnest(range(1, greatest(len(toks) - {window} + 2, 1))) AS u(i)
+),
+pd AS (
+  SELECT md5(span) AS h, id, count(*) AS c, min(span) AS mspan
+  FROM w GROUP BY md5(span), id
+),
+g AS (
+  SELECT h, CAST(sum(c) AS BIGINT) AS occ,
+         CAST(count(*) AS BIGINT) AS ndocs, min(mspan) AS span
+  FROM pd GROUP BY h
+)
+SELECT span, occ, ndocs FROM g
+WHERE occ >= 2
+ORDER BY occ DESC, span ASC
+LIMIT {k}
+"""

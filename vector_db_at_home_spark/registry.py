@@ -3496,6 +3496,42 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(docs, "text", "doc_id")
 
 
+def _register_substring_dedup() -> None:
+    from .operators.dedup import (
+        render_substring_spans_sql,
+        render_substring_stats_sql,
+        substring_dedup_spans,
+        substring_dedup_stats,
+    )
+
+    def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact-substring dedup profile (operators/dedup.py:
+        substring_dedup_stats — Lee et al. 2021 duplicate token spans,
+        re-expressed as two keyed aggregations over scan-side hashes):
+        per-doc total/duplicated/cross-document span counts, all
+        integers."""
+        docs = load_table(spark, sf_dir, "documents")
+        return substring_dedup_stats(docs, "text", "doc_id", window=8)
+
+    _QUERIES["substring_dedup_stats"] = q_stats
+    _ORACLES["substring_dedup_stats"] = render_substring_stats_sql(window=8)
+
+    def q_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top duplicated spans report (operators/dedup.py:
+        substring_dedup_spans): the boilerplate a human would strip,
+        ranked by corpus-wide occurrence count."""
+        docs = load_table(spark, sf_dir, "documents")
+        return substring_dedup_spans(docs, "text", "doc_id", window=8, k=20)
+
+    _QUERIES["substring_dedup_spans"] = q_spans
+    _ORACLES["substring_dedup_spans"] = render_substring_spans_sql(
+        window=8, k=20
+    )
+
+
+_register_substring_dedup()
+
+
 # --------------------------------------------------------------------------
 # Explicit priority order — the driver scores the FIRST 50 entries of
 # queries(), so this list IS the official correctness record's contents.
@@ -3571,7 +3607,8 @@ _TAIL_ORDER = [
     # round-6 continuation: the 1-bit index tier + radius search + the
     # Gopher rule filter
     "bq_hamming_topk", "range_search_radius", "gopher_quality_flags",
-    "maxsim_topk", "bm25_topk",
+    "maxsim_topk", "bm25_topk", "substring_dedup_stats",
+    "substring_dedup_spans",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
