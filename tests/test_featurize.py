@@ -117,3 +117,41 @@ def test_maxsim_trigram_edgecases(spark):
     assert rows["ab"] == ["ab"]
     assert rows["abc"] == ["abc"]
     assert rows["abcd"] == ["abc", "bcd"]
+
+
+def test_mmr_rerank_diversity_beats_pure_relevance(spark):
+    """MMR must demote a near-duplicate of an already-selected doc even
+    when it outranks a diverse doc on pure relevance; invariants: rank 1
+    is the relevance argmax, penalties are exact Gram entries, mmr =
+    rel - penalty."""
+    from vector_db_at_home_spark.operators.featurize import mmr_rerank
+
+    df = spark.createDataFrame(
+        [(1, "vector index merge batch vector index merge batch"),
+         (2, "vector index merge batch vector index merge"),  # near-dup of 1
+         (3, "batch jobs compact the index nightly"),
+         (4, "weather report with nothing relevant")],
+        "doc_id long, text string",
+    )
+    rows = mmr_rerank(df, ["vector", "merge", "batch", "index"],
+                      "text", "doc_id", n_candidates=4, k=3, dim=16,
+                      rel_weight=1).collect()
+    assert [r.rnk for r in rows] == [1, 2, 3]
+    assert rows[0].id == 1 and rows[0].penalty == 0 and \
+        rows[0].mmr == rows[0].rel
+    # doc 2 is the relevance runner-up but nearly identical to doc 1;
+    # its Gram penalty vs doc 1 exceeds its relevance edge, so pure-
+    # relevance rank 2 drops OUT of the MMR top 3 entirely
+    assert 2 not in {r.id for r in rows}
+    for r in rows:
+        assert r.mmr == r.rel - r.penalty  # rel_weight=1 identity
+
+
+def test_mmr_rerank_candidate_ceiling(spark):
+    import pytest as _pytest
+
+    from vector_db_at_home_spark.operators.featurize import mmr_rerank
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="ceiling"):
+        mmr_rerank(df, ["a"], "text", "doc_id", n_candidates=5000)

@@ -266,7 +266,7 @@ qvec AS (
   HAVING sum(CASE WHEN {_sql_hex2int('hx', 16, 1)} % 2 = 0
                   THEN 1 ELSE -1 END) <> 0
 ),
-dots AS (
+dots AS MATERIALIZED (
   SELECT d.id, d.tok, q.qt, sum(d.val * q.qval) AS dot
   FROM dvec d JOIN qvec q USING (bucket)
   GROUP BY d.id, d.tok, q.qt
@@ -321,7 +321,7 @@ sp AS (
 norms AS (SELECT id, sum(val * val) AS nsq FROM sp GROUP BY id),
 q AS (SELECT bucket, val AS qval FROM sp WHERE id = {query_id}),
 qn AS (SELECT nsq AS qnsq FROM norms WHERE id = {query_id}),
-dots AS (SELECT sp.id, sum(sp.val * q.qval) AS dot
+dots AS MATERIALIZED (SELECT sp.id, sum(sp.val * q.qval) AS dot
          FROM sp JOIN q USING (bucket) GROUP BY sp.id)
 SELECT id,
        CAST(floor(dot / sqrt(CAST(norms.nsq * qn.qnsq AS DOUBLE))
@@ -330,4 +330,184 @@ FROM dots JOIN norms USING (id), qn
 WHERE id <> {query_id}
 ORDER BY dot / sqrt(CAST(norms.nsq * qn.qnsq AS DOUBLE)) DESC, id
 LIMIT {k}
+"""
+
+
+_MAX_MMR_CANDIDATES = 4096
+
+
+def mmr_rerank(docs: DataFrame, terms: list[str], text_col: str,
+               id_col: str, n_candidates: int = 30, k: int = 8,
+               dim: int = 16, rel_weight: int = 10) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-ranking (Carbonell &
+    Goldstein 1998) over hashing-trick embeddings:
+
+        pick argmax_c  w·rel(c) − max_{s ∈ selected} ⟨v_c, v_s⟩
+
+    k times, starting from the most relevant candidate.  The classical
+    λ ∈ (0, 1) mix appears here as the INTEGER weight ``w =
+    rel_weight`` (λ = w/(w+1) up to scale), which keeps relevance,
+    penalties and every argmax in exact integer arithmetic — ties break
+    on id ASC.  The default w = 10 balances the two terms for raw
+    signed-hash dots, where a candidate-candidate self-Gram entry is
+    ~O(doc length) while a short query's relevance dot is ~O(query
+    length).
+
+    Two-stage shape, the standard production rerank topology:
+
+    1. DISTRIBUTED candidate retrieval: query terms embed to a sparse
+       signed-hash vector, the bucket inverted-index probe scores
+       ``rel = ⟨v_q, v_d⟩`` (integer dot) for every doc sharing ≥ 1
+       bucket, top-``n_candidates`` by ``(rel DESC, id)``.  At 100 TB
+       this is the same broadcast-probe plan as
+       ``hash_embed_selfsearch`` — no corpus collect.
+    2. DRIVER rerank: MMR is inherently sequential in k (each pick
+       changes every remaining score), so the ``n_candidates × dim``
+       integer matrix (bounded: ≤ 4096 candidates enforced) comes to
+       the driver and the k-step loop runs in NumPy — the same
+       bounded-small-side pattern as the PQ codebook collect.
+
+    Returns ``(rnk, id, rel, penalty, mmr)`` — all BIGINT, rank 1..k,
+    ``penalty = max dot to previously-selected`` (0 for rank 1),
+    ``mmr = rel_weight·rel − penalty``."""
+    import numpy as np
+
+    if n_candidates > _MAX_MMR_CANDIDATES:
+        raise ValueError(
+            f"n_candidates {n_candidates} exceeds the driver rerank "
+            f"ceiling {_MAX_MMR_CANDIDATES}"
+        )
+    if rel_weight < 1:
+        raise ValueError("rel_weight must be a positive integer")
+    spark = docs.sparkSession
+    sparse = hashing_embed_sparse(docs, text_col, id_col, dim)
+    qdoc = spark.createDataFrame(
+        [(0, " ".join(t.lower() for t in terms))], "id long, text string"
+    )
+    qvec = hashing_embed_sparse(qdoc, "text", "id", dim).select(
+        "bucket", F.col("val").alias("qval")
+    )
+    dots = (
+        sparse.join(F.broadcast(qvec), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("val") * F.col("qval")).cast("long").alias("rel"))
+    )
+    cand = dots.orderBy(F.col("rel").desc(), F.col("id").asc()) \
+               .limit(n_candidates)
+    cand_rows = cand.collect()
+    ids = [r.id for r in cand_rows]
+    rel = {r.id: r.rel for r in cand_rows}
+    vec_rows = sparse.join(
+        F.broadcast(cand.select("id")), "id"
+    ).collect()
+    V = np.zeros((len(ids), dim), dtype=np.int64)
+    pos = {i: p for p, i in enumerate(ids)}
+    for r in vec_rows:
+        V[pos[r.id], r.bucket] = r.val
+    sims = V @ V.T  # integer Gram matrix of the candidate set
+
+    selected: list[int] = []
+    out = []
+    remaining = sorted(ids)
+    for rnk in range(1, min(k, len(ids)) + 1):
+        best = None
+        for c in remaining:
+            pen = int(max(sims[pos[c], pos[s]] for s in selected)) \
+                if selected else 0
+            key = (-(rel_weight * rel[c] - pen), c)
+            if best is None or key < best[0]:
+                best = (key, c, pen)
+        _, c, pen = best
+        out.append((rnk, c, int(rel[c]), pen,
+                    rel_weight * int(rel[c]) - pen))
+        selected.append(c)
+        remaining.remove(c)
+    return spark.createDataFrame(
+        out, "rnk long, id long, rel long, penalty long, mmr long"
+    ).orderBy("rnk")
+
+
+def render_mmr_sql(terms: list[str], n_candidates: int = 30, k: int = 8,
+                   dim: int = 16, rel_weight: int = 10) -> str:
+    """DuckDB oracle for ``mmr_rerank`` — identical candidate retrieval,
+    then the k sequential argmax steps UNROLLED as chained CTEs (MMR's
+    loop-carried dependence expressed as k stages; each ``sel_i`` is the
+    selected prefix, each ``pick_i`` one argmax with the same
+    ``(mmr DESC, id)`` tie-break)."""
+    qtext = " ".join(t.lower() for t in terms).replace("'", "''")
+    stages = []
+    w = rel_weight
+    picks = ["SELECT CAST(1 AS BIGINT) AS rnk, id, rel, "
+             "CAST(0 AS BIGINT) AS penalty, "
+             f"{w} * rel AS mmr FROM pick_1"]
+    stages.append(
+        "pick_1 AS MATERIALIZED "
+        "(SELECT id, rel FROM cand ORDER BY rel DESC, id LIMIT 1)"
+    )
+    stages.append("sel_1 AS MATERIALIZED (SELECT id FROM pick_1)")
+    for i in range(2, k + 1):
+        stages.append(f"""p_{i} AS MATERIALIZED (
+  SELECT c.id, c.rel, max(s.dot) AS pen
+  FROM cand c JOIN simsd s ON s.ia = c.id
+  WHERE s.ib IN (SELECT id FROM sel_{i-1})
+    AND c.id NOT IN (SELECT id FROM sel_{i-1})
+  GROUP BY c.id, c.rel
+)""")
+        stages.append(
+            f"pick_{i} AS MATERIALIZED (SELECT id, rel, pen FROM p_{i} "
+            f"ORDER BY {w} * rel - pen DESC, id LIMIT 1)"
+        )
+        stages.append(
+            f"sel_{i} AS MATERIALIZED (SELECT id FROM sel_{i-1} "
+            f"UNION ALL SELECT id FROM pick_{i})"
+        )
+        picks.append(
+            f"SELECT CAST({i} AS BIGINT) AS rnk, id, rel, "
+            f"CAST(pen AS BIGINT) AS penalty, "
+            f"{w} * rel - pen AS mmr FROM pick_{i}"
+        )
+    body = ",\n".join(stages)
+    union = "\nUNION ALL\n".join(picks)
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents
+),
+sparse AS MATERIALIZED (
+  SELECT id,
+         CAST({_sql_hex2int('md5(t)', 1, 15)} % {dim} AS INTEGER) AS bucket,
+         CAST(sum(CASE WHEN {_sql_hex2int('md5(t)', 16, 1)} % 2 = 0
+                       THEN 1 ELSE -1 END) AS BIGINT) AS val
+  FROM tok GROUP BY id, bucket
+  HAVING sum(CASE WHEN {_sql_hex2int('md5(t)', 16, 1)} % 2 = 0
+             THEN 1 ELSE -1 END) <> 0
+),
+qtok AS (SELECT unnest(string_split('{qtext}', ' ')) AS t),
+qvec AS (
+  SELECT CAST({_sql_hex2int('md5(t)', 1, 15)} % {dim} AS INTEGER) AS bucket,
+         CAST(sum(CASE WHEN {_sql_hex2int('md5(t)', 16, 1)} % 2 = 0
+                       THEN 1 ELSE -1 END) AS BIGINT) AS qval
+  FROM qtok GROUP BY bucket
+  HAVING sum(CASE WHEN {_sql_hex2int('md5(t)', 16, 1)} % 2 = 0
+             THEN 1 ELSE -1 END) <> 0
+),
+dots AS MATERIALIZED (
+  SELECT s.id, CAST(sum(s.val * q.qval) AS BIGINT) AS rel
+  FROM sparse s JOIN qvec q USING (bucket) GROUP BY s.id
+),
+cand AS MATERIALIZED (SELECT id, rel FROM dots ORDER BY rel DESC, id LIMIT {n_candidates}),
+cvec AS MATERIALIZED (SELECT s.* FROM sparse s WHERE s.id IN (SELECT id FROM cand)),
+sims AS MATERIALIZED (
+  SELECT a.id AS ia, b.id AS ib, CAST(sum(a.val * b.val) AS BIGINT) AS dot
+  FROM cvec a JOIN cvec b USING (bucket) GROUP BY a.id, b.id
+),
+simsd AS MATERIALIZED (
+  SELECT a.id AS ia, b.id AS ib, coalesce(s.dot, 0) AS dot
+  FROM cand a CROSS JOIN cand b
+  LEFT JOIN sims s ON s.ia = a.id AND s.ib = b.id
+),
+{body}
+SELECT * FROM (
+{union}
+) ORDER BY rnk
 """

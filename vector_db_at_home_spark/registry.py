@@ -3289,6 +3289,24 @@ def _register_featurize() -> None:
     _QUERIES["bm25_topk"] = q_bm25
     _ORACLES["bm25_topk"] = render_bm25_sql(maxsim_terms, k=10)
 
+    from .operators.featurize import mmr_rerank, render_mmr_sql
+
+    mmr_terms = ["vector", "merge", "batch", "index"]
+
+    def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MMR diversity rerank (operators/featurize.py:mmr_rerank):
+        distributed integer-dot candidate retrieval, then the k-step
+        λ=½ selection — relevance, penalties and every argmax in exact
+        integer arithmetic, so all five columns value-hash."""
+        docs = load_table(spark, sf_dir, "documents")
+        return mmr_rerank(docs, mmr_terms, "text", "doc_id",
+                          n_candidates=30, k=8, dim=16)
+
+    _QUERIES["mmr_rerank_topk"] = q_mmr
+    _ORACLES["mmr_rerank_topk"] = render_mmr_sql(
+        mmr_terms, n_candidates=30, k=8, dim=16
+    )
+
 
 _register_featurize()
 
@@ -3608,7 +3626,7 @@ _TAIL_ORDER = [
     # Gopher rule filter
     "bq_hamming_topk", "range_search_radius", "gopher_quality_flags",
     "maxsim_topk", "bm25_topk", "substring_dedup_stats",
-    "substring_dedup_spans",
+    "substring_dedup_spans", "mmr_rerank_topk",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
