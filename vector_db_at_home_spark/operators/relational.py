@@ -1713,3 +1713,64 @@ WHERE r_name = 'AMERICA'
   )
 ORDER BY s_name
 """
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, and
+    for every (cohort, day-offset) cell the count of that cohort's users
+    still active.  Counts stay integers; the ratio (n_active / n_cohort)
+    is the consumer's one division, both operands provided.
+
+    Plan: one distinct (user, day) projection feeds BOTH the first-touch
+    aggregate and the activity join; the per-user first-day table is
+    tiny relative to the event stream (users << events), so it
+    broadcasts — the big side shuffles once for the distinct and never
+    again."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    mat = (
+        act.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day"))
+            .cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    return (
+        mat.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset", "n_active", "n_cohort",
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+),
+f AS (SELECT user_id, min(d) AS cohort_day FROM act GROUP BY user_id),
+m AS (
+  SELECT f.cohort_day, act.d - f.cohort_day AS day_offset,
+         count(DISTINCT act.user_id) AS n_active
+  FROM act JOIN f USING (user_id)
+  GROUP BY f.cohort_day, act.d - f.cohort_day
+),
+s AS (SELECT cohort_day, count(*) AS n_cohort FROM f GROUP BY cohort_day)
+SELECT strftime(m.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(n_cohort AS BIGINT) AS n_cohort
+FROM m JOIN s USING (cohort_day)
+ORDER BY cohort_day, day_offset
+"""
