@@ -97,3 +97,33 @@ def test_cc_raises_when_iteration_cap_hit(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(df, max_iter=1)
+
+
+def test_pagerank_fixed_point_hand_graph(spark):
+    """Star graph: the hub out-ranks every leaf; exact integer values
+    match a hand-rolled reference loop; dangling nodes keep the base."""
+    from vector_db_at_home_spark.operators.graph import pagerank_fixed_point
+
+    # leaves 1..4 -> hub 0; hub -> leaf 1 only; node 9 dangles (dst only)
+    edges = [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1), (1, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.pr
+           for r in pagerank_fixed_point(df, iters=5).collect()}
+
+    # independent reference in plain Python (same integer recurrence)
+    from collections import defaultdict
+    nodes = {0, 1, 2, 3, 4, 9}
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    pr = {n: 1_000_000 for n in nodes}
+    for _ in range(5):
+        nxt = {n: 150_000 for n in nodes}
+        for u, dsts in out.items():
+            c = (pr[u] * 85) // (100 * len(dsts))
+            for d in dsts:
+                nxt[d] += c
+        pr = nxt
+    assert got == pr
+    assert got[0] == max(got.values())        # hub dominates
+    assert got[2] == got[3] == got[4] == 150_000  # pure sources at base

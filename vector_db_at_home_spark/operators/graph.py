@@ -111,3 +111,97 @@ def drop_near_duplicates(df: DataFrame, pairs: DataFrame, id_col: str,
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def pagerank_fixed_point(edges: DataFrame, iters: int = 5,
+                         scale: int = 1_000_000) -> DataFrame:
+    """PageRank (Page et al. 1999, damping 0.85) as a FIXED number of
+    iterations in exact integer fixed-point arithmetic.
+
+    Ranks live in units of ``1/scale``: every node starts at ``scale``,
+    and one round computes
+
+        pr'(v) = (15·scale) div 100  +  Σ_{u→v} (pr(u)·85) div (100·deg(u))
+
+    with INTEGER floor division — every operand and result is a BIGINT,
+    so after any fixed iteration count the ranks are bit-identical
+    across engines (the float formulation would accumulate
+    reduction-order drift by iteration 2).  The truncation loses < 1
+    rank unit per edge per round — irrelevant at scale = 1e6 and
+    irrelevant to correctness, which is defined BY this recurrence.
+
+    Plan: the degree-annotated edge table is built once; each round is
+    one keyed join (edges × current ranks on src) plus one groupBy(dst)
+    partial aggregate — the same per-round shuffle profile as
+    ``connected_components`` (|E| + |V| keyed rows, nothing broadcast
+    that grows with the graph).  ``iters`` is fixed, not data-dependent,
+    so there is no per-round driver action at all: the whole rank table
+    materializes lazily as one 5-stage plan.
+
+    ``edges``: directed ``(src, dst)`` BIGINT pairs; dangling nodes
+    (out-degree 0) contribute nothing, matching the recurrence as
+    written.  Returns ``(node, pr)`` for every node appearing anywhere.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = edges.join(deg, "src")
+    base = (15 * scale) // 100
+    pr = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e["src"] == pr["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(pr * 85) div (100 * deg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(base).cast("long") + F.coalesce("c", F.lit(0)))
+            .alias("pr"),
+        )
+    return pr
+
+
+def render_pagerank_sql(edges_cte: str, iters: int = 5,
+                        scale: int = 1_000_000, k: int = 20) -> str:
+    """DuckDB oracle for ``pagerank_fixed_point`` over an ``edges``
+    CTE body (must yield ``(src, dst)``): the identical integer
+    recurrence with the iterations UNROLLED as MATERIALIZED stages
+    (plain chained CTEs re-inline exponentially), top-``k`` by
+    ``(pr DESC, node)``."""
+    base = (15 * scale) // 100
+    stages = [f"""pr_0 AS MATERIALIZED (
+  SELECT node, CAST({scale} AS BIGINT) AS pr FROM nodes
+)"""]
+    for i in range(1, iters + 1):
+        stages.append(f"""pr_{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST({base} + coalesce(c.c, 0) AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum((p.pr * 85) // (100 * e.deg)) AS c
+    FROM e JOIN pr_{i-1} p ON p.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)""")
+    body = ",\n".join(stages)
+    return f"""
+WITH edges AS MATERIALIZED ({edges_cte}),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+e AS MATERIALIZED (
+  SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)
+),
+{body}
+SELECT node, pr FROM pr_{iters}
+ORDER BY pr DESC, node
+LIMIT {k}
+"""

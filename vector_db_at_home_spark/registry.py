@@ -3551,6 +3551,56 @@ def _register_substring_dedup() -> None:
 _register_substring_dedup()
 
 
+def _register_pagerank() -> None:
+    from .operators.graph import render_pagerank_sql
+
+    # bipartite customer↔supplier graph: an edge per distinct trading
+    # pair (both directions, so every node has out-degree ≥ 1); node ids
+    # disambiguate the two key domains as 2·custkey / 2·suppkey+1
+    edges_cte = """
+  WITH p AS (
+    SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  )
+  SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p
+"""
+
+    def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Integer fixed-point PageRank (operators/graph.py:
+        pagerank_fixed_point): 5 rounds of the damped recurrence in
+        exact BIGINT arithmetic over the customer↔supplier trading
+        graph — one keyed join + one partial agg per round, no driver
+        action, bit-identical across engines."""
+        from .operators.graph import pagerank_fixed_point as _pr
+
+        o = load_table(spark, sf_dir, "orders") \
+            .select("o_orderkey", "o_custkey")
+        li = load_table(spark, sf_dir, "lineitem") \
+            .select("l_orderkey", "l_suppkey")
+        pairs = (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .select(
+                (F.col("o_custkey") * 2).cast("long").alias("src"),
+                (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+            )
+            .distinct()
+        )
+        edges = pairs.union(
+            pairs.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst"))
+        )
+        pr = _pr(edges, iters=5)
+        return pr.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
+
+    _QUERIES["pagerank_trading_graph"] = q_pagerank
+    _ORACLES["pagerank_trading_graph"] = render_pagerank_sql(
+        edges_cte, iters=5, scale=1_000_000, k=20
+    )
+
+
+_register_pagerank()
+
+
 # --------------------------------------------------------------------------
 # Explicit priority order — the driver scores the FIRST 50 entries of
 # queries(), so this list IS the official correctness record's contents.
@@ -3628,6 +3678,7 @@ _TAIL_ORDER = [
     "bq_hamming_topk", "range_search_radius", "gopher_quality_flags",
     "maxsim_topk", "bm25_topk", "substring_dedup_stats",
     "substring_dedup_spans", "mmr_rerank_topk", "cohort_retention",
+    "pagerank_trading_graph",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
