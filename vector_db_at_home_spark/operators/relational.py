@@ -1774,3 +1774,63 @@ SELECT strftime(m.cohort_day, '%Y-%m-%d') AS cohort_day,
 FROM m JOIN s USING (cohort_day)
 ORDER BY cohort_day, day_offset
 """
+
+
+def copurchase_pairs(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """Market-basket co-occurrence: the part pairs most often ordered
+    together, with the support counts a consumer needs for
+    lift/confidence (kept as integers — the ratios are the consumer's
+    divisions).
+
+    Plan: one distinct (order, part) projection; the pair generation is
+    a self-equi-join ON THE ORDER KEY with ``a < b`` — per-order pair
+    fan-out is quadratic only in basket size, which TPC-H bounds at 7
+    lineitems (and real carts bound similarly), so the blow-up is a
+    constant factor, not a scale term.  Per-part support joins in from
+    the same distinct projection via exchange reuse."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = op.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = op.select(F.col("ok"), F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+    )
+    support = op.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return (
+        pairs.join(support.select(F.col("pk").alias("part_a"),
+                                  F.col("cnt").alias("cnt_a")), "part_a")
+        .join(support.select(F.col("pk").alias("part_b"),
+                             F.col("cnt").alias("cnt_b")), "part_b")
+        .select("part_a", "part_b", "pair_cnt", "cnt_a", "cnt_b")
+        .orderBy(F.col("pair_cnt").desc(), F.col("part_a").asc(),
+                 F.col("part_b").asc())
+        .limit(k)
+    )
+
+
+COPURCHASE_PAIRS_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+pairs AS (
+  SELECT a.pk AS part_a, b.pk AS part_b,
+         CAST(count(*) AS BIGINT) AS pair_cnt
+  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+),
+support AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM op GROUP BY pk)
+SELECT p.part_a, p.part_b, p.pair_cnt,
+       sa.cnt AS cnt_a, sb.cnt AS cnt_b
+FROM pairs p
+JOIN support sa ON sa.pk = p.part_a
+JOIN support sb ON sb.pk = p.part_b
+ORDER BY p.pair_cnt DESC, p.part_a, p.part_b
+LIMIT 25
+"""

@@ -292,6 +292,7 @@ def _register_relational() -> None:
          R.ROLLING_7D_USER_VALUE_SQL),
         ("user_funnel", R.user_funnel, R.USER_FUNNEL_SQL),
         ("cohort_retention", R.cohort_retention, R.COHORT_RETENTION_SQL),
+        ("copurchase_pairs", R.copurchase_pairs, R.COPURCHASE_PAIRS_SQL),
         ("value_outliers", R.value_outliers, R.VALUE_OUTLIERS_SQL),
         # TPC-H Q21/Q22 shapes — multi-condition correlated EXISTS/NOT
         # EXISTS (anti-join decorrelation) + scalar-subquery-vs-avg
@@ -3678,7 +3679,7 @@ _TAIL_ORDER = [
     "bq_hamming_topk", "range_search_radius", "gopher_quality_flags",
     "maxsim_topk", "bm25_topk", "substring_dedup_stats",
     "substring_dedup_spans", "mmr_rerank_topk", "cohort_retention",
-    "pagerank_trading_graph",
+    "pagerank_trading_graph", "copurchase_pairs",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
