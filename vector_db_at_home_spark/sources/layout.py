@@ -85,3 +85,27 @@ def zorder_write(df: DataFrame, path: str, cols: list[str],
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int = 8,
+                   sort_col: str | None = None) -> None:
+    """Persist ``df`` as a BUCKETED parquet table (Spark-native
+    bucketing): rows hash-partition into ``n_buckets`` files per write
+    task by ``bucket_col``, and the bucket spec lands in the session
+    catalog so later scans expose ``outputPartitioning``.
+
+    This is the co-location primitive for repeated big-big joins: two
+    tables bucketed the same way on the join key join with ZERO
+    exchanges — at 100 TB, pre-bucketing fact tables on the join key
+    turns every downstream join/aggregate on that key from a full
+    shuffle into a local merge.  (Z-order, above, is the SCAN-side
+    layout lever; bucketing is the JOIN-side one.)
+
+    Uses ``saveAsTable`` because bucket metadata lives in the catalog —
+    the plain path-based writer cannot record it.  The default
+    in-memory catalog works; no Hive required."""
+    w = df.write.format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.mode("overwrite").saveAsTable(table)
