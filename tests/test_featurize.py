@@ -155,3 +155,26 @@ def test_mmr_rerank_candidate_ceiling(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="ceiling"):
         mmr_rerank(df, ["a"], "text", "doc_id", n_candidates=5000)
+
+
+def test_parentdoc_search_picks_best_chunk(spark):
+    """The returned offset is the winning chunk's start: plant the
+    query terms deep in a long doc and the second chunk must win."""
+    from vector_db_at_home_spark.operators.featurize import parentdoc_search
+
+    filler = " ".join(f"w{i}" for i in range(40))
+    hot = "vector merge batch index " * 4
+    df = spark.createDataFrame(
+        [(1, filler + " " + hot.strip()),     # terms live past token 40
+         (2, "vector merge batch index"),     # terms in chunk 1
+         (3, " ".join(f"z{i}" for i in range(50)))],
+        "doc_id long, text string",
+    )
+    rows = parentdoc_search(df, ["vector", "merge", "batch", "index"],
+                            "text", "doc_id", k=3, dim=16,
+                            chunk_tokens=32, stride=24).collect()
+    by_id = {r.id: r for r in rows}
+    # doc 1's winning chunk starts at 25 or 49 (stride grid), NOT 1
+    assert by_id[1].best_start > 1
+    assert by_id[1].score >= by_id[2].score  # 16 hot tokens beat 4
+    assert rows == sorted(rows, key=lambda r: (-r.score, r.id))

@@ -511,3 +511,121 @@ SELECT * FROM (
 {union}
 ) ORDER BY rnk
 """
+
+
+def parentdoc_search(docs: DataFrame, terms: list[str], text_col: str,
+                     id_col: str, k: int = 10, dim: int = 16,
+                     chunk_tokens: int = 32, stride: int = 24) -> DataFrame:
+    """Parent-document retrieval (the standard RAG indexing pattern:
+    score fine-grained CHUNKS, return the best-scoring parent doc):
+    every ``chunk_tokens``-token window at ``stride`` offsets embeds via
+    the additive hashing trick, scores against the broadcast query
+    vector as an integer dot, and each document keeps its best chunk:
+
+        score(doc) = max_{chunk} ⟨v_q, Σ_{tok ∈ chunk} v_tok⟩
+
+    Integer end to end (hash components, dots, the max), so the full
+    ranking value-hashes.  Returns ``(id, best_start, score)`` ranked
+    ``(score DESC, id)`` — ``best_start`` is the 1-based token offset of
+    the winning chunk (smallest such offset on ties), which is exactly
+    what a RAG consumer needs to fetch the passage.
+
+    Plan: chunks explode as (id, start, token-hash) rows AT THE SCAN;
+    the broadcast bucket join touches only bucket-sharing rows; two
+    partial aggs (dot per chunk, max per doc) both keyed by id."""
+    spark = docs.sparkSession
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+    )
+    ch = docs.select(
+        F.col(id_col).alias("id"), toks.alias("toks"),
+        F.explode(starts).alias("start"),
+    ).select(
+        "id", "start",
+        F.explode(F.slice("toks", F.col("start"), chunk_tokens)).alias("t"),
+    )
+    from .dedup import _md5_h60
+
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.col("t")), 16, 1), 16, 10)
+        .cast("int") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    tokvec = ch.select(
+        "id", "start",
+        (_md5_h60(F.col("t")) % dim).cast("int").alias("bucket"),
+        sign.alias("s"),
+    )
+    qdoc = spark.createDataFrame(
+        [(0, " ".join(t.lower() for t in terms))], "id long, text string"
+    )
+    qvec = hashing_embed_sparse(qdoc, "text", "id", dim).select(
+        "bucket", F.col("val").alias("qval")
+    )
+    # additive embedding: dot(q, chunk) = Σ_tok qval[bucket(tok)]·sign —
+    # no per-chunk vector ever materializes
+    chunk_scores = (
+        tokvec.join(F.broadcast(qvec), "bucket")
+        .groupBy("id", "start")
+        .agg(F.sum(F.col("s") * F.col("qval")).cast("long").alias("cscore"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.col("cscore").desc(), F.col("start").asc()
+    )
+    best = (
+        chunk_scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("start").cast("long").alias("best_start"),
+                F.col("cscore").alias("score"))
+    )
+    return (
+        best.orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def render_parentdoc_sql(terms: list[str], k: int = 10, dim: int = 16,
+                         chunk_tokens: int = 32, stride: int = 24) -> str:
+    """DuckDB oracle for ``parentdoc_search`` — identical chunking,
+    hashing and integer scoring; QUALIFY picks the same best chunk."""
+    qtext = " ".join(t.lower() for t in terms).replace("'", "''")
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents
+),
+ch AS (
+  SELECT id, i AS start,
+         unnest(list_slice(toks, i, i + {chunk_tokens} - 1)) AS t
+  FROM base, unnest(range(1, greatest(len(toks), 1) + 1, {stride})) AS u(i)
+),
+tokv AS (
+  SELECT id, start,
+         CAST({{h60}} % {dim} AS INTEGER) AS bucket,
+         CASE WHEN {{sgn}} % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM ch
+),
+qtok AS (SELECT unnest(string_split('{qtext}', ' ')) AS t),
+qvec AS (
+  SELECT CAST({{h60}} % {dim} AS INTEGER) AS bucket,
+         CAST(sum(CASE WHEN {{sgn}} % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+           AS qval
+  FROM qtok GROUP BY bucket
+  HAVING sum(CASE WHEN {{sgn}} % 2 = 0 THEN 1 ELSE -1 END) <> 0
+),
+cs AS (
+  SELECT tokv.id, tokv.start,
+         CAST(sum(tokv.s * qvec.qval) AS BIGINT) AS cscore
+  FROM tokv JOIN qvec USING (bucket)
+  GROUP BY tokv.id, tokv.start
+),
+best AS (
+  SELECT id, CAST(start AS BIGINT) AS best_start, cscore AS score
+  FROM cs
+  QUALIFY row_number() OVER (PARTITION BY id
+                             ORDER BY cscore DESC, start) = 1
+)
+SELECT id, best_start, score FROM best
+ORDER BY score DESC, id LIMIT {k}
+""".replace("{h60}", _sql_hex2int("md5(t)", 1, 15)) \
+   .replace("{sgn}", _sql_hex2int("md5(t)", 16, 1))

@@ -3309,6 +3309,23 @@ def _register_featurize() -> None:
         mmr_terms, n_candidates=30, k=8, dim=16
     )
 
+    from .operators.featurize import parentdoc_search, render_parentdoc_sql
+
+    def q_parentdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Parent-document retrieval (operators/featurize.py:
+        parentdoc_search): 32-token chunks at stride 24 score as
+        additive integer hash-dots against the broadcast query; each doc
+        keeps its best chunk (offset returned) — the RAG indexing
+        pattern, value-hashed end to end."""
+        docs = load_table(spark, sf_dir, "documents")
+        return parentdoc_search(docs, mmr_terms, "text", "doc_id",
+                                k=10, dim=16)
+
+    _QUERIES["parentdoc_retrieval"] = q_parentdoc
+    _ORACLES["parentdoc_retrieval"] = render_parentdoc_sql(
+        mmr_terms, k=10, dim=16
+    )
+
 
 _register_featurize()
 
@@ -3679,7 +3696,7 @@ _TAIL_ORDER = [
     "bq_hamming_topk", "range_search_radius", "gopher_quality_flags",
     "maxsim_topk", "bm25_topk", "substring_dedup_stats",
     "substring_dedup_spans", "mmr_rerank_topk", "cohort_retention",
-    "pagerank_trading_graph", "copurchase_pairs",
+    "pagerank_trading_graph", "copurchase_pairs", "parentdoc_retrieval",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
