@@ -529,3 +529,44 @@ def test_substring_dedup_spans_ranking(spark):
     )
     rows = substring_dedup_spans(df, "text", "doc_id", window=3, k=5).collect()
     assert [(r.span, r.occ, r.ndocs) for r in rows] == [("a b c", 3, 3)]
+
+
+def test_substring_dedup_stats_matches_bruteforce(spark):
+    """Differential check on a seeded random corpus: per-doc counts
+    match a plain-Python hash-free reference (dict-of-span counting)."""
+    import random
+    from collections import Counter, defaultdict
+
+    from vector_db_at_home_spark.operators.dedup import substring_dedup_stats
+
+    rng = random.Random(42)
+    vocab = [f"t{i}" for i in range(12)]
+    corpus = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30)))
+        for i in range(1, 41)
+    }
+    W = 4
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    got = {r.id: (r.n_spans, r.n_dup_spans, r.n_crossdoc_spans)
+           for r in substring_dedup_stats(df, "text", "doc_id",
+                                          window=W).collect()}
+
+    occ = Counter()
+    docs_of = defaultdict(set)
+    spans = {}
+    for i, text in corpus.items():
+        toks = text.split(" ")
+        sp = [" ".join(toks[j:j + W]) for j in range(len(toks) - W + 1)]
+        spans[i] = sp
+        for s in sp:
+            occ[s] += 1
+            docs_of[s].add(i)
+    want = {}
+    for i, sp in spans.items():
+        want[i] = (
+            len(sp),
+            sum(1 for s in sp if occ[s] >= 2),
+            sum(1 for s in sp if len(docs_of[s]) >= 2),
+        )
+    assert got == want
