@@ -570,3 +570,35 @@ def test_substring_dedup_stats_matches_bruteforce(spark):
             sum(1 for s in sp if len(docs_of[s]) >= 2),
         )
     assert got == want
+
+
+def test_setsim_join_cross_relation_semantics(spark):
+    """R×S join: pairs only span the two relations (never within one),
+    both thresholds and counts exact; J >= 1/2 via integer compare."""
+    from vector_db_at_home_spark.operators.dedup import setsim_join
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    left = spark.createDataFrame(
+        [(0, base), (2, "one two three four five six")],
+        "doc_id long, text string")
+    right = spark.createDataFrame(
+        [(1, base), (3, base.replace("delta", "kappa")),
+         (5, "totally unrelated text with other words")],
+        "doc_id long, text string")
+    rows = {(r.id_a, r.id_b): r for r in
+            setsim_join(left, right, "text", "doc_id", n=3).collect()}
+    # identical text: 6 shared 3-shingles of 6 -> J = 1
+    assert rows[(0, 1)].inter == 6 and rows[(0, 1)].union_sz == 6
+    assert rows[(0, 1)].jaccard_e6 == 1_000_000
+    # one mid-string substitution kills the 3 shingles spanning it:
+    # J = 3/9 = 1/3 < 1/2 -> filtered at the default threshold...
+    assert (0, 3) not in rows
+    # ...but accepted at exactly 1/3 (integer compare: 3*3 >= 1*9)
+    lo = {(r.id_a, r.id_b): r for r in
+          setsim_join(left, right, "text", "doc_id", n=3,
+                      threshold_num=1, threshold_den=3).collect()}
+    assert lo[(0, 3)].inter == 3 and lo[(0, 3)].union_sz == 9
+    assert lo[(0, 3)].jaccard_e6 == 333_333
+    # unrelated and within-relation pairs absent
+    assert all(a in (0, 2) and b in (1, 3, 5) for a, b in rows)
+    assert (0, 5) not in rows

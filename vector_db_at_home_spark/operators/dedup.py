@@ -1653,3 +1653,93 @@ WHERE occ >= 2
 ORDER BY occ DESC, span ASC
 LIMIT {k}
 """
+
+
+def setsim_join(left: DataFrame, right: DataFrame, text_col: str,
+                id_col: str, n: int = 3, threshold_num: int = 1,
+                threshold_den: int = 2,
+                max_doc_freq: int | None = None) -> DataFrame:
+    """Exact set-similarity JOIN of two relations (the entity-resolution
+    / record-linkage shape: R ⋈_{J ≥ t} S), distinct from
+    :func:`ngram_jaccard_pairs`' self-join: ids come from different
+    tables, so there is no ``id_a < id_b`` dedup — every cross-relation
+    pair meeting the threshold appears once.
+
+    The threshold is the RATIONAL ``threshold_num/threshold_den`` and
+    the filter is cross-multiplied —
+
+        J ≥ p/q  ⟺  q·inter ≥ p·(|A| + |B| − inter)
+
+    — so candidate acceptance happens entirely in integer arithmetic;
+    ``jaccard_e6`` quantizes the exact rational once for display.
+
+    Plan: per-side distinct word shingles (strings hash-join on the
+    shingle itself — the inverted-index probe; only co-occurring pairs
+    materialize), one pair-count aggregate, two size joins.  The
+    optional ``max_doc_freq`` stop-shingle cap bounds the posting-list
+    blow-up exactly as in the self-join variant."""
+    sha = word_shingles(left, text_col, id_col, n, max_doc_freq)
+    shb = word_shingles(right, text_col, id_col, n, max_doc_freq)
+    sz_a = sha.groupBy("id").agg(F.count(F.lit(1)).alias("sz_a")) \
+              .withColumnRenamed("id", "id_a")
+    sz_b = shb.groupBy("id").agg(F.count(F.lit(1)).alias("sz_b")) \
+              .withColumnRenamed("id", "id_b")
+    inter = (
+        sha.select(F.col("id").alias("id_a"), "shingle")
+        .join(shb.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    jac = F.col("inter").cast("double") / union_sz.cast("double")
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .filter(threshold_den * F.col("inter") >= threshold_num * union_sz)
+        .select(
+            "id_a", "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            union_sz.cast("long").alias("union_sz"),
+            F.floor(jac * 1e6 + F.lit(0.5)).cast("long").alias("jaccard_e6"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def render_setsim_join_sql(n: int = 3, threshold_num: int = 1,
+                           threshold_den: int = 2) -> str:
+    """DuckDB oracle for the registered ``setsim_join`` over the even/odd
+    doc_id halves of ``documents`` — identical shingling, integer
+    cross-multiplied acceptance, e6 quantization."""
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS toks, doc_id % 2 AS side
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, side,
+         array_to_string(list_slice(toks, i, i + {n} - 1), ' ') AS shingle
+  FROM t, unnest(range(1, len(toks) - {n} + 2)) AS u(i)
+),
+sz AS (SELECT id, side, count(*) AS sz FROM sh GROUP BY id, side),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.side = 0 AND b.side = 1
+  GROUP BY a.id, b.id
+),
+j AS (
+  SELECT i.id_a, i.id_b, i.inter,
+         sa.sz + sb.sz - i.inter AS union_sz
+  FROM inter i
+  JOIN sz sa ON sa.id = i.id_a AND sa.side = 0
+  JOIN sz sb ON sb.id = i.id_b AND sb.side = 1
+)
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+       CAST(union_sz AS BIGINT) AS union_sz,
+       CAST(floor(CAST(inter AS DOUBLE) / CAST(union_sz AS DOUBLE) * 1e6
+                  + 0.5) AS BIGINT) AS jaccard_e6
+FROM j
+WHERE {threshold_den} * inter >= {threshold_num} * union_sz
+ORDER BY id_a, id_b
+"""

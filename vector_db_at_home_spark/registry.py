@@ -3569,6 +3569,31 @@ def _register_substring_dedup() -> None:
 _register_substring_dedup()
 
 
+def _register_setsim_join() -> None:
+    from .operators.dedup import render_setsim_join_sql
+
+    def q_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Two-relation set-similarity join (operators/dedup.py:
+        setsim_join): entity-resolution shape R ⋈_{J≥½} S over the
+        even/odd doc_id halves — integer cross-multiplied acceptance,
+        inverted shingle index, e6-quantized display value."""
+        from .operators.dedup import setsim_join
+
+        docs = load_table(spark, sf_dir, "documents")
+        left = docs.filter(F.col("doc_id") % 2 == 0)
+        right = docs.filter(F.col("doc_id") % 2 == 1)
+        return setsim_join(left, right, "text", "doc_id", n=3,
+                           threshold_num=1, threshold_den=2)
+
+    _QUERIES["setsim_join_halves"] = q_setsim
+    _ORACLES["setsim_join_halves"] = render_setsim_join_sql(
+        n=3, threshold_num=1, threshold_den=2
+    )
+
+
+_register_setsim_join()
+
+
 def _register_pagerank() -> None:
     from .operators.graph import render_pagerank_sql
 
@@ -3697,6 +3722,7 @@ _TAIL_ORDER = [
     "maxsim_topk", "bm25_topk", "substring_dedup_stats",
     "substring_dedup_spans", "mmr_rerank_topk", "cohort_retention",
     "pagerank_trading_graph", "copurchase_pairs", "parentdoc_retrieval",
+    "setsim_join_halves",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
