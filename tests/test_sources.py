@@ -242,10 +242,17 @@ def test_text_connector_feeds_dedup_pipeline(spark, tmp_path):
     (d / "a.txt").write_text(base)
     (d / "a_copy.txt").write_text(base)                     # exact dup
     (d / "a_near.txt").write_text(base.replace("gamma", "zzz"))  # near dup
-    (d / "b.txt").write_text(
+    b_text = (
         "one two three four five six seven eight nine ten eleven twelve "
         "thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
     )
+    (d / "b.txt").write_text(b_text)
+    # doc ids are xxhash64 over the (tmp-random) path: with only 4 files
+    # all four hashes land non-negative once in 16 runs, flaking the
+    # negative-id assertion.  16 exact copies of b (collapsed by exact
+    # dedup, so every downstream count is unchanged) push that to 2^-20.
+    for j in range(16):
+        (d / f"b_copy_{j}.txt").write_text(b_text)
 
     docs = load_text_corpus(spark, str(d), whole_files=True)
     assert docs.filter(F.col("doc_id") < 0).count() > 0   # negative ids real
