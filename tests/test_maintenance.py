@@ -136,3 +136,106 @@ def test_ivf_and_pq_compact_wrappers(spark, tmp_path):
     pq_compact_saved(spark, pq_path, target_partitions=2)
     assert ivf_load(spark, ivf_path).assigned.count() == 52
     assert pq_load(spark, pq_path).codes.count() == 52
+
+
+def test_ivfsq_delete_propagation_and_compact(spark, tmp_path):
+    """Store deletes tombstone the saved index (stale hits stop at the
+    next load), sync is idempotent, and compaction removes the rows
+    physically and clears the tombstones."""
+    from vector_db_at_home_spark.operators.maintenance import (
+        ivfsq_compact_saved,
+    )
+    from vector_db_at_home_spark.operators.sq import (
+        ivfsq_build,
+        ivfsq_load,
+        ivfsq_save,
+        ivfsq_search,
+        ivfsq_sync_deletes,
+    )
+    from vector_db_at_home_spark.store import VectorStore
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    store = VectorStore(spark, tmp_path / "st", dim=8)
+    store.insert(vecs)
+    path = str(tmp_path / "sqidx")
+    ivfsq_save(
+        ivfsq_build(store.df().select("id", "vec"),
+                    id_col="id", vec_col="vec", n_cells=4),
+        path,
+    )
+
+    # query with vector 5's own vector: rank-1 must be id 5 pre-delete
+    qs = spark.createDataFrame(
+        [(5, [float(x) for x in vecs[5]])],
+        "query_id long, qvec array<float>",
+    )
+    pre = ivfsq_search(ivfsq_load(spark, path), qs, k=3, n_probes=4).collect()
+    assert pre[0].id == 5
+
+    store.delete([5, 17])
+    assert ivfsq_sync_deletes(spark, store, path) == 2
+    assert ivfsq_sync_deletes(spark, store, path) == 0  # idempotent
+
+    live = ivfsq_load(spark, path)
+    assert live.codes.count() == 38
+    post = ivfsq_search(live, qs, k=3, n_probes=4).collect()
+    assert all(r.id not in (5, 17) for r in post)
+
+    # physical removal: raw code rows drop and tombstones clear
+    raw_before = spark.read.parquet(f"{path}/codes").count()
+    assert raw_before == 40
+    ivfsq_compact_saved(spark, path, target_partitions=4)
+    assert spark.read.parquet(f"{path}/codes").count() == 38
+    assert not os.path.exists(f"{path}/tombstones")
+    post2 = ivfsq_search(ivfsq_load(spark, path), qs, k=3,
+                         n_probes=4).collect()
+    assert [(r.query_id, r.id) for r in post] \
+        == [(r.query_id, r.id) for r in post2]
+
+
+@pytest.mark.parametrize("family", ["ivf", "pq"])
+def test_delete_propagation_ivf_pq(spark, tmp_path, family):
+    """Same tombstone contract for the other two index families: stale
+    ids disappear at the next load, sync is idempotent, compact removes
+    rows physically and clears tombstones."""
+    from vector_db_at_home_spark.store import VectorStore
+
+    rng = np.random.default_rng(11)
+    store = VectorStore(spark, tmp_path / "st", dim=8)
+    store.insert(rng.normal(size=(40, 8)).astype("float32"))
+    path = str(tmp_path / "idx")
+
+    if family == "ivf":
+        from vector_db_at_home_spark.operators.ann import (
+            ivf_build, ivf_load, ivf_save, ivf_sync_deletes,
+        )
+        from vector_db_at_home_spark.operators.maintenance import (
+            ivf_compact_saved as compact,
+        )
+        ivf_save(ivf_build(store.df().select("id", "vec"),
+                           id_col="id", vec_col="vec", n_cells=4), path)
+        load, sync, table = ivf_load, ivf_sync_deletes, "assigned"
+    else:
+        from vector_db_at_home_spark.operators.maintenance import (
+            pq_compact_saved as compact,
+        )
+        from vector_db_at_home_spark.operators.pq import (
+            pq_build, pq_load, pq_save, pq_sync_deletes,
+        )
+        pq_save(pq_build(store.df().select("id", "vec"),
+                         id_col="id", vec_col="vec", m=4), path)
+        load, sync, table = pq_load, pq_sync_deletes, "codes"
+
+    store.delete([3, 9, 21])
+    assert sync(spark, store, path) == 3
+    assert sync(spark, store, path) == 0            # idempotent
+    live = load(spark, path)
+    live_df = live.assigned if family == "ivf" else live.codes
+    ids = {r.id for r in live_df.select("id").collect()}
+    assert ids.isdisjoint({3, 9, 21}) and len(ids) == 37
+
+    assert spark.read.parquet(f"{path}/{table}").count() == 40
+    compact(spark, path, target_partitions=4)
+    assert spark.read.parquet(f"{path}/{table}").count() == 37
+    assert not os.path.exists(f"{path}/tombstones")

@@ -140,15 +140,40 @@ def ivf_save(ivf: IVFIndex, path: str) -> None:
 
 
 def ivf_load(spark, path: str) -> IVFIndex:
-    """Reopen a saved index; ``ivf_search`` against it prunes partitions
-    via the probe semi-join on ``cell`` (asserted by
-    ``test_ivf_partitioned_store_prunes_partitions``)."""
+    """Reopen a saved index as its LIVE view; ``ivf_search`` against it
+    prunes partitions via the probe semi-join on ``cell`` (asserted by
+    ``test_ivf_partitioned_store_prunes_partitions``).  A tombstone
+    table (``ivf_sync_deletes``) anti-joins at the scan, exactly as in
+    ``sq.ivfsq_load``."""
+    from ..functions.fsutil import fs_exists
+
     centroids = spark.read.parquet(f"{path}/centroids")
+    assigned = spark.read.parquet(f"{path}/assigned")
+    tomb = f"{path}/tombstones"
+    if fs_exists(spark, tomb):
+        assigned = assigned.join(
+            spark.read.parquet(tomb).select("id"), "id", "left_anti"
+        )
     return IVFIndex(
-        assigned=spark.read.parquet(f"{path}/assigned"),
+        assigned=assigned,
         centroids=centroids,
         n_cells=centroids.count(),
     )
+
+
+def ivf_sync_deletes(spark, store, path: str, id_col: str = "id") -> int:
+    """Propagate store DELETES as tombstones (id-only append; the scan
+    filters, ``maintenance.ivf_compact_saved`` removes physically).
+    Same contract as ``sq.ivfsq_sync_deletes``."""
+    idx = ivf_load(spark, path)
+    gone = idx.assigned.select("id").join(
+        store.df().select(F.col(id_col).alias("id")), "id", "left_anti"
+    )
+    gone = gone.localCheckpoint(eager=True)
+    n = gone.count()
+    if n:
+        gone.write.mode("append").parquet(f"{path}/tombstones")
+    return n
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:

@@ -43,19 +43,28 @@ def recover_compact_crash(spark, table_dir: str) -> None:
 
 def compact_saved_table(spark, table_dir: str,
                         target_partitions: int = 32,
-                        partition_by: str | None = None) -> None:
+                        partition_by: str | None = None,
+                        minus_ids_dir: str | None = None) -> None:
     """Rewrite ``table_dir`` into ``target_partitions`` in-memory
     partitions before the write.  With ``partition_by`` the repartition
     keys on that column, so each output partition directory receives its
     rows from few tasks (one file per low-cardinality partition value
-    instead of ``target_partitions`` slivers each).  Content identical;
-    crash-safe per the module docstring."""
+    instead of ``target_partitions`` slivers each).  With
+    ``minus_ids_dir`` the rewrite DROPS rows whose ``id`` appears in
+    that table (tombstone fold-in — the physical half of delete
+    propagation).  Content otherwise identical; crash-safe per the
+    module docstring."""
     recover_compact_crash(spark, table_dir)
     from ..functions.fsutil import fs_rename, fs_rmtree
 
     parent, _, name = table_dir.rstrip("/").rpartition("/")
     stage = f"{parent}/_compact_{name}"
     df = spark.read.parquet(table_dir)
+    if minus_ids_dir is not None:
+        df = df.join(
+            spark.read.parquet(minus_ids_dir).select("id"),
+            "id", "left_anti",
+        )
     if partition_by is not None:
         rewritten = df.repartition(target_partitions, partition_by) \
             .write.partitionBy(partition_by)
@@ -71,19 +80,46 @@ def compact_saved_table(spark, table_dir: str,
 def ivf_compact_saved(spark, path: str,
                       target_partitions: int = 32) -> None:
     """Compact a saved IVF index's appended assignment store
-    (``ivf_save`` layout, cell-partitioned)."""
+    (``ivf_save`` layout, cell-partitioned), folding and clearing any
+    tombstones (``ann.ivf_sync_deletes``)."""
+    from ..functions.fsutil import fs_exists, fs_rmtree
+
+    tomb = f"{path}/tombstones"
+    has_tomb = fs_exists(spark, tomb)
     compact_saved_table(spark, f"{path}/assigned",
-                        target_partitions, partition_by="cell")
+                        target_partitions, partition_by="cell",
+                        minus_ids_dir=tomb if has_tomb else None)
+    if has_tomb:
+        fs_rmtree(spark, tomb)
 
 
 def ivfsq_compact_saved(spark, path: str,
                         target_partitions: int = 32) -> None:
-    """Compact a saved IVF-SQ8 index's appended code store."""
+    """Compact a saved IVF-SQ8 index's appended code store, folding any
+    tombstones (``sq.ivfsq_sync_deletes``) into the rewrite and clearing
+    them.  Crash between the swap and the tombstone clear is harmless:
+    the already-filtered codes anti-join the surviving tombstones to a
+    no-op, and the next compact clears them."""
+    from ..functions.fsutil import fs_exists, fs_rmtree
+
+    tomb = f"{path}/tombstones"
+    has_tomb = fs_exists(spark, tomb)
     compact_saved_table(spark, f"{path}/codes",
-                        target_partitions, partition_by="cell")
+                        target_partitions, partition_by="cell",
+                        minus_ids_dir=tomb if has_tomb else None)
+    if has_tomb:
+        fs_rmtree(spark, tomb)
 
 
 def pq_compact_saved(spark, path: str,
                      target_partitions: int = 32) -> None:
-    """Compact a saved PQ index's appended code table (unpartitioned)."""
-    compact_saved_table(spark, f"{path}/codes", target_partitions)
+    """Compact a saved PQ index's appended code table (unpartitioned),
+    folding and clearing any tombstones (``pq.pq_sync_deletes``)."""
+    from ..functions.fsutil import fs_exists, fs_rmtree
+
+    tomb = f"{path}/tombstones"
+    has_tomb = fs_exists(spark, tomb)
+    compact_saved_table(spark, f"{path}/codes", target_partitions,
+                        minus_ids_dir=tomb if has_tomb else None)
+    if has_tomb:
+        fs_rmtree(spark, tomb)

@@ -188,12 +188,35 @@ def pq_load(spark, path: str) -> PQIndex:
     books = np.zeros((m, 256, dsub), dtype=np.float64)
     for r in cb_rows:
         books[r.subspace, r.centroid] = r.center
+    from ..functions.fsutil import fs_exists
+
+    codes = spark.read.parquet(f"{path}/codes")
+    tomb = f"{path}/tombstones"
+    if fs_exists(spark, tomb):
+        codes = codes.join(
+            spark.read.parquet(tomb).select("id"), "id", "left_anti"
+        )
     return PQIndex(
-        codes=spark.read.parquet(f"{path}/codes"),
+        codes=codes,
         codebooks=books,
         m=m,
         dim=m * dsub,
     )
+
+
+def pq_sync_deletes(spark, store, path: str, id_col: str = "id") -> int:
+    """Propagate store DELETES as tombstones (id-only append; the scan
+    filters, ``maintenance.pq_compact_saved`` removes physically).
+    Same contract as ``sq.ivfsq_sync_deletes``."""
+    pq = pq_load(spark, path)
+    gone = pq.codes.select("id").join(
+        store.df().select(F.col(id_col).alias("id")), "id", "left_anti"
+    )
+    gone = gone.localCheckpoint(eager=True)
+    n = gone.count()
+    if n:
+        gone.write.mode("append").parquet(f"{path}/tombstones")
+    return n
 
 
 def pq_search(pq: PQIndex, queries: DataFrame, k: int,

@@ -182,10 +182,28 @@ def ivfsq_save(sq: SQIndex, path: str) -> None:
     sq.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def _tombstones_dir(path: str) -> str:
+    return f"{path}/tombstones"
+
+
 def ivfsq_load(spark, path: str) -> SQIndex:
+    """Load a saved index as its LIVE view: if a tombstone table exists
+    (ids whose store rows were deleted — see ``ivfsq_sync_deletes``),
+    the code scan anti-joins it, so every consumer (search, append,
+    sync) transparently stops seeing deleted vectors.  The tombstone
+    set is bounded by the compaction cadence (``maintenance.
+    ivfsq_compact_saved`` folds it into the rewrite and clears it)."""
+    from ..functions.fsutil import fs_exists
+
     centroids = spark.read.parquet(f"{path}/centroids")
+    codes = spark.read.parquet(f"{path}/codes")
+    tomb = _tombstones_dir(path)
+    if fs_exists(spark, tomb):
+        codes = codes.join(
+            spark.read.parquet(tomb).select("id"), "id", "left_anti"
+        )
     return SQIndex(
-        codes=spark.read.parquet(f"{path}/codes"),
+        codes=codes,
         centroids=centroids,
         n_cells=centroids.count(),
     )
@@ -215,4 +233,27 @@ def ivfsq_sync_with_store(spark, store, path: str,
     fresh = fresh.localCheckpoint(eager=True)  # count + write, one compute
     n = fresh.count()
     fresh.write.partitionBy("cell").mode("append").parquet(f"{path}/codes")
+    return n
+
+
+def ivfsq_sync_deletes(spark, store, path: str,
+                       id_col: str = "id") -> int:
+    """Propagate store DELETES to a saved IVF-SQ8 index: live index ids
+    absent from the store append to an id-only tombstone table —
+    O(|index ids| ⋈ |store ids|) on long keys, never a code rewrite.
+    ``ivfsq_load`` applies tombstones at the scan, so stale hits stop
+    immediately; ``maintenance.ivfsq_compact_saved`` later removes the
+    rows physically and clears the tombstones.  Idempotent (the live
+    view already excludes prior tombstones, so a re-run appends
+    nothing); returns ids tombstoned.  Safe under the engine's id
+    discipline (``insert`` allocates max+1 — deleted ids never
+    return)."""
+    sq = ivfsq_load(spark, path)
+    gone = sq.codes.select("id").join(
+        store.df().select(F.col(id_col).alias("id")), "id", "left_anti"
+    )
+    gone = gone.localCheckpoint(eager=True)
+    n = gone.count()
+    if n:
+        gone.write.mode("append").parquet(_tombstones_dir(path))
     return n
