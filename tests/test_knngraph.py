@@ -1,0 +1,62 @@
+"""NN-descent k-NN graph tests: clustered recall, determinism, shape."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def _clustered(n_clusters=10, per=20, dim=16):
+    """Deterministic tight clusters: center c at 10*e_{c mod dim}, member
+    offsets from a fixed hash-ish formula (no RNG state)."""
+    rows = []
+    for c in range(n_clusters):
+        center = np.zeros(dim)
+        center[c % dim] = 10.0 * (c + 1)
+        for j in range(per):
+            off = np.array([((i * 2654435761 + j * 40503 + c * 69069)
+                             % 1000) / 10000.0 for i in range(dim)])
+            rows.append((c * per + j, [float(x) for x in center + off]))
+    return rows
+
+
+def test_nndescent_clustered_recall_and_determinism(spark):
+    from vector_db_at_home_spark.operators.knngraph import (
+        knn_graph_nndescent,
+    )
+
+    df = spark.createDataFrame(_clustered(),
+                               "id long, vec array<double>")
+    g1 = knn_graph_nndescent(df, "id", "vec", k=5).collect()
+    # every node has exactly k neighbors, none itself
+    by_src = {}
+    for r in g1:
+        by_src.setdefault(r.src, []).append(r)
+        assert r.src != r.dst and r.d2 >= 0.0
+    assert len(by_src) == 200
+    assert all(len(v) == 5 for v in by_src.values())
+    # clusters are separated by >= 10 in one axis while intra-cluster
+    # offsets are < 0.1 per axis: converged neighbors must be in-cluster
+    same = sum(1 for r in g1 if r.src // 20 == r.dst // 20)
+    assert same / len(g1) >= 0.95
+    # determinism: a second full build returns the identical edge set
+    g2 = knn_graph_nndescent(df, "id", "vec", k=5).collect()
+    assert {(r.src, r.dst) for r in g1} == {(r.src, r.dst) for r in g2}
+
+
+def test_nndescent_isolated_bucket_recovery(spark):
+    """A node alone in both init buckets is practically impossible at
+    n=60/bsz=16, but even sparse inits must leave every node with a full
+    neighbor list after the reverse-edge rounds."""
+    from vector_db_at_home_spark.operators.knngraph import (
+        knn_graph_nndescent,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 7)]) for i in range(60)],
+        "id long, vec array<double>",
+    )
+    g = knn_graph_nndescent(df, "id", "vec", k=3,
+                            init_bucket_size=4).collect()
+    srcs = {r.src for r in g}
+    assert srcs == set(range(60))

@@ -3594,6 +3594,89 @@ def _register_setsim_join() -> None:
 _register_setsim_join()
 
 
+@register(
+    "knn_graph_recall",
+    # Exact-leg-hashed + in-plan boolean, the ann_ivf_recall pattern: the
+    # NN-descent graph (iterative joins, not SQL-expressible) enters as a
+    # per-query assertion that the graph's neighbor list recovered >= 3
+    # of the exact top-5; the exact distances value-hash.
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings ORDER BY vec_id LIMIT 4
+), d AS (
+  SELECT q.query_id, e.vec_id AS id,
+         sqrt((SELECT sum((u.a - u.b) * (u.a - u.b))
+               FROM (SELECT unnest(e.embedding) AS a,
+                            unnest(q.qvec) AS b) u)) AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT query_id,
+       count(*) AS n_exact,
+       CAST(sum(CAST(floor(dist * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS exact_dist_e6_sum,
+       CAST(1 AS BOOLEAN) AS graph_found_ge_3
+FROM r WHERE rn <= 5
+GROUP BY query_id ORDER BY query_id
+""",
+)
+def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-descent k-NN graph (operators/knngraph.py) graded in-plan:
+    the exact top-5 neighbor distances (self excluded) value-hash; the
+    graph leg (k=15, log-adaptive neighbor-of-neighbor rounds from
+    two-family md5 bucket init) asserts >= 3/5 recall per sampled node
+    (measured 0.97 avg over ALL nodes at sf0.01, 0.86 at sf0.1)."""
+    from .operators.knn import knn_search as _knn
+    from .operators.knngraph import knn_graph_nndescent
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.orderBy("vec_id").limit(4)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+    )
+    from pyspark.sql import Window
+
+    exact6 = _knn(emb, qs, k=6, id_col="vec_id", vec_col="embedding",
+                  impl="expr").filter(F.col("id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("id").asc()
+    )
+    exact = exact6.withColumn("rn", F.row_number().over(w)) \
+                  .filter(F.col("rn") <= 5).drop("rn")
+    graph = knn_graph_nndescent(emb, "vec_id", "embedding", k=15,
+                                init_bucket_size=32)
+    hits = (
+        exact.select("query_id", "id")
+        .join(graph.select(F.col("src").alias("query_id"),
+                           F.col("dst").alias("id")),
+              ["query_id", "id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                F.floor(F.col("distance") * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("exact_dist_e6_sum"),
+        )
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id", "n_exact", "exact_dist_e6_sum",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3)
+            .alias("graph_found_ge_3"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _register_pagerank() -> None:
     from .operators.graph import render_pagerank_sql
 
@@ -3722,7 +3805,7 @@ _TAIL_ORDER = [
     "maxsim_topk", "bm25_topk", "substring_dedup_stats",
     "substring_dedup_spans", "mmr_rerank_topk", "cohort_retention",
     "pagerank_trading_graph", "copurchase_pairs", "parentdoc_retrieval",
-    "setsim_join_halves",
+    "setsim_join_halves", "knn_graph_recall",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
