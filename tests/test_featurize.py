@@ -178,3 +178,63 @@ def test_parentdoc_search_picks_best_chunk(spark):
     assert by_id[1].best_start > 1
     assert by_id[1].score >= by_id[2].score  # 16 hot tokens beat 4
     assert rows == sorted(rows, key=lambda r: (-r.score, r.id))
+
+
+def test_maxsim_matches_python_md5_reference(spark):
+    """Differential fuzz: the whole MaxSim pipeline (trigram hashing,
+    signs, bucket dots, max-per-term, sum) re-derived in plain Python
+    from hashlib.md5 on a seeded random word corpus."""
+    import hashlib
+    import random
+    from collections import defaultdict
+
+    from vector_db_at_home_spark.operators.featurize import maxsim_search
+
+    rng = random.Random(123)
+    vocab = ["vector", "vectors", "merge", "merging", "batch", "batches",
+             "index", "zzz", "ab", "a", "xylophone", "naïve"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 25))))
+            for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    terms, dim, k = ["vector", "merge", "batch"], 16, 30
+    got = {r.id: r.score for r in
+           maxsim_search(df, terms, "text", "doc_id", k=k,
+                         dim=dim).collect()}
+
+    def tri(tok):
+        return [tok] if len(tok) < 3 else \
+            [tok[i:i + 3] for i in range(len(tok) - 2)]
+
+    def vec(tok):
+        v = defaultdict(int)
+        for g in tri(tok):
+            h = hashlib.md5(g.encode("utf-8")).hexdigest()
+            bucket = int(h[:15], 16) % dim
+            v[bucket] += 1 if int(h[15], 16) % 2 == 0 else -1
+        return {b: x for b, x in v.items() if x != 0}
+
+    qv = {t: vec(t) for t in terms}
+    want = {}
+    for i, text in docs:
+        toks = set(text.lower().split(" "))
+        tv = {t: vec(t) for t in toks}
+        score = 0
+        for term in terms:
+            best = 0
+            for t in toks:
+                # bucket-join semantics: only pairs sharing >= 1 bucket
+                shared = set(tv[t]) & set(qv[term])
+                if shared:
+                    d = sum(tv[t][b] * qv[term][b] for b in shared)
+                    best = max(best, d)
+            score += best
+        if score or any(set(tv[t]) & set(qv[term])
+                        for t in toks for term in terms):
+            want[i] = score
+    # got is the top-k slice of want's ranking; compare on got's keys
+    # and verify the cut is consistent
+    for i, sc in got.items():
+        assert want.get(i) == sc, (i, sc, want.get(i))
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert dict(ranked) == got

@@ -318,3 +318,63 @@ def test_gopher_ellipsis_and_mean_len(spark):
     out = {r.id: r for r in gopher_quality_flags(df, "text", "id").collect()}
     assert not out[1].flag_ellipsis_lines   # 100% of lines end with ...
     assert not out[2].flag_mean_word_len    # mean word length 20 > 10
+
+
+def test_gopher_flags_match_python_reference_on_fuzz_corpus(spark):
+    """Differential fuzz: 60 seeded random unicode docs through the Spark
+    operator vs a plain-Python restatement of every rule (same literal
+    split / non-overlapping replace / distinct-stopword semantics)."""
+    import random
+    import re
+
+    from vector_db_at_home_spark.operators.textstats import (
+        GOPHER_STOPWORDS,
+        gopher_quality_flags,
+    )
+
+    rng = random.Random(99)
+    pieces = ["the", "of", "have", "méta", "Ωmega", "x1", "42", "#",
+              "...", "…", "-", "*", "•item", "", "naïve", "#tag"]
+    docs = []
+    for i in range(60):
+        n = rng.randint(1, 120)
+        words = [rng.choice(pieces) for _ in range(n)]
+        text = " ".join(words)
+        # sprinkle newlines to exercise the line rules
+        if rng.random() < 0.7 and " " in text:
+            chars = list(text)
+            for _ in range(rng.randint(1, 5)):
+                jdx = rng.randrange(len(chars))
+                if chars[jdx] == " ":
+                    chars[jdx] = "\n"
+            text = "".join(chars)
+        docs.append((i, text))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.id: r for r in gopher_quality_flags(df, "text",
+                                                 "doc_id").collect()}
+
+    stop = set(GOPHER_STOPWORDS)
+    for i, text in docs:
+        toks = text.split(" ")
+        n_words = len(toks)
+        word_chars = len(text) - (n_words - 1)
+        lines = text.split("\n")
+        n_bullet = sum(1 for l in lines if l[:1] in ("-", "*", "•"))
+        n_ellipsis = sum(1 for l in lines
+                         if l.endswith("...") or l.endswith("…"))
+        n_alpha = sum(1 for t in toks if re.search("[A-Za-z]", t))
+        n_sym = text.count("#") + \
+            (len(text) - len(text.replace("...", ""))) // 3
+        n_stop = len({t.lower() for t in toks} & stop)
+        r = got[i]
+        assert (r.n_words, r.word_chars, r.n_symbols, r.n_alpha_words,
+                r.n_required_stopwords) == \
+            (n_words, word_chars, n_sym, n_alpha, n_stop), (i, text)
+        assert r.flag_word_count == (50 <= n_words <= 100_000)
+        assert r.flag_mean_word_len == \
+            (3 * n_words <= word_chars <= 10 * n_words)
+        assert r.flag_symbol_ratio == (10 * n_sym <= n_words)
+        assert r.flag_bullet_lines == (10 * n_bullet <= 9 * len(lines))
+        assert r.flag_ellipsis_lines == (10 * n_ellipsis <= 3 * len(lines))
+        assert r.flag_alpha_words == (5 * n_alpha >= 4 * n_words)
+        assert r.flag_stopwords == (n_stop >= 2)
