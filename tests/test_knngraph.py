@@ -60,3 +60,26 @@ def test_nndescent_isolated_bucket_recovery(spark):
                             init_bucket_size=4).collect()
     srcs = {r.src for r in g}
     assert srcs == set(range(60))
+
+
+def test_nndescent_rho_sampling_trades_recall_for_candidates(spark):
+    """rho < 1 must still return full k-lists and keep clustered
+    neighbors mostly in-cluster (graceful degradation), and rho=1.0
+    behaves like no sampling."""
+    from vector_db_at_home_spark.operators.knngraph import (
+        knn_graph_nndescent,
+    )
+
+    df = spark.createDataFrame(_clustered(),
+                               "id long, vec array<double>")
+    full = knn_graph_nndescent(df, "id", "vec", k=5).collect()
+    samp = knn_graph_nndescent(df, "id", "vec", k=5, rho=0.5).collect()
+    one = knn_graph_nndescent(df, "id", "vec", k=5, rho=1.0).collect()
+    assert {(r.src, r.dst) for r in one} == {(r.src, r.dst) for r in full}
+
+    by_src = {}
+    for r in samp:
+        by_src.setdefault(r.src, []).append(r)
+    assert len(by_src) == 200 and all(len(v) == 5 for v in by_src.values())
+    same = sum(1 for r in samp if r.src // 20 == r.dst // 20)
+    assert same / len(samp) >= 0.8   # degraded but still structured

@@ -68,7 +68,8 @@ def _topk_edges(pairs: DataFrame, v: DataFrame, k: int) -> DataFrame:
 def knn_graph_nndescent(vecs: DataFrame, id_col: str = "id",
                         vec_col: str = "vec", k: int = 10,
                         rounds: int | None = None,
-                        init_bucket_size: int | None = None) -> DataFrame:
+                        init_bucket_size: int | None = None,
+                        rho: float | None = None) -> DataFrame:
     """Build the approximate k-NN graph ``(src, dst, d2)`` of ``vecs``.
 
     Init seeds each node's neighborhood from TWO independent md5 bucket
@@ -77,11 +78,18 @@ def knn_graph_nndescent(vecs: DataFrame, id_col: str = "id",
     re-integrates a node through the reverse-edge view).  ``rounds``
     fixed iterations of the neighbor-of-neighbor refinement follow.
 
-    Deterministic end to end given the input (md5 buckets, fixed
-    rounds, (d2, dst) tie-breaks), but the RESULT is approximate — the
-    registered correctness entry therefore follows the IVF pattern:
-    DuckDB value-hashes the exact leg while convergence enters as an
-    in-plan recall boolean."""
+    ``rho`` is NN-descent's classical sampling lever: each round only a
+    deterministic md5-selected ``rho`` fraction of the undirected edge
+    view enters the neighbor-of-neighbor join, bounding the candidate
+    blow-up QUADRATICALLY (ρ² of the full join) at a graceful recall
+    cost — the knob that keeps the per-round cost affordable when
+    n·(2k)² stops being.  ``None`` = exact (no sampling).
+
+    Deterministic end to end given the input (md5 buckets, md5 edge
+    sampling, fixed rounds, (d2, dst) tie-breaks), but the RESULT is
+    approximate — the registered correctness entry therefore follows
+    the IVF pattern: DuckDB value-hashes the exact leg while
+    convergence enters as an in-plan recall boolean."""
     v = vecs.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -108,13 +116,24 @@ def knn_graph_nndescent(vecs: DataFrame, id_col: str = "id",
 
     init = bucket_pairs("i0:").union(bucket_pairs("i1:")).distinct()
     nbrs = _topk_edges(init, v, k).localCheckpoint(eager=True)
-    for _ in range(rounds):
+    for rnd in range(rounds):
         und = (
             nbrs.select("src", "dst")
             .union(nbrs.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
             .distinct()
         )
+        if rho is not None:
+            # deterministic per-round edge sample: md5 of (round, src,
+            # dst) — the SAME edge keeps/loses independently each round,
+            # so over R rounds every pair route gets sampled somewhere
+            keep = (
+                _md5_h60(F.concat_ws(":", F.lit(str(rnd)),
+                                     F.col("src").cast("string"),
+                                     F.col("dst").cast("string")))
+                % 1_000_000 < int(rho * 1_000_000)
+            )
+            und = und.filter(keep)
         non = (
             und.alias("x")
             .join(und.alias("y"), F.col("x.dst") == F.col("y.src"))
