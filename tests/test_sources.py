@@ -394,3 +394,66 @@ def test_zorder_write_prunes_on_every_clustered_column(spark, tmp_path):
         assert zrows == prows  # clustering never changes results
         assert pf == 8         # unclustered: every file touched
         assert zf <= 4, f"{cond}: z-order touched {zf}/8 files"
+
+
+def test_jsonl_corpus_schema_first_and_pipeline(spark, tmp_path):
+    """JSONL front door: schema required (no silent double read), stable
+    ids from a natural key, duplicate records stay distinct without one,
+    and the result feeds exact dedup."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from vector_db_at_home_spark.operators.dedup import exact_dedup_stats
+    from vector_db_at_home_spark.sources.records import load_jsonl_corpus
+
+    d = tmp_path / "jsonl"
+    d.mkdir()
+    recs = [
+        {"url": "u1", "body": "alpha beta gamma", "lang": "en"},
+        {"url": "u2", "body": "alpha beta gamma", "lang": "en"},  # dup text
+        {"url": "u3", "body": "something else entirely", "lang": "de"},
+    ]
+    (d / "part0.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in recs))
+
+    with _pytest.raises(ValueError, match="schema"):
+        load_jsonl_corpus(spark, str(d), None)
+
+    docs = load_jsonl_corpus(
+        spark, str(d), "url string, body string, lang string",
+        text_field="body", id_field="url")
+    rows = docs.collect()
+    assert {r.text for r in rows} == {"alpha beta gamma",
+                                      "something else entirely"}
+    assert docs.columns[:3] == ["doc_id", "text", "source"]
+    assert "lang" in docs.columns
+    # natural-key ids: stable across a re-read
+    again = {r.doc_id for r in load_jsonl_corpus(
+        spark, str(d), "url string, body string, lang string",
+        text_field="body", id_field="url").collect()}
+    assert {r.doc_id for r in rows} == again and len(again) == 3
+
+    st = exact_dedup_stats(docs, "text").first()
+    assert (st.n_rows, st.n_distinct, st.n_dup_rows) == (3, 2, 1)
+
+    # without a natural key, identical records get DISTINCT ids
+    anon = load_jsonl_corpus(
+        spark, str(d), "url string, body string, lang string",
+        text_field="body")
+    assert anon.select("doc_id").distinct().count() == 3
+
+
+def test_csv_corpus_loads_with_schema(spark, tmp_path):
+    from vector_db_at_home_spark.sources.records import load_csv_corpus
+
+    d = tmp_path / "csv"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "id,text,score\n1,hello world,0.5\n2,other text,0.9\n")
+    docs = load_csv_corpus(spark, str(d), "id long, text string, score double",
+                           id_field="id")
+    rows = {r.text: r for r in docs.collect()}
+    assert set(rows) == {"hello world", "other text"}
+    assert rows["hello world"].score == 0.5
+    assert docs.columns[:3] == ["doc_id", "text", "source"]

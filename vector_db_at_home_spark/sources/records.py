@@ -1,0 +1,94 @@
+"""Record-format corpus sources: JSONL and CSV → the ``documents``
+shape.
+
+JSONL (one JSON object per line) is the de-facto wire format for LLM
+training corpora (The Pile, RedPajama, Dolma, FineWeb all ship it);
+CSV is what everything tabular exports.  Both land in the same
+``(doc_id, text, source, ...)`` shape the text pipeline consumes.
+
+Schema discipline, the 100 TB rule: the schema is REQUIRED unless you
+opt into inference.  ``spark.read.json``/``csv`` without a schema runs
+a FULL EXTRA PASS over the data just to infer one — a silent 2× read
+at any scale, and a correctness hazard besides (a column that looks
+integer for the first terabyte and goes alphanumeric in the second
+fails mid-job).  ``infer=True`` exists for exploration and says what it
+costs.
+
+Ids follow the text-source convention: ``doc_id`` hashes the record's
+natural key if the caller names one (stable across re-reads and
+re-partitioning), else (file, line-content, occurrence) exactly as
+``load_text_corpus(whole_files=False)`` — repeated records stay
+distinct documents for the dedup operators to find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _with_doc_id(df: DataFrame, id_field: str | None) -> DataFrame:
+    if id_field is not None:
+        return df.withColumn("doc_id", F.xxhash64(F.col(id_field)))
+    w = Window.partitionBy("source", "text").orderBy(F.monotonically_increasing_id())
+    return (
+        df.withColumn("__occ", F.row_number().over(w))
+        .withColumn("doc_id", F.xxhash64("source", "text", "__occ"))
+        .drop("__occ")
+    )
+
+
+def load_jsonl_corpus(spark: SparkSession, path: str, schema: str | None,
+                      text_field: str = "text",
+                      id_field: str | None = None,
+                      infer: bool = False) -> DataFrame:
+    """``(doc_id, text, source, <other schema fields>)`` from JSONL.
+
+    ``schema`` is a DDL string (``"text string, url string, lang
+    string"``); pass ``infer=True`` instead ONLY for exploration — it
+    reads the data twice.  Corrupt lines land in Spark's permissive-mode
+    null rows rather than failing the job; filter on ``text IS NOT
+    NULL`` downstream if the feed is dirty."""
+    if schema is None and not infer:
+        raise ValueError(
+            "load_jsonl_corpus requires a DDL schema (or infer=True, "
+            "which costs a full extra pass over the data)"
+        )
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    df = df.withColumn("source", F.input_file_name())
+    if text_field != "text":
+        df = df.withColumnRenamed(text_field, "text")
+    out = _with_doc_id(df, id_field)
+    front = ["doc_id", "text", "source"]
+    rest = [c for c in out.columns if c not in front]
+    return out.select(*front, *rest)
+
+
+def load_csv_corpus(spark: SparkSession, path: str, schema: str | None,
+                    text_field: str = "text",
+                    id_field: str | None = None,
+                    header: bool = True, sep: str = ",",
+                    infer: bool = False) -> DataFrame:
+    """CSV analog of :func:`load_jsonl_corpus` — same schema-first rule,
+    same id convention, same output shape."""
+    if schema is None and not infer:
+        raise ValueError(
+            "load_csv_corpus requires a DDL schema (or infer=True, "
+            "which costs a full extra pass over the data)"
+        )
+    reader = spark.read.options(header=str(header).lower(), sep=sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(path)
+    df = df.withColumn("source", F.input_file_name())
+    if text_field != "text":
+        df = df.withColumnRenamed(text_field, "text")
+    out = _with_doc_id(df, id_field)
+    front = ["doc_id", "text", "source"]
+    rest = [c for c in out.columns if c not in front]
+    return out.select(*front, *rest)
