@@ -71,6 +71,80 @@ def test_checkpoint_scope_tracks_query_id(tmp_path):
     assert checkpoint_scope(_NoJvm(), None) != checkpoint_scope(_NoJvm(), None)
 
 
+def test_checkpoint_scope_strict_inside_query(tmp_path):
+    # metadata unreadable INSIDE a running query (checkpoint_dir set, no
+    # pre_start): falling back to the path hash would mis-scope replay
+    # markers, so it must raise instead (ADVICE r6)
+    ckpt = tmp_path / "ckpt_missing_meta"
+    ckpt.mkdir()
+    with pytest.raises(RuntimeError, match="cannot read"):
+        checkpoint_scope(_NoJvm(), str(ckpt))
+    # a pre-start probe legitimately may not see metadata yet → hash scope
+    s = checkpoint_scope(_NoJvm(), str(ckpt), pre_start=True)
+    assert len(s) == 16
+    # and the pre-start probe still prefers real metadata when present
+    (ckpt / "metadata").write_text(json.dumps({"id": "aaaa-bbbb"}))
+    assert checkpoint_scope(_NoJvm(), str(ckpt), pre_start=True).startswith("qid_")
+
+
+def test_compact_recovers_completed_swap_leftover(spark, tmp_path):
+    # crash AFTER the stage→live rename but BEFORE rmtree(_old): live and
+    # _old both exist; the next compact must clear the leftover instead of
+    # renaming onto an existing directory (ADVICE r6)
+    from vector_db_at_home_spark.operators.maintenance import (
+        compact_saved_table,
+        recover_compact_crash,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    spark.range(10).toDF("id").write.parquet(tdir)
+    spark.range(3).toDF("id").write.parquet(str(tmp_path / "_old_tbl"))
+    recover_compact_crash(spark, tdir)
+    assert not os.path.exists(str(tmp_path / "_old_tbl"))
+    assert spark.read.parquet(tdir).count() == 10
+    # and a full compact over the same leftover state runs end-to-end
+    spark.range(3).toDF("id").write.parquet(str(tmp_path / "_old_tbl"))
+    compact_saved_table(spark, tdir, target_partitions=2)
+    assert spark.read.parquet(tdir).count() == 10
+    assert not os.path.exists(str(tmp_path / "_old_tbl"))
+
+
+def test_index_loads_self_heal_compact_crash(spark, tmp_path):
+    # park the live assigned/codes dir at _old_* (the between-renames crash
+    # window) and verify every saved-index load self-heals (ADVICE r6)
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.ann import (
+        ivf_build,
+        ivf_load,
+        ivf_save,
+    )
+    from vector_db_at_home_spark.operators.sq import (
+        ivfsq_build,
+        ivfsq_load,
+        ivfsq_save,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(64)],
+        "id long, vec array<double>",
+    )
+    ivf = ivf_build(vecs, n_cells=4, seed=1)
+    ivf_path = str(tmp_path / "ivf")
+    ivf_save(ivf, ivf_path)
+    os.rename(f"{ivf_path}/assigned", f"{ivf_path}/_old_assigned")
+    assert ivf_load(spark, ivf_path).assigned.count() == 64
+    assert not os.path.exists(f"{ivf_path}/_old_assigned")
+
+    sq = ivfsq_build(vecs, n_cells=4, seed=1)
+    sq_path = str(tmp_path / "sq")
+    ivfsq_save(sq, sq_path)
+    os.rename(f"{sq_path}/codes", f"{sq_path}/_old_codes")
+    assert ivfsq_load(spark, sq_path).codes.count() == 64
+    assert not os.path.exists(f"{sq_path}/_old_codes")
+
+
 def test_call_prepare_arities():
     calls = []
 

@@ -144,9 +144,14 @@ def ivf_load(spark, path: str) -> IVFIndex:
     prunes partitions via the probe semi-join on ``cell`` (asserted by
     ``test_ivf_partitioned_store_prunes_partitions``).  A tombstone
     table (``ivf_sync_deletes``) anti-joins at the scan, exactly as in
-    ``sq.ivfsq_load``."""
+    ``sq.ivfsq_load``.  Runs ``maintenance.recover_compact_crash`` first
+    so a crash between a compaction's two renames (live dir parked at
+    ``_old_assigned``) self-heals on the next load instead of failing
+    every read until a manual compact (ADVICE r6)."""
     from ..functions.fsutil import fs_exists
+    from .maintenance import recover_compact_crash
 
+    recover_compact_crash(spark, f"{path}/assigned")
     centroids = spark.read.parquet(f"{path}/centroids")
     assigned = spark.read.parquet(f"{path}/assigned")
     tomb = f"{path}/tombstones"

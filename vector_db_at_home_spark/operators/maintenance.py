@@ -30,15 +30,26 @@ from __future__ import annotations
 
 
 def recover_compact_crash(spark, table_dir: str) -> None:
-    """Heal the non-atomic window: if ``_old_<name>`` exists and the live
-    table does not, rename it back and drop stale staging."""
+    """Heal both non-atomic windows of the two-rename swap:
+
+    - ``_old_<name>`` exists, live table MISSING → crash between the two
+      renames; rename the old copy back and drop stale staging.
+    - ``_old_<name>`` exists AND the live table exists → crash after the
+      completed swap but before the final cleanup rmtree; the old copy is
+      then always a leftover of a finished compact — drop it, else the
+      NEXT compact's ``fs_rename(table_dir, old)`` targets an existing
+      directory (Hadoop rename-to-existing returns false → IOError) and
+      compaction stays blocked (ADVICE r6)."""
     from ..functions.fsutil import fs_exists, fs_rename, fs_rmtree
 
     parent, _, name = table_dir.rstrip("/").rpartition("/")
     old = f"{parent}/_old_{name}"
-    if fs_exists(spark, old) and not fs_exists(spark, table_dir):
-        fs_rename(spark, old, table_dir)
-        fs_rmtree(spark, f"{parent}/_compact_{name}")
+    if fs_exists(spark, old):
+        if not fs_exists(spark, table_dir):
+            fs_rename(spark, old, table_dir)
+            fs_rmtree(spark, f"{parent}/_compact_{name}")
+        else:
+            fs_rmtree(spark, old)
 
 
 def compact_saved_table(spark, table_dir: str,

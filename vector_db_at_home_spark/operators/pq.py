@@ -182,6 +182,10 @@ def pq_save(pq: PQIndex, path: str) -> None:
 def pq_load(spark, path: str) -> PQIndex:
     import numpy as np
 
+    # self-heal a compaction crash window before the code scan (ADVICE r6)
+    from .maintenance import recover_compact_crash
+
+    recover_compact_crash(spark, f"{path}/codes")
     cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
     m = max(r.subspace for r in cb_rows) + 1
     dsub = len(cb_rows[0].center)

@@ -1815,7 +1815,11 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame
     )
 
 
-COPURCHASE_PAIRS_SQL = """
+def render_copurchase_sql(k: int = 25) -> str:
+    """Oracle SQL parameterized on the same ``k`` as
+    :func:`copurchase_pairs`, so a non-default k cannot silently diverge
+    from the registered oracle (ADVICE r6)."""
+    return f"""
 WITH op AS (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
 ),
@@ -1832,5 +1836,8 @@ FROM pairs p
 JOIN support sa ON sa.pk = p.part_a
 JOIN support sb ON sb.pk = p.part_b
 ORDER BY p.pair_cnt DESC, p.part_a, p.part_b
-LIMIT 25
+LIMIT {int(k)}
 """
+
+
+COPURCHASE_PAIRS_SQL = render_copurchase_sql(25)

@@ -192,9 +192,13 @@ def ivfsq_load(spark, path: str) -> SQIndex:
     the code scan anti-joins it, so every consumer (search, append,
     sync) transparently stops seeing deleted vectors.  The tombstone
     set is bounded by the compaction cadence (``maintenance.
-    ivfsq_compact_saved`` folds it into the rewrite and clears it)."""
+    ivfsq_compact_saved`` folds it into the rewrite and clears it).
+    Self-heals a compaction crash window first, like ``ann.ivf_load``
+    (ADVICE r6)."""
     from ..functions.fsutil import fs_exists
+    from .maintenance import recover_compact_crash
 
+    recover_compact_crash(spark, f"{path}/codes")
     centroids = spark.read.parquet(f"{path}/centroids")
     codes = spark.read.parquet(f"{path}/codes")
     tomb = _tombstones_dir(path)

@@ -28,9 +28,24 @@ from pyspark.sql import functions as F
 
 
 def _with_doc_id(df: DataFrame, id_field: str | None) -> DataFrame:
+    """Mint ``doc_id``.  With a natural key: hash it (shuffle-free).
+
+    Without one, duplicate (source, text) records need an occurrence
+    number so they stay distinct documents.  The window partitions on
+    ``xxhash64(text)`` — a FIXED-WIDTH key — never on the raw text: at
+    corpus scale the full document body must not become a shuffle/sort
+    key (ADVICE r6; same hash-at-the-scan rule as the dedup family).
+    Caveat (documented, inherent to synthetic ids): when extra schema
+    fields differ between identical-(source, text) rows, which physical
+    row receives which occurrence number is not deterministic under
+    task retries — the documents themselves are interchangeable for
+    every text operator, but side-field↔occ pairing is not pinned.
+    Callers that care pass ``id_field``."""
     if id_field is not None:
         return df.withColumn("doc_id", F.xxhash64(F.col(id_field)))
-    w = Window.partitionBy("source", "text").orderBy(F.monotonically_increasing_id())
+    w = Window.partitionBy("source", F.xxhash64("text")).orderBy(
+        F.monotonically_increasing_id()
+    )
     return (
         df.withColumn("__occ", F.row_number().over(w))
         .withColumn("doc_id", F.xxhash64("source", "text", "__occ"))

@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 from ..store import VectorStore
 
 
-def checkpoint_scope(spark, checkpoint_dir: str | None) -> str:
+def checkpoint_scope(spark, checkpoint_dir: str | None,
+                     pre_start: bool = False) -> str:
     """Marker-scope token for per-batch replay markers.
 
     Batch ids restart from 0 whenever the checkpoint is recreated, so a
@@ -37,25 +38,47 @@ def checkpoint_scope(spark, checkpoint_dir: str | None) -> str:
     marker and skip its side effect (ADVICE r5).  Structured Streaming
     writes a ``metadata`` file at the checkpoint root containing the query
     id — a fresh uuid per checkpoint CREATION, stable across restarts of
-    the same checkpoint — which is exactly the scope replays need.  Falls
-    back to the path hash only if the metadata is unreadable (pre-start
-    probe); callers resolve the scope lazily inside the first batch, where
-    the metadata is guaranteed to exist.
+    the same checkpoint — which is exactly the scope replays need.
+
+    Callers resolve the scope lazily inside the first ``foreachBatch``,
+    where the metadata file is GUARANTEED to exist — so a read failure
+    there is a transient FS hiccup, and silently falling back to the
+    md5(path) scope would reintroduce the exact stale-marker-after-
+    checkpoint-recreation hazard this scope exists to fix (ADVICE r6).
+    In that position the read retries once and then RAISES (failing the
+    batch, which Structured Streaming safely re-runs).  Pass
+    ``pre_start=True`` only for probes taken before the query starts,
+    where the metadata legitimately may not exist yet; only then does the
+    path-hash fallback apply.
     """
     import hashlib
     import json
+    import time
     import uuid
 
     if checkpoint_dir is None:
         # no checkpoint → no cross-restart replays; dedupe within this run
         return uuid.uuid4().hex[:16]
-    try:
-        from ..functions.fsutil import fs_read_text
+    from ..functions.fsutil import fs_read_text
 
-        meta = json.loads(fs_read_text(spark, f"{checkpoint_dir}/metadata"))
-        return "qid_" + meta["id"].replace("-", "")[:32]
-    except Exception:
+    last_exc: Exception | None = None
+    for attempt in range(2):
+        try:
+            meta = json.loads(
+                fs_read_text(spark, f"{checkpoint_dir}/metadata")
+            )
+            return "qid_" + meta["id"].replace("-", "")[:32]
+        except Exception as exc:  # noqa: BLE001 — FS/parse, retried below
+            last_exc = exc
+            if attempt == 0 and not pre_start:
+                time.sleep(0.2)
+    if pre_start:
         return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
+    raise RuntimeError(
+        f"checkpoint_scope: cannot read {checkpoint_dir}/metadata inside a "
+        "running query (would mis-scope replay markers); failing the batch "
+        "so the stream retries"
+    ) from last_exc
 
 
 def _call_prepare(prepare, batch_df: DataFrame, batch_id: int) -> DataFrame:
