@@ -275,7 +275,23 @@ def _signature_bands(sh: DataFrame, num_perm: int,
     sizes in ONE partial-aggregating groupBy (the verify stage needs
     |shingles(doc)| anyway, and a separate count pass would re-shuffle the
     whole set), then the band explode to ``(id, band, k0..k{rows-1})`` —
-    raw slot longs, no re-hash (see ``_band_key``)."""
+    raw slot longs, no re-hash (see ``_band_key``).
+
+    Explored alternative (round 7, rejected): fusing the 64 ``min``
+    buffers into ONE array buffer via an Arrow grouped-agg pandas UDF
+    (``np.vstack(slot_arrays).min(axis=0)``).  Measured at 1M docs
+    (tools/profile_minhash_1m.py): sig-only wall 22.3 s → 15.4 s — but
+    the executed plan loses map-side partial aggregation entirely
+    (``ArrowAggregatePython`` has no partial mode: EVERY shingle row
+    crosses the doc-id exchange carrying a 64-long array, ~520 B/row vs
+    one partially-agg'd row per doc per partition).  The local win is an
+    artifact of local[32]'s in-memory shuffle; on a network-shuffle
+    cluster the exchange inflates ~50× and a pathological long doc
+    materializes its whole slot-set in one Arrow batch (the same
+    unbounded-row OOM shape the round-4 collect_set verify fusion was
+    rejected for).  At sf0.1 the whole signature stage is ~0.06 s on top
+    of the shingle pass (tools/profile_minhash.py) — not the bottleneck.
+    The 64-buffer expression form stays."""
     rows = num_perm // bands
     agg_cols = [
         F.min(F.col(qa) + mult * F.col(qb)).alias(f"h{i}")
