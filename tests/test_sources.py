@@ -457,3 +457,84 @@ def test_csv_corpus_loads_with_schema(spark, tmp_path):
     assert set(rows) == {"hello world", "other text"}
     assert rows["hello world"].score == 0.5
     assert docs.columns[:3] == ["doc_id", "text", "source"]
+
+
+def test_jsonl_corpus_stream_equals_batch(spark, tmp_path):
+    """Streaming JSONL landing zone (the production LLM-corpus ingest
+    front door): files stream through the SHARED projection into a
+    parquet table row-identical to a batch read of the same files; the
+    no-key form is refused (its occurrence window has no streaming
+    equivalent)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from vector_db_at_home_spark.sources.records import (
+        load_jsonl_corpus,
+        load_jsonl_corpus_stream,
+    )
+
+    d = tmp_path / "jsonl_land"
+    d.mkdir()
+    for part in range(3):
+        recs = [
+            {"rid": part * 10 + i, "text": f"doc {part} {i} words here",
+             "lang": "en" if i % 2 == 0 else "de"}
+            for i in range(4)
+        ]
+        (d / f"p{part}.jsonl").write_text(
+            "\n".join(_json.dumps(r) for r in recs))
+
+    schema = "rid long, text string, lang string"
+    with _pytest.raises(ValueError, match="id_field"):
+        load_jsonl_corpus_stream(spark, str(d), schema)
+
+    out = str(tmp_path / "jsonl_out")
+    q = (
+        load_jsonl_corpus_stream(spark, str(d), schema, id_field="rid",
+                                 max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "jsonl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    landed = {(r.doc_id, r.text, r.rid, r.lang)
+              for r in spark.read.parquet(out).collect()}
+    batch = {(r.doc_id, r.text, r.rid, r.lang)
+             for r in load_jsonl_corpus(spark, str(d), schema,
+                                        id_field="rid").collect()}
+    assert landed == batch and len(landed) == 12
+
+
+def test_csv_corpus_stream_equals_batch(spark, tmp_path):
+    from vector_db_at_home_spark.sources.records import (
+        load_csv_corpus,
+        load_csv_corpus_stream,
+    )
+
+    d = tmp_path / "csv_land"
+    d.mkdir()
+    (d / "a.csv").write_text("rid,text\n1,alpha beta\n2,gamma delta\n")
+    (d / "b.csv").write_text("rid,text\n3,epsilon zeta\n")
+
+    schema = "rid long, text string"
+    out = str(tmp_path / "csv_out")
+    q = (
+        load_csv_corpus_stream(spark, str(d), schema, id_field="rid",
+                               max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "csv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    landed = {(r.doc_id, r.text, r.rid)
+              for r in spark.read.parquet(out).collect()}
+    batch = {(r.doc_id, r.text, r.rid)
+             for r in load_csv_corpus(spark, str(d), schema,
+                                      id_field="rid").collect()}
+    assert landed == batch and len(landed) == 3

@@ -1778,6 +1778,122 @@ def q_corpus_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_lang_summary(docs, "text", "lang")
 
 
+def _record_fixture(sf_dir: str, fmt: str) -> str:
+    """Materialize the documents table as a JSONL or CSV directory under
+    /tmp — the fixture for the record-source queries.  Content is a pure
+    function of the parquet file (rows sorted by doc_id, 4 files split by
+    doc_id % 4, stdlib json/csv encoders), the directory name carries the
+    source file's (size, mtime_ns) so a regenerated testdata set can't
+    serve a stale fixture, and creation is atomic (unique tmp dir +
+    rename) so concurrent query runs can't observe a half-written file."""
+    import csv
+    import json
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{st.st_size}_{st.st_mtime_ns}"
+    final = os.path.join(tempfile.gettempdir(),
+                         f"spark_graft_records_{tag}", fmt)
+    if os.path.isdir(final):
+        return final
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(src, columns=["doc_id", "text", "lang"])
+    rows = sorted(
+        zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist(),
+            tbl["lang"].to_pylist())
+    )
+    tmp = tempfile.mkdtemp(dir=tempfile.gettempdir())
+    for part in range(4):
+        sub = [r for r in rows if r[0] % 4 == part]
+        fp = os.path.join(tmp, f"part-{part}.{'jsonl' if fmt == 'jsonl' else 'csv'}")
+        with open(fp, "w", encoding="utf-8", newline="") as f:
+            if fmt == "jsonl":
+                for rid, text, lang in sub:
+                    f.write(json.dumps({"rid": rid, "text": text,
+                                        "lang": lang},
+                                       ensure_ascii=False) + "\n")
+            else:
+                w = csv.writer(f)
+                w.writerow(["rid", "text", "lang"])
+                for r in sub:
+                    w.writerow(r)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    try:
+        os.rename(tmp, final)
+    except OSError:  # lost the race to a concurrent run — theirs is identical
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+_RECORD_STATS_ORACLE = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_rid,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(1 AS BOOLEAN) AS ids_distinct
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def _record_corpus_stats(df) -> DataFrame:
+    """Shared grading projection for the record sources: per-lang doc
+    count, natural-id sum (id fidelity through the wire format), token
+    and char sums (text fidelity through JSON/CSV escaping), plus an
+    in-plan assertion that the minted doc_ids are collision-free."""
+    return (
+        df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("rid").alias("sum_rid"),
+            F.sum(F.size(F.split("text", " "))).cast("long")
+            .alias("sum_tokens"),
+            F.sum(F.length("text")).alias("sum_chars"),
+            (F.count_distinct(F.col("doc_id")) == F.count(F.lit(1)))
+            .alias("ids_distinct"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register("jsonl_corpus_stats", _RECORD_STATS_ORACLE)
+def q_jsonl_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL record source end-to-end (sources/records.py:
+    load_jsonl_corpus — the de-facto LLM corpus wire format): the
+    documents table is materialized as a 4-file JSONL directory (stdlib
+    json escaping), read back schema-first (no inference pass), ids
+    minted from the record's natural key, and per-lang token statistics
+    value-hashed against DuckDB reading the original parquet — a broken
+    escape, schema projection, or id mint breaks the hash."""
+    from .sources.records import load_jsonl_corpus
+
+    path = _record_fixture(sf_dir, "jsonl")
+    df = load_jsonl_corpus(
+        spark, path, schema="rid bigint, text string, lang string",
+        id_field="rid",
+    )
+    return _record_corpus_stats(df)
+
+
+@register("csv_corpus_stats", _RECORD_STATS_ORACLE)
+def q_csv_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV record source end-to-end (sources/records.py:
+    load_csv_corpus): same fixture content as jsonl_corpus_stats through
+    stdlib csv quoting instead, same schema-first read, same grading —
+    the two queries pin both wire formats to identical semantics."""
+    from .sources.records import load_csv_corpus
+
+    path = _record_fixture(sf_dir, "csv")
+    df = load_csv_corpus(
+        spark, path, schema="rid bigint, text string, lang string",
+        id_field="rid",
+    )
+    return _record_corpus_stats(df)
+
+
 @register(
     "udtf_word_ngrams",
     """
@@ -3899,8 +4015,9 @@ _TAIL_ORDER = [
     "substring_dedup_spans", "mmr_rerank_topk", "cohort_retention",
     "pagerank_trading_graph", "copurchase_pairs", "parentdoc_retrieval",
     "setsim_join_halves", "knn_graph_recall",
-    # round-7: the query side of the graph index family
-    "graph_ann_topk",
+    # round-7: the query side of the graph index family + the JSONL/CSV
+    # record sources (the last operator family without oracle queries)
+    "graph_ann_topk", "jsonl_corpus_stats", "csv_corpus_stats",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",

@@ -53,6 +53,20 @@ def _with_doc_id(df: DataFrame, id_field: str | None) -> DataFrame:
     )
 
 
+def _project_corpus(df: DataFrame, text_field: str,
+                    id_field: str | None) -> DataFrame:
+    """(raw reader output) → ``(doc_id, text, source, <rest>)``; batch
+    and streaming share this exactly, so a landed stream is row-identical
+    to a batch read of the same files."""
+    df = df.withColumn("source", F.input_file_name())
+    if text_field != "text":
+        df = df.withColumnRenamed(text_field, "text")
+    out = _with_doc_id(df, id_field)
+    front = ["doc_id", "text", "source"]
+    rest = [c for c in out.columns if c not in front]
+    return out.select(*front, *rest)
+
+
 def load_jsonl_corpus(spark: SparkSession, path: str, schema: str | None,
                       text_field: str = "text",
                       id_field: str | None = None,
@@ -72,14 +86,7 @@ def load_jsonl_corpus(spark: SparkSession, path: str, schema: str | None,
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    df = reader.json(path)
-    df = df.withColumn("source", F.input_file_name())
-    if text_field != "text":
-        df = df.withColumnRenamed(text_field, "text")
-    out = _with_doc_id(df, id_field)
-    front = ["doc_id", "text", "source"]
-    rest = [c for c in out.columns if c not in front]
-    return out.select(*front, *rest)
+    return _project_corpus(reader.json(path), text_field, id_field)
 
 
 def load_csv_corpus(spark: SparkSession, path: str, schema: str | None,
@@ -99,11 +106,54 @@ def load_csv_corpus(spark: SparkSession, path: str, schema: str | None,
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", "true")
-    df = reader.csv(path)
-    df = df.withColumn("source", F.input_file_name())
-    if text_field != "text":
-        df = df.withColumnRenamed(text_field, "text")
-    out = _with_doc_id(df, id_field)
-    front = ["doc_id", "text", "source"]
-    rest = [c for c in out.columns if c not in front]
-    return out.select(*front, *rest)
+    return _project_corpus(reader.csv(path), text_field, id_field)
+
+
+def load_jsonl_corpus_stream(spark: SparkSession, path: str, schema: str,
+                             text_field: str = "text",
+                             id_field: str | None = None,
+                             max_files_per_trigger: int = 100) -> DataFrame:
+    """Streaming form of :func:`load_jsonl_corpus` — a landing zone of
+    JSONL files becomes a micro-batched stream of the same
+    ``(doc_id, text, source, ...)`` rows (the projection is shared code,
+    so the landed stream is row-identical to a batch read).  Pair with
+    ``streaming.ingest.stream_into_store_neardup`` for the production
+    LLM-corpus ingest shape: JSONL drops in, near-dup-filtered documents
+    land.
+
+    The schema is REQUIRED (Structured Streaming cannot infer), and so is
+    ``id_field``: the batch reader's no-key fallback numbers duplicate
+    occurrences with a window, which has no streaming equivalent — a
+    corpus fed through a stream must carry a natural key."""
+    if id_field is None:
+        raise ValueError(
+            "load_jsonl_corpus_stream requires id_field: the batch "
+            "reader's duplicate-occurrence window is not expressible "
+            "over a stream"
+        )
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    return _project_corpus(reader.json(path), text_field, id_field)
+
+
+def load_csv_corpus_stream(spark: SparkSession, path: str, schema: str,
+                           text_field: str = "text",
+                           id_field: str | None = None,
+                           header: bool = True, sep: str = ",",
+                           max_files_per_trigger: int = 100) -> DataFrame:
+    """CSV analog of :func:`load_jsonl_corpus_stream` — same required
+    schema and natural key, same shared projection."""
+    if id_field is None:
+        raise ValueError(
+            "load_csv_corpus_stream requires id_field: the batch "
+            "reader's duplicate-occurrence window is not expressible "
+            "over a stream"
+        )
+    reader = (
+        spark.readStream.schema(schema)
+        .options(header=str(header).lower(), sep=sep)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    return _project_corpus(reader.csv(path), text_field, id_field)
