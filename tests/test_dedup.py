@@ -602,3 +602,48 @@ def test_setsim_join_cross_relation_semantics(spark):
     # unrelated and within-relation pairs absent
     assert all(a in (0, 2) and b in (1, 3, 5) for a, b in rows)
     assert (0, 5) not in rows
+
+
+def test_semantic_dedup_clustered_neardups(spark):
+    """SemDeDup keep/drop semantics on constructed data: within-cluster
+    near-dups (cos > threshold) collapse to the lowest id; distinct
+    members survive; exact duplicates always drop regardless of cell
+    count."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.dedup import semantic_dedup
+
+    # 4 well-separated clusters of 3 orthogonal-ish members each, plus
+    # near-dup copies (tiny perturbation, cos ≈ 0.9999) of member 0 of
+    # every cluster, plus one EXACT copy of id 0
+    rows = []
+    rng_dim = 32
+    for c in range(4):
+        for j in range(3):
+            v = np.zeros(rng_dim)
+            v[c * 8 + j] = 10.0          # orthogonal within cluster
+            v[c * 8 + 7] = 30.0          # shared cluster direction
+            rows.append((c * 10 + j, [float(x) for x in v]))
+    base = dict(rows)
+    for c in range(4):                   # near-dup of member 0, higher id
+        v = np.array(base[c * 10]) * 1.0
+        v[0] += 0.01
+        rows.append((c * 10 + 5, [float(x) for x in v]))
+    rows.append((100, list(base[0])))    # exact copy of id 0
+
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    m = {r.id: r.keep for r in
+         semantic_dedup(df, "id", "vec", n_cells=4, threshold=0.99)
+         .collect()}
+    assert len(m) == len(rows)
+    # near-dup copies and the exact copy drop; all originals keep
+    for c in range(4):
+        assert m[c * 10 + 5] is False, f"near-dup of cluster {c} kept"
+        for j in range(3):
+            assert m[c * 10 + j] is True
+    assert m[100] is False
+    # determinism
+    m2 = {r.id: r.keep for r in
+          semantic_dedup(df, "id", "vec", n_cells=4, threshold=0.99)
+          .collect()}
+    assert m == m2

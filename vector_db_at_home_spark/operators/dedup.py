@@ -1759,3 +1759,68 @@ FROM j
 WHERE {threshold_den} * inter >= {threshold_num} * union_sz
 ORDER BY id_a, id_b
 """
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   n_cells: int = 8, threshold: float = 0.8,
+                   seed: int = 42) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): semantic
+    dedup over an embedding column — the embedding-space analog of
+    ``clean_corpus``.  Returns the keep/drop map ``(id, cell, keep)``.
+
+    Composition of two existing green operators: (1) k-means cell
+    assignment (the IVF fit/assign from ``operators.ann.ivf_build``);
+    (2) within-cell cosine pruning with the packed-matrix GEMM kernel
+    family (``cosine_topk_pairs_blocked``'s shape, one cell = one pack).
+
+    Keep rule (deterministic, oracle-expressible): a row is DROPPED iff
+    a SMALLER-id row in the same cell has cosine ≥ ``threshold`` — one
+    representative (the lowest id) survives per near-dup group.  SemDeDup
+    prunes within clusters only, so a cross-cell near-dup pair is the
+    method's documented recall loss (the paper's ε-ball is
+    cluster-scoped too); an EXACT duplicate always lands in its source's
+    cell (identical vector ⇒ identical centroid distances) and is
+    therefore always caught.
+
+    Scale shape: cluster count grows with the corpus so cell size stays
+    bounded (the paper runs 50k clusters on LAION) — each cell packs to
+    ONE Arrow batch whose triangular chunked GEMM never materializes the
+    full cell×cell matrix.  Shuffles: the k-means assign (one pass) and
+    the cell groupBy; ids and vectors only, no pair fan-out.
+    """
+    import numpy as np
+
+    from .ann import ivf_build
+
+    ivf = ivf_build(df.select(F.col(id_col).alias("id"),
+                              F.col(vec_col).cast("array<double>")
+                              .alias("vec")),
+                    n_cells=n_cells, seed=seed)
+
+    def prune(key, pdf):
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy(np.int64)
+        m = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m = m / norms
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        # triangular chunked GEMM: chunk rows score only against STRICTLY
+        # earlier rows, tile stays cache-sized, full n×n never forms
+        chunk = max(1, (1 << 22) // max(1, m.shape[1] * 8))
+        for s in range(1, n, chunk):
+            e = min(s + chunk, n)
+            g = m[s:e] @ m[:e].T
+            for i in range(s, e):
+                row = g[i - s, :i]
+                if row.size and row.max() >= threshold:
+                    keep[i] = False
+        return pd.DataFrame({
+            "id": ids, "cell": np.full(n, int(key[0]), dtype=np.int32),
+            "keep": keep,
+        })
+
+    return ivf.assigned.groupBy("cell").applyInPandas(
+        prune, schema="id long, cell int, keep boolean"
+    )

@@ -3886,6 +3886,67 @@ def q_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_dedup_map",
+    # SemDeDup capstone (VERDICT r6 task 4): the k-means cells are not
+    # SQL-expressible, but the keep/drop semantics are provable from the
+    # data — 32 EXACT duplicates are planted (same vector, id + 1e6), an
+    # exact dup always lands in its source's cell with cosine 1, the keep
+    # rule keeps the smaller id, and no natural embedding pair reaches
+    # cosine 0.8 (measured max 0.60 across all three scales).  So when
+    # the operator is correct: every planted row drops, every original
+    # survives, total_kept = |embeddings| — all value-hashed below; any
+    # break in the assign, the GEMM, or the keep rule flips them.
+    """
+WITH p AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 32),
+     t AS (SELECT count(*) AS n FROM embeddings)
+SELECT p.vec_id + 1000000 AS planted_id,
+       p.vec_id AS src_id,
+       CAST(1 AS BOOLEAN) AS planted_dropped,
+       CAST(1 AS BOOLEAN) AS src_kept,
+       t.n AS total_kept
+FROM p, t ORDER BY planted_id
+""",
+)
+def q_semantic_dedup_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py:semantic_dedup): k-means cells via
+    the IVF fit/assign, within-cell triangular chunked GEMM, drop any
+    row whose cell holds a smaller-id row at cosine >= 0.8.  Planted
+    exact duplicates grade recall in-plan; the keep/drop totals
+    value-hash."""
+    from .operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    planted = (
+        base.orderBy("id").limit(32)
+        .select((F.col("id") + 1_000_000).alias("id"), "vec")
+    )
+    m = semantic_dedup(base.union(planted), "id", "vec",
+                       n_cells=8, threshold=0.8)
+    pl = m.filter(F.col("id") >= 1_000_000).select(
+        F.col("id").alias("planted_id"),
+        (F.col("id") - 1_000_000).alias("src_id"),
+        (~F.col("keep")).alias("planted_dropped"),
+    )
+    src = m.filter(F.col("id") < 1_000_000).select(
+        F.col("id").alias("src_id"), F.col("keep").alias("src_kept")
+    )
+    total = m.filter(F.col("keep")).agg(
+        F.count(F.lit(1)).alias("total_kept")
+    )
+    return (
+        pl.join(src, "src_id")
+        .join(F.broadcast(total))
+        .select("planted_id", "src_id", "planted_dropped", "src_kept",
+                "total_kept")
+        .orderBy("planted_id")
+    )
+
+
 def _register_pagerank() -> None:
     from .operators.graph import render_pagerank_sql
 
@@ -4018,6 +4079,7 @@ _TAIL_ORDER = [
     # round-7: the query side of the graph index family + the JSONL/CSV
     # record sources (the last operator family without oracle queries)
     "graph_ann_topk", "jsonl_corpus_stats", "csv_corpus_stats",
+    "semantic_dedup_map",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
