@@ -647,3 +647,66 @@ def test_semantic_dedup_clustered_neardups(spark):
           semantic_dedup(df, "id", "vec", n_cells=4, threshold=0.99)
           .collect()}
     assert m == m2
+
+
+def test_substring_state_build_append_compact(spark, tmp_path):
+    """Persisted substring-span state: incremental stats equal the full
+    computation restricted to the batch, appends are O(batch) delta rows
+    readers fold on the fly, and compact merges them losslessly."""
+    from vector_db_at_home_spark.operators.dedup import (
+        substring_dedup_incremental,
+        substring_dedup_stats,
+        substring_state_append,
+        substring_state_build,
+        substring_state_compact,
+    )
+
+    mk = lambda i, t: (i, t)
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    corpus = [
+        mk(1, boiler + " first unique tail words here now"),
+        mk(2, "completely different text with no repeated window at all ok"),
+    ]
+    admitted = [mk(3, boiler + " second distinct continuation of the span")]
+    batch = [
+        mk(10, boiler + " third copy tail entirely new suffix words"),
+        mk(11, "novel content nothing shared with anything else anywhere"),
+    ]
+    schema = "doc_id long, text string"
+    cdf = spark.createDataFrame(corpus, schema)
+    adf = spark.createDataFrame(admitted, schema)
+    bdf = spark.createDataFrame(batch, schema)
+
+    state = str(tmp_path / "ss_state")
+    substring_state_build(cdf, state, "text", "doc_id", window=8)
+    substring_state_append(spark, state, adf, "text", "doc_id")
+
+    got = substring_dedup_incremental(spark, state, bdf, "text", "doc_id") \
+        .collect()
+    want = {
+        r.id: r for r in substring_dedup_stats(
+            cdf.union(adf).union(bdf), "text", "doc_id", window=8
+        ).collect() if r.id >= 10
+    }
+    assert len(got) == 2
+    for r in got:
+        w = want[r.id]
+        assert (r.n_spans, r.n_dup_spans, r.n_crossdoc_spans,
+                r.flag_dup_heavy) == (
+            w.n_spans, w.n_dup_spans, w.n_crossdoc_spans, w.flag_dup_heavy)
+    # doc 10 shares the 8-token boilerplate prefix span with 1 and 3
+    by_id = {r.id: r for r in got}
+    assert by_id[10].n_crossdoc_spans > 0
+    assert by_id[11].n_crossdoc_spans == 0
+
+    # delta rows pending: state has > 1 row for the boilerplate hash
+    pre = spark.read.parquet(f"{state}/spans")
+    dup_h = pre.groupBy("h").count().filter("count > 1").count()
+    assert dup_h > 0
+    substring_state_compact(spark, state)
+    post = spark.read.parquet(f"{state}/spans")
+    assert post.groupBy("h").count().filter("count > 1").count() == 0
+    # identical results through the compacted state
+    got2 = substring_dedup_incremental(spark, state, bdf, "text", "doc_id") \
+        .collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, got))

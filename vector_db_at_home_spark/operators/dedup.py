@@ -1609,9 +1609,14 @@ def substring_dedup_spans(df: DataFrame, text_col: str, id_col: str,
     )
 
 
-def render_substring_stats_sql(window: int = 8) -> str:
+def render_substring_stats_sql(window: int = 8,
+                               out_predicate: str = "TRUE") -> str:
     """DuckDB oracle for ``substring_dedup_stats`` over ``documents`` —
-    identical window/hash derivation, identical integer bookkeeping."""
+    identical window/hash derivation, identical integer bookkeeping.
+    ``out_predicate`` restricts the OUTPUT rows only (duplication still
+    counts corpus-wide) — the predicate-split oracle for
+    ``substring_dedup_incremental``: the full computation over
+    corpus ∪ batch, keeping the batch's rows."""
     return f"""
 WITH base AS (
   SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents
@@ -1641,6 +1646,7 @@ SELECT d.doc_id AS id,
         AND 5 * coalesce(s.n_dup_spans, 0) >= coalesce(s.n_spans, 0))
          AS flag_dup_heavy
 FROM documents d LEFT JOIN s ON s.id = d.doc_id
+WHERE {out_predicate}
 ORDER BY id
 """
 
@@ -1824,3 +1830,155 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     return ivf.assigned.groupBy("cell").applyInPandas(
         prune, schema="id long, cell int, keep boolean"
     )
+
+
+def substring_state_build(corpus_df: DataFrame, path: str,
+                          text_col: str, id_col: str,
+                          window: int = 8) -> None:
+    """Materialize the corpus-side exact-substring state to ``path`` —
+    the batch×corpus treatment for :func:`substring_dedup_stats`, which
+    otherwise rescans the whole corpus per batch (the same O(batch)
+    admit pattern as ``minhash_corpus_state_build`` / the SimHash
+    state).
+
+    Layout: ``{path}/spans`` holds per-hash DELTA rows ``(h, occ,
+    ndocs)`` — log-structured: appends add rows for the same ``h``;
+    every reader aggregates by ``h`` first, so a state with pending
+    deltas reads identically to a compacted one.  ``{path}/meta.json``
+    pins ``window`` and is enforced at read time.  Doc ids must be
+    disjoint across admitted batches (the production ingest invariant —
+    a re-admitted doc would double-count; use the digest screens
+    upstream to enforce it)."""
+    import json
+
+    spark = corpus_df.sparkSession
+    ex = _fan_out_small_input(
+        corpus_df.select(F.col(id_col).alias("id"),
+                         _span_windows(text_col, window).alias("wins"))
+    ).select("id", F.explode(F.transform(F.col("wins"), F.md5)).alias("h"))
+    g = (
+        ex.groupBy("h", "id").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("h")
+        .agg(F.sum("c").cast("long").alias("occ"),
+             F.count(F.lit(1)).cast("long").alias("ndocs"))
+    )
+    g.write.mode("overwrite").parquet(f"{path}/spans")
+    meta = {"window": window}
+    spark.createDataFrame([(json.dumps(meta),)], "meta string") \
+        .coalesce(1).write.mode("overwrite").json(f"{path}/meta.json")
+
+
+def _read_substring_state(spark, path: str):
+    import json
+
+    from .maintenance import recover_compact_crash
+
+    recover_compact_crash(spark, f"{path}/spans")
+    meta = json.loads(spark.read.json(f"{path}/meta.json").first().meta)
+    return meta, spark.read.parquet(f"{path}/spans")
+
+
+def substring_dedup_incremental(spark, state_path: str, new_df: DataFrame,
+                                text_col: str, id_col: str) -> DataFrame:
+    """:func:`substring_dedup_stats` semantics for a NEW batch against
+    corpus ∪ batch, at O(batch) cost: per-batch-doc span profile where
+    "duplicated" counts occurrences across the persisted corpus state
+    AND the batch itself — row-identical to running the full-corpus
+    stats over (corpus ∪ batch) and keeping the batch's rows
+    (pytest-pinned; the registered query's oracle is the predicate-split
+    full computation).
+
+    Plan: only the batch explodes; the corpus contributes the pre-
+    aggregated ``(h, occ, ndocs)`` table, joined on span hash — every
+    shuffled row is fixed-width, the corpus text is never read."""
+    meta, state = _read_substring_state(spark, state_path)
+    window = int(meta["window"])
+    ids = new_df.select(F.col(id_col).alias("id"))
+    ex = _fan_out_small_input(
+        new_df.select(F.col(id_col).alias("id"),
+                      _span_windows(text_col, window).alias("wins"))
+    ).select("id", F.explode(F.transform(F.col("wins"), F.md5)).alias("h"))
+    per_doc = ex.groupBy("h", "id").agg(F.count(F.lit(1)).alias("c"))
+    batch_g = per_doc.groupBy("h").agg(
+        F.sum("c").alias("b_occ"), F.count(F.lit(1)).alias("b_ndocs")
+    )
+    # pending-delta-safe: aggregate the log-structured state by h first
+    cor_g = state.groupBy("h").agg(
+        F.sum("occ").alias("s_occ"), F.sum("ndocs").alias("s_ndocs")
+    )
+    tot = (
+        batch_g.join(cor_g, "h", "left")
+        .select(
+            "h",
+            (F.col("b_occ") + F.coalesce("s_occ", F.lit(0))).alias("occ"),
+            (F.col("b_ndocs") + F.coalesce("s_ndocs", F.lit(0)))
+            .alias("ndocs"),
+        )
+    )
+    j = per_doc.join(tot, "h")
+    stats = j.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("occ") >= 2, F.col("c")).otherwise(0))
+        .cast("long").alias("n_dup_spans"),
+        F.sum(F.when(F.col("ndocs") >= 2, F.col("c")).otherwise(0))
+        .cast("long").alias("n_crossdoc_spans"),
+    )
+    out = ids.join(stats, "id", "left").select(
+        "id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("n_crossdoc_spans", F.lit(0)).alias("n_crossdoc_spans"),
+    )
+    return out.select(
+        "*",
+        ((F.col("n_spans") > 0)
+         & (5 * F.col("n_dup_spans") >= F.col("n_spans")))
+        .alias("flag_dup_heavy"),
+    ).orderBy("id")
+
+
+def substring_state_append(spark, state_path: str, admitted_df: DataFrame,
+                           text_col: str, id_col: str) -> None:
+    """Admit a batch: append its per-hash delta rows — one aggregation
+    over the batch only, no corpus rescan, no read-modify-write of the
+    state (readers aggregate deltas, so a concurrent read mid-append
+    sees either the old or the new total per file, never a torn row)."""
+    meta, _state = _read_substring_state(spark, state_path)
+    window = int(meta["window"])
+    ex = _fan_out_small_input(
+        admitted_df.select(F.col(id_col).alias("id"),
+                           _span_windows(text_col, window).alias("wins"))
+    ).select("id", F.explode(F.transform(F.col("wins"), F.md5)).alias("h"))
+    g = (
+        ex.groupBy("h", "id").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("h")
+        .agg(F.sum("c").cast("long").alias("occ"),
+             F.count(F.lit(1)).cast("long").alias("ndocs"))
+    )
+    g.write.mode("append").parquet(f"{state_path}/spans")
+
+
+def substring_state_compact(spark, state_path: str,
+                            target_partitions: int = 32) -> None:
+    """Fold pending delta rows into one row per hash and rewrite into
+    well-sized files — the same crash-safe two-rename swap as
+    ``maintenance.compact_saved_table`` (whose recovery path
+    ``_read_substring_state`` already runs on every read)."""
+    from ..functions.fsutil import fs_rename, fs_rmtree
+    from .maintenance import recover_compact_crash
+
+    table_dir = f"{state_path}/spans"
+    recover_compact_crash(spark, table_dir)
+    merged = (
+        spark.read.parquet(table_dir)
+        .groupBy("h")
+        .agg(F.sum("occ").cast("long").alias("occ"),
+             F.sum("ndocs").cast("long").alias("ndocs"))
+        .repartition(target_partitions)
+    )
+    stage = f"{state_path}/_compact_spans"
+    merged.write.mode("overwrite").parquet(stage)
+    old = f"{state_path}/_old_spans"
+    fs_rename(spark, table_dir, old)
+    fs_rename(spark, stage, table_dir)
+    fs_rmtree(spark, old)

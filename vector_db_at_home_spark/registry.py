@@ -3681,6 +3681,44 @@ def _register_substring_dedup() -> None:
         window=8, k=20
     )
 
+    def q_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental exact-substring dedup (operators/dedup.py:
+        substring_state_build/append + substring_dedup_incremental —
+        VERDICT r6 task 5): the corpus splits 60/20/20 by doc_id mod 5 —
+        state built from the first part, a second part ADMITTED via the
+        O(batch) delta append, the last part profiled against
+        corpus ∪ batch through the persisted state.  The oracle is the
+        predicate-split full computation: substring stats over ALL
+        documents, output restricted to the batch — bit-equality proves
+        build, append, pending-delta read and incremental join at
+        once."""
+        import tempfile
+
+        from .operators.dedup import (
+            substring_dedup_incremental,
+            substring_state_append,
+            substring_state_build,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        state = tempfile.mkdtemp(prefix="substring_state_")
+        substring_state_build(
+            docs.filter(F.col("doc_id") % 5 >= 2), state, "text", "doc_id",
+            window=8,
+        )
+        substring_state_append(
+            spark, state, docs.filter(F.col("doc_id") % 5 == 1),
+            "text", "doc_id",
+        )
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        return substring_dedup_incremental(spark, state, batch,
+                                           "text", "doc_id")
+
+    _QUERIES["substring_dedup_incremental"] = q_incr
+    _ORACLES["substring_dedup_incremental"] = render_substring_stats_sql(
+        window=8, out_predicate="d.doc_id % 5 = 0"
+    )
+
 
 _register_substring_dedup()
 
@@ -4079,7 +4117,7 @@ _TAIL_ORDER = [
     # round-7: the query side of the graph index family + the JSONL/CSV
     # record sources (the last operator family without oracle queries)
     "graph_ann_topk", "jsonl_corpus_stats", "csv_corpus_stats",
-    "semantic_dedup_map",
+    "semantic_dedup_map", "substring_dedup_incremental",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
