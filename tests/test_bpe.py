@@ -1,0 +1,82 @@
+"""BPE training tests: greedy-merge semantics, round trip, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_bpe_train_greedy_merge_semantics(spark):
+    """Hand-checkable corpus: merges come out in exact frequency order
+    with (cnt DESC, a, b) tie-breaks, and overlapping runs merge
+    left-to-right greedily like reference BPE."""
+    from vector_db_at_home_spark.operators.bpe import bpe_train_merges
+
+    # 'aaab' x3, 'ab' x2.  Round 0 counts OVERLAPPING adjacent pairs
+    # (reference BPE tallies zip(word, word[1:])): 'aaab' has (a,a)
+    # twice -> (a,a)=6, (a,b)=3+2=5 -> merge (a,a).
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab aaab ab ab")], "id long, text string")
+    m = bpe_train_merges(docs, "text", n_merges=3).collect()
+    assert [(r.round, r.left_sym, r.right_sym, r.pair_count)
+            for r in m[:1]] == [(0, "a", "a", 6)]
+    # the MERGE is greedy left-to-right though: 'aaab' -> [aa, a, b]
+    # (NOT [a, aa, b]), so round 1 pairs are (aa,a)=3, (a,b)=3+2=5
+    r1 = m[1]
+    assert (r1.left_sym, r1.right_sym, r1.pair_count) == ("a", "b", 5)
+    # round 2: 'aaab' = [aa, ab], 'ab' = [ab]: (aa,ab)=3 is all that's left
+    r2 = m[2]
+    assert (r2.left_sym, r2.right_sym, r2.pair_count) == ("aa", "ab", 3)
+
+
+def test_bpe_apply_round_trip(spark):
+    """train -> apply -> detokenize reproduces the lowercased text, and
+    learned merges actually compress the token count."""
+    from vector_db_at_home_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train_merges,
+    )
+
+    texts = [
+        (0, "the cat sat on the mat"),
+        (1, "the catalog the cathode the cat"),
+        (2, "Mixed CASE words The THE the"),
+    ]
+    docs = spark.createDataFrame(texts, "id long, text string")
+    merges = [(r.left_sym, r.right_sym)
+              for r in bpe_train_merges(docs, "text", n_merges=6)
+              .orderBy("round").collect()]
+    assert len(merges) == 6
+
+    toks = bpe_apply(docs, "text", "id", merges)
+    rebuilt = (
+        toks.select("id", "word_pos",
+                    F.concat_ws("", F.col("tokens")).alias("w"))
+        .groupBy("id")
+        .agg(F.concat_ws(
+            " ", F.array_sort(F.collect_list(F.struct("word_pos", "w")))
+            .getField("w")).alias("text"))
+        .collect()
+    )
+    want = {i: t.lower() for i, t in texts}
+    for r in rebuilt:
+        assert r.text == want[r.id]
+    # compression: 'the' appears 7 times; with 6 merges it must have
+    # fused below 3 single-char tokens
+    n_the = (
+        toks.join(docs, "id")
+        .filter(F.split(F.lower("text"), " ")[F.col("word_pos")] == "the")
+        .select(F.size("tokens").alias("n")).agg(F.max("n")).first()[0]
+    )
+    assert n_the is not None and n_the <= 2
+
+
+def test_bpe_train_deterministic(spark):
+    from vector_db_at_home_spark.operators.bpe import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(i, f"repeat repeat repeat unique{i} words words")
+         for i in range(20)],
+        "id long, text string")
+    a = [tuple(r) for r in bpe_train_merges(docs, "text", 5).collect()]
+    b = [tuple(r) for r in bpe_train_merges(docs, "text", 5).collect()]
+    assert a == b and len(a) == 5

@@ -1,0 +1,191 @@
+"""Distributed BPE training (Sennrich, Haddow & Birch 2016, ACL —
+public): learn merge rules from corpus statistics, the step real LLM
+pipelines run before ``tokenize`` can exist (the repo's
+``textstats.tokenize_bpeish`` APPLIES a fixed scheme; this TRAINS one).
+
+BPE trains on word TYPES weighted by corpus frequency: count adjacent
+symbol pairs across all words, merge the most frequent pair everywhere,
+repeat.  The distributed shape per round is one explode + one partial
+agg (pair counts) + one 1-row argmax + one codegen ``replace`` over the
+word table — the only driver traffic is the single winning pair per
+round (a scalar decision, the same cadence as a KMeans centroid update;
+contrast PageRank where the whole recurrence is data-parallel and zero
+driver actions are needed).
+
+Representation — the trick that makes the DuckDB oracle exact: a word's
+symbol sequence is a STRING with every symbol wrapped in ``\\x1f`` (unit
+separator, absent from any text corpus): ``abc`` →
+``␟a␟␟b␟␟c␟``.  Applying merge (a, b) is then one LITERAL
+``replace(rep, ␟a␟␟b␟, ␟ab␟)`` — and SQL ``replace`` scans
+left-to-right non-overlapping, which IS BPE's greedy merge order
+(``aaa`` + merge(a,a) → ``(aa)(a)``), so Spark and DuckDB replicate the
+whole training loop value-for-value with no UDF on either side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"
+
+
+def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _rep(col: Column) -> Column:
+    # wrap every codepoint: 'abc' -> '␟a␟␟b␟␟c␟'
+    return F.regexp_replace(col, "(.)", SEP + "$1" + SEP)
+
+
+def _symbols(rep: Column) -> Column:
+    return F.split(rep.substr(F.lit(2), F.length(rep) - 2),
+                   SEP + SEP)
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    syms = _symbols(F.col("rep"))
+    pairs = words.select(
+        F.explode(
+            F.when(
+                F.size(syms) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(syms) - 2),
+                    lambda i: F.struct(
+                        F.element_at(syms, i + 1).alias("a"),
+                        F.element_at(syms, i + 2).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(
+                "array<struct<a:string,b:string>>")),
+        ).alias("p"),
+        "freq",
+    )
+    return (
+        pairs.select("p.a", "p.b", "freq")
+        .groupBy("a", "b")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+
+
+def bpe_train_merges(docs: DataFrame, text_col: str,
+                     n_merges: int = 8) -> DataFrame:
+    """Train ``n_merges`` BPE merge rules; returns the merge table
+    ``(round, left_sym, right_sym, pair_count)`` — integers and strings
+    only, bit-identical across engines (ties broken ``cnt DESC, a ASC,
+    b ASC`` in binary collation on both sides).
+
+    Scale: the word-type table is tiny relative to the corpus (one
+    aggregation reduces 100 TB of text to its vocabulary); each round
+    shuffles pair triples from ONE explode over that table, and the
+    merge applies as a codegen literal replace — no UDF, no driver-side
+    data beyond the per-round winning pair."""
+    spark = docs.sparkSession
+    words = _word_freqs(docs, text_col).select(
+        _rep(F.col("w")).alias("rep"), "freq"
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(),
+                     F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((rnd, a, b, cnt))
+        words = words.select(
+            F.replace(
+                F.col("rep"),
+                F.lit(SEP + a + SEP + SEP + b + SEP),
+                F.lit(SEP + a + b + SEP),
+            ).alias("rep"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round int, left_sym string, right_sym string, "
+                "pair_count long",
+    )
+
+
+def bpe_apply(docs: DataFrame, text_col: str, id_col: str,
+              merges: list[tuple[str, str]]) -> DataFrame:
+    """Tokenize with a trained merge list: ``(id, word_pos, tokens)``
+    per word — the learned subword segmentation.  ``detokenize`` is
+    ``concat_ws('', tokens)`` per word joined on spaces (pytest pins the
+    round trip).  Same literal-replace chain as training, applied in
+    merge order."""
+    w = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " "))
+        .alias("word_pos", "w"),
+    ).filter(F.col("w") != "")
+    rep = _rep(F.col("w"))
+    for a, b in merges:
+        rep = F.replace(rep, F.lit(SEP + a + SEP + SEP + b + SEP),
+                        F.lit(SEP + a + b + SEP))
+    return w.select("id", "word_pos", _symbols(rep).alias("tokens"))
+
+
+def render_bpe_train_sql(n_merges: int = 8) -> str:
+    """DuckDB oracle: the training loop unrolled as MATERIALIZED CTEs
+    (the PageRank recipe) — same representation, same replace, same
+    tie-break."""
+    sep = "chr(31)"
+    parts = [f"""
+w0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '(.)', {sep} || '\\1' || {sep}, 'g') AS rep,
+         freq
+  FROM (
+    SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ) WHERE w <> '' GROUP BY w
+  )
+)"""]
+    for r in range(n_merges):
+        parts.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT t.toks[u.i] AS a, t.toks[u.i + 1] AS b, t.freq
+    FROM (
+      SELECT string_split(substr(rep, 2, length(rep) - 2),
+                          {sep} || {sep}) AS toks, freq
+      FROM w{r}
+    ) t, unnest(range(1, len(t.toks))) AS u(i)
+  ) GROUP BY a, b
+)""")
+        parts.append(f"""
+m{r} AS MATERIALIZED (
+  SELECT {r} AS round, a, b, cnt FROM p{r}
+  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+)""")
+        if r + 1 < n_merges:
+            parts.append(f"""
+w{r + 1} AS MATERIALIZED (
+  SELECT replace(w{r}.rep,
+                 {sep} || m{r}.a || {sep} || {sep} || m{r}.b || {sep},
+                 {sep} || m{r}.a || m{r}.b || {sep}) AS rep,
+         w{r}.freq
+  FROM w{r}, m{r}
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT round, a, b, cnt FROM m{r}" for r in range(n_merges)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT round, a AS left_sym, b AS right_sym, cnt AS pair_count
+FROM ({union}) ORDER BY round
+"""
+    )

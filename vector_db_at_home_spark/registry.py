@@ -3985,6 +3985,27 @@ def q_semantic_dedup_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_bpe_train() -> None:
+    from .operators.bpe import bpe_train_merges, render_bpe_train_sql
+
+    def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Distributed BPE training (operators/bpe.py — Sennrich et al.
+        2016): 8 merge rounds over the corpus word-type table; per round
+        one pair-count aggregation, a 1-row argmax, and one literal
+        codegen replace.  The unit-separator wrapped representation makes
+        SQL's left-to-right non-overlapping replace equal BPE's greedy
+        merge, so the whole loop value-hashes against DuckDB's unrolled
+        MATERIALIZED CTEs."""
+        docs = load_table(spark, sf_dir, "documents")
+        return bpe_train_merges(docs, "text", n_merges=8)
+
+    _QUERIES["bpe_train_merges"] = q_bpe
+    _ORACLES["bpe_train_merges"] = render_bpe_train_sql(n_merges=8)
+
+
+_register_bpe_train()
+
+
 def _register_pagerank() -> None:
     from .operators.graph import render_pagerank_sql
 
@@ -4118,6 +4139,7 @@ _TAIL_ORDER = [
     # record sources (the last operator family without oracle queries)
     "graph_ann_topk", "jsonl_corpus_stats", "csv_corpus_stats",
     "semantic_dedup_map", "substring_dedup_incremental",
+    "bpe_train_merges",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
