@@ -110,6 +110,8 @@ def main() -> None:
     from vector_db_at_home_spark.session import get_spark
     from vector_db_at_home_spark.sources import load_table
 
+    # sample BEFORE Spark startup and warmup add our own load
+    load0 = os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -138,17 +140,43 @@ def main() -> None:
     # so their noise tail dominates the driver-observed number (the r5
     # driver run inflated +22% on untouched code purely through them).
     heavy = {"dedup_minhash_lsh", "fuzzy_topk", "cosine_neardup_lsh"}
-    timings: dict[str, float] = {}
-    for name, fn in benches.items():
-        best, n = None, 0
-        for _rep in range(3 if name in heavy else 2):
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            n = len(df.collect())
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    def run_suite() -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name, fn in benches.items():
+            reps, n = [], 0
+            for _rep in range(3 if name in heavy else 2):
+                t0 = time.time()
+                df = fn(spark, SF_DIR)
+                n = len(df.collect())
+                reps.append(time.time() - t0)
+            # adaptive tail (r6 VERDICT task 8): ambient co-tenant load
+            # scales identical code up to ~2x run-to-run (8.9 s observed
+            # next to 4.4 s on an untouched plan).  A wide spread between
+            # reps IS the interference signature — quiet reps agree
+            # within ~10% — so keep adding reps (cap 5) while the spread
+            # exceeds 40% of the best; intermittent noise converges to
+            # the quiet number, sustained load stops at the cap.
+            while (max(reps) - min(reps)) > 0.4 * min(reps) and len(reps) < 5:
+                t0 = time.time()
+                df = fn(spark, SF_DIR)
+                n = len(df.collect())
+                reps.append(time.time() - t0)
+            t[name] = round(min(reps), 3)
+            print(f"# {name}: {t[name]:.3f}s ({n} rows, {len(reps)} reps)",
+                  file=sys.stderr)
+        return t
+
+    # load-aware full retry: if the host was ALREADY loaded before this
+    # process started (someone else on the box — load0 is sampled before
+    # Spark startup and warmup add our own), one extra full pass buys
+    # per-query minima from a possibly-quieter window.
+    timings = run_suite()
+    if load0 > 3.0:
+        print(f"# pre-suite loadavg {load0:.1f} > 3: retrying suite once, "
+              "keeping minima", file=sys.stderr)
+        second = run_suite()
+        timings = {k: min(timings[k], second[k]) for k in timings}
 
     total = round(sum(timings.values()), 3)
     print(
