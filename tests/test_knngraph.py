@@ -153,3 +153,79 @@ def test_graph_ann_search_out_of_sample_queries(spark):
     for c in (2, 7):
         assert len(by_q[c]) == 5
         assert all(r.id // 20 == c for r in by_q[c])
+
+
+def test_knngraph_save_load_append_delete_compact(spark, tmp_path):
+    """The graph index family's full persistence contract (parity with
+    ivf/pq/sq): save/load round trip, O(batch) append integrates new
+    nodes both ways, tombstoned deletes vanish at load, compact folds
+    deltas + removes tombstones physically."""
+    from vector_db_at_home_spark.operators.knngraph import (
+        graph_ann_search,
+        knn_graph_nndescent,
+        knngraph_append,
+        knngraph_compact_saved,
+        knngraph_load,
+        knngraph_save,
+        knngraph_sync_deletes,
+    )
+
+    rows = _clustered(n_clusters=5, per=16)
+    base = [r for r in rows if r[0] % 4 != 3]
+    batch = [r for r in rows if r[0] % 4 == 3]
+    df = spark.createDataFrame(base, "id long, vec array<double>")
+    bdf = spark.createDataFrame(batch, "id long, vec array<double>")
+
+    g = knn_graph_nndescent(df, "id", "vec", k=6)
+    path = str(tmp_path / "gidx")
+    knngraph_save(g, df, path, k=6)
+
+    idx = knngraph_load(spark, path)
+    assert idx.k == 6 and idx.vectors.count() == len(base)
+    assert sorted(map(tuple, idx.edges.collect())) == \
+        sorted(map(tuple, g.collect()))
+
+    # append: new nodes get full lists, search finds them
+    knngraph_append(spark, path, bdf, "id", "vec")
+    idx2 = knngraph_load(spark, path)
+    assert idx2.vectors.count() == len(rows)
+    per_src = {r.src: 1 for r in idx2.edges.collect()}
+    assert all(i in per_src for i, _ in batch)
+    # an appended node is findable: query at its own vector
+    qid, qv = batch[0]
+    qs = spark.createDataFrame([(qid, qv)],
+                               "query_id long, qvec array<double>")
+    hits = graph_ann_search(idx2.vectors, idx2.edges, qs, k=3).collect()
+    assert any(r.id == qid and r.distance < 1e-9 for r in hits)
+
+    # delete propagation: a fake store lacking two ids
+    class FakeStore:
+        def __init__(self, df_):
+            self._df = df_
+
+        def df(self):
+            return self._df
+
+    dead = {base[0][0], batch[0][0]}
+    live = spark.createDataFrame(
+        [(i,) for i, _ in rows if i not in dead], "id long")
+    n = knngraph_sync_deletes(spark, FakeStore(live), path)
+    assert n == 2
+    idx3 = knngraph_load(spark, path)
+    ids3 = {r.id for r in idx3.vectors.collect()}
+    assert dead.isdisjoint(ids3)
+    e3 = idx3.edges.collect()
+    assert all(r.src not in dead and r.dst not in dead for r in e3)
+
+    # compact: physical removal + tombstones cleared + identical view
+    before = sorted((r.src, r.dst) for r in e3)
+    knngraph_compact_saved(spark, path)
+    import os
+
+    assert not os.path.exists(f"{path}/tombstones")
+    raw = spark.read.parquet(f"{path}/vectors")
+    assert {r.id for r in raw.select("id").collect()}.isdisjoint(dead)
+    idx4 = knngraph_load(spark, path)
+    assert sorted((r.src, r.dst) for r in idx4.edges.collect()) == before
+    # idempotent second sync
+    assert knngraph_sync_deletes(spark, FakeStore(live), path) == 0

@@ -312,3 +312,181 @@ def graph_ann_search(vecs: DataFrame, graph: DataFrame, queries: DataFrame,
         .filter(F.col("rn") <= k)
         .select("query_id", "id", F.sqrt(F.col("d2")).alias("distance"))
     )
+
+
+# --------------------------------------------------------------------------
+# Persistence — save/load/append/delete-propagation/compaction, the same
+# contract every other index family has (ann.ivf_*, pq.pq_*, sq.ivfsq_*).
+# --------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+
+@dataclass
+class GraphIndex:
+    edges: "DataFrame"     # (src, dst, d2) — per-src top-k view
+    vectors: "DataFrame"   # (id, vec array<double>)
+    k: int
+
+
+def knngraph_save(graph: DataFrame, vecs: DataFrame, path: str, k: int,
+                  id_col: str = "id", vec_col: str = "vec") -> None:
+    """Persist the graph index: ``{path}/edges`` (LOG-STRUCTURED: appends
+    add candidate edge rows; every reader folds to per-src top-k, so a
+    store with pending appends reads identically to a compacted one),
+    ``{path}/vectors`` (needed to score future appends and beam
+    searches), ``{path}/meta.json`` (k, enforced at read)."""
+    import json
+
+    spark = graph.sparkSession
+    graph.select("src", "dst", "d2").write.mode("overwrite") \
+        .parquet(f"{path}/edges")
+    vecs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).write.mode("overwrite").parquet(f"{path}/vectors")
+    spark.createDataFrame([(json.dumps({"k": k}),)], "meta string") \
+        .coalesce(1).write.mode("overwrite").json(f"{path}/meta.json")
+
+
+def knngraph_load(spark, path: str) -> GraphIndex:
+    """Reopen a saved graph index as its live view: crash-recovery first
+    (``maintenance.recover_compact_crash``, the ADVICE-r6 self-healing
+    rule every ``*_load`` follows), tombstones anti-joined at BOTH edge
+    endpoints and at the vector scan, pending append deltas folded by
+    the per-src top-k window."""
+    import json
+
+    from ..functions.fsutil import fs_exists
+    from .maintenance import recover_compact_crash
+
+    recover_compact_crash(spark, f"{path}/edges")
+    recover_compact_crash(spark, f"{path}/vectors")
+    meta = json.loads(spark.read.json(f"{path}/meta.json").first().meta)
+    k = int(meta["k"])
+    edges = spark.read.parquet(f"{path}/edges")
+    vectors = spark.read.parquet(f"{path}/vectors")
+    tomb = f"{path}/tombstones"
+    if fs_exists(spark, tomb):
+        dead = spark.read.parquet(tomb).select("id")
+        vectors = vectors.join(dead, "id", "left_anti")
+        edges = (
+            edges.join(dead.select(F.col("id").alias("src")),
+                       "src", "left_anti")
+            .join(dead.select(F.col("id").alias("dst")), "dst", "left_anti")
+        )
+    w = Window.partitionBy("src").orderBy(F.col("d2").asc(),
+                                          F.col("dst").asc())
+    folded = (
+        edges.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("src", "dst", "d2")
+    )
+    return GraphIndex(edges=folded, vectors=vectors, k=k)
+
+
+def knngraph_append(spark, path: str, new_vecs: DataFrame,
+                    id_col: str = "id", vec_col: str = "vec") -> None:
+    """Admit a batch into the saved graph at O(batch) cost — the
+    production ingest path (the graph analog of ``ann.ivf_append``):
+
+    - each NEW node's neighbor list = its beam search over the EXISTING
+      graph (the same query path users run, k = meta k) unioned with its
+      exact neighbors WITHIN the batch (two md5 bucket families — the
+      NN-descent init shape, batch-only);
+    - existing nodes integrate the newcomers through the REVERSED beam
+      edges appended as candidate deltas — the per-src top-k fold at
+      read time admits a new node into an old node's list exactly when
+      it beats the current kth neighbor.
+
+    Everything appends; nothing rewrites.  Recall after many appends
+    degrades gracefully (beam edges are approximate); compaction or a
+    rebuild on the usual cadence restores the NN-descent-refined graph.
+    The corpus is never rescanned: cost ∝ batch × beam work."""
+    idx = knngraph_load(spark, path)
+    nv = new_vecs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).localCheckpoint(eager=True)
+    qs = nv.select(F.col("id").alias("query_id"),
+                   F.col("vec").alias("qvec"))
+    beam = graph_ann_search(idx.vectors, idx.edges, qs, k=idx.k,
+                            beam=2 * idx.k, navigable=True)
+    new_edges = beam.select(
+        F.col("query_id").alias("src"), F.col("id").alias("dst"),
+        (F.col("distance") * F.col("distance")).alias("d2"),
+    )
+    rev_edges = new_edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "d2"
+    )
+    n_batch = nv.count()
+    batch_edges = None
+    if n_batch >= 2:
+        kb = min(idx.k, n_batch - 1)
+        init = bucket_pairs_init(nv, max(2 * kb, 16))
+        batch_edges = _topk_edges(init, nv, kb)
+    all_new = new_edges.union(rev_edges)
+    if batch_edges is not None:
+        all_new = all_new.union(batch_edges)
+    all_new.write.mode("append").parquet(f"{path}/edges")
+    nv.write.mode("append").parquet(f"{path}/vectors")
+
+
+def bucket_pairs_init(v: DataFrame, bucket_size: int) -> DataFrame:
+    """Two-family md5 bucket candidate pairs over ``(id, vec)`` — the
+    NN-descent init, exposed for batch-local neighbor seeding."""
+    n = v.count()
+    n_buckets = max(n // bucket_size, 1)
+
+    def fam(salt: str) -> DataFrame:
+        bk = (_md5_h60(F.concat(F.lit(salt), F.col("id").cast("string")))
+              % n_buckets).alias("bk")
+        b = v.select("id", bk)
+        return (
+            b.alias("a").join(b.alias("b"), "bk")
+            .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+
+    return fam("i0:").union(fam("i1:")).distinct()
+
+
+def knngraph_sync_deletes(spark, store, path: str,
+                          id_col: str = "id") -> int:
+    """Propagate store DELETES as id-only tombstones — same contract as
+    ``ann.ivf_sync_deletes``: the load filters both edge endpoints, the
+    compact removes physically."""
+    idx = knngraph_load(spark, path)
+    gone = idx.vectors.select("id").join(
+        store.df().select(F.col(id_col).alias("id")), "id", "left_anti"
+    ).localCheckpoint(eager=True)
+    n = gone.count()
+    if n:
+        gone.write.mode("append").parquet(f"{path}/tombstones")
+    return n
+
+
+def knngraph_compact_saved(spark, path: str,
+                           target_partitions: int = 32) -> None:
+    """Fold pending edge deltas to the exact per-src top-k, drop
+    tombstoned nodes physically from both tables, clear the tombstones —
+    the crash-safe two-rename swap per table
+    (``maintenance.recover_compact_crash`` heals every window; a crash
+    between the swap and the tombstone clear re-applies an already-
+    folded filter, a no-op)."""
+    from ..functions.fsutil import fs_exists, fs_rename, fs_rmtree
+    from .maintenance import recover_compact_crash
+
+    idx = knngraph_load(spark, path)  # runs recovery + folds + filters
+    for name, df in (("edges", idx.edges), ("vectors", idx.vectors)):
+        table_dir = f"{path}/{name}"
+        recover_compact_crash(spark, table_dir)
+        stage = f"{path}/_compact_{name}"
+        df.repartition(target_partitions).write.mode("overwrite") \
+            .parquet(stage)
+        old = f"{path}/_old_{name}"
+        fs_rename(spark, table_dir, old)
+        fs_rename(spark, stage, table_dir)
+        fs_rmtree(spark, old)
+    if fs_exists(spark, f"{path}/tombstones"):
+        fs_rmtree(spark, f"{path}/tombstones")

@@ -3985,6 +3985,114 @@ def q_semantic_dedup_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_graph_append_recall",
+    # The graph family's ingest path (persistence parity with
+    # ann_ivf_append_recall): index built on 80%, saved, the other 20%
+    # admitted via knngraph_append (beam-derived neighbor lists +
+    # reversed deltas, no corpus rescan), then beam-searched THROUGH the
+    # log-structured load.  Exact leg value-hashed; n_indexed proves no
+    # appended row was dropped; query 0 is itself an appended row.
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings ORDER BY vec_id LIMIT 4
+), d AS (
+  SELECT q.query_id, e.vec_id AS id,
+         sqrt((SELECT sum((u.a - u.b) * (u.a - u.b))
+               FROM (SELECT unnest(e.embedding) AS a,
+                            unnest(q.qvec) AS b) u)) AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT query_id,
+       count(*) AS n_exact,
+       CAST(sum(CAST(floor(dist * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS exact_dist_e6_sum,
+       (SELECT count(*) FROM embeddings) AS n_indexed,
+       CAST(1 AS BOOLEAN) AS beam_append_found_ge_3
+FROM r WHERE rn <= 5
+GROUP BY query_id ORDER BY query_id
+""",
+)
+def q_knn_graph_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-index incremental ingest (operators/knngraph.py:
+    knngraph_save/append/load): 80/20 split on vec_id % 5, NN-descent
+    build on the corpus, save, O(batch) append of the rest (beam-derived
+    lists + reversed deltas), beam search through the loaded
+    (delta-folded) index.  Exact leg value-hashed; appended rows are
+    load-bearing (query 0 is appended; n_indexed counts both parts)."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from .operators.knn import knn_search as _knn
+    from .operators.knngraph import (
+        graph_ann_search,
+        knn_graph_nndescent,
+        knngraph_append,
+        knngraph_load,
+        knngraph_save,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(F.col("vec_id").alias("id"),
+                      F.col("embedding").cast("array<double>").alias("vec"))
+    corpus = base.filter(F.col("id") % 5 != 0)
+    batch = base.filter(F.col("id") % 5 == 0)
+    path = tempfile.mkdtemp(prefix="knngraph_idx_")
+    g = knn_graph_nndescent(corpus, "id", "vec", k=20, init_bucket_size=32)
+    knngraph_save(g, corpus, path, k=20)
+    knngraph_append(spark, path, batch, "id", "vec")
+    idx = knngraph_load(spark, path)
+
+    qs = (
+        emb.orderBy("vec_id").limit(4)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+    )
+    exact6 = _knn(emb, qs, k=6, id_col="vec_id", vec_col="embedding",
+                  impl="expr").filter(F.col("id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("id").asc()
+    )
+    exact = exact6.withColumn("rn", F.row_number().over(w)) \
+                  .filter(F.col("rn") <= 5).drop("rn")
+    beam6 = graph_ann_search(idx.vectors, idx.edges, qs, k=6)
+    beam = (
+        beam6.filter(F.col("id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5).drop("rn")
+    )
+    hits = (
+        exact.select("query_id", "id")
+        .join(beam.select("query_id", "id"), ["query_id", "id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                F.floor(F.col("distance") * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("exact_dist_e6_sum"),
+        )
+        .join(hits, "query_id", "left")
+        .join(F.broadcast(
+            idx.vectors.agg(F.count(F.lit(1)).alias("n_indexed"))))
+        .select(
+            "query_id", "n_exact", "exact_dist_e6_sum", "n_indexed",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3)
+            .alias("beam_append_found_ge_3"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _register_bpe_train() -> None:
     from .operators.bpe import bpe_train_merges, render_bpe_train_sql
 
@@ -4139,7 +4247,7 @@ _TAIL_ORDER = [
     # record sources (the last operator family without oracle queries)
     "graph_ann_topk", "jsonl_corpus_stats", "csv_corpus_stats",
     "semantic_dedup_map", "substring_dedup_incremental",
-    "bpe_train_merges",
+    "bpe_train_merges", "knn_graph_append_recall",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
