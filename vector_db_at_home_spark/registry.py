@@ -4093,6 +4093,69 @@ def q_knn_graph_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_retrieval_eval() -> None:
+    from .operators.ranking_eval import (
+        ranking_metrics,
+        render_ranking_metrics_sql,
+    )
+    from .operators.tfidf import bm25_search, render_bm25_sql
+
+    term_sets = [("vector", "merge"), ("merge", "batch"),
+                 ("vector", "batch")]
+
+    def q_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Retrieval eval harness (operators/ranking_eval.py): MRR@10,
+        recall@10, NDCG@10 of three two-term BM25 runs against binary
+        contains-all-terms qrels — NDCG's log2 discounts precomputed as
+        integer literal weights shared with the oracle, every metric an
+        integer floor-division, so the whole eval value-hashes."""
+        from pyspark.sql import Window
+
+        docs = load_table(spark, sf_dir, "documents")
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score_e4").desc(), F.col("id").asc())
+        runs = None
+        qrels = None
+        for qid, ts in enumerate(term_sets):
+            r = bm25_search(docs, list(ts), "text", "doc_id", k=10) \
+                .select(F.lit(qid).alias("query_id"), "id", "score_e4")
+            toks = F.split(F.lower(F.col("text")), " ")
+            rel = docs.filter(
+                F.array_contains(toks, ts[0])
+                & F.array_contains(toks, ts[1])
+            ).select(F.lit(qid).alias("query_id"),
+                     F.col("doc_id").alias("id"))
+            runs = r if runs is None else runs.union(r)
+            qrels = rel if qrels is None else qrels.union(rel)
+        runs = runs.withColumn("rank", F.row_number().over(w)) \
+                   .select("query_id", "id", "rank")
+        return ranking_metrics(runs, qrels, k=10)
+
+    runs_parts, qrel_parts = [], []
+    for qid, ts in enumerate(term_sets):
+        inner = render_bm25_sql(list(ts), k=10)
+        runs_parts.append(
+            f"SELECT {qid} AS query_id, id, "
+            "row_number() OVER (ORDER BY score_e4 DESC, id ASC) AS rank "
+            f"FROM ({inner})"
+        )
+        qrel_parts.append(
+            f"SELECT {qid} AS query_id, doc_id AS id FROM documents "
+            "WHERE list_contains(string_split(lower(text), ' '), "
+            f"'{ts[0]}') AND list_contains(string_split(lower(text), ' '), "
+            f"'{ts[1]}')"
+        )
+    _QUERIES["retrieval_eval_metrics"] = q_eval
+    _ORACLES["retrieval_eval_metrics"] = render_ranking_metrics_sql(
+        " UNION ALL ".join(runs_parts),
+        " UNION ALL ".join(qrel_parts),
+        k=10,
+    )
+
+
+_register_retrieval_eval()
+
+
 def _register_bpe_train() -> None:
     from .operators.bpe import bpe_train_merges, render_bpe_train_sql
 
@@ -4248,6 +4311,7 @@ _TAIL_ORDER = [
     "graph_ann_topk", "jsonl_corpus_stats", "csv_corpus_stats",
     "semantic_dedup_map", "substring_dedup_incremental",
     "bpe_train_merges", "knn_graph_append_recall",
+    "retrieval_eval_metrics",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
