@@ -82,6 +82,31 @@ def main() -> None:
                       "recall_at_10": round(hits / tot, 4)}
         print(f"# {label}: {out[label]}", file=sys.stderr)
 
+    # graph-ANN query path at the same scale: build once (rho=None graph
+    # already built above — rebuild for a clean wall), beam-search the
+    # 64 queries THROUGH the graph (navigable fingers on), recall vs the
+    # exact top-10 (self excluded)
+    from vector_db_at_home_spark.operators.knngraph import graph_ann_search
+
+    g = knn_graph_nndescent(df, "id", "vec", k=K)
+    g = g.localCheckpoint(eager=True)
+    t0 = time.time()
+    beam = graph_ann_search(df, g, qs, k=K + 1).filter(
+        F.col("id") != F.col("query_id"))
+    got = {}
+    for r in beam.collect():
+        got.setdefault(r.query_id, []).append((r.distance, r.id))
+    t_beam = time.time() - t0
+    hits = tot = 0
+    for q, ids in truth.items():
+        top = set(ids[:K])
+        tot += len(top)
+        found = {i for _, i in sorted(got.get(q, []))[:K]}
+        hits += len(top & found)
+    out["beam_search"] = {"wall_sec_64q": round(t_beam, 1),
+                          "recall_at_10": round(hits / tot, 4)}
+    print(f"# beam_search: {out['beam_search']}", file=sys.stderr)
+
     print(json.dumps({"metric": "nndescent_50k", **out}))
     spark.stop()
 

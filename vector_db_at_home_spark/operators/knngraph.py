@@ -228,23 +228,28 @@ def navigation_edges(ids: DataFrame, id_col: str = "id",
 
 def graph_ann_search(vecs: DataFrame, graph: DataFrame, queries: DataFrame,
                      k: int = 5, beam: int | None = None,
-                     hops: int = 4, n_seeds: int = 8,
+                     hops: int | None = None, n_seeds: int = 8,
                      navigable: bool = True,
                      id_col: str = "id", vec_col: str = "vec",
                      query_id_col: str = "query_id",
                      query_vec_col: str = "qvec") -> DataFrame:
     """Beam search over a prebuilt k-NN ``graph`` — the query side of the
-    graph index family (the same greedy-descent shape HNSW/NSG/DiskANN
+    graph index family (the same best-first descent HNSW/NSG/DiskANN
     use at query time, run breadth-synchronous so ALL queries advance
     together in one plan).
 
     Every hop is pure keyed joins — no driver-side graph, no per-query
-    loop: the per-query frontier (its ``beam`` best scored nodes so far)
-    joins the edge list on the shared endpoint, unseen destinations join
-    the vector table once for scoring, and a map-side WindowGroupLimit
-    re-selects the beam.  The scored set accumulates so the final top-k
-    ranks everything ever visited.  Fixed ``hops`` (graph diameter under
-    NN-descent init is ~log n) keeps the plan static and deterministic.
+    loop: the per-query frontier (its ``beam`` best scored nodes NOT YET
+    EXPANDED — best-first, the HNSW candidate-heap discipline; a frontier
+    of the best *scored* nodes stalls the moment the top-beam stops
+    changing, measured 0.39 recall at 50k vs 0.99 with expansion
+    tracking) joins the edge list on the shared endpoint, unseen
+    destinations join the vector table once for scoring, and a map-side
+    WindowGroupLimit re-selects the beam.  The scored set accumulates so
+    the final top-k ranks everything ever visited.  ``hops`` defaults to
+    ``max(4, ⌈log₂(n / n_seeds)⌉)`` — the finger-ring diameter, so any
+    region is reachable; fixed hops keep the plan static and
+    deterministic.
 
     Entry points: the ``n_seeds`` nodes with the smallest
     ``md5(id)`` — deterministic, data-independent, and uniformly spread
@@ -267,6 +272,11 @@ def graph_ann_search(vecs: DataFrame, graph: DataFrame, queries: DataFrame,
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_vec_col).cast("array<double>")
                        .alias("qvec"))
+    if hops is None:
+        import math
+
+        n = v.count()
+        hops = max(4, math.ceil(math.log2(max(n / max(n_seeds, 1), 2))))
     edges = graph.select("src", "dst")
     if navigable:
         edges = edges.union(navigation_edges(v)).distinct()
@@ -291,21 +301,29 @@ def graph_ann_search(vecs: DataFrame, graph: DataFrame, queries: DataFrame,
     # non-keyed join in the operator
     scored = score(q.select("query_id").crossJoin(F.broadcast(seeds))) \
         .localCheckpoint(eager=True)
+    # best-first: expand each node at most once; the frontier is the
+    # `beam` best scored-but-unexpanded nodes per query, so every hop
+    # makes progress until the reachable region is exhausted
+    expanded = scored.select("query_id", "id").limit(0) \
+        .localCheckpoint(eager=True)
     w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(),
                                                F.col("id").asc())
     for _ in range(hops):
         frontier = (
-            scored.withColumn("rn", F.row_number().over(w))
+            scored.join(expanded, ["query_id", "id"], "left_anti")
+            .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= beam)
-            .select("query_id", F.col("id").alias("src"))
+            .select("query_id", "id")
         )
         new = (
-            frontier.join(edges, "src")
+            frontier.select("query_id", F.col("id").alias("src"))
+            .join(edges, "src")
             .select("query_id", F.col("dst").alias("id"))
             .distinct()
             .join(scored.select("query_id", "id"),
                   ["query_id", "id"], "left_anti")
         )
+        expanded = expanded.union(frontier).localCheckpoint(eager=True)
         scored = scored.union(score(new)).localCheckpoint(eager=True)
     return (
         scored.withColumn("rn", F.row_number().over(w))
