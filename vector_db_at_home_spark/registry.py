@@ -4093,6 +4093,26 @@ def q_knn_graph_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_phrase_search() -> None:
+    from .operators.invindex import phrase_search, render_phrase_search_sql
+
+    phrase = "the query"
+
+    def q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact phrase search over a positional inverted index
+        (operators/invindex.py): term adjacency as keyed joins of
+        term-filtered postings streams — the retrieval primitive BM25
+        can't answer.  Per-doc overlapping match counts value-hash."""
+        docs = load_table(spark, sf_dir, "documents")
+        return phrase_search(docs, phrase, "text", "doc_id")
+
+    _QUERIES["phrase_search_hits"] = q_phrase
+    _ORACLES["phrase_search_hits"] = render_phrase_search_sql(phrase)
+
+
+_register_phrase_search()
+
+
 def _register_retrieval_eval() -> None:
     from .operators.ranking_eval import (
         ranking_metrics,
@@ -4311,7 +4331,7 @@ _TAIL_ORDER = [
     "graph_ann_topk", "jsonl_corpus_stats", "csv_corpus_stats",
     "semantic_dedup_map", "substring_dedup_incremental",
     "bpe_train_merges", "knn_graph_append_recall",
-    "retrieval_eval_metrics",
+    "retrieval_eval_metrics", "phrase_search_hits",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
