@@ -60,3 +60,50 @@ def test_ranking_metrics_k_cap(spark):
     assert (r3.n_hits_at_k, r3.mrr_e6, r3.ndcg_e6) == (0, 0, 0)
     r5 = ranking_metrics(runs, qrels, k=5).first()
     assert r5.n_hits_at_k == 1 and r5.mrr_e6 == 250_000
+
+
+def test_second_moment_matrix_exact(spark):
+    """Gram statistics match a numpy integer reference exactly,
+    independent of partitioning."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.embeddings import (
+        second_moment_matrix,
+    )
+
+    rows = [(i, [0.1 * i, -0.25, 0.7 + 0.01 * i]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    got = {(r.i, r.j): r.sxy
+           for r in second_moment_matrix(df, "vec").collect()}
+    m = np.floor(
+        np.array([v for _, v in rows], dtype=np.float32)
+        .astype(np.float64) * 1_000_000
+    ).astype(np.int64)
+    want = m.T @ m
+    for i in range(3):
+        for j in range(i, 3):
+            assert got[(i, j)] == want[i, j]
+    # repartitioned input: identical integers (no reduction-order drift)
+    got2 = {(r.i, r.j): r.sxy
+            for r in second_moment_matrix(df.repartition(7), "vec")
+            .collect()}
+    assert got2 == got
+
+
+def test_pca_fit_project_shapes_and_variance(spark):
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.embeddings import (
+        pca_fit_project,
+    )
+
+    # anisotropic data: one dominant direction -> PC1 captures it
+    rows = [(i, [float(i) * 2.0, float(i % 3) * 0.01, 0.5]) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    proj, comps, ev = pca_fit_project(df, "vec", "id", k=2)
+    p = proj.collect()
+    assert len(p) == 60 and all(len(r.pcvec) == 2 for r in p)
+    c = np.array(comps)
+    assert c.shape == (2, 3)
+    assert np.abs(c @ c.T - np.eye(2)).max() < 1e-9
+    assert ev[0] > 0.99          # the dominant axis

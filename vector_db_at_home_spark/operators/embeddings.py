@@ -76,3 +76,66 @@ def dequantize_int8(df: DataFrame, scale_col: str = "scale",
             lambda c: c.cast("double") * F.col(scale_col),
         ),
     )
+
+
+def second_moment_matrix(df: DataFrame, vec_col: str,
+                         quant: int = 1_000_000) -> DataFrame:
+    """Exact-integer second-moment matrix of an embedding column:
+    ``(i, j, sxy)`` for i ≤ j where ``sxy = Σ_rows q(x_i)·q(x_j)`` and
+    ``q(x) = floor(x·quant)`` — the Gram statistics PCA/whitening/OLS
+    consume, computed in BIGINT so the result is bit-identical across
+    engines and partitionings (float dot-product sums are
+    reduction-order-dependent; quantize-then-integer-sum is not).
+
+    Plan: one per-row nested-transform explode to (i, j, product) —
+    dim·(dim+1)/2 fixed-width rows per vector — and ONE partial-agg
+    groupBy.  Overflow headroom: |q(x)| ≤ quant·max|x|; with unit-scale
+    embeddings the per-row product is ≤ 1e12 and 2^63 allows ~9e6 rows
+    per (i,j) partial sum times safety — cast checks stay on the
+    caller for exotic scales."""
+    q = F.transform(
+        _as_double(vec_col),
+        lambda x: F.floor(x * quant).cast("long"),
+    )
+    pairs = F.flatten(
+        F.transform(
+            q,
+            lambda x, i: F.transform(
+                # j >= i only: the matrix is symmetric
+                F.slice(q, i + 1, F.size(q) - i),
+                lambda y, j0: F.struct(
+                    i.alias("i"), (i + j0).alias("j"),
+                    (x * y).alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        df.select(F.explode(pairs).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sxy"))
+        .orderBy("i", "j")
+    )
+
+
+def pca_fit_project(df: DataFrame, vec_col: str, id_col: str,
+                    k: int = 8) -> tuple[DataFrame, list[list[float]], list[float]]:
+    """Distributed PCA (pyspark.ml.feature.PCA — JVM-side, scalable
+    covariance + eigendecomposition) fitted on the embedding column;
+    returns ``(projected (id, pcvec), components [k][dim],
+    explained_variance [k])``.  The fit is deterministic given the data
+    (no seed; eigen of the exact covariance).  Projection is the
+    standard compression step before ANN indexing — 64→8 dims is 8×
+    smaller codes for IVF/PQ to chew on."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    ml = df.select(F.col(id_col).alias("id"),
+                   array_to_vector(_as_double(vec_col)).alias("features"))
+    model = PCA(k=k, inputCol="features", outputCol="pc").fit(ml)
+    projected = model.transform(ml).select(
+        "id", vector_to_array(F.col("pc")).alias("pcvec"))
+    comps = model.pc.toArray()          # dim × k
+    ev = list(model.explainedVariance.toArray())
+    return projected, [list(map(float, comps[:, c])) for c in range(k)], ev

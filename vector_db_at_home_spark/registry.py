@@ -4093,6 +4093,57 @@ def q_knn_graph_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_pca_check",
+    # PCA itself (eigenvectors) has sign/order freedom no SQL oracle can
+    # pin; what IS exactly checkable is the statistic PCA consumes — the
+    # second-moment (Gram) matrix, quantize-then-integer-sum so the
+    # result is independent of reduction order and engine.  The PCA legs
+    # enter as in-plan booleans: component orthonormality and top-8
+    # explained variance.
+    """
+SELECT i - 1 AS i, j - 1 AS j,
+       CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000000)
+                     AS BIGINT)
+                * CAST(floor(CAST(e.embedding[j] AS DOUBLE) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS sxy,
+       CAST(1 AS BOOLEAN) AS pca8_orthonormal,
+       CAST(1 AS BOOLEAN) AS pca8_explained_ge_10pct
+FROM embeddings e,
+     unnest(range(1, len(e.embedding) + 1)) AS u(i),
+     unnest(range(1, len(e.embedding) + 1)) AS v(j)
+WHERE j >= i
+GROUP BY i, j ORDER BY i, j
+""",
+)
+def q_embedding_pca_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding column (operators/
+    embeddings.py:pca_fit_project — pyspark.ml covariance + eigen)
+    graded by: (a) the exact-integer second-moment matrix value-hashed
+    against DuckDB (the statistic the fit consumes — a broken scan or
+    quantization breaks 2080 rows of BIGINTs); (b) in-plan booleans for
+    component orthonormality (max |GᵀG − I| < 1e-9) and top-8 explained
+    variance ≥ 10% (64-dim data: random floor is 12.5%)."""
+    import numpy as np
+
+    from .operators.embeddings import pca_fit_project, second_moment_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sm = second_moment_matrix(emb, "embedding", quant=1_000_000)
+    _proj, comps, ev = pca_fit_project(emb, "embedding", "vec_id", k=8)
+    c = np.array(comps)                       # k × dim
+    gram = c @ c.T
+    ortho = bool(np.abs(gram - np.eye(len(c))).max() < 1e-9)
+    explained = bool(sum(ev) >= 0.10)
+    return sm.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "sxy",
+        F.lit(ortho).alias("pca8_orthonormal"),
+        F.lit(explained).alias("pca8_explained_ge_10pct"),
+    )
+
+
 def _register_phrase_search() -> None:
     from .operators.invindex import phrase_search, render_phrase_search_sql
 
@@ -4332,6 +4383,7 @@ _TAIL_ORDER = [
     "semantic_dedup_map", "substring_dedup_incremental",
     "bpe_train_merges", "knn_graph_append_recall",
     "retrieval_eval_metrics", "phrase_search_hits",
+    "embedding_pca_check",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
