@@ -340,3 +340,72 @@ def test_q20_one_conditional_aggregate_semi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
+
+
+def test_phrase_search_no_cartesian_filters_pushed(spark):
+    """Phrase search is keyed joins of term-filtered postings — no
+    cartesian/nested-loop anywhere, and the scan reads only (doc_id,
+    text)."""
+    from vector_db_at_home_spark.operators.invindex import phrase_search
+    from vector_db_at_home_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    df = phrase_search(docs, "the query", "text", "doc_id")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    cols = scan_read_schema(df)
+    assert cols and set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_second_moment_partial_aggregation(spark):
+    """The Gram-matrix groupBy partial-aggregates map-side (the explode
+    fans out dim² rows per vector; without map-side combine the exchange
+    would carry all of them)."""
+    from vector_db_at_home_spark.operators.embeddings import (
+        second_moment_matrix,
+    )
+    from vector_db_at_home_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = formatted_plan(second_moment_matrix(emb, "embedding"))
+    assert "partial_sum" in plan
+
+
+def test_jsonl_source_schema_first_no_inference_scan(spark, tmp_path):
+    """The schema-first JSONL read plans exactly ONE scan of the files
+    (inference would add a second full pass) and prunes to the declared
+    schema."""
+    import json as _json
+
+    from vector_db_at_home_spark.sources.records import load_jsonl_corpus
+
+    d = tmp_path / "jl"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        "\n".join(_json.dumps({"rid": i, "text": f"doc {i}", "extra": "x"})
+                  for i in range(5)))
+    df = load_jsonl_corpus(spark, str(d), "rid long, text string",
+                           id_field="rid")
+    from vector_db_at_home_spark.plans.explain import simple_plan
+
+    plan = simple_plan(df)
+    assert plan.count("Scan json") == 1, plan
+    # only the declared fields reach the scan — 'extra' never read
+    cols = scan_read_schema(df)
+    assert cols and "extra" not in cols, cols
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """SemDeDup's plan is the k-means assign + ONE cell-keyed
+    applyInPandas — no pair fan-out, no cartesian."""
+    from vector_db_at_home_spark.operators.dedup import semantic_dedup
+    from vector_db_at_home_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding")
+    df = semantic_dedup(emb, "vec_id", "embedding", n_cells=4)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "ArrowGroupMap" in plan, plan
