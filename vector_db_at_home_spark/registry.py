@@ -4144,6 +4144,49 @@ def q_embedding_pca_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_split_leakage() -> None:
+    from .operators.dedup import render_minhash_incremental_sql
+
+    test_pred = (
+        "CAST(('0x' || substr(md5(doc_id::VARCHAR || '_split'), 1, 15)) "
+        "AS BIGINT) % 1000000 < 200000"
+    )
+    train_pred = (
+        "CAST(('0x' || substr(md5(doc_id::VARCHAR || '_split'), 1, 15)) "
+        "AS BIGINT) % 1000000 >= 200000"
+    )
+
+    def q_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Train/test split LEAKAGE check — the eval-contamination audit
+        every LLM pipeline needs on its OWN splits (the cross-split form
+        of benchmark_decontamination): an 80/20 deterministic hash split
+        (sampling.hash_split) followed by the batch×corpus MinHash
+        screen (dedup.minhash_lsh_pairs_incremental) with test as the
+        batch — every returned (test_doc, train_doc, jaccard_e6) pair is
+        an eval example whose near-duplicate sits in training.  Composes
+        two green operators; the oracle replicates split, signatures,
+        banding and exact verify value-for-value."""
+        from .operators.dedup import minhash_lsh_pairs_incremental
+        from .operators.sampling import hash_split
+
+        docs = load_table(spark, sf_dir, "documents")
+        s = hash_split(docs, "doc_id", {"train": 0.8, "test": 0.2})
+        test = s.filter(F.col("split") == "test").drop("split")
+        train = s.filter(F.col("split") == "train").drop("split")
+        return minhash_lsh_pairs_incremental(
+            test, train, "text", "doc_id", threshold=0.5, max_doc_freq=100,
+        )
+
+    _QUERIES["split_leakage_check"] = q_leak
+    _ORACLES["split_leakage_check"] = render_minhash_incremental_sql(
+        batch_pred=test_pred, corpus_pred=train_pred,
+        threshold=0.5, max_doc_freq=100,
+    )
+
+
+_register_split_leakage()
+
+
 def _register_phrase_search() -> None:
     from .operators.invindex import phrase_search, render_phrase_search_sql
 
@@ -4383,7 +4426,7 @@ _TAIL_ORDER = [
     "semantic_dedup_map", "substring_dedup_incremental",
     "bpe_train_merges", "knn_graph_append_recall",
     "retrieval_eval_metrics", "phrase_search_hits",
-    "embedding_pca_check",
+    "embedding_pca_check", "split_leakage_check",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
