@@ -641,3 +641,102 @@ def test_jsonl_stream_into_store_neardup(spark, tmp_path):
     docs = sorted(r["doc"]["t"] for r in store.head(10))
     assert store.count() == 2
     assert base in docs and novel in docs
+
+
+def test_stream_ingest_vector_neardup_exact(spark, tmp_path):
+    """Embedding-space streaming screen (exact form): cosine near-dups
+    vs the store rejected, orthogonal vectors admitted, exact replays
+    self-reject."""
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.store import VectorStore
+    from vector_db_at_home_spark.streaming.neardup import (
+        stream_into_store_vector_neardup,
+    )
+
+    store = VectorStore(spark, tmp_path / "vstore", dim=4)
+    store.insert([[1.0, 0.0, 0.0, 0.0]], [{"t": "base"}])
+
+    feed = str(tmp_path / "vfeed")
+    rows = [
+        ([0.999, 0.02, 0.0, 0.0], '{"t": "neardup of base"}'),   # cos≈0.9998
+        ([0.0, 1.0, 0.0, 0.0], '{"t": "orthogonal"}'),
+        ([2.0, 0.0, 0.0, 0.0], '{"t": "scaled base"}'),           # cos=1
+        ([0.7, 0.7, 0.0, 0.0], '{"t": "diagonal"}'),              # cos≈0.707
+    ]
+    spark.createDataFrame(rows, "vec array<float>, doc string") \
+        .coalesce(1).write.parquet(feed)
+    stream = (spark.readStream.schema("vec array<float>, doc string")
+              .parquet(feed))
+    q = stream_into_store_vector_neardup(
+        stream, store, min_cosine=0.95,
+        checkpoint_dir=str(tmp_path / "vckpt"),
+    )
+    q.awaitTermination()
+
+    docs = sorted(r["doc"]["t"] for r in store.head(10))
+    assert store.count() == 3
+    assert docs == ["base", "diagonal", "orthogonal"]
+
+
+def test_stream_ingest_vector_neardup_ivf_indexed(spark, tmp_path):
+    """Indexed form: the saved IVF index over the normalized store is
+    built on first batch, synced incrementally, and a second batch's
+    near-dup OF A FIRST-BATCH SURVIVOR is rejected through the index."""
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.store import VectorStore
+    from vector_db_at_home_spark.streaming.neardup import (
+        stream_into_store_vector_neardup,
+    )
+
+    store = VectorStore(spark, tmp_path / "vstore2", dim=4)
+    # 4 seeds >= 2*n_cells so the index builds on the first batch
+    store.insert(
+        [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0],
+         [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, -1.0, 0.0]],
+        [{"t": f"seed{i}"} for i in range(4)],
+    )
+
+    feed = tmp_path / "vfeed2"
+    feed.mkdir()
+    idx = str(tmp_path / "vidx")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "vec array<float>, doc string") \
+            .coalesce(1).write.parquet(str(feed / name))
+
+    write_batch("b0", [([0.0, 1.0, 0.0, 0.0], '{"t": "novel1"}')])
+    stream = (spark.readStream.schema("vec array<float>, doc string")
+              .option("maxFilesPerTrigger", 1).parquet(str(feed) + "/*"))
+    q = stream_into_store_vector_neardup(
+        stream, store, min_cosine=0.95, index_dir=idx,
+        n_cells=2, n_probes=2,
+        checkpoint_dir=str(tmp_path / "vckpt2"),
+    )
+    q.awaitTermination()
+    assert store.count() == 5
+    assert spark.read.parquet(f"{idx}/assigned").count() == 4
+
+    # second run: near-dup of novel1 (rejected via the synced index) +
+    # one genuinely new direction (admitted)
+    write_batch("b1", [
+        ([0.0, 0.999, 0.02, 0.0], '{"t": "neardup of novel1"}'),
+        ([0.0, 0.0, 0.0, 1.0], '{"t": "novel2"}'),
+    ])
+    stream2 = (spark.readStream.schema("vec array<float>, doc string")
+               .option("maxFilesPerTrigger", 1).parquet(str(feed) + "/*"))
+    q2 = stream_into_store_vector_neardup(
+        stream2, store, min_cosine=0.95, index_dir=idx,
+        n_cells=2, n_probes=2,
+        checkpoint_dir=str(tmp_path / "vckpt2"),
+    )
+    q2.awaitTermination()
+    docs = sorted(r["doc"]["t"] for r in store.head(10))
+    assert store.count() == 6
+    assert "novel1" in docs and "novel2" in docs
+    assert not any(d.startswith("neardup") for d in docs)
+    # the batch-start sync caught novel1 (appended by run 1); novel2
+    # lands in the index at the NEXT sync
+    n_indexed = spark.read.parquet(f"{idx}/assigned").count()
+    assert n_indexed == 5

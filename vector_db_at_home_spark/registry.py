@@ -1482,6 +1482,98 @@ def q_streaming_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_vector_neardup_equiv",
+    # Third streaming≡batch proof — the EMBEDDING-space ingest screen
+    # (streaming/neardup.py:stream_into_store_vector_neardup).  The store
+    # is pre-seeded with the first 16 embeddings; the feed carries every
+    # other embedding (novel — max natural pairwise cosine is 0.60, far
+    # under the 0.95 gate, so admission is batching-independent) plus a
+    # SCALED copy (×1.001) of each seed: different bytes, so the exact
+    # digest path can't catch it — only the cosine screen can (cos = 1
+    # after normalization).  When the screen is correct the landed store
+    # is exactly one row per embedding, so count and the id/vector sums
+    # equal the full table's — value-hashed below; multi_batch asserts
+    # the run really spanned micro-batches.
+    """
+SELECT count(*) AS n_rows,
+       CAST(sum(vec_id) AS BIGINT) AS sum_id,
+       CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+                     AS BIGINT)) AS BIGINT) AS sum_e0_e6,
+       CAST(1 AS BOOLEAN) AS multi_batch
+FROM embeddings
+""",
+)
+def q_streaming_vector_neardup_equiv(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Streaming embedding near-dup ingest vs the batch truth: scaled
+    re-encodings of stored vectors are rejected by the cosine screen
+    across micro-batches (the exact-digest path cannot see them), novel
+    vectors all land — the final store equals the deduplicated table
+    regardless of how the feed was batched."""
+    import shutil
+    import tempfile
+
+    from .store import VectorStore
+    from .streaming.neardup import stream_into_store_vector_neardup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="stream_vec_equiv_")
+    landing, ckpt = f"{work}/landing", f"{work}/ckpt"
+
+    seeds = emb.orderBy("vec_id").limit(16).collect()
+    dim = len(seeds[0]["embedding"])
+    store = VectorStore(spark, f"{work}/store", dim=dim)
+    # seed ids 0..15 in vec_id order; doc carries the source vec_id
+    store.insert(
+        [[float(x) for x in r["embedding"]] for r in seeds],
+        [{"i": int(r["vec_id"])} for r in seeds],
+    )
+
+    seed_ids = [int(r["vec_id"]) for r in seeds]
+    novel = emb.filter(~F.col("vec_id").isin(seed_ids)).select(
+        F.col("embedding").alias("vec"),
+        F.to_json(F.struct(F.col("vec_id").alias("i"))).alias("doc"),
+    )
+    scaled = emb.filter(F.col("vec_id").isin(seed_ids)).select(
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.001).cast("float")
+        ).alias("vec"),
+        F.to_json(F.struct(F.col("vec_id").alias("i"))).alias("doc"),
+    )
+    novel.unionByName(scaled).repartition(4) \
+        .write.mode("overwrite").parquet(landing)
+
+    stream = (
+        spark.readStream.schema("vec array<float>, doc string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = stream_into_store_vector_neardup(
+        stream, store, min_cosine=0.95, checkpoint_dir=ckpt,
+    )
+    q.awaitTermination()
+    n_batches = sum(
+        1 for p in q.recentProgress if int(p["numInputRows"]) > 0
+    )
+    shutil.rmtree(landing, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    landed = store.df().select(
+        F.get_json_object("doc", "$.i").cast("long").alias("src_id"),
+        F.element_at("vec", 1).cast("double").alias("e0"),
+    )
+    return (
+        landed.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("src_id").alias("sum_id"),
+            F.sum(F.floor(F.col("e0") * 1e6).cast("long"))
+            .alias("sum_e0_e6"),
+        )
+        .withColumn("multi_batch", F.lit(bool(n_batches >= 2)))
+    )
+
+
+@register(
     "streaming_window_equiv",
     # Second streaming≡batch proof: event-time tumbling-window aggregation
     # maintained INCREMENTALLY across micro-batches (complete output mode —
@@ -4427,6 +4519,7 @@ _TAIL_ORDER = [
     "bpe_train_merges", "knn_graph_append_recall",
     "retrieval_eval_metrics", "phrase_search_hits",
     "embedding_pca_check", "split_leakage_check",
+    "streaming_vector_neardup_equiv",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",

@@ -198,3 +198,121 @@ def stream_into_store_neardup(stream_df: DataFrame, store: VectorStore,
         checkpoint_dir=checkpoint_dir, trigger=trigger,
         prepare=screen,
     )
+
+
+def stream_into_store_vector_neardup(stream_df: DataFrame,
+                                     store: VectorStore,
+                                     vec_col: str = "vec",
+                                     doc_col: str = "doc",
+                                     min_cosine: float = 0.95,
+                                     index_dir: str | None = None,
+                                     n_cells: int = 16,
+                                     n_probes: int = 4,
+                                     checkpoint_dir: str | None = None,
+                                     trigger: dict | None = None):
+    """Streaming ingest with EMBEDDING-space near-dup rejection — the
+    vector analog of :func:`stream_into_store_neardup` (SemDeDup's admit
+    rule run online): a batch row whose cosine against ANY stored vector
+    reaches ``min_cosine`` is dropped; survivors append.
+
+    Screen per micro-batch, in order:
+
+    1. within-batch exact dedup — first row per ``xxhash64(vec, doc)``;
+    2. vs the store — vectors are L2-normalized so
+       ``cos ≥ τ ⇔ ‖a−b‖ ≤ sqrt(2−2τ)``, and the nearest stored
+       neighbor comes from a saved IVF index over the normalized store
+       (``index_dir``), searched with ``n_probes`` cells and kept in
+       sync incrementally (``ann.ivf_sync_with_store`` — idempotent
+       anti-join, so replays and crashes need no markers here, unlike
+       the MinHash state appends).  ``index_dir=None`` = exact
+       brute-force kNN against the store — the small-store/testing form.
+
+    Replay semantics: a replayed survivor is an exact duplicate of its
+    stored copy (cosine 1 ≥ τ) and is re-rejected — at-least-once
+    delivery converges with no marker machinery.  Recall is the IVF
+    probe bound (raise ``n_probes``; the exact form has none); a missed
+    near-dup is admitted, never data loss.  Centroids are not refit on
+    sync — rebuild the index on the usual compaction cadence.
+
+    Within-batch NEAR-dups are admitted in the same batch by design
+    (same rationale as the text screen: both may be novel; they reject
+    each other's re-deliveries once stored)."""
+    import math
+
+    from ..operators.ann import (
+        ivf_build,
+        ivf_load,
+        ivf_save,
+        ivf_search,
+        ivf_sync_with_store,
+    )
+    from ..operators.knn import knn_search
+
+    radius = math.sqrt(max(0.0, 2.0 - 2.0 * min_cosine)) + 1e-12
+
+    def norm(col):
+        v = F.transform(col, lambda x: x.cast("double"))
+        nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        return F.when(nrm == 0.0, v).otherwise(
+            F.transform(v, lambda x: x / nrm))
+
+    class _NormalizedView:
+        """store-shaped adapter feeding ivf_sync_with_store the
+        NORMALIZED vectors, preserving the index invariant."""
+
+        def __init__(self, df_):
+            self._df = df_
+
+        def df(self):
+            return self._df
+
+    def screen(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        spark = batch_df.sparkSession
+        keyed = (
+            batch_df.withColumn("__bid",
+                                F.xxhash64(F.col(vec_col), F.col(doc_col)))
+            .dropDuplicates(["__bid"])
+            .withColumn("__nvec", norm(F.col(vec_col)))
+        )
+        n_batch = keyed.limit(_MAX_SCREEN_BATCH_ROWS + 1).count()
+        if n_batch == 0:
+            return keyed.drop("__bid", "__nvec")
+        if n_batch > _MAX_SCREEN_BATCH_ROWS:
+            raise ValueError(
+                f"batch {batch_id}: more than {_MAX_SCREEN_BATCH_ROWS} "
+                "rows entering the vector screen — reduce the trigger size"
+            )
+        corpus = store.df().select(
+            "id", norm(F.col("vec")).alias("vec"))
+        if corpus.isEmpty():
+            return keyed.drop("__bid", "__nvec")
+        qs = keyed.select(F.col("__bid").alias("query_id"),
+                          F.col("__nvec").alias("qvec"))
+        use_index = index_dir is not None
+        if use_index and not _fs_exists(spark, f"{index_dir}/centroids"):
+            # defer the k-means fit until the store can populate the
+            # cells (k > n crashes the fit; a near-empty index buys
+            # nothing) — exact search covers the warm-up batches
+            if corpus.count() >= 2 * n_cells:
+                ivf_save(ivf_build(corpus, n_cells=n_cells), index_dir)
+            else:
+                use_index = False
+        if use_index:
+            ivf_sync_with_store(spark, _NormalizedView(corpus), index_dir)
+            nearest = ivf_search(ivf_load(spark, index_dir), qs, k=1,
+                                 n_probes=n_probes)
+        else:
+            nearest = knn_search(corpus, qs, k=1, impl="expr")
+        dupped = (
+            nearest.filter(F.col("distance") <= radius)
+            .select(F.col("query_id").alias("__bid"))
+            .distinct()
+        )
+        survivors = keyed.join(F.broadcast(dupped), "__bid", "left_anti")
+        return survivors.drop("__bid", "__nvec").localCheckpoint(eager=True)
+
+    return stream_into_store(
+        stream_df, store, vec_col=vec_col, doc_col=doc_col,
+        checkpoint_dir=checkpoint_dir, trigger=trigger,
+        prepare=screen,
+    )
