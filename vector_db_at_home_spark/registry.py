@@ -4447,32 +4447,51 @@ _register_pagerank()
 _SCORED_ORDER = [
     # reference parity (vector_store.py surface)
     "count", "head", "select_ids", "dump_vecs",
-    "knn_l2", "streaming_window_equiv", "knn_l2_pandas",
+    "knn_l2", "streaming_window_equiv",
     "search_by_doc", "query_by_doc",
     # relational taxonomy (joins / aggs / windows / set ops / grouping sets)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q13_customer_distribution", "fuzzy_topk_small", "q18_large_orders",
     "q21_suppliers_waiting", "q22_dormant_customers",
     "rolling_revenue", "events_windowed_agg",
-    "nation_setops", "revenue_rollup", "events_percentiles",
-    "lang_source_pivot", "range_join_windows", "asof_join_events",
-    # dedup / similarity / decontamination
+    "revenue_rollup", "range_join_windows", "asof_join_events",
+    # dedup / similarity / decontamination — incl. round-7's SemDeDup
+    # capstone and the cross-split leakage audit
     "dedup_exact_map", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_minhash_incremental", "dedup_minhash_clusters", "dedup_simhash",
     "benchmark_decontamination", "cosine_topk_pairs",
-    # ANN / PQ — batch builds AND both O(batch) incremental-ingest paths
+    "semantic_dedup_map", "split_leakage_check",
+    # ANN / PQ / graph — batch builds AND the O(batch) ingest paths; the
+    # graph family's query side (round 7) joins the scored record
     "ann_cosine_topk", "ann_ivf_recall", "pq_recall", "ivfpq_recall",
-    "ann_ivf_append_recall", "pq_append_recall",
+    "ann_ivf_append_recall", "pq_append_recall", "graph_ann_topk",
     # streaming ≡ batch (cross-micro-batch dedup state vs DISTINCT *)
     "streaming_dedup_equiv",
-    # text pipeline
+    # text pipeline — incl. round-7's distributed BPE training
     "token_stats", "quality_score", "language_id", "tfidf_top_terms",
+    "bpe_train_merges",
     # sampling / kernel checks / multimodal / sketches / capstone
     "doc_hash_split", "mixture_resample_docs", "indel_kernel_check",
     "multimodal_stats", "sketch_user_cardinality", "clean_corpus",
 ]
 
 _TAIL_ORDER = [
+    # demoted r7 to put the round's flagship families on the scored
+    # record (SemDeDup capstone, split-leakage audit, the graph index
+    # family's query side, distributed BPE training).  Machinery of each
+    # demoted entry re-walks green in a still-scored query: knn_l2_pandas
+    # is bit-identical-by-pytest to the scored knn_l2 (and the bench's
+    # knn_batch32_k10 runs the pandas GEMM every round); nation_setops'
+    # union/except/intersect are plain Catalyst set operators exercised
+    # inside the scored decorrelated TPC-H shapes; events_percentiles'
+    # approx_percentile re-walks in the tail's approx_quantiles_check
+    # (full oracle) and the scored sketch_user_cardinality pins the
+    # sketch family; lang_source_pivot's pivot is the same
+    # pivot-to-columns shape the scored tfidf_top_terms builds.  All four
+    # keep full value oracles here and stay green in the committed
+    # three-scale gate (ORACLE_LOCAL_r7.txt).
+    "knn_l2_pandas", "nation_setops", "events_percentiles",
+    "lang_source_pivot",
     # demoted r5 to make room for the incremental-ingest + streaming
     # equivalence queries; machinery re-walks green in scored entries
     # (doc_fingerprint/tokenize_bpeish: pure expressions over documents,
@@ -4514,12 +4533,10 @@ _TAIL_ORDER = [
     "setsim_join_halves", "knn_graph_recall",
     # round-7: the query side of the graph index family + the JSONL/CSV
     # record sources (the last operator family without oracle queries)
-    "graph_ann_topk", "jsonl_corpus_stats", "csv_corpus_stats",
-    "semantic_dedup_map", "substring_dedup_incremental",
-    "bpe_train_merges", "knn_graph_append_recall",
+    "jsonl_corpus_stats", "csv_corpus_stats",
+    "substring_dedup_incremental", "knn_graph_append_recall",
     "retrieval_eval_metrics", "phrase_search_hits",
-    "embedding_pca_check", "split_leakage_check",
-    "streaming_vector_neardup_equiv",
+    "embedding_pca_check", "streaming_vector_neardup_equiv",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
