@@ -69,7 +69,8 @@ def knn_graph_nndescent(vecs: DataFrame, id_col: str = "id",
                         vec_col: str = "vec", k: int = 10,
                         rounds: int | None = None,
                         init_bucket_size: int | None = None,
-                        rho: float | None = None) -> DataFrame:
+                        rho: float | None = None,
+                        early_stop_frac: float | None = None) -> DataFrame:
     """Build the approximate k-NN graph ``(src, dst, d2)`` of ``vecs``.
 
     Init seeds each node's neighborhood from TWO independent md5 bucket
@@ -84,6 +85,19 @@ def knn_graph_nndescent(vecs: DataFrame, id_col: str = "id",
     blow-up QUADRATICALLY (ρ² of the full join) at a graceful recall
     cost — the knob that keeps the per-round cost affordable when
     n·(2k)² stops being.  ``None`` = exact (no sampling).
+
+    ``early_stop_frac`` is the paper's OTHER termination rule: stop when
+    a round changes at most that fraction of the n·k edges (one cheap
+    left-anti count over two checkpointed id-pair sets per round).
+    Deterministic (the stop depends only on the data) but OFF by
+    default: measured back-to-back at 50k, frac=0.01 saved only ~4%
+    wall (88.4 s vs 92.3 s — the log-scaled round bound is nearly tight
+    there) while perturbing the tail of a few nodes' neighbor lists
+    (every full-run edge survived, but the stopped run kept a few extra
+    pre-refinement edges).  Worth turning on when per-round cost
+    dominates (very large n with ρ-sampling); measured change counts at
+    sf0.1: [32581, 26209, 13267, 4163, 982, 219] of n·k=40000 over the
+    6 bounded rounds.
 
     Deterministic end to end given the input (md5 buckets, md5 edge
     sampling, fixed rounds, (d2, dst) tie-breaks), but the RESULT is
@@ -148,7 +162,19 @@ def knn_graph_nndescent(vecs: DataFrame, id_col: str = "id",
         # nothing extra at scale (und ⊆ non's key domain, id pairs only)
         # and lifted measured recall@5 at sf0.1 from 0.86 to >= 0.95.
         cand = non.union(und).union(nbrs.select("src", "dst")).distinct()
-        nbrs = _topk_edges(cand, v, k).localCheckpoint(eager=True)
+        new_nbrs = _topk_edges(cand, v, k).localCheckpoint(eager=True)
+        if early_stop_frac is not None:
+            changed = (
+                new_nbrs.select("src", "dst")
+                .join(nbrs.select("src", "dst"), ["src", "dst"],
+                      "left_anti")
+                .count()
+            )
+            nbrs = new_nbrs
+            if changed <= early_stop_frac * n * k:
+                break
+        else:
+            nbrs = new_nbrs
     return nbrs
 
 
