@@ -710,3 +710,18 @@ def test_substring_state_build_append_compact(spark, tmp_path):
     got2 = substring_dedup_incremental(spark, state, bdf, "text", "doc_id") \
         .collect()
     assert sorted(map(tuple, got2)) == sorted(map(tuple, got))
+
+
+def test_semantic_dedup_tiny_corpus_guard(spark):
+    """n ≈ n_cells must not silently skip dedup (a singleton cell never
+    compares anything): the cell count clamps so exact near-dups are
+    still caught on tiny inputs."""
+    from vector_db_at_home_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.001])],
+        "id long, vec array<double>")
+    m = {r.id: r.keep
+         for r in semantic_dedup(df, "id", "vec", n_cells=8,
+                                 threshold=0.99).collect()}
+    assert m == {1: True, 2: True, 3: False}

@@ -127,3 +127,89 @@ def test_events_gapfill_zero_fills(spark, tmp_path):
                 .filter(~((F.dayofmonth("ts") == 7)
                           & (F.col("event_type") == "click"))).count())
     assert total == expected
+
+
+def test_round7_operators_empty_and_degenerate_inputs(spark, tmp_path):
+    """Round-7 operators on empty/degenerate inputs: no crashes, sane
+    results."""
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train_merges,
+    )
+    from vector_db_at_home_spark.operators.invindex import phrase_search
+    from vector_db_at_home_spark.operators.ranking_eval import (
+        ranking_metrics,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+
+    # phrase search: empty corpus and no-match phrase -> 0 rows
+    assert phrase_search(empty_docs, "a b", "text", "doc_id").count() == 0
+    docs = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    assert phrase_search(docs, "not here", "text", "doc_id").count() == 0
+    # phrase longer than every document -> 0 rows
+    assert phrase_search(docs, "x y z w v", "text", "doc_id").count() == 0
+
+    # BPE: single-char words exhaust merges early; merge table truncates
+    # instead of crashing, apply still round-trips
+    tiny = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    m = bpe_train_merges(tiny, "text", n_merges=10).collect()
+    assert len(m) == 0          # no adjacent pairs inside 1-char words
+    toks = bpe_apply(tiny, "text", "doc_id", []).collect()
+    assert sorted(t for r in toks for t in r.tokens) == ["a", "a", "b", "b"]
+    # empty corpus trains nothing
+    assert bpe_train_merges(empty_docs, "text", 3).count() == 0
+
+    # ranking metrics: empty qrels -> empty output (no divide-by-zero);
+    # empty runs -> zero metrics for every qrel'd query
+    runs = spark.createDataFrame([(0, 1, 1)],
+                                 "query_id long, id long, rank long")
+    no_qrels = spark.createDataFrame([], "query_id long, id long")
+    assert ranking_metrics(runs, no_qrels, k=5).count() == 0
+    no_runs = spark.createDataFrame([], "query_id long, id long, rank long")
+    qrels = spark.createDataFrame([(0, 1)], "query_id long, id long")
+    r = ranking_metrics(no_runs, qrels, k=5).first()
+    assert (r.n_rel, r.mrr_e6, r.ndcg_e6) == (1, 0, 0)
+
+
+def test_round7_substring_state_empty_batch(spark, tmp_path):
+    """Incremental substring dedup with an EMPTY batch: zero rows out,
+    state untouched; an append of an empty frame is a no-op."""
+    from vector_db_at_home_spark.operators.dedup import (
+        substring_dedup_incremental,
+        substring_state_append,
+        substring_state_build,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string")
+    state = str(tmp_path / "ss_empty")
+    substring_state_build(docs, state, "text", "doc_id", window=8)
+    before = spark.read.parquet(f"{state}/spans").count()
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert substring_dedup_incremental(spark, state, empty,
+                                       "text", "doc_id").count() == 0
+    substring_state_append(spark, state, empty, "text", "doc_id")
+    assert spark.read.parquet(f"{state}/spans").count() == before
+
+
+def test_round7_graph_ann_more_k_than_nodes(spark):
+    """Beam search with k exceeding the node count returns everything
+    reachable, no crash."""
+    from vector_db_at_home_spark.operators.knngraph import (
+        graph_ann_search,
+        knn_graph_nndescent,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "id long, vec array<double>")
+    g = knn_graph_nndescent(df, "id", "vec", k=3)
+    qs = spark.createDataFrame([(99, [0.0, 1.0])],
+                               "query_id long, qvec array<double>")
+    res = graph_ann_search(df, g, qs, k=50).collect()
+    assert {r.id for r in res} == {0, 1, 2, 3, 4}

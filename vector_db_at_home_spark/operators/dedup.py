@@ -1798,10 +1798,18 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
 
     from .ann import ivf_build
 
-    ivf = ivf_build(df.select(F.col(id_col).alias("id"),
-                              F.col(vec_col).cast("array<double>")
-                              .alias("vec")),
-                    n_cells=n_cells, seed=seed)
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("vec"))
+    # guard the degenerate regime: with n_cells ≈ n every cell is a
+    # singleton and NO pair is ever compared — a tiny corpus silently
+    # dedupes nothing.  Keep expected cell size ≥ 8 (and ≥ 1 cell); at
+    # the registered scales the requested n_cells is unchanged.
+    n_rows = base.count()
+    eff_cells = max(1, min(n_cells, n_rows // 8))
+    if eff_cells < 2:  # KMeans needs k >= 2; one cell = plain full pass
+        assigned = base.withColumn("cell", F.lit(0))
+    else:
+        assigned = ivf_build(base, n_cells=eff_cells, seed=seed).assigned
 
     def prune(key, pdf):
         pdf = pdf.sort_values("id").reset_index(drop=True)
@@ -1827,7 +1835,7 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
             "keep": keep,
         })
 
-    return ivf.assigned.groupBy("cell").applyInPandas(
+    return assigned.groupBy("cell").applyInPandas(
         prune, schema="id long, cell int, keep boolean"
     )
 
