@@ -142,6 +142,21 @@ def render_bpe_train_sql(n_merges: int = 8) -> str:
     """DuckDB oracle: the training loop unrolled as MATERIALIZED CTEs
     (the PageRank recipe) — same representation, same replace, same
     tie-break."""
+    union = " UNION ALL ".join(
+        f"SELECT round, a, b, cnt FROM m{r}" for r in range(n_merges)
+    )
+    return (
+        "WITH " + ",".join(_train_cte_parts(n_merges))
+        + f"""
+SELECT round, a AS left_sym, b AS right_sym, cnt AS pair_count
+FROM ({union}) ORDER BY round
+"""
+    )
+
+
+def _train_cte_parts(n_merges: int) -> list[str]:
+    """The training chain as CTE strings (w0..w{n-1}, p*, m*) — shared by
+    the train and tokenize oracles."""
     sep = "chr(31)"
     parts = [f"""
 w0 AS MATERIALIZED (
@@ -179,13 +194,51 @@ w{r + 1} AS MATERIALIZED (
          w{r}.freq
   FROM w{r}, m{r}
 )""")
-    union = " UNION ALL ".join(
-        f"SELECT round, a, b, cnt FROM m{r}" for r in range(n_merges)
-    )
+    return parts
+
+
+def render_bpe_tokenize_sql(n_merges: int = 8, doc_limit: int = 50) -> str:
+    """DuckDB oracle for the train→apply round trip: re-run the training
+    chain, apply the FINAL merge to get every word type's fully-merged
+    representation, strip separators to recover the raw word, and join
+    each doc's word stream against that map — per-doc word and token
+    counts value-hash, and the separator-strip IS the detokenize
+    round-trip proof (a rep that didn't reassemble to its word would
+    break the join and the counts)."""
+    sep = "chr(31)"
+    r = n_merges - 1
+    parts = _train_cte_parts(n_merges)
+    parts.append(f"""
+wfinal AS MATERIALIZED (
+  SELECT replace(w{r}.rep,
+                 {sep} || m{r}.a || {sep} || {sep} || m{r}.b || {sep},
+                 {sep} || m{r}.a || m{r}.b || {sep}) AS rep,
+         w{r}.freq
+  FROM w{r}, m{r}
+)""")
+    parts.append(f"""
+wmap AS (
+  SELECT replace(rep, {sep}, '') AS w,
+         CAST(len(string_split(substr(rep, 2, length(rep) - 2),
+                               {sep} || {sep})) AS BIGINT)
+           AS n_word_tokens
+  FROM wfinal
+)""")
+    parts.append(f"""
+docw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents WHERE doc_id < {doc_limit}
+  ) WHERE w <> ''
+)""")
     return (
         "WITH " + ",".join(parts)
-        + f"""
-SELECT round, a AS left_sym, b AS right_sym, cnt AS pair_count
-FROM ({union}) ORDER BY round
+        + """
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(m.n_word_tokens) AS BIGINT) AS n_tokens,
+       CAST(1 AS BOOLEAN) AS detok_roundtrip
+FROM docw d JOIN wmap m ON m.w = d.w
+GROUP BY d.doc_id ORDER BY d.doc_id
 """
     )
