@@ -4379,6 +4379,44 @@ def _register_bpe_train() -> None:
     _QUERIES["bpe_train_merges"] = q_bpe
     _ORACLES["bpe_train_merges"] = render_bpe_train_sql(n_merges=8)
 
+    from .operators.bpe import bpe_apply, render_bpe_tokenize_sql
+
+    def q_bpe_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Train→apply→detokenize round trip on the scored record
+        (operators/bpe.py:bpe_apply): merges trained on the FULL corpus
+        tokenize the first 50 docs; per-doc word and token counts
+        value-hash against the oracle's reconstruction of the same
+        trained segmentation, and the in-plan boolean asserts every
+        word's tokens concatenate back to the word (the detokenize
+        contract)."""
+        docs = load_table(spark, sf_dir, "documents")
+        merges = [(r.left_sym, r.right_sym)
+                  for r in bpe_train_merges(docs, "text", n_merges=8)
+                  .orderBy("round").collect()]
+        head = docs.filter(F.col("doc_id") < 50)
+        toks = bpe_apply(head, "text", "doc_id", merges)
+        words = head.select(
+            F.col("doc_id").alias("id"),
+            F.posexplode(F.split(F.lower(F.col("text")), " "))
+            .alias("word_pos", "w"),
+        ).filter(F.col("w") != "")
+        j = toks.join(words, ["id", "word_pos"])
+        return (
+            j.groupBy(F.col("id").alias("doc_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum(F.size("tokens")).cast("long").alias("n_tokens"),
+                (F.sum(F.when(F.concat_ws("", F.col("tokens"))
+                              == F.col("w"), 0).otherwise(1)) == 0)
+                .alias("detok_roundtrip"),
+            )
+            .orderBy("doc_id")
+        )
+
+    _QUERIES["bpe_tokenize_roundtrip"] = q_bpe_tok
+    _ORACLES["bpe_tokenize_roundtrip"] = render_bpe_tokenize_sql(
+        n_merges=8, doc_limit=50)
+
 
 _register_bpe_train()
 
@@ -4535,6 +4573,7 @@ _TAIL_ORDER = [
     # record sources (the last operator family without oracle queries)
     "jsonl_corpus_stats", "csv_corpus_stats",
     "substring_dedup_incremental", "knn_graph_append_recall",
+    "bpe_tokenize_roundtrip",
     "retrieval_eval_metrics", "phrase_search_hits",
     "embedding_pca_check", "streaming_vector_neardup_equiv",
     # relational shapes demoted in round 4 — each re-walks machinery green
