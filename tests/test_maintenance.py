@@ -239,3 +239,35 @@ def test_delete_propagation_ivf_pq(spark, tmp_path, family):
     compact(spark, path, target_partitions=4)
     assert spark.read.parquet(f"{path}/{table}").count() == 37
     assert not os.path.exists(f"{path}/tombstones")
+
+
+def test_snapshot_diff_store_time_travel(spark, tmp_path):
+    """snapshot_diff over two VectorStore versions via df_at_version:
+    inserts show as added, deletes as removed, docs compare by digest."""
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.operators.maintenance import snapshot_diff
+    from vector_db_at_home_spark.store import VectorStore
+
+    store = VectorStore(spark, tmp_path / "tt_store", dim=2)
+    store.insert([[1.0, 0.0], [0.0, 1.0]], [{"a": 1}, {"a": 2}])
+    v1 = store.versions()[-1]
+    store.delete([0])
+    store.insert([[0.5, 0.5]], [{"a": 3}])
+    v2 = store.versions()[-1]
+
+    d = {r.id: r.status
+         for r in snapshot_diff(store.df_at_version(v1),
+                                store.df_at_version(v2),
+                                "id", ["doc"]).collect()}
+    assert d == {0: "removed", 1: "unchanged", 2: "added"}
+
+    # null-safe digest: a null doc and an empty doc must not alias as
+    # unchanged across columns (separator + coalesce discipline)
+    old = spark.createDataFrame([(1, None, "x")], "id long, a string, b string")
+    new = spark.createDataFrame([(1, "", "x")], "id long, a string, b string")
+    r = snapshot_diff(old, new, "id", ["a", "b"]).first()
+    assert r.status == "unchanged"  # coalesce('') — documented equivalence
+    new2 = spark.createDataFrame([(1, "x", "")], "id long, a string, b string")
+    r2 = snapshot_diff(old, new2, "id", ["a", "b"]).first()
+    assert r2.status == "changed"

@@ -134,3 +134,37 @@ def pq_compact_saved(spark, path: str,
                         minus_ids_dir=tomb if has_tomb else None)
     if has_tomb:
         fs_rmtree(spark, tomb)
+
+
+def snapshot_diff(old, new, id_col: str, content_cols: list[str]):
+    """Row-level diff between two table snapshots — the dataset-versioning
+    primitive (what changed between yesterday's corpus and today's):
+    ``(id, status)`` with status ∈ {added, removed, changed, unchanged},
+    where "changed" compares an md5 digest of the ``content_cols``
+    (separator ``\\x1f`` so column boundaries can't alias).
+
+    One full-outer join on the id — both sides shuffle (id, 32-char
+    digest) rows only, content never moves.  Pairs with
+    ``store.df_at_version`` for time-travel diffs of the vector store,
+    and with any two parquet snapshots of a corpus table."""
+    from pyspark.sql import functions as F
+
+    def dig(df):
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.md5(F.concat_ws("\x1f", *[
+                F.coalesce(F.col(c).cast("string"), F.lit(""))
+                for c in content_cols
+            ])).alias("dg"),
+        )
+
+    o = dig(old).withColumnRenamed("dg", "dg_old")
+    n = dig(new).withColumnRenamed("dg", "dg_new")
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("dg_old").isNull(), F.lit("added"))
+        .when(F.col("dg_new").isNull(), F.lit("removed"))
+        .when(F.col("dg_old") != F.col("dg_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("id", status.alias("status"))

@@ -4236,6 +4236,57 @@ def q_embedding_pca_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_snapshot_diff",
+    # dataset versioning: two simulated corpus snapshots (deterministic
+    # doc_id slices; the "new" snapshot edits every 11th doc's text), row
+    # status by full-outer digest join — added/removed/changed/unchanged
+    # per doc, summarized to hash-stable counts + id sums.
+    """
+WITH old AS (
+  SELECT doc_id AS id, md5(text || chr(31) || lang) AS dg
+  FROM documents WHERE doc_id % 7 <> 0
+), new AS (
+  SELECT doc_id AS id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END
+             || chr(31) || lang) AS dg
+  FROM documents WHERE doc_id % 5 <> 0
+), j AS (
+  SELECT coalesce(o.id, n.id) AS id,
+         CASE WHEN o.id IS NULL THEN 'added'
+              WHEN n.id IS NULL THEN 'removed'
+              WHEN o.dg <> n.dg THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON n.id = o.id
+)
+SELECT status, count(*) AS n_docs, CAST(sum(id) AS BIGINT) AS sum_id
+FROM j GROUP BY status ORDER BY status
+""",
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff (operators/maintenance.py:snapshot_diff):
+    added/removed/changed/unchanged between two corpus snapshots by
+    digest full-outer join — content never shuffles, only (id, digest).
+    Pairs with store.df_at_version for vector-store time travel."""
+    from .operators.maintenance import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    d = snapshot_diff(old, new, "doc_id", ["text", "lang"])
+    return (
+        d.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("id").alias("sum_id"))
+        .orderBy("status")
+    )
+
+
 def _register_split_leakage() -> None:
     from .operators.dedup import render_minhash_incremental_sql
 
@@ -4574,6 +4625,7 @@ _TAIL_ORDER = [
     "jsonl_corpus_stats", "csv_corpus_stats",
     "substring_dedup_incremental", "knn_graph_append_recall",
     "bpe_tokenize_roundtrip",
+    "corpus_snapshot_diff",
     "retrieval_eval_metrics", "phrase_search_hits",
     "embedding_pca_check", "streaming_vector_neardup_equiv",
     # relational shapes demoted in round 4 — each re-walks machinery green
