@@ -229,3 +229,32 @@ def test_knngraph_save_load_append_delete_compact(spark, tmp_path):
     assert sorted((r.src, r.dst) for r in idx4.edges.collect()) == before
     # idempotent second sync
     assert knngraph_sync_deletes(spark, FakeStore(live), path) == 0
+
+
+def test_knngraph_append_replay_idempotent(spark, tmp_path):
+    """An at-least-once replay of an already-admitted batch is a no-op:
+    no duplicate edges/vectors, no self-edges crowding the fold."""
+    from vector_db_at_home_spark.operators.knngraph import (
+        knn_graph_nndescent,
+        knngraph_append,
+        knngraph_load,
+        knngraph_save,
+    )
+
+    rows = _clustered(n_clusters=3, per=12)
+    base = [r for r in rows if r[0] % 3 != 2]
+    batch = [r for r in rows if r[0] % 3 == 2]
+    df = spark.createDataFrame(base, "id long, vec array<double>")
+    bdf = spark.createDataFrame(batch, "id long, vec array<double>")
+    path = str(tmp_path / "gidx_replay")
+    knngraph_save(knn_graph_nndescent(df, "id", "vec", k=4), df, path, k=4)
+
+    knngraph_append(spark, path, bdf, "id", "vec")
+    snap1 = sorted(map(tuple, knngraph_load(spark, path).edges.collect()))
+    nvec1 = spark.read.parquet(f"{path}/vectors").count()
+    # replay the SAME batch
+    knngraph_append(spark, path, bdf, "id", "vec")
+    idx = knngraph_load(spark, path)
+    assert sorted(map(tuple, idx.edges.collect())) == snap1
+    assert spark.read.parquet(f"{path}/vectors").count() == nvec1
+    assert idx.edges.filter("src = dst").count() == 0

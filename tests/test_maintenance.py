@@ -262,12 +262,19 @@ def test_snapshot_diff_store_time_travel(spark, tmp_path):
                                 "id", ["doc"]).collect()}
     assert d == {0: "removed", 1: "unchanged", 2: "added"}
 
-    # null-safe digest: a null doc and an empty doc must not alias as
-    # unchanged across columns (separator + coalesce discipline)
+    # null-safe digest: NULL vs '' is a real change (JSON distinguishes
+    # them), and a column value containing the old separator byte can't
+    # alias a column boundary
     old = spark.createDataFrame([(1, None, "x")], "id long, a string, b string")
     new = spark.createDataFrame([(1, "", "x")], "id long, a string, b string")
-    r = snapshot_diff(old, new, "id", ["a", "b"]).first()
-    assert r.status == "unchanged"  # coalesce('') — documented equivalence
-    new2 = spark.createDataFrame([(1, "x", "")], "id long, a string, b string")
-    r2 = snapshot_diff(old, new2, "id", ["a", "b"]).first()
-    assert r2.status == "changed"
+    assert snapshot_diff(old, new, "id", ["a", "b"]).first() \
+        .status == "changed"
+    same = spark.createDataFrame([(1, None, "x")], "id long, a string, b string")
+    assert snapshot_diff(old, same, "id", ["a", "b"]).first() \
+        .status == "unchanged"
+    oldsep = spark.createDataFrame([(1, "a\x1fb", "")],
+                                   "id long, a string, b string")
+    newsep = spark.createDataFrame([(1, "a", "b")],
+                                   "id long, a string, b string")
+    assert snapshot_diff(oldsep, newsep, "id", ["a", "b"]).first() \
+        .status == "changed"

@@ -14,6 +14,14 @@ Usage: python tools/audit_plans.py [sf_dir]   (default sf0.001 — plan
 shapes are scale-independent; building some queries runs real work, so
 the smallest scale keeps the sweep fast).  Committed as
 AUDIT_PLANS.json.
+
+KNOWN BLIND SPOT (recorded in the JSON as ``caveat``): the audit sees
+only the FINAL DataFrame's plan.  Iterative operators that
+localCheckpoint per round (NN-descent, beam search, PageRank, BPE's
+per-round aggregations) present a checkpoint/LocalTableScan at the top,
+hiding their inner per-round plans — those are covered separately by
+the targeted assertions in tests/test_plans.py and the shuffle ledgers
+in PLANS.md, not by this sweep.
 """
 
 from __future__ import annotations
@@ -109,6 +117,9 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "plan_audit",
+        "caveat": ("final-plan sweep only: per-round inner plans of "
+                   "iterative operators (localCheckpoint per round) are "
+                   "covered by tests/test_plans.py + PLANS.md, not here"),
         "n_queries": len(registry.queries()),
         "n_clean_or_allowlisted": n_ok,
         "offenders": offenders,

@@ -186,13 +186,18 @@ m{r} AS MATERIALIZED (
   ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
 )""")
         if r + 1 < n_merges:
+            # LEFT JOIN ON TRUE, not a cross join: when a degenerate
+            # corpus exhausts merge pairs early, m{r} is EMPTY and a
+            # cross join would silently empty every later word table
+            # (the Spark leg breaks out of the loop and keeps its words)
             parts.append(f"""
 w{r + 1} AS MATERIALIZED (
-  SELECT replace(w{r}.rep,
-                 {sep} || m{r}.a || {sep} || {sep} || m{r}.b || {sep},
-                 {sep} || m{r}.a || m{r}.b || {sep}) AS rep,
+  SELECT CASE WHEN m{r}.a IS NULL THEN w{r}.rep
+              ELSE replace(w{r}.rep,
+                           {sep} || m{r}.a || {sep} || {sep} || m{r}.b || {sep},
+                           {sep} || m{r}.a || m{r}.b || {sep}) END AS rep,
          w{r}.freq
-  FROM w{r}, m{r}
+  FROM w{r} LEFT JOIN m{r} ON TRUE
 )""")
     return parts
 
@@ -210,11 +215,12 @@ def render_bpe_tokenize_sql(n_merges: int = 8, doc_limit: int = 50) -> str:
     parts = _train_cte_parts(n_merges)
     parts.append(f"""
 wfinal AS MATERIALIZED (
-  SELECT replace(w{r}.rep,
-                 {sep} || m{r}.a || {sep} || {sep} || m{r}.b || {sep},
-                 {sep} || m{r}.a || m{r}.b || {sep}) AS rep,
+  SELECT CASE WHEN m{r}.a IS NULL THEN w{r}.rep
+              ELSE replace(w{r}.rep,
+                           {sep} || m{r}.a || {sep} || {sep} || m{r}.b || {sep},
+                           {sep} || m{r}.a || m{r}.b || {sep}) END AS rep,
          w{r}.freq
-  FROM w{r}, m{r}
+  FROM w{r} LEFT JOIN m{r} ON TRUE
 )""")
     parts.append(f"""
 wmap AS (

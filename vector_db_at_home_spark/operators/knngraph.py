@@ -118,17 +118,7 @@ def knn_graph_nndescent(vecs: DataFrame, id_col: str = "id",
 
         rounds = max(4, math.ceil(math.log2(max(n_buckets, 2))))
 
-    def bucket_pairs(salt: str) -> DataFrame:
-        bk = (_md5_h60(F.concat(F.lit(salt), F.col("id").cast("string")))
-              % n_buckets).alias("bk")
-        b = v.select("id", bk)
-        return (
-            b.alias("a").join(b.alias("b"), "bk")
-            .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-        )
-
-    init = bucket_pairs("i0:").union(bucket_pairs("i1:")).distinct()
+    init = bucket_pairs_init(v, bsz, n=n)
     nbrs = _topk_edges(init, v, k).localCheckpoint(eager=True)
     # Explored alternative (round 7, rejected): the paper's new/old
     # local-join optimization — only edges that CHANGED since the last
@@ -221,9 +211,17 @@ def navigation_edges(ids: DataFrame, id_col: str = "id",
     if n <= 1:
         return h.select(F.col("id").alias("src"),
                         F.col("id").alias("dst")).limit(0)
+    # MATERIALIZE the range exchange once: __pid comes from
+    # spark_partition_id over sampled range boundaries, and the frame is
+    # consumed by TWO branches (offset table + rank) — if the exchange
+    # re-executed per branch (exchange reuse off, AQE re-planning), rows
+    # near a boundary could land in different partitions per branch and
+    # the offsets would no longer match the within-partition ranks.  The
+    # checkpoint pins one physical partitioning for every consumer.
     hp = (
         h.repartitionByRange(n_rank_partitions, "__h", "id")
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = hp.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     # cumulative offsets: a window over ONE ROW PER PARTITION (≤ a few
@@ -421,7 +419,10 @@ def knngraph_load(spark, path: str) -> GraphIndex:
     recover_compact_crash(spark, f"{path}/vectors")
     meta = json.loads(spark.read.json(f"{path}/meta.json").first().meta)
     k = int(meta["k"])
-    edges = spark.read.parquet(f"{path}/edges")
+    # defensive src!=dst: a self-edge in a hand-edited or legacy store
+    # must never occupy a top-k slot
+    edges = spark.read.parquet(f"{path}/edges") \
+        .filter(F.col("src") != F.col("dst"))
     vectors = spark.read.parquet(f"{path}/vectors")
     tomb = f"{path}/tombstones"
     if fs_exists(spark, tomb):
@@ -459,12 +460,29 @@ def knngraph_append(spark, path: str, new_vecs: DataFrame,
     Everything appends; nothing rewrites.  Recall after many appends
     degrades gracefully (beam edges are approximate); compaction or a
     rebuild on the usual cadence restores the NN-descent-refined graph.
-    The corpus is never rescanned: cost ∝ batch × beam work."""
+
+    Idempotent: ids already indexed are anti-joined out first (the
+    ``ivf_sync_with_store`` rule), so an at-least-once replay or a crash
+    between the edge and vector appends re-admits nothing — without the
+    guard, a replayed batch would find ITSELF in the index at distance 0
+    and append permanent self-edges that the read-time fold would serve
+    as rank-1 neighbors.
+
+    Cost, honestly: the batch side is O(batch × beam work), and corpus
+    TEXT/vectors are joined only where the beam touches them — but the
+    per-call fixed cost scans the fixed-width edge/id tables once (the
+    load's top-k fold, the hops-default count, and a fresh
+    ``navigation_edges`` rank).  For high-frequency small batches,
+    persist the finger edges at save time and pass the graph with
+    ``navigable=False`` pre-unioned; compaction cadence bounds the fold."""
     idx = knngraph_load(spark, path)
     nv = new_vecs.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).localCheckpoint(eager=True)
+    ).join(idx.vectors.select("id"), "id", "left_anti") \
+        .localCheckpoint(eager=True)
+    if nv.isEmpty():
+        return
     qs = nv.select(F.col("id").alias("query_id"),
                    F.col("vec").alias("qvec"))
     beam = graph_ann_search(idx.vectors, idx.edges, qs, k=idx.k,
@@ -489,10 +507,14 @@ def knngraph_append(spark, path: str, new_vecs: DataFrame,
     nv.write.mode("append").parquet(f"{path}/vectors")
 
 
-def bucket_pairs_init(v: DataFrame, bucket_size: int) -> DataFrame:
-    """Two-family md5 bucket candidate pairs over ``(id, vec)`` — the
-    NN-descent init, exposed for batch-local neighbor seeding."""
-    n = v.count()
+def bucket_pairs_init(v: DataFrame, bucket_size: int,
+                      n: int | None = None) -> DataFrame:
+    """Two-family md5 bucket candidate pairs over ``(id, vec)`` — THE
+    NN-descent init (the builder and the append path's batch seeding
+    share this single implementation, so salts and bucket sizing can
+    never diverge).  ``n`` skips the count when the caller has it."""
+    if n is None:
+        n = v.count()
     n_buckets = max(n // bucket_size, 1)
 
     def fam(salt: str) -> DataFrame:
@@ -532,12 +554,12 @@ def knngraph_compact_saved(spark, path: str,
     between the swap and the tombstone clear re-applies an already-
     folded filter, a no-op)."""
     from ..functions.fsutil import fs_exists, fs_rename, fs_rmtree
-    from .maintenance import recover_compact_crash
 
-    idx = knngraph_load(spark, path)  # runs recovery + folds + filters
+    # knngraph_load already ran recover_compact_crash on both tables —
+    # the load IS the recovery point for this function
+    idx = knngraph_load(spark, path)
     for name, df in (("edges", idx.edges), ("vectors", idx.vectors)):
         table_dir = f"{path}/{name}"
-        recover_compact_crash(spark, table_dir)
         stage = f"{path}/_compact_{name}"
         df.repartition(target_partitions).write.mode("overwrite") \
             .parquet(stage)

@@ -140,8 +140,11 @@ def snapshot_diff(old, new, id_col: str, content_cols: list[str]):
     """Row-level diff between two table snapshots — the dataset-versioning
     primitive (what changed between yesterday's corpus and today's):
     ``(id, status)`` with status ∈ {added, removed, changed, unchanged},
-    where "changed" compares an md5 digest of the ``content_cols``
-    (separator ``\\x1f`` so column boundaries can't alias).
+    where "changed" compares an md5 digest of ``to_json(struct(cols))``
+    — JSON distinguishes NULL from empty string and escapes every
+    delimiter, so neither nulls nor column contents can alias a
+    boundary (a plain separator-concat digest reported NULL↔'' edits
+    as "unchanged").
 
     One full-outer join on the id — both sides shuffle (id, 32-char
     digest) rows only, content never moves.  Pairs with
@@ -152,10 +155,8 @@ def snapshot_diff(old, new, id_col: str, content_cols: list[str]):
     def dig(df):
         return df.select(
             F.col(id_col).alias("id"),
-            F.md5(F.concat_ws("\x1f", *[
-                F.coalesce(F.col(c).cast("string"), F.lit(""))
-                for c in content_cols
-            ])).alias("dg"),
+            F.md5(F.to_json(F.struct(*[F.col(c) for c in content_cols])))
+            .alias("dg"),
         )
 
     o = dig(old).withColumnRenamed("dg", "dg_old")

@@ -1897,6 +1897,17 @@ def _record_fixture(sf_dir: str, fmt: str) -> str:
         zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist(),
             tbl["lang"].to_pylist())
     )
+    # loud guard for the CSV leg's known wire limits: Spark's CSV reader
+    # (defaults) turns empty fields into NULL and splits embedded
+    # newlines mid-record (multiLine off) — if the corpus ever gains
+    # such values the gate must FAIL HERE, not silently hash-mismatch
+    for _rid, text, lang in rows:
+        if not text or not lang or "\n" in text or "\r" in text:
+            raise ValueError(
+                "record fixture source contains empty/newline field "
+                "values the CSV wire format cannot round-trip under "
+                "Spark's default reader options"
+            )
     tmp = tempfile.mkdtemp(dir=tempfile.gettempdir())
     for part in range(4):
         sub = [r for r in rows if r[0] % 4 == part]

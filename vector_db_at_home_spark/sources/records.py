@@ -93,15 +93,25 @@ def load_csv_corpus(spark: SparkSession, path: str, schema: str | None,
                     text_field: str = "text",
                     id_field: str | None = None,
                     header: bool = True, sep: str = ",",
-                    infer: bool = False) -> DataFrame:
+                    infer: bool = False,
+                    options: dict | None = None) -> DataFrame:
     """CSV analog of :func:`load_jsonl_corpus` — same schema-first rule,
-    same id convention, same output shape."""
+    same id convention, same output shape.
+
+    CSV wire caveats (Spark reader defaults): an empty field reads back
+    as NULL, and embedded newlines split records unless the source sets
+    ``multiLine`` — pass ``options={"multiLine": "true"}`` (slower: no
+    intra-file split) or ``{"nullValue": ...}`` through ``options`` when
+    the feed needs them.  JSONL has neither limitation; prefer it for
+    free-text corpora."""
     if schema is None and not infer:
         raise ValueError(
             "load_csv_corpus requires a DDL schema (or infer=True, "
             "which costs a full extra pass over the data)"
         )
     reader = spark.read.options(header=str(header).lower(), sep=sep)
+    if options:
+        reader = reader.options(**options)
     if schema is not None:
         reader = reader.schema(schema)
     else:
