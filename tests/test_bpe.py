@@ -80,3 +80,42 @@ def test_bpe_train_deterministic(spark):
     a = [tuple(r) for r in bpe_train_merges(docs, "text", 5).collect()]
     b = [tuple(r) for r in bpe_train_merges(docs, "text", 5).collect()]
     assert a == b and len(a) == 5
+
+
+def test_bpe_hybrid_local_equals_distributed(spark):
+    """r8: the driver-side finisher must be BYTE-identical to the
+    distributed rounds — same pair counts, same greedy apply, same
+    (cnt DESC, a ASC, b ASC) tie-break — on a corpus exercising
+    overlaps ('aaa'), ties, and multi-round interactions."""
+    from vector_db_at_home_spark.operators.bpe import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa abab low lower lowest"),
+            (2, "low low low newer newest"),
+            (3, "wider wide widest abab aaa"),
+            (4, "zz zz yy zzyy aaa b"),
+        ],
+        "id long, text string",
+    )
+    local = [tuple(r) for r in
+             bpe_train_merges(docs, "text", n_merges=12).collect()]
+    dist = [tuple(r) for r in
+            bpe_train_merges(docs, "text", n_merges=12,
+                             local_vocab_ceiling=0).collect()]
+    assert local == dist
+    assert len(local) == 12
+
+
+def test_bpe_hybrid_equivalence_on_testdata(spark):
+    """Same equivalence on the real documents table (the registered
+    query's input) — first 8 merges, both paths."""
+    from vector_db_at_home_spark.operators.bpe import bpe_train_merges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    local = [tuple(r) for r in
+             bpe_train_merges(docs, "text", n_merges=8).collect()]
+    dist = [tuple(r) for r in
+            bpe_train_merges(docs, "text", n_merges=8,
+                             local_vocab_ceiling=0).collect()]
+    assert local == dist and len(local) == 8

@@ -725,3 +725,51 @@ def test_semantic_dedup_tiny_corpus_guard(spark):
          for r in semantic_dedup(df, "id", "vec", n_cells=8,
                                  threshold=0.99).collect()}
     assert m == {1: True, 2: True, 3: False}
+
+
+def test_semantic_dedup_skew_guard_routes_oversized_cells(spark):
+    """r8 skew guard: a deliberately 90%-one-cell distribution must flow
+    through the blocked distributed path without one giant Arrow group,
+    with keep/drop IDENTICAL to the unguarded in-cell GEMM."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.dedup import semantic_dedup
+
+    # one dense blob (180 rows around a single direction — one k-means
+    # cell) + a small far cluster (20 rows): near-dup pairs inside the
+    # blob at deterministic offsets
+    rows = []
+    for i in range(180):
+        v = np.zeros(16)
+        v[0] = 100.0
+        v[1 + (i % 5)] = ((i * 2654435761) % 97) / 10.0  # spread
+        rows.append((i, [float(x) for x in v]))
+    for i in range(20):  # exact dup pairs: 1000+i duplicates i
+        rows.append((1000 + i, list(rows[i][1])))
+    for i in range(20):
+        v = np.zeros(16)
+        v[8] = -50.0
+        v[9] = float(i)
+        rows.append((2000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+
+    guarded = {r.id: r.keep for r in
+               semantic_dedup(df, "id", "vec", n_cells=2, threshold=0.999,
+                              max_cell_rows=40).collect()}
+    plain = {r.id: r.keep for r in
+             semantic_dedup(df, "id", "vec", n_cells=2, threshold=0.999,
+                            max_cell_rows=10**9).collect()}
+    # the core contract: the routed path is semantics-IDENTICAL to the
+    # in-cell GEMM (the blob rows are mutually near-dup at 0.999 by
+    # construction — they share a dominant axis — so most of them drop
+    # in BOTH paths; what matters is that they drop identically)
+    assert guarded == plain
+    assert len(guarded) == len(rows)
+    for i in range(20):
+        assert guarded[1000 + i] is False   # exact dup dropped
+    assert guarded[0] is True               # smallest id always survives
+    # determinism of the guarded path
+    g2 = {r.id: r.keep for r in
+          semantic_dedup(df, "id", "vec", n_cells=2, threshold=0.999,
+                         max_cell_rows=40).collect()}
+    assert g2 == guarded

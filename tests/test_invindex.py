@@ -41,3 +41,132 @@ def test_phrase_search_hand_counts(spark):
 
     with pytest.raises(ValueError):
         phrase_search(docs, "   ", "text", "doc_id")
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat mat"),
+            (2, "the cat the cat the cat"),
+            (3, "cat the"),
+            (4, "THE CAT"),
+            (5, "completely unrelated text"),
+            (6, "the cat returns"),
+            (7, "a dog and the cat"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_invindex_save_load_append_delete_compact(spark, tmp_path):
+    """r8: the inverted index's full persistence contract (parity with
+    ivf/pq/sq/knngraph): save/load round trip, O(batch) append,
+    replay-idempotent append, tombstoned deletes vanish at load,
+    compact removes them physically and dedups crash-window rows."""
+    from vector_db_at_home_spark.operators.invindex import (
+        invindex_append,
+        invindex_compact_saved,
+        invindex_load,
+        invindex_save,
+        invindex_sync_deletes,
+        phrase_search,
+        phrase_search_indexed,
+    )
+
+    docs = _corpus(spark)
+    base = docs.filter("doc_id <= 4")
+    batch = docs.filter("doc_id > 4")
+    path = str(tmp_path / "inv")
+    invindex_save(base, "text", "doc_id", path, n_buckets=8)
+
+    idx = invindex_load(spark, path)
+    assert idx.n_buckets == 8
+    got = {r.id: r.n_matches
+           for r in phrase_search_indexed(idx, "the cat").collect()}
+    assert got == {1: 2, 2: 3, 4: 1}
+
+    # append, then the indexed search equals the corpus-scan search
+    assert invindex_append(spark, path, batch, "text", "doc_id") == 3
+    idx2 = invindex_load(spark, path)
+    expect = {r.id: r.n_matches
+              for r in phrase_search(docs, "the cat", "text", "doc_id")
+              .collect()}
+    got2 = {r.id: r.n_matches
+            for r in phrase_search_indexed(idx2, "the cat").collect()}
+    assert got2 == expect == {1: 2, 2: 3, 4: 1, 6: 1, 7: 1}
+
+    # replay of an admitted batch is a no-op
+    assert invindex_append(spark, path, batch, "text", "doc_id") == 0
+    assert {r.id: r.n_matches
+            for r in phrase_search_indexed(
+                invindex_load(spark, path), "the cat").collect()} == expect
+
+    # crash-torn append window: duplicate posting rows present, docids
+    # missing → the term-stream distinct keeps counts exact
+    full = spark.read.parquet(f"{path}/postings")  # includes bucket col
+    full.filter("id = 6").repartition(1).write.partitionBy("bucket") \
+        .mode("append").parquet(f"{path}/postings")
+    got_dup = {r.id: r.n_matches
+               for r in phrase_search_indexed(
+                   invindex_load(spark, path), "the cat").collect()}
+    assert got_dup == expect
+
+    # delete propagation
+    class FakeStore:
+        def __init__(self, df_):
+            self._df = df_
+
+        def df(self):
+            return self._df
+
+    live = docs.filter("doc_id <> 2").select("doc_id")
+    assert invindex_sync_deletes(spark, FakeStore(
+        live.withColumnRenamed("doc_id", "id")), path) == 1
+    idx3 = invindex_load(spark, path)
+    got3 = {r.id: r.n_matches
+            for r in phrase_search_indexed(idx3, "the cat").collect()}
+    assert got3 == {1: 2, 4: 1, 6: 1, 7: 1}
+
+    # compact: physical removal, duplicate fold, tombstones cleared,
+    # identical reads
+    invindex_compact_saved(spark, path)
+    import os
+
+    assert not os.path.exists(f"{path}/tombstones")
+    raw = spark.read.parquet(f"{path}/postings")
+    assert raw.filter("id = 2").count() == 0
+    assert raw.groupBy("term", "id", "pos").count() \
+        .filter("count > 1").count() == 0
+    got4 = {r.id: r.n_matches
+            for r in phrase_search_indexed(
+                invindex_load(spark, path), "the cat").collect()}
+    assert got4 == got3
+    # idempotent second sync
+    assert invindex_sync_deletes(spark, FakeStore(
+        live.withColumnRenamed("doc_id", "id")), path) == 0
+
+
+def test_phrase_search_indexed_prunes_partitions(spark, tmp_path):
+    """r8 plan pin: every postings scan in the indexed search carries a
+    literal ``bucket = N`` PartitionFilter — the constant-folded
+    ``pmod(xxhash64(term), B)`` — so a k-term phrase reads k buckets,
+    never the whole store."""
+    from vector_db_at_home_spark.operators.invindex import (
+        invindex_load,
+        invindex_save,
+        phrase_search_indexed,
+    )
+
+    docs = _corpus(spark)
+    path = str(tmp_path / "inv_prune")
+    invindex_save(docs, "text", "doc_id", path, n_buckets=8)
+    idx = invindex_load(spark, path)
+    q = phrase_search_indexed(idx, "the cat")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    scans = [l for l in plan.split("\n") if "PartitionFilters" in l]
+    assert len(scans) == 2  # one pruned scan per phrase term
+    for line in scans:
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", line)
+        assert m and re.search(r"bucket#\d+ = \d+", m.group(1)), line

@@ -258,3 +258,156 @@ def test_knngraph_append_replay_idempotent(spark, tmp_path):
     assert sorted(map(tuple, idx.edges.collect())) == snap1
     assert spark.read.parquet(f"{path}/vectors").count() == nvec1
     assert idx.edges.filter("src = dst").count() == 0
+
+def test_fingers_persisted_and_bit_identical(spark, tmp_path):
+    """r8: save lands {path}/fingers == navigation_edges(ids); searching
+    THROUGH the loaded ring is bit-identical to the on-the-fly navigable
+    path (the fingers are a pure function of the id set)."""
+    from vector_db_at_home_spark.operators.knngraph import (
+        graph_ann_search,
+        knn_graph_nndescent,
+        knngraph_load,
+        knngraph_save,
+        navigation_edges,
+    )
+
+    rows = _clustered(n_clusters=4, per=12)
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    g = knn_graph_nndescent(df, "id", "vec", k=5)
+    path = str(tmp_path / "gidx_f")
+    knngraph_save(g, df, path, k=5)
+    idx = knngraph_load(spark, path)
+    assert idx.fingers is not None
+    expect = {(r.src, r.dst)
+              for r in navigation_edges(df.select("id")).collect()}
+    assert {(r.src, r.dst) for r in idx.fingers.collect()} == expect
+
+    qs = df.filter(F.col("id").isin([0, 25])).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+    r_f = graph_ann_search(idx.vectors, idx.edges, qs, k=4,
+                           fingers=idx.fingers).collect()
+    r_o = graph_ann_search(idx.vectors, idx.edges, qs, k=4).collect()
+    assert sorted((r.query_id, r.id, r.distance) for r in r_f) == \
+        sorted((r.query_id, r.id, r.distance) for r in r_o)
+
+
+def test_fingers_skip_global_rank(spark, tmp_path, monkeypatch):
+    """Passing fingers must NEVER derive the ring on the fly — the whole
+    point is removing the per-batch global-rank range exchange.  Proven
+    by poisoning navigation_edges for the duration of the search."""
+    import vector_db_at_home_spark.operators.knngraph as kg
+
+    rows = _clustered(n_clusters=3, per=10)
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    path = str(tmp_path / "gidx_nr")
+    kg.knngraph_save(kg.knn_graph_nndescent(df, "id", "vec", k=4),
+                     df, path, k=4)
+    idx = kg.knngraph_load(spark, path)
+    qs = df.limit(2).select(F.col("id").alias("query_id"),
+                            F.col("vec").alias("qvec"))
+
+    def boom(*a, **k):
+        raise AssertionError("navigation_edges called despite fingers")
+
+    monkeypatch.setattr(kg, "navigation_edges", boom)
+    res = kg.graph_ann_search(idx.vectors, idx.edges, qs, k=3,
+                              fingers=idx.fingers).collect()
+    assert len(res) == 6
+
+
+def test_append_regenerates_fingers_for_grown_set(spark, tmp_path):
+    """knngraph_append rewrites the ring over old ∪ batch ids — the
+    loaded fingers match a fresh navigation_edges over the full set, so
+    post-append searches are bit-identical to the on-the-fly path."""
+    from vector_db_at_home_spark.operators.knngraph import (
+        knn_graph_nndescent,
+        knngraph_append,
+        knngraph_load,
+        knngraph_save,
+        navigation_edges,
+    )
+
+    rows = _clustered(n_clusters=4, per=10)
+    base = [r for r in rows if r[0] % 4 != 1]
+    batch = [r for r in rows if r[0] % 4 == 1]
+    df = spark.createDataFrame(base, "id long, vec array<double>")
+    bdf = spark.createDataFrame(batch, "id long, vec array<double>")
+    path = str(tmp_path / "gidx_af")
+    knngraph_save(knn_graph_nndescent(df, "id", "vec", k=4), df, path, k=4)
+    knngraph_append(spark, path, bdf, "id", "vec")
+    idx = knngraph_load(spark, path)
+    all_ids = spark.createDataFrame([(i,) for i, _ in rows], "id long")
+    expect = {(r.src, r.dst)
+              for r in navigation_edges(all_ids).collect()}
+    assert {(r.src, r.dst) for r in idx.fingers.collect()} == expect
+
+
+def test_load_fold_dedups_replayed_delta_rows(spark, tmp_path):
+    """ADVICE r7: duplicate (src, dst, d2) delta rows — the crash-torn
+    append replay shape — must collapse to ONE top-k slot at load."""
+    from vector_db_at_home_spark.operators.knngraph import (
+        knn_graph_nndescent,
+        knngraph_load,
+        knngraph_save,
+    )
+
+    rows = _clustered(n_clusters=3, per=10)
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    path = str(tmp_path / "gidx_dup")
+    knngraph_save(knn_graph_nndescent(df, "id", "vec", k=4), df, path, k=4)
+    before = sorted(map(tuple, knngraph_load(spark, path).edges.collect()))
+    # replay: re-append the first 40 edge rows byte-identically
+    dup = spark.read.parquet(f"{path}/edges").orderBy("src", "dst").limit(40)
+    dup.write.mode("append").parquet(f"{path}/edges")
+    idx = knngraph_load(spark, path)
+    after = sorted(map(tuple, idx.edges.collect()))
+    assert after == before
+    pairs = [(r.src, r.dst) for r in idx.edges.collect()]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_pre_r8_store_without_fingers_still_searches(spark, tmp_path):
+    """Back-compat: a store saved before the fingers table existed loads
+    with fingers=None and the search falls back to the on-the-fly ring."""
+    import shutil
+
+    from vector_db_at_home_spark.operators.knngraph import (
+        graph_ann_search,
+        knn_graph_nndescent,
+        knngraph_load,
+        knngraph_save,
+    )
+
+    rows = _clustered(n_clusters=3, per=10)
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    path = str(tmp_path / "gidx_old")
+    knngraph_save(knn_graph_nndescent(df, "id", "vec", k=4), df, path, k=4)
+    shutil.rmtree(f"{path}/fingers")
+    idx = knngraph_load(spark, path)
+    assert idx.fingers is None
+    qs = df.limit(2).select(F.col("id").alias("query_id"),
+                            F.col("vec").alias("qvec"))
+    res = graph_ann_search(idx.vectors, idx.edges, qs, k=3).collect()
+    assert len(res) == 6
+
+
+def test_beam_early_stop_matches_full_run(spark):
+    """r8: the convergence early-stop returns the same neighbor sets and
+    distances as the fixed-hop schedule on clustered data (where the
+    beam provably reaches the exact top-k either way)."""
+    from vector_db_at_home_spark.operators.knngraph import (
+        graph_ann_search,
+        knn_graph_nndescent,
+    )
+
+    df = spark.createDataFrame(_clustered(),
+                               "id long, vec array<double>")
+    graph = knn_graph_nndescent(df, "id", "vec", k=8)
+    qs = df.filter(F.col("id").isin([0, 37, 111, 185])).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+    stopped = graph_ann_search(df, graph, qs, k=4,
+                               early_stop=True).collect()
+    full = graph_ann_search(df, graph, qs, k=4,
+                            early_stop=False).collect()
+    assert sorted((r.query_id, r.id, r.distance) for r in stopped) == \
+        sorted((r.query_id, r.id, r.distance) for r in full)

@@ -76,22 +76,57 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+#: Word-TYPE count below which training collects the vocabulary once and
+#: finishes every merge locally (the knn.py:_MAX_QUERY_ROWS-style driver
+#: ceiling).  1M types ≈ tens of MB on the driver — comfortable; above it
+#: the exact distributed rounds run instead.
+_LOCAL_VOCAB_CEILING = 1_000_000
+
+
 def bpe_train_merges(docs: DataFrame, text_col: str,
-                     n_merges: int = 8) -> DataFrame:
+                     n_merges: int = 8,
+                     local_vocab_ceiling: int = _LOCAL_VOCAB_CEILING
+                     ) -> DataFrame:
     """Train ``n_merges`` BPE merge rules; returns the merge table
     ``(round, left_sym, right_sym, pair_count)`` — integers and strings
     only, bit-identical across engines (ties broken ``cnt DESC, a ASC,
-    b ASC`` in binary collation on both sides).
+    b ASC`` in binary collation on both sides; Python string comparison
+    is codepoint order == UTF-8 byte order, so the local path ties
+    identically).
 
-    Scale: the word-type table is tiny relative to the corpus (one
-    aggregation reduces 100 TB of text to its vocabulary); each round
-    shuffles pair triples from ONE explode over that table, and the
-    merge applies as a codegen literal replace — no UDF, no driver-side
-    data beyond the per-round winning pair."""
+    HYBRID execution (VERDICT r7 task 3): one corpus aggregation reduces
+    100 TB of text to its word-TYPE table — whose ROW COUNT never
+    changes across merges (replace rewrites reps in place).  When that
+    vocabulary fits under ``local_vocab_ceiling`` it is collected ONCE
+    and all ``n_merges`` rounds run locally with byte-identical greedy
+    semantics (incremental pair counts + a lazy max-heap — the standard
+    tokenizer-trainer loop), eliminating the 2-Spark-jobs-per-merge
+    cadence that made a realistic 30k-merge vocabulary driver-bound
+    (measured: 1,024 merges at sf0.1 in seconds vs ~35 min of job
+    round-trips; tools/bpe_scale_smoke.py).  Above the ceiling the
+    original distributed rounds run: one explode + partial-agg pair
+    count + 1-row argmax + codegen literal replace per round — no UDF,
+    no driver-side data beyond the winning pair."""
     spark = docs.sparkSession
-    words = _word_freqs(docs, text_col).select(
-        _rep(F.col("w")).alias("rep"), "freq"
-    ).localCheckpoint(eager=True)
+    wf = _word_freqs(docs, text_col).localCheckpoint(eager=True)
+    if wf.count() <= local_vocab_ceiling:
+        merges = _train_merges_local(
+            [(r["w"], int(r["freq"])) for r in wf.collect()], n_merges)
+    else:
+        merges = _train_merges_distributed(wf, n_merges)
+    return spark.createDataFrame(
+        merges, "round int, left_sym string, right_sym string, "
+                "pair_count long",
+    )
+
+
+def _train_merges_distributed(wf: DataFrame,
+                              n_merges: int
+                              ) -> list[tuple[int, str, str, int]]:
+    """The exact distributed loop (pre-r8 path, unchanged semantics):
+    2 Spark jobs per merge over the word-type table."""
+    words = wf.select(_rep(F.col("w")).alias("rep"), "freq") \
+        .localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for rnd in range(n_merges):
         top = (
@@ -113,10 +148,87 @@ def bpe_train_merges(docs: DataFrame, text_col: str,
             ).alias("rep"),
             "freq",
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "round int, left_sym string, right_sym string, "
-                "pair_count long",
-    )
+    return merges
+
+
+def _train_merges_local(word_freqs: list[tuple[str, int]],
+                        n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Driver-side finisher, byte-identical to the distributed rounds
+    (pytest-pinned): same all-adjacent-positions pair counting (``aaa``
+    counts (a,a) twice), same left-to-right non-overlapping greedy
+    apply (``aaa`` + merge(a,a) → ``(aa)(a)`` — the SQL ``replace``
+    order), same ``(cnt DESC, a ASC, b ASC)`` selection.  Incremental:
+    each merge re-counts only the words that CONTAIN the winning pair;
+    a lazy max-heap (stale entries re-pushed at their current count on
+    pop) keeps selection O(log P) amortized."""
+    import heapq
+    from collections import Counter
+
+    words: list[list[str]] = [list(w) for w, _ in word_freqs]
+    freqs: list[int] = [f for _, f in word_freqs]
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words):
+        for p, c in Counter(zip(syms, syms[1:])).items():
+            pair_counts[p] += c * freqs[wi]
+            pair_words.setdefault(p, set()).add(wi)
+    heap = [(-c, a, b) for (a, b), c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(n_merges):
+        best = None
+        while heap:
+            negc, a, b = heapq.heappop(heap)
+            cur = pair_counts.get((a, b), 0)
+            if cur == -negc:
+                best = (a, b, cur)
+                break
+            if cur > 0:
+                # stale entry (count decreased since push): re-push the
+                # TRUE count so the pair stays selectable
+                heapq.heappush(heap, (-cur, a, b))
+        if best is None:
+            break
+        a, b, cnt = best
+        merges.append((rnd, a, b, cnt))
+        ab = a + b
+        touched: set[tuple[str, str]] = set()
+        for wi in sorted(pair_words.get((a, b), set())):
+            old = words[wi]
+            new, i, n = [], 0, len(old)
+            while i < n:
+                if i < n - 1 and old[i] == a and old[i + 1] == b:
+                    new.append(ab)
+                    i += 2
+                else:
+                    new.append(old[i])
+                    i += 1
+            oc = Counter(zip(old, old[1:]))
+            nc = Counter(zip(new, new[1:]))
+            f = freqs[wi]
+            for p, c in oc.items():
+                if nc.get(p) != c:
+                    pair_counts[p] += (nc.get(p, 0) - c) * f
+                    touched.add(p)
+                if p not in nc:
+                    pair_words[p].discard(wi)
+            for p, c in nc.items():
+                if oc.get(p) != c:
+                    if p not in oc:
+                        pair_counts[p] += c * f
+                        pair_words.setdefault(p, set()).add(wi)
+                    touched.add(p)
+            words[wi] = new
+        pair_counts.pop((a, b), None)
+        pair_words.pop((a, b), None)
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+            else:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+    return merges
 
 
 def bpe_apply(docs: DataFrame, text_col: str, id_col: str,

@@ -1769,7 +1769,8 @@ ORDER BY id_a, id_b
 
 def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                    n_cells: int = 8, threshold: float = 0.8,
-                   seed: int = 42) -> DataFrame:
+                   seed: int = 42,
+                   max_cell_rows: int = 65536) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): semantic
     dedup over an embedding column — the embedding-space analog of
     ``clean_corpus``.  Returns the keep/drop map ``(id, cell, keep)``.
@@ -1793,6 +1794,20 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     ONE Arrow batch whose triangular chunked GEMM never materializes the
     full cell×cell matrix.  Shuffles: the k-means assign (one pass) and
     the cell groupBy; ids and vectors only, no pair fan-out.
+
+    ``max_cell_rows`` is the SKEW GUARD (VERDICT r7): k-means on real
+    embedding distributions does NOT balance — one dense topic cluster
+    can swallow most of the corpus, and without the guard that cell
+    becomes one executor-OOM Arrow group.  Cells above the cap are
+    routed through the distributed blocked-GEMM kernel instead
+    (``cosine_topk_pairs_blocked``'s pack-once/block-pair-join shape,
+    restricted to same-cell pairs): every resident matrix is then
+    ≤ ~``max_cell_rows`` rows regardless of the cell's true size, at
+    identical keep/drop semantics — both paths decide "drop iff a
+    smaller-id same-cell row has cosine ≥ threshold", and the float64
+    row-dot is reduction-order-identical across them.  The routing
+    decision costs one ≤-n_cells-row collect; when no cell exceeds the
+    cap (every registered scale) the r7 plan is byte-identical.
     """
     import numpy as np
 
@@ -1835,8 +1850,125 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
             "keep": keep,
         })
 
-    return assigned.groupBy("cell").applyInPandas(
+    # skew guard: route any cell above the cap through the distributed
+    # blocked path.  The cell-size probe is one bounded action (≤ one
+    # row per cell); deterministic data → deterministic routing.
+    big_cells = [
+        int(r["cell"])
+        for r in assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_cell_rows)
+        .collect()
+    ]
+    small = assigned if not big_cells else \
+        assigned.filter(~F.col("cell").isin(big_cells))
+    out = small.groupBy("cell").applyInPandas(
         prune, schema="id long, cell int, keep boolean"
+    )
+    if big_cells:
+        big = assigned.filter(F.col("cell").isin(big_cells))
+        out = out.unionByName(
+            _semantic_dedup_blocked(big, threshold, max_cell_rows)
+        )
+    return out
+
+
+def _semantic_dedup_blocked(assigned: DataFrame, threshold: float,
+                            max_cell_rows: int) -> DataFrame:
+    """Distributed within-cell prune for OVERSIZED k-means cells — the
+    ``cosine_topk_pairs_blocked`` shape scoped to same-cell pairs.
+
+    Rows hash into ``ceil(cell_size / max_cell_rows)`` blocks within
+    their cell; each (cell, block) packs ONCE into a single
+    normalized-matrix blob; every same-cell unordered block pair joins
+    its two blobs and emits the ids that lose to a smaller id at
+    ``cosine >= threshold``; a distinct + anti-join flips the keep
+    flag.  Resident memory per task is two ≤ max_cell_rows blocks, the
+    shuffle is blob rows (≈ the oversized cells replicated n_blocks
+    times in coarse blobs), and no pair table is ever materialized
+    beyond each task's chunked tile."""
+    import math
+
+    import numpy as np
+
+    spark = assigned.sparkSession
+    sizes = {int(r["cell"]): int(r["__n"])
+             for r in assigned.groupBy("cell")
+             .agg(F.count(F.lit(1)).alias("__n")).collect()}
+    n_blocks = max(
+        2, math.ceil(max(sizes.values()) / max(1, max_cell_rows))
+    )
+    v = assigned.select(
+        "id", "vec", "cell",
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+        .alias("blk"),
+    )
+
+    def pack(key, pdf):
+        ids = pdf["id"].to_numpy(np.int64)
+        mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        return pd.DataFrame({
+            "cell": [int(key[0])], "blk": [int(key[1])],
+            "n": [len(ids)], "dim": [int(mat.shape[1])],
+            "ids": [ids.tobytes()], "mat": [mat.tobytes()],
+        })
+
+    packed = v.groupBy("cell", "blk").applyInPandas(
+        pack, schema="cell int, blk int, n long, dim long, "
+                     "ids binary, mat binary"
+    )
+    keys = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "gi int, gj int",
+    )
+    a = packed.select(
+        F.col("cell"), F.col("blk").alias("gi"), F.col("n").alias("a_n"),
+        F.col("dim").alias("a_dim"), F.col("ids").alias("a_ids"),
+        F.col("mat").alias("a_mat"),
+    )
+    b = packed.select(
+        F.col("cell"), F.col("blk").alias("gj"), F.col("n").alias("b_n"),
+        F.col("dim").alias("b_dim"), F.col("ids").alias("b_ids"),
+        F.col("mat").alias("b_mat"),
+    )
+    pairs = a.join(F.broadcast(keys), "gi").join(b, ["cell", "gj"])
+
+    thr = float(threshold)
+
+    def losers(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ia = np.frombuffer(r.a_ids, dtype=np.int64)
+                a_m = np.frombuffer(r.a_mat, dtype=np.float64).reshape(
+                    r.a_n, r.a_dim)
+                ib = np.frombuffer(r.b_ids, dtype=np.int64)
+                b_m = np.frombuffer(r.b_mat, dtype=np.float64).reshape(
+                    r.b_n, r.b_dim)
+                out = set()
+                chunk = max(1, (1 << 22) // max(1, b_m.shape[0]))
+                for s in range(0, a_m.shape[0], chunk):
+                    sims = a_m[s:s + chunk] @ b_m.T
+                    hit = sims >= thr
+                    if r.gi == r.gj:
+                        # same block: a pair appears twice (both
+                        # orientations) — the id compare below keeps
+                        # exactly the larger side; self-pairs excluded
+                        hit &= ia[s:s + chunk, None] != ib[None, :]
+                    if not hit.any():
+                        continue
+                    ra, rb = np.nonzero(hit)
+                    pa, pb = ia[ra + s], ib[rb]
+                    out.update(np.maximum(pa, pb).tolist())
+                yield pd.DataFrame({"id": sorted(out)})
+
+    dropped = pairs.mapInPandas(losers, schema="id long").distinct()
+    return (
+        assigned.select("id", F.col("cell").cast("int").alias("cell"))
+        .join(dropped.withColumn("__d", F.lit(True)), "id", "left")
+        .select("id", "cell", F.col("__d").isNull().alias("keep"))
     )
 
 

@@ -89,13 +89,37 @@ def second_moment_matrix(df: DataFrame, vec_col: str,
 
     Plan: one per-row nested-transform explode to (i, j, product) —
     dim·(dim+1)/2 fixed-width rows per vector — and ONE partial-agg
-    groupBy.  Overflow headroom: |q(x)| ≤ quant·max|x|; with unit-scale
-    embeddings the per-row product is ≤ 1e12 and 2^63 allows ~9e6 rows
-    per (i,j) partial sum times safety — cast checks stay on the
-    caller for exotic scales."""
+    groupBy.  Overflow headroom (ADVICE r7): |q(x)| ≤ quant·max|x|
+    bounds the FINAL per-cell sum at n_rows·(quant·max|x|)², so with
+    unit-scale embeddings 2^63 allows ~9e6 rows at quant=1e6 — and that
+    bound is now ENFORCED in-plan: a broadcast 1-row guard asserts
+    ``n_rows · max|q|² < 2^62`` (a loud AssertionError, never silent
+    wraparound; ANSI mode would also catch the partial sums, but the
+    guard fires on the exact documented bound and names the fix: lower
+    ``quant`` or shard rows).  One extra narrow agg over the codes —
+    noise next to the dim²/2 explode."""
     q = F.transform(
         _as_double(vec_col),
         lambda x: F.floor(x * quant).cast("long"),
+    )
+    bound = (
+        df.select(
+            F.array_max(F.transform(q, lambda c: F.abs(c))).alias("__mq")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"), F.max("__mq").alias("__mq"))
+    )
+    headroom_ok = (
+        F.col("__n").cast("double")
+        * F.col("__mq").cast("double") * F.col("__mq").cast("double")
+        < F.lit(float(2 ** 62))
+    )
+    guard = bound.select(
+        F.assert_true(
+            F.coalesce(headroom_ok, F.lit(True)),  # empty input: no risk
+            F.lit("second_moment_matrix int64 headroom exceeded: "
+                  "n_rows * (quant*max_abs)^2 >= 2^62 — lower quant or "
+                  "shard the rows"),
+        ).alias("__g")
     )
     pairs = F.flatten(
         F.transform(
@@ -115,6 +139,9 @@ def second_moment_matrix(df: DataFrame, vec_col: str,
         .select("e.i", "e.j", "e.p")
         .groupBy("i", "j")
         .agg(F.sum("p").alias("sxy"))
+        .crossJoin(F.broadcast(guard))  # 1 row; assert_true is NULL on pass
+        .filter(F.col("__g").isNull())  # forces the assert (never pruned)
+        .select("i", "j", "sxy")
         .orderBy("i", "j")
     )
 

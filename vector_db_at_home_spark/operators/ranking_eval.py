@@ -47,7 +47,12 @@ def ranking_metrics(runs: DataFrame, qrels: DataFrame,
     (``*_e6`` = floor(1e6 · metric); ``first_rel_rank`` 0 when no
     relevant doc ranked).  Queries present in ``qrels`` but absent from
     the run get zero metrics (they count — silently dropping unanswered
-    queries is the classic eval inflation bug)."""
+    queries is the classic eval inflation bug).  The REVERSE case is the
+    opposite by design (ADVICE r7): a query present in ``runs`` with NO
+    qrels row is UNJUDGED and does not appear in the output at all —
+    the result is keyed off the qrels (there is no denominator to score
+    it against), matching the oracle; callers wanting them visible
+    should left-join their query list onto this result."""
     w_arr = F.array(*[F.lit(x) for x in _dcg_weights(k)])
     p_arr = F.array(*[F.lit(x) for x in _idcg_prefix(k)])
     hits = (

@@ -1898,15 +1898,18 @@ def _record_fixture(sf_dir: str, fmt: str) -> str:
             tbl["lang"].to_pylist())
     )
     # loud guard for the CSV leg's known wire limits: Spark's CSV reader
-    # (defaults) turns empty fields into NULL and splits embedded
-    # newlines mid-record (multiLine off) — if the corpus ever gains
-    # such values the gate must FAIL HERE, not silently hash-mismatch
+    # (defaults) turns empty fields into NULL, splits embedded newlines
+    # mid-record (multiLine off), and un-escapes quotes with escape='\\'
+    # while Python's csv writer doubles them (RFC 4180) — if the corpus
+    # ever gains such values the gate must FAIL HERE, not silently
+    # hash-mismatch (ADVICE r7 added the quote case)
     for _rid, text, lang in rows:
-        if not text or not lang or "\n" in text or "\r" in text:
+        if (not text or not lang or "\n" in text or "\r" in text
+                or '"' in text or '"' in lang):
             raise ValueError(
-                "record fixture source contains empty/newline field "
-                "values the CSV wire format cannot round-trip under "
-                "Spark's default reader options"
+                "record fixture source contains empty/newline/quote "
+                "field values the CSV wire format cannot round-trip "
+                "under Spark's default reader options"
             )
     tmp = tempfile.mkdtemp(dir=tempfile.gettempdir())
     for part in range(4):
@@ -4038,6 +4041,15 @@ def q_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the operator is correct: every planted row drops, every original
     # survives, total_kept = |embeddings| — all value-hashed below; any
     # break in the assign, the GEMM, or the keep rule flips them.
+    # r8 adds 32 PERTURBED plants (id + 2e6, one coordinate bumped 0.3 →
+    # cosine ≈ 0.95 with the source, well over the 0.8 threshold but NOT
+    # exact) — the realistic near-dup case whose only loss mode is
+    # cross-cell assignment, the paper's documented recall cost.  The
+    # measured within-cell recall enters as the ``perturbed_dropped_ge_24``
+    # floor (measured 32/32, 31/32, 32/32 at sf0.001/0.01/0.1);
+    # perturbed ids are the largest, so they can never steal an
+    # original's or exact plant's keep flag, and total_kept stays
+    # restricted to ids < 2e6.
     """
 WITH p AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 32),
      t AS (SELECT count(*) AS n FROM embeddings)
@@ -4045,16 +4057,19 @@ SELECT p.vec_id + 1000000 AS planted_id,
        p.vec_id AS src_id,
        CAST(1 AS BOOLEAN) AS planted_dropped,
        CAST(1 AS BOOLEAN) AS src_kept,
-       t.n AS total_kept
+       t.n AS total_kept,
+       CAST(1 AS BOOLEAN) AS perturbed_dropped_ge_24
 FROM p, t ORDER BY planted_id
 """,
 )
 def q_semantic_dedup_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/dedup.py:semantic_dedup): k-means cells via
-    the IVF fit/assign, within-cell triangular chunked GEMM, drop any
-    row whose cell holds a smaller-id row at cosine >= 0.8.  Planted
-    exact duplicates grade recall in-plan; the keep/drop totals
-    value-hash."""
+    the IVF fit/assign, within-cell triangular chunked GEMM (cells above
+    ``max_cell_rows`` route through the distributed blocked kernel),
+    drop any row whose cell holds a smaller-id row at cosine >= 0.8.
+    Planted exact duplicates grade exact recall in-plan; planted
+    PERTURBED near-dups (r8) grade realistic within-cell recall; the
+    keep/drop totals value-hash."""
     from .operators.dedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4062,13 +4077,23 @@ def q_semantic_dedup_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("vec"),
     )
-    planted = (
-        base.orderBy("id").limit(32)
-        .select((F.col("id") + 1_000_000).alias("id"), "vec")
+    head32 = base.orderBy("id").limit(32)
+    planted = head32.select((F.col("id") + 1_000_000).alias("id"), "vec")
+    perturbed = head32.select(
+        (F.col("id") + 2_000_000).alias("id"),
+        F.transform(
+            "vec",
+            lambda x, i: F.when(
+                i == F.pmod(F.col("id"), F.size(F.col("vec"))).cast("int"),
+                x + F.lit(0.3),
+            ).otherwise(x),
+        ).alias("vec"),
     )
-    m = semantic_dedup(base.union(planted), "id", "vec",
+    m = semantic_dedup(base.union(planted).union(perturbed), "id", "vec",
                        n_cells=8, threshold=0.8)
-    pl = m.filter(F.col("id") >= 1_000_000).select(
+    pl = m.filter(
+        (F.col("id") >= 1_000_000) & (F.col("id") < 2_000_000)
+    ).select(
         F.col("id").alias("planted_id"),
         (F.col("id") - 1_000_000).alias("src_id"),
         (~F.col("keep")).alias("planted_dropped"),
@@ -4076,14 +4101,19 @@ def q_semantic_dedup_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = m.filter(F.col("id") < 1_000_000).select(
         F.col("id").alias("src_id"), F.col("keep").alias("src_kept")
     )
-    total = m.filter(F.col("keep")).agg(
+    total = m.filter(F.col("keep") & (F.col("id") < 2_000_000)).agg(
         F.count(F.lit(1)).alias("total_kept")
+    )
+    pert = m.filter(F.col("id") >= 2_000_000).agg(
+        (F.sum(F.when(~F.col("keep"), 1).otherwise(0)) >= 24)
+        .alias("perturbed_dropped_ge_24")
     )
     return (
         pl.join(src, "src_id")
         .join(F.broadcast(total))
+        .join(F.broadcast(pert))
         .select("planted_id", "src_id", "planted_dropped", "src_kept",
-                "total_kept")
+                "total_kept", "perturbed_dropped_ge_24")
         .orderBy("planted_id")
     )
 
@@ -4164,7 +4194,12 @@ def q_knn_graph_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = exact6.withColumn("rn", F.row_number().over(w)) \
                   .filter(F.col("rn") <= 5).drop("rn")
-    beam6 = graph_ann_search(idx.vectors, idx.edges, qs, k=6)
+    # fingers=idx.fingers: search THROUGH the persisted ring — no
+    # per-batch global-rank range exchange (VERDICT r7 task 8); the ring
+    # was regenerated by knngraph_append over the grown id set, so the
+    # result is bit-identical to the on-the-fly derivation
+    beam6 = graph_ann_search(idx.vectors, idx.edges, qs, k=6,
+                             fingers=idx.fingers)
     beam = (
         beam6.filter(F.col("id") != F.col("query_id"))
         .withColumn("rn", F.row_number().over(w))
@@ -4356,6 +4391,37 @@ def _register_phrase_search() -> None:
 
     _QUERIES["phrase_search_hits"] = q_phrase
     _ORACLES["phrase_search_hits"] = render_phrase_search_sql(phrase)
+
+    def q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Phrase search THROUGH the persisted positional index
+        (operators/invindex.py:invindex_save/append/load +
+        phrase_search_indexed — VERDICT r7 task 2): the corpus is
+        indexed 80/20 via save + O(batch) append, then searched through
+        the loaded bucket-partitioned store — each term's postings read
+        is pruned to ONE parquet partition by the constant-folded
+        ``bucket = pmod(xxhash64(term), B)`` literal.  Results must
+        equal the corpus-scan phrase_search oracle exactly."""
+        import tempfile
+
+        from .operators.invindex import (
+            invindex_append,
+            invindex_load,
+            invindex_save,
+            phrase_search_indexed,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="invindex_")
+        invindex_save(docs.filter(F.col("doc_id") % 7 != 0),
+                      "text", "doc_id", path, n_buckets=32)
+        invindex_append(spark, path,
+                        docs.filter(F.col("doc_id") % 7 == 0),
+                        "text", "doc_id")
+        idx = invindex_load(spark, path)
+        return phrase_search_indexed(idx, phrase)
+
+    _QUERIES["phrase_search_indexed"] = q_phrase_indexed
+    _ORACLES["phrase_search_indexed"] = render_phrase_search_sql(phrase)
 
 
 _register_phrase_search()
@@ -4639,6 +4705,9 @@ _TAIL_ORDER = [
     "corpus_snapshot_diff",
     "retrieval_eval_metrics", "phrase_search_hits",
     "embedding_pca_check", "streaming_vector_neardup_equiv",
+    # round-8: inverted-index persistence parity (save/append/load +
+    # partition-pruned search)
+    "phrase_search_indexed",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
