@@ -65,3 +65,22 @@ def test_clean_corpus_with_decontamination(spark):
     assert victim not in got
     assert got < base_ids
     assert len(base_ids) - len(got) <= 3  # only genuine overlaps drop
+
+
+def test_clean_corpus_v2_stage_counts_monotone(spark):
+    """r8 capstone: 7 stages, monotonically non-increasing survivor
+    counts, semantic stage drops nothing on the natural corpus (max
+    embedding cosine 0.60 << 0.8 — the semantic_dedup_map invariant)."""
+    from vector_db_at_home_spark.operators.pipeline import (
+        clean_corpus_v2_stage_counts,
+    )
+
+    rows = clean_corpus_v2_stage_counts(
+        spark, "/root/testdata/sf0.001").collect()
+    stages = [r.stage for r in rows]
+    counts = [r.n_docs for r in rows]
+    assert stages == ["0_input", "1_exact", "2_neardup", "3_substring",
+                      "4_quality", "5_lang", "6_semantic"]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[-1] > 0
+    assert counts[6] == counts[5]  # semantic no-op on natural corpus

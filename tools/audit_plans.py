@@ -62,6 +62,9 @@ KNOWN_BNLJ: dict[str, str] = {
     "q22_dormant_customers": _SCALAR,
     "retrieval_eval_metrics": _SCALAR,
     "semantic_dedup_map": "1-row total_kept aggregate broadcast",
+    # r8 Gram overflow guard: the 1-row assert_true bound crossJoins in
+    # (embeddings.second_moment_matrix — ADVICE r7)
+    "embedding_pca_check": _SCALAR,
     # fixed literal spines
     "events_gapfill": "generated time-spine rows",
     "user_funnel": "literal funnel-stage rows",

@@ -30,10 +30,14 @@ from pyspark.sql import functions as F
 SEP = "\x1f"
 
 
-def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
+def _word_freqs(docs: DataFrame, text_col: str,
+                tokenize_mode: str = "space") -> DataFrame:
+    from ..functions.tokenize import tokens_col
+
     return (
         docs.select(
-            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+            F.explode(tokens_col(F.lower(F.col(text_col)), tokenize_mode))
+            .alias("w")
         )
         .filter(F.col("w") != "")
         .groupBy("w")
@@ -85,8 +89,8 @@ _LOCAL_VOCAB_CEILING = 1_000_000
 
 def bpe_train_merges(docs: DataFrame, text_col: str,
                      n_merges: int = 8,
-                     local_vocab_ceiling: int = _LOCAL_VOCAB_CEILING
-                     ) -> DataFrame:
+                     local_vocab_ceiling: int = _LOCAL_VOCAB_CEILING,
+                     tokenize_mode: str = "space") -> DataFrame:
     """Train ``n_merges`` BPE merge rules; returns the merge table
     ``(round, left_sym, right_sym, pair_count)`` — integers and strings
     only, bit-identical across engines (ties broken ``cnt DESC, a ASC,
@@ -108,7 +112,8 @@ def bpe_train_merges(docs: DataFrame, text_col: str,
     count + 1-row argmax + codegen literal replace per round — no UDF,
     no driver-side data beyond the winning pair."""
     spark = docs.sparkSession
-    wf = _word_freqs(docs, text_col).localCheckpoint(eager=True)
+    wf = _word_freqs(docs, text_col, tokenize_mode) \
+        .localCheckpoint(eager=True)
     if wf.count() <= local_vocab_ceiling:
         merges = _train_merges_local(
             [(r["w"], int(r["freq"])) for r in wf.collect()], n_merges)
@@ -232,15 +237,18 @@ def _train_merges_local(word_freqs: list[tuple[str, int]],
 
 
 def bpe_apply(docs: DataFrame, text_col: str, id_col: str,
-              merges: list[tuple[str, str]]) -> DataFrame:
+              merges: list[tuple[str, str]],
+              tokenize_mode: str = "space") -> DataFrame:
     """Tokenize with a trained merge list: ``(id, word_pos, tokens)``
     per word — the learned subword segmentation.  ``detokenize`` is
     ``concat_ws('', tokens)`` per word joined on spaces (pytest pins the
     round trip).  Same literal-replace chain as training, applied in
     merge order."""
+    from ..functions.tokenize import tokens_col
+
     w = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), " "))
+        F.posexplode(tokens_col(F.lower(F.col(text_col)), tokenize_mode))
         .alias("word_pos", "w"),
     ).filter(F.col("w") != "")
     rep = _rep(F.col("w"))

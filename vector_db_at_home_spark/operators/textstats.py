@@ -39,25 +39,44 @@ ROLLING_BASE = 31
 ROLLING_MOD = 1_000_000_007
 
 
-def _tokens(text_col: str) -> Column:
-    return F.split(F.col(text_col), " ")
+def _tokens(text_col: str, tokenize_mode: str = "space") -> Column:
+    from ..functions.tokenize import tokens_col
+
+    return tokens_col(F.col(text_col), tokenize_mode)
 
 
-def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def token_stats(df: DataFrame, text_col: str, id_col: str,
+                tokenize_mode: str = "space") -> DataFrame:
     """Per-doc token statistics: ``(id, n_tokens, n_distinct_tokens, n_chars,
-    mean_token_len)``."""
-    toks = _tokens(text_col)
+    mean_token_len)``.
+
+    ``tokenize_mode`` (r8, default unchanged): ``"regex"`` tokenizes with
+    the shared cross-engine word pattern (``functions.tokenize``) —
+    punctuation stops inflating the distinct count on real corpora.  In
+    regex mode ``mean_token_len`` is the exact sum-of-token-lengths over
+    count (the space-mode separator identity no longer holds), NULL on a
+    token-free doc."""
+    toks = _tokens(text_col, tokenize_mode)
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
+    if tokenize_mode == "space":
+        # mean token length = (chars - separators) / tokens, exact rational
+        mean_len = F.round(
+            (n_chars - (n_tokens - 1)).cast("double") / n_tokens, 6
+        )
+    else:
+        tok_chars = F.aggregate(toks, F.lit(0),
+                                lambda acc, t: acc + F.length(t))
+        mean_len = F.when(
+            n_tokens > 0,
+            F.round(tok_chars.cast("double") / n_tokens, 6),
+        )
     return df.select(
         F.col(id_col).alias("id"),
         n_tokens.cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         n_chars.cast("long").alias("n_chars"),
-        # mean token length = (chars - separators) / tokens, exact rational
-        F.round(
-            (n_chars - (n_tokens - 1)).cast("double") / n_tokens, 6
-        ).alias("mean_token_len"),
+        mean_len.alias("mean_token_len"),
     )
 
 

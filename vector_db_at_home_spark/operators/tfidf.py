@@ -22,22 +22,30 @@ from pyspark.sql import functions as F
 from .topk import top_k_per_group
 
 
-def term_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, token, tf) — raw counts per document."""
+def term_frequencies(df: DataFrame, text_col: str, id_col: str,
+                     tokenize_mode: str = "space") -> DataFrame:
+    """(id, token, tf) — raw counts per document.  ``tokenize_mode``
+    (r8): ``"regex"`` uses the shared cross-engine word pattern
+    (``functions.tokenize``) so punctuation stops splitting vocabulary
+    on real corpora; default unchanged."""
+    from ..functions.tokenize import tokens_col
+
     return (
         df.select(
             F.col(id_col).alias("id"),
-            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+            F.explode(tokens_col(F.col(text_col), tokenize_mode))
+            .alias("token"),
         )
         .groupBy("id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
 
 
-def tfidf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def tfidf(df: DataFrame, text_col: str, id_col: str,
+          tokenize_mode: str = "space") -> DataFrame:
     """(id, token, tf, df_count, tfidf) for every (doc, term)."""
     n_docs = df.count()
-    tf = term_frequencies(df, text_col, id_col)
+    tf = term_frequencies(df, text_col, id_col, tokenize_mode)
     doc_freq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_count"))
     return tf.join(F.broadcast(doc_freq), "token").select(
         "id",
@@ -53,9 +61,10 @@ def tfidf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def top_terms_per_doc(df: DataFrame, text_col: str, id_col: str,
-                      k: int = 3) -> DataFrame:
+                      k: int = 3,
+                      tokenize_mode: str = "space") -> DataFrame:
     """Top-k characteristic terms per doc by tfidf desc (token asc ties)."""
-    scored = tfidf(df, text_col, id_col)
+    scored = tfidf(df, text_col, id_col, tokenize_mode)
     return top_k_per_group(
         scored,
         ["id"],
@@ -91,7 +100,8 @@ FROM r WHERE rank <= {k} ORDER BY id, rank
 
 
 def bm25_search(docs: DataFrame, terms: list[str], text_col: str,
-                id_col: str, k: int = 10) -> DataFrame:
+                id_col: str, k: int = 10,
+                tokenize_mode: str = "space") -> DataFrame:
     """BM25 ranked retrieval (Robertson & Zaragoza 2009; the Lucene
     ``k1 = 1.2, b = 0.75`` defaults) — the standard lexical ranking the
     RRF hybrid's plain term-frequency leg approximates.
@@ -113,8 +123,10 @@ def bm25_search(docs: DataFrame, terms: list[str], text_col: str,
     SCAN (a handful of rows survive per doc); df and the two corpus
     scalars broadcast; one groupBy(id) pivot.  Returns ``(id,
     score_e4)`` top-k ranked ``(score_e4 DESC, id ASC)``."""
+    from ..functions.tokenize import tokens_col
+
     lterms = [t.lower() for t in terms]
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    toks = tokens_col(F.lower(F.col(text_col)), tokenize_mode)
     base = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),

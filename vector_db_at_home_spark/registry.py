@@ -4157,7 +4157,8 @@ def q_knn_graph_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     knngraph_save/append/load): 80/20 split on vec_id % 5, NN-descent
     build on the corpus, save, O(batch) append of the rest (beam-derived
     lists + reversed deltas), beam search through the loaded
-    (delta-folded) index.  Exact leg value-hashed; appended rows are
+    (delta-folded) index and its PERSISTED finger ring (r8: no per-batch
+    global-rank exchange).  Exact leg value-hashed; appended rows are
     load-bearing (query 0 is appended; n_indexed counts both parts)."""
     import tempfile
 
@@ -4425,6 +4426,70 @@ def _register_phrase_search() -> None:
 
 
 _register_phrase_search()
+
+
+def _register_token_stats_regex() -> None:
+    from .functions.tokenize import TOKEN_REGEX
+
+    def q_tsr(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """token_stats in the shared REGEX tokenize_mode (r8,
+        functions/tokenize.py): ``regexp_extract_all('[A-Za-z0-9]+')``
+        word pieces instead of space splits — the opt-in that stops
+        punctuation from inflating vocabulary on real corpora.  The
+        pattern uses only literal character classes so Spark's Java
+        regex and DuckDB's RE2 tokenize identically (the
+        tokenize_bpeish precedent); regex-mode mean_token_len is the
+        sum-of-token-lengths rational."""
+        from .operators.textstats import token_stats
+
+        docs = load_table(spark, sf_dir, "documents")
+        return token_stats(docs, "text", "doc_id",
+                           tokenize_mode="regex").orderBy("id")
+
+    _QUERIES["token_stats_regex"] = q_tsr
+    _ORACLES["token_stats_regex"] = f"""
+WITH t AS (
+  SELECT doc_id AS id, text,
+         regexp_extract_all(text, '{TOKEN_REGEX}') AS toks
+  FROM documents
+)
+SELECT id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CASE WHEN len(toks) > 0 THEN
+         round(CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS DOUBLE) / len(toks), 6)
+       END AS mean_token_len
+FROM t ORDER BY id
+"""
+
+
+_register_token_stats_regex()
+
+
+def _register_clean_corpus_v2() -> None:
+    from .operators.pipeline import render_clean_corpus_v2_sql
+
+    def q_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The r8 capstone cascade (operators/pipeline.py:
+        clean_corpus_v2_stage_counts): exact dedup → n-gram-Jaccard
+        near-dup → substring dup-heavy drop (Lee et al. profile) →
+        quality → language → SemDeDup over available embeddings, graded
+        by per-stage survivor counts.  Six counts are replicated exactly
+        by DuckDB; the semantic count is pinned to the lang count via
+        the measured no-natural-pair-above-0.8 invariant (the
+        semantic_dedup_map contract) — a stage that wrongly dropped
+        anything flips it."""
+        from .operators.pipeline import clean_corpus_v2_stage_counts
+
+        return clean_corpus_v2_stage_counts(spark, sf_dir)
+
+    _QUERIES["clean_corpus_v2"] = q_v2
+    _ORACLES["clean_corpus_v2"] = render_clean_corpus_v2_sql()
+
+
+_register_clean_corpus_v2()
 
 
 def _register_retrieval_eval() -> None:
@@ -4706,8 +4771,9 @@ _TAIL_ORDER = [
     "retrieval_eval_metrics", "phrase_search_hits",
     "embedding_pca_check", "streaming_vector_neardup_equiv",
     # round-8: inverted-index persistence parity (save/append/load +
-    # partition-pruned search)
-    "phrase_search_indexed",
+    # partition-pruned search), the shared regex tokenizer proof, and
+    # the full-dedup-family capstone cascade
+    "phrase_search_indexed", "token_stats_regex", "clean_corpus_v2",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
