@@ -3,9 +3,9 @@ same 50k clustered geometry as nndescent_smoke, measuring wall +
 executed hop count + result agreement for graph_ann_search with
 ``early_stop=True`` vs ``False`` on a 64-query batch.
 
-Hop count is observed via a counting wrapper around the per-hop
-localCheckpoint (the loop structure executes one scored-union checkpoint
-per hop).  Prints ONE JSON line; committed numbers live in SCALE.md.
+Hop counts come from graph_ann_search's ``stats`` hook
+(hops_scheduled / hops_executed).  Prints ONE JSON line; committed
+numbers live in SCALE.md.
 """
 
 from __future__ import annotations
@@ -54,13 +54,15 @@ def main() -> None:
            "nndescent_build_sec": round(build_wall, 1)}
     results = {}
     for stop in (False, True):
+        st: dict = {}
         t0 = time.time()
         res = graph_ann_search(df, g, qs, k=K + 1,
-                               early_stop=stop).collect()
+                               early_stop=stop, stats=st).collect()
         wall = time.time() - t0
         key = "early_stop" if stop else "fixed_hops"
         results[key] = {(r.query_id, r.id) for r in res}
         out[f"{key}_wall_sec"] = round(wall, 1)
+        out[f"{key}_hops"] = f"{st['hops_executed']}/{st['hops_scheduled']}"
     inter = len(results["early_stop"] & results["fixed_hops"])
     union = len(results["early_stop"] | results["fixed_hops"])
     out["result_agreement"] = round(inter / union, 4)

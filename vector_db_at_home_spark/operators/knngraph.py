@@ -269,6 +269,7 @@ def graph_ann_search(vecs: DataFrame, graph: DataFrame, queries: DataFrame,
                      navigable: bool = True,
                      fingers: DataFrame | None = None,
                      early_stop: bool = True,
+                     stats: dict | None = None,
                      id_col: str = "id", vec_col: str = "vec",
                      query_id_col: str = "query_id",
                      query_vec_col: str = "qvec") -> DataFrame:
@@ -311,10 +312,12 @@ def graph_ann_search(vecs: DataFrame, graph: DataFrame, queries: DataFrame,
     the NN-descent builder's ``early_stop_frac`` set the precedent for
     (VERDICT r7 task 5).  One tiny aggregate per hop (|Q|·k id pairs
     anti-joined against the previous hop's); deterministic (the stop
-    depends only on the data).  Measured at 50k (tools smoke): the
-    default 13 hops fall to ~6 on the synthetic distribution with
-    identical registered-query results.  ``False`` restores the fixed
-    ``hops`` schedule.
+    depends only on the data).  Measured at 50k
+    (tools/beam_earlystop_smoke.py): 13 scheduled hops stop after 10
+    (converged at 9 + one confirming probe), wall −15%, with IDENTICAL
+    results to the fixed schedule (agreement 1.0).
+    ``False`` restores the fixed ``hops`` schedule.  ``stats`` (optional
+    dict) receives ``hops_scheduled`` / ``hops_executed``.
 
     Scale: the frontier is ``|Q|·beam`` fixed-width rows; each hop
     shuffles id pairs only, vectors join in once per hop for the NEW
@@ -372,9 +375,14 @@ def graph_ann_search(vecs: DataFrame, graph: DataFrame, queries: DataFrame,
             .filter(F.col("rn") <= k).select("query_id", "id")
         )
 
+    if stats is not None:
+        stats["hops_scheduled"] = hops
+        stats["hops_executed"] = 0
     prev_topk = topk_ids(scored).localCheckpoint(eager=True) \
         if early_stop else None
     for _ in range(hops):
+        if stats is not None:
+            stats["hops_executed"] += 1
         frontier = (
             scored.join(expanded, ["query_id", "id"], "left_anti")
             .withColumn("rn", F.row_number().over(w))
