@@ -411,3 +411,59 @@ def test_beam_early_stop_matches_full_run(spark):
                             early_stop=False).collect()
     assert sorted((r.query_id, r.id, r.distance) for r in stopped) == \
         sorted((r.query_id, r.id, r.distance) for r in full)
+
+
+def test_append_crash_before_commit_healed_by_replay(spark, tmp_path,
+                                                     monkeypatch):
+    """r8 self-review: vectors land LAST (the replay guard's commit
+    point), so a crash at ANY earlier step — here injected at the
+    fingers rewrite, after the edge deltas landed — leaves the batch
+    unadmitted and a plain replay heals everything: vectors admitted,
+    ring regenerated for the grown id set, the fold serves exactly k
+    true nearest per src despite the orphaned first-attempt rows."""
+    import vector_db_at_home_spark.operators.knngraph as kg
+
+    rows = _clustered(n_clusters=3, per=12)
+    base = [r for r in rows if r[0] % 3 != 2]
+    batch = [r for r in rows if r[0] % 3 == 2]
+    df = spark.createDataFrame(base, "id long, vec array<double>")
+    bdf = spark.createDataFrame(batch, "id long, vec array<double>")
+    path = str(tmp_path / "gidx_crash")
+    kg.knngraph_save(kg.knn_graph_nndescent(df, "id", "vec", k=4),
+                     df, path, k=4)
+
+    real_rewrite = kg._rewrite_fingers
+    calls = {"n": 0}
+
+    def crashing(spark_, p, ids):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash before the commit point")
+        return real_rewrite(spark_, p, ids)
+
+    monkeypatch.setattr(kg, "_rewrite_fingers", crashing)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        kg.knngraph_append(spark, path, bdf, "id", "vec")
+    # batch NOT admitted: guard table (vectors) untouched
+    assert spark.read.parquet(f"{path}/vectors").count() == len(base)
+
+    # replay heals
+    kg.knngraph_append(spark, path, bdf, "id", "vec")
+    idx = kg.knngraph_load(spark, path)
+    assert idx.vectors.count() == len(rows)
+    all_ids = spark.createDataFrame([(i,) for i, _ in rows], "id long")
+    assert {(r.src, r.dst) for r in idx.fingers.collect()} == \
+        {(r.src, r.dst)
+         for r in kg.navigation_edges(all_ids).collect()}
+    # fold discipline: exactly <= k rows per src, no (src, dst) dupes,
+    # every appended node present
+    edges = idx.edges.collect()
+    per_src = {}
+    for r in edges:
+        per_src.setdefault(r.src, []).append((r.dst, r.d2))
+    assert all(len(v) <= 4 for v in per_src.values())
+    pairs = [(r.src, r.dst) for r in edges]
+    assert len(pairs) == len(set(pairs))
+    assert all(i in per_src for i, _ in batch)

@@ -1860,13 +1860,23 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
         .filter(F.col("__n") > max_cell_rows)
         .collect()
     ]
-    small = assigned if not big_cells else \
-        assigned.filter(~F.col("cell").isin(big_cells))
+    if not big_cells:
+        small, big = assigned, None
+    elif len(big_cells) <= 256:
+        small = assigned.filter(~F.col("cell").isin(big_cells))
+        big = assigned.filter(F.col("cell").isin(big_cells))
+    else:
+        # a pathological distribution can overflow MANY cells — route
+        # the membership test through a broadcast join rather than a
+        # huge isin literal tree
+        bc = F.broadcast(assigned.sparkSession.createDataFrame(
+            [(c,) for c in big_cells], "cell int"))
+        small = assigned.join(bc, "cell", "left_anti")
+        big = assigned.join(bc, "cell", "left_semi")
     out = small.groupBy("cell").applyInPandas(
         prune, schema="id long, cell int, keep boolean"
     )
-    if big_cells:
-        big = assigned.filter(F.col("cell").isin(big_cells))
+    if big is not None:
         out = out.unionByName(
             _semantic_dedup_blocked(big, threshold, max_cell_rows)
         )

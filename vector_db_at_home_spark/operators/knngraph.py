@@ -571,16 +571,19 @@ def knngraph_append(spark, path: str, new_vecs: DataFrame,
     COMMITTED append re-admits nothing — without the guard, a replayed
     batch would find ITSELF in the index at distance 0 and append
     permanent self-edges that the read-time fold would serve as rank-1
-    neighbors.  A crash BETWEEN the edge and vector appends (ADVICE r7)
-    is instead HEALED by replay: the guard sees no vectors, re-runs the
-    batch, and re-emits byte-identical edge rows — identical because the
-    orphaned first-attempt edges point at ids with no vectors yet, so
-    the replay's beam scoring drops them and both attempts see the same
-    index state.  ``knngraph_load``'s (src, dst) min-d2 fold collapses
-    the duplicates.  (Writing vectors FIRST was considered and rejected:
-    it keeps duplicates out but makes the same crash LOSE the batch's
-    edges forever — the guard would skip the replay, leaving orphan
-    vectors permanently unreachable.)
+    neighbors.  A crash mid-sequence (ADVICE r7) is HEALED by replay:
+    vectors land LAST as the guard's commit point, so any earlier crash
+    leaves the batch unadmitted and the replay redoes every step.  The
+    replay's candidate edges may differ from the lost attempt's (if the
+    crash fell after the fingers rewrite, the replay searches a grown
+    ring; the orphaned first-attempt edges point at vector-less ids and
+    drop at scoring) — harmless by the log-structure invariant: every
+    appended row carries a TRUE (src, dst, d2) distance and
+    ``knngraph_load`` folds the best k per src over the candidate union
+    (byte-identical duplicates collapse in its (src, dst) min-d2 dedup).
+    Writing vectors FIRST was rejected twice over: it would let the
+    same crash LOSE the batch's edges forever AND leave the ring
+    permanently stale (the satisfied guard would skip the replay).
 
     Cost, honestly: the batch side is O(batch × beam work), and corpus
     TEXT/vectors are joined only where the beam touches them — but the
@@ -620,14 +623,27 @@ def knngraph_append(spark, path: str, new_vecs: DataFrame,
     all_new = new_edges.union(rev_edges)
     if batch_edges is not None:
         all_new = all_new.union(batch_edges)
+    # Write order (r8 self-review): edges → fingers → VECTORS LAST.  The
+    # vectors append is the replay guard's commit point, so everything
+    # that must be consistent with an admitted batch lands before it — a
+    # crash anywhere earlier leaves the batch unadmitted and the replay
+    # redoes all three steps.  (vectors-before-fingers had a permanent
+    # failure mode: crash between them → guard satisfied → replay no-ops
+    # → the ring never learns the batch ids.)  A replay after a
+    # mid-sequence crash may append DIFFERENT-but-valid candidate rows
+    # than the lost attempt (the ring it searches through can differ),
+    # which is harmless by the log-structure invariant: every edge row
+    # carries a TRUE (src, dst, d2) distance and the read fold keeps the
+    # best k per src over the candidate union — extra true candidates
+    # can only help; byte-identical duplicates collapse in the fold.
     all_new.write.mode("append").parquet(f"{path}/edges")
-    nv.write.mode("append").parquet(f"{path}/vectors")
     # fingers cover the grown id set (old survivors ∪ batch) — identical
     # to what an on-the-fly navigation_edges over the post-append load
     # would compute, so loaded-index searches stay bit-identical while
     # skipping the per-batch global rank
     _rewrite_fingers(spark, path,
                      idx.vectors.select("id").union(nv.select("id")))
+    nv.write.mode("append").parquet(f"{path}/vectors")
 
 
 def bucket_pairs_init(v: DataFrame, bucket_size: int,
