@@ -31,17 +31,13 @@ def test_oracle_keys_subset_of_queries():
 
 def test_registry_priority_order_and_oracles():
     """The round-1 driver scored exactly the FIRST 50 registered queries,
-    so registration order is priority order: among the first 50, only
-    search_by_doc (InDel metric — not SQL-expressible) is rows-only; every
-    tail entry (51+) still carries a full value oracle so it scores green
-    if the driver's cap is higher."""
+    so registration order is priority order.  Since r8 EVERY registered
+    query — search_by_doc included (anti-diagonal recursive-CTE LCS
+    oracle) — carries a full value oracle: zero rows-only rows at any
+    driver cap."""
     from vector_db_at_home_spark.registry import oracle_sql, queries
 
     q, o = queries(), oracle_sql()
     names = list(q)
     assert len(q) >= 50
-    assert set(o) <= set(q)
-    first50 = names[:50]
-    rows_only = [n for n in first50 if n not in o]
-    assert rows_only == ["search_by_doc"]
-    assert all(n in o for n in names[50:])
+    assert set(o) == set(q)

@@ -211,20 +211,88 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("event_id", "win_id").orderBy("event_id", "win_id")
 
 
-@register("search_by_doc")  # no oracle: InDel ratio not SQL-expressible
+def _search_by_doc_oracle_sql(queries_txt: list[str], k: int) -> str:
+    """FULL-CORPUS value oracle for ``search_by_doc`` (r8 — closes the
+    one rows-only row on the driver record).  DuckDB has no
+    insert/delete-only edit distance built in, so the LCS that defines
+    it (dist = 100·(|q|+|d|−2·LCS)/(|q|+|d|)) is computed by a recursive
+    CTE — made corpus-tractable by iterating ANTI-DIAGONALS: diagonal
+    t+1 of the DP table depends only on diagonals t and t−1, so one
+    list_transform per step replaces the O(|d|²)-per-row prefix scan of
+    the old slice-bounded oracle (``indel_kernel_check``).  Cost is the
+    true O(|q|·|d|) cell count over |q|+|d| recursion steps: measured
+    3 s / 3 s / 27 s for the whole corpus at sf0.001/0.01/0.1 —
+    gate-affordable at every scale.  Lists are padded to a fixed |q|+1
+    width so indexing never shifts: cell (i, j=t−i) lives at position
+    i+1, with i=0 / j≤0 / j>n pinned to 0 (verified cell-for-cell
+    against the textbook DP).  The distance doubles use the engine's
+    exact IEEE op order (``100.0 − 100.0·(1 − dist/total)``, the
+    functions.fuzzy.indel_ratio expression — bit-equality previously
+    proven on the fuzzy_topk_small slice), ranked with the engine's
+    (distance, doc_id) tie-break."""
+    vals = ", ".join(f"({i}, '{q}')" for i, q in enumerate(queries_txt))
+    return f"""
+WITH RECURSIVE
+qs(query_id, q) AS (SELECT * FROM (VALUES {vals})),
+pairs AS (
+  SELECT qs.query_id, qs.q, length(qs.q) AS m, d.doc_id, d.text AS doc,
+         length(d.text) AS n
+  FROM qs, documents d
+),
+dp(query_id, doc_id, q, m, doc, n, t, prev, cur) AS (
+  SELECT query_id, doc_id, q, m, doc, n, 0,
+         list_transform(range(1, m + 2), x -> 0),
+         list_transform(range(1, m + 2), x -> 0)
+  FROM pairs
+  UNION ALL
+  SELECT query_id, doc_id, q, m, doc, n, t + 1, cur,
+         list_transform(range(0, m + 1), i ->
+           CASE WHEN i = 0 OR t + 1 - i <= 0 OR t + 1 - i > n THEN 0
+                WHEN substr(q, i, 1) = substr(doc, t + 1 - i, 1)
+                     THEN prev[i] + 1
+                ELSE greatest(cur[i], cur[i + 1]) END)
+  FROM dp WHERE t < m + n
+),
+scored AS (
+  SELECT query_id, doc_id,
+         100.0 - 100.0 * (1.0 - CAST(m + n - 2 * cur[m + 1] AS DOUBLE)
+                                / (m + n)) AS dist
+  FROM dp WHERE t = m + n
+),
+r AS (
+  SELECT query_id, doc_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, doc_id) AS rn
+  FROM scored
+)
+SELECT query_id, doc_id, round(dist, 6) AS distance
+FROM r WHERE rn <= {k} ORDER BY query_id, distance, doc_id
+"""
+
+
+_SEARCH_BY_DOC_QUERIES = [
+    "spark window merge sort",
+    "the fast key order sort table",
+]
+
+
+@register(
+    "search_by_doc",
+    _search_by_doc_oracle_sql(_SEARCH_BY_DOC_QUERIES, k=5),
+)
 def q_search_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy InDel top-k over documents.text (vector_store.py:358-401);
-    rows-only driver check — DuckDB has no insert/delete-only edit distance
-    (its levenshtein allows substitutions, SURVEY.md §2.3)."""
+    """Fuzzy InDel top-k over documents.text (vector_store.py:358-401).
+    FULLY value-oracled since r8: the anti-diagonal recursive-CTE LCS
+    (see _search_by_doc_oracle_sql) ranks the ENTIRE corpus in DuckDB,
+    so the banded machinery's top-k — band superset, exactly-once
+    scoring, (distance, doc_id) rank — hash-compares end to end at
+    every scale (previously rows-only with slice-bounded compensation
+    queries)."""
     from .operators.fuzzysearch import fuzzy_search_by_doc
 
     docs = load_table(spark, sf_dir, "documents")
-    queries_txt = [
-        "spark window merge sort",
-        "the fast key order sort table",
-    ]
     res = fuzzy_search_by_doc(
-        docs, queries_txt, k=5, doc_col="text", id_col="doc_id"
+        docs, _SEARCH_BY_DOC_QUERIES, k=5, doc_col="text", id_col="doc_id"
     )
     return res.select(
         "query_id", "doc_id", F.round("distance", 6).alias("distance")
@@ -2697,10 +2765,11 @@ def q_indel_kernel_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fuzzy-search KERNEL value-checked by the driver: the engine's
     bit-parallel LCS (functions.fuzzy._lcs_length — the quantity InDel
     distance is defined by: dist = 100·(|a|+|b|−2·LCS)/(|a|+|b|)) against
-    a textbook DP LCS in pure SQL.  Exact integers, no floats — this
-    removes the 'InDel not SQL-expressible' blind spot for the kernel
-    itself; the full search_by_doc remains rows-only because ranking the
-    whole corpus through the SQL DP would be O(|corpus|·|q|·|doc|²)."""
+    a textbook DP LCS in pure SQL.  Exact integers, no floats — the
+    kernel-level integer check (the full search_by_doc gained its own
+    full-corpus value oracle in r8 via the anti-diagonal CTE, which cut
+    the SQL DP from O(|q|·|d|²) per pair to the true O(|q|·|d|) cell
+    count; this query stays as the float-free kernel pin)."""
     from pyspark.sql.types import LongType
 
     from .functions.fuzzy import _lcs_length
@@ -2770,10 +2839,11 @@ def q_fuzzy_topk_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL banded fuzzy-search machinery (eager phase-1, literal
     thresholds, exactly-once scoring, WindowGroupLimit top-k, payload
     join) value-checked END-TO-END against a full DP ranking — possible
-    because the 50-doc × 48-char slice keeps the recursive-CTE oracle
-    tractable.  Together with indel_kernel_check this reduces
-    search_by_doc's rows-only status to corpus size alone, not
-    semantics."""
+    because the 50-doc × 48-char slice keeps the row-scan recursive-CTE
+    oracle tractable.  Historically this plus indel_kernel_check were
+    search_by_doc's compensation; since r8 the full query carries its
+    own whole-corpus oracle (anti-diagonal CTE) and this slice check
+    remains as the fast regression pin for the band machinery."""
     from .operators.fuzzysearch import fuzzy_search_by_doc
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -4791,9 +4861,9 @@ def _apply_priority_order() -> None:
     assert not extra, f"queries missing from priority list: {extra}"
     dupes = {n for n in ordered if ordered.count(n) > 1}
     assert not dupes, f"duplicate priority entries: {dupes}"
-    # every scored entry except search_by_doc carries a value oracle
-    no_oracle = [n for n in _SCORED_ORDER
-                 if n != "search_by_doc" and n not in _ORACLES]
+    # every scored entry carries a value oracle (search_by_doc included
+    # since r8 — the anti-diagonal LCS oracle ended the one exemption)
+    no_oracle = [n for n in _SCORED_ORDER if n not in _ORACLES]
     assert not no_oracle, f"scored entries lacking oracles: {no_oracle}"
     reordered = {n: _QUERIES[n] for n in ordered}
     _QUERIES.clear()
