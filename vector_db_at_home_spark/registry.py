@@ -4771,9 +4771,19 @@ _SCORED_ORDER = [
     # text pipeline — incl. round-7's distributed BPE training
     "token_stats", "quality_score", "language_id", "tfidf_top_terms",
     "bpe_train_merges",
-    # sampling / kernel checks / multimodal / sketches / capstone
-    "doc_hash_split", "mixture_resample_docs", "indel_kernel_check",
-    "multimodal_stats", "sketch_user_cardinality", "clean_corpus",
+    # sampling / multimodal / sketches / capstone — r8 swaps: the
+    # capstone slot upgrades clean_corpus → clean_corpus_v2 (a strict
+    # stage superset: the same exact/neardup/quality/lang cascade PLUS
+    # substring and semantic dedup, its oracle replicating every
+    # SQL-expressible stage count), and phrase_search_indexed takes
+    # indel_kernel_check's slot (the LCS kernel is now value-checked
+    # END-TO-END inside the scored search_by_doc full-corpus oracle;
+    # the indexed phrase search is the r8 persistence-parity flagship
+    # with a partition-pruned plan).  Both demoted entries keep full
+    # oracles in the tail and stay green in the committed three-scale
+    # gate (ORACLE_LOCAL_r8.txt).
+    "doc_hash_split", "mixture_resample_docs", "phrase_search_indexed",
+    "multimodal_stats", "sketch_user_cardinality", "clean_corpus_v2",
 ]
 
 _TAIL_ORDER = [
@@ -4840,10 +4850,13 @@ _TAIL_ORDER = [
     "corpus_snapshot_diff",
     "retrieval_eval_metrics", "phrase_search_hits",
     "embedding_pca_check", "streaming_vector_neardup_equiv",
-    # round-8: inverted-index persistence parity (save/append/load +
-    # partition-pruned search), the shared regex tokenizer proof, and
-    # the full-dedup-family capstone cascade
-    "phrase_search_indexed", "token_stats_regex", "clean_corpus_v2",
+    # round-8: the shared regex tokenizer proof (phrase_search_indexed
+    # and clean_corpus_v2 were promoted into the scored 50; the entries
+    # they displaced land here with their full oracles intact —
+    # clean_corpus re-walks inside clean_corpus_v2's superset cascade,
+    # and indel_kernel_check's integer LCS kernel re-walks inside the
+    # scored search_by_doc full-corpus oracle)
+    "token_stats_regex", "clean_corpus", "indel_kernel_check",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
