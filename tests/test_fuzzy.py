@@ -176,3 +176,36 @@ def test_provisional_ceiling_guard(spark, monkeypatch):
     out = fz.fuzzy_search_by_doc(df, ["a", "b", "c"], k=2,
                                  prefilter=False).collect()
     assert len(out) == 6
+
+
+def test_antidiagonal_duckdb_oracle_matches_bitparallel_lcs():
+    """r8: the full-corpus search_by_doc oracle's anti-diagonal
+    recursive-CTE LCS (registry._search_by_doc_oracle_sql) must agree
+    with the engine's bit-parallel kernel on adversarial strings —
+    repeats, overlaps, empty-ish, unicode, and length extremes."""
+    import duckdb
+
+    from vector_db_at_home_spark.functions.fuzzy import _lcs_length
+    from vector_db_at_home_spark.registry import _search_by_doc_oracle_sql
+
+    docs = [
+        (0, "aaaa"), (1, "ababab"), (2, "the fast key order sort table"),
+        (3, "x"), (4, "zz yy zz yy zz"), (5, "sortspark window"),
+        (6, "completely unrelated words here"),
+        (7, "spark window merge sort"),          # exact probe match
+        (8, "a" * 200), (9, ("spark " * 40).strip()),
+    ]
+    queries = ["spark window merge sort", "aab"]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    sql = _search_by_doc_oracle_sql(queries, k=len(docs))
+    got = {(q, d): dist for q, d, dist in con.sql(sql).fetchall()}
+    assert len(got) == len(queries) * len(docs)
+    for qid, q in enumerate(queries):
+        for did, text in docs:
+            lcs = _lcs_length(q, text)
+            total = len(q) + len(text)
+            expect = round(
+                100.0 - 100.0 * (1.0 - (total - 2 * lcs) / total), 6)
+            assert abs(got[(qid, did)] - expect) < 1e-9, (qid, did)
