@@ -773,3 +773,42 @@ def test_semantic_dedup_skew_guard_routes_oversized_cells(spark):
           semantic_dedup(df, "id", "vec", n_cells=2, threshold=0.999,
                          max_cell_rows=40).collect()}
     assert g2 == guarded
+
+
+def test_strip_duplicate_spans_planted_boilerplate(spark):
+    """r8: cross-doc duplicate spans vanish everywhere except the
+    smallest-id holder; unique text and within-doc self-repetition
+    survive; reassembly preserves order and original case."""
+    from vector_db_at_home_spark.operators.dedup import (
+        strip_duplicate_spans,
+    )
+
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    docs = spark.createDataFrame(
+        [
+            (1, f"Alpha beta gamma. {boiler} Unique tail one."),
+            (2, f"{boiler} Second doc body text here now yes."),
+            (3, "Totally unrelated document with its own words only."),
+            (4, "rep rep rep rep rep rep rep rep rep rep"),  # self-rep
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in
+           strip_duplicate_spans(docs, "text", "doc_id", window=8)
+           .collect()}
+    # doc 1 is the min-id holder: keeps everything
+    assert got[1].n_tokens_kept == got[1].n_tokens
+    assert boiler in got[1].text_kept
+    # doc 2 loses the 9-token boilerplate (two overlapping shared
+    # 8-windows cover all 9 positions), keeps its own tail
+    assert got[2].n_tokens - got[2].n_tokens_kept == 9
+    assert boiler not in got[2].text_kept
+    assert got[2].text_kept == "Second doc body text here now yes."
+    # unique doc untouched; within-doc repetition untouched (cross-doc only)
+    assert got[3].n_tokens_kept == got[3].n_tokens
+    assert got[4].n_tokens_kept == got[4].n_tokens
+    # determinism
+    again = {r.id: r.text_kept for r in
+             strip_duplicate_spans(docs, "text", "doc_id", window=8)
+             .collect()}
+    assert again == {i: r.text_kept for i, r in got.items()}

@@ -1677,6 +1677,131 @@ LIMIT {k}
 """
 
 
+def strip_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
+                          window: int = 8) -> DataFrame:
+    """Cross-document duplicate-span REMOVAL — the actual Lee et al.
+    2021 treatment (``substring_dedup_stats`` flags it, ``_spans``
+    reports it, this STRIPS it): every token covered by a length-
+    ``window`` token window whose hash occurs in ≥ 2 distinct documents
+    is dropped from every doc EXCEPT the smallest-id holder of that
+    hash (the "keep the first occurrence" rule, made deterministic by
+    id order).  Within-doc self-repetition is untouched (cross-doc
+    only — the boilerplate case; self-repetition has no canonical
+    "first" copy to keep).  Returns ``(id, n_tokens, n_tokens_kept,
+    text_kept)`` with the surviving tokens rejoined in original order.
+
+    Plan shape (all fixed-width after the scan): windows hash to md5 AT
+    THE SCAN with their start position; one (hash) partial agg derives
+    ``(ndocs, min_id)``; qualifying windows explode to covered
+    positions (≤ W longs per window) and distinct per (id, pos); the
+    token stream anti-joins covered positions and reassembles via
+    ``sort_array(collect_list(struct(pos, tok)))`` — per-doc, bounded
+    by the doc's own token count.  Every shuffled row is (32-char hash
+    | two longs); span text never moves."""
+    ids = df.select(F.col(id_col).alias("id"),
+                    _tokens(text_col).alias("toks"))
+    base = _fan_out_small_input(
+        df.select(F.col(id_col).alias("id"),
+                  _span_windows(text_col, window).alias("wins"))
+    )
+    w = base.select(
+        "id", F.posexplode(F.col("wins")).alias("pos", "span")
+    ).select("id", "pos", F.md5("span").alias("h"))
+    g = w.groupBy("h").agg(
+        F.count_distinct("id").alias("ndocs"),
+        F.min("id").alias("min_id"),
+    )
+    covered = (
+        w.join(g, "h")
+        .filter((F.col("ndocs") >= 2) & (F.col("id") != F.col("min_id")))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + window - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = ids.select(
+        "id", F.posexplode(F.col("toks")).alias("pos", "tok")
+    )
+    kept = (
+        toks.join(covered, ["id", "pos"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("text_kept"),
+        )
+    )
+    return (
+        ids.select("id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(kept, "id", "left")
+        .select(
+            "id", "n_tokens",
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+        )
+        .orderBy("id")
+    )
+
+
+def render_strip_duplicate_spans_sql(window: int = 8) -> str:
+    """DuckDB oracle for ``strip_duplicate_spans`` over ``documents`` —
+    identical windows/hashes, the same cross-doc ≥2 / non-min-id drop
+    rule, the same order-preserving reassembly.  NOTE the tokenizer
+    asymmetry is intentional and mirrored: windows hash over
+    ``lower(text)`` (the ``_span_windows`` contract shared with the
+    stats/spans ops) while the REASSEMBLED tokens keep original case
+    (the text being cleaned)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS toks,
+         string_split(lower(text), ' ') AS ltoks
+  FROM documents
+),
+w AS (
+  SELECT id, i AS pos,
+         md5(array_to_string(list_slice(ltoks, i, i + {window} - 1), ' '))
+           AS h
+  FROM base, unnest(range(1, greatest(len(ltoks) - {window} + 2, 1))) AS u(i)
+),
+g AS (
+  SELECT h, count(DISTINCT id) AS ndocs, min(id) AS min_id
+  FROM w GROUP BY h
+),
+covered AS (
+  SELECT DISTINCT w.id, p.pos
+  FROM w JOIN g USING (h),
+       unnest(range(w.pos, w.pos + {window})) AS p(pos)
+  WHERE g.ndocs >= 2 AND w.id <> g.min_id
+),
+toks AS (
+  SELECT id, u.i AS pos, toks[u.i] AS tok
+  FROM base, unnest(range(1, len(toks) + 1)) AS u(i)
+),
+kept AS (
+  SELECT t.id,
+         CAST(count(*) AS BIGINT) AS n_tokens_kept,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS text_kept
+  FROM toks t
+  LEFT JOIN covered c ON c.id = t.id AND c.pos = t.pos
+  WHERE c.pos IS NULL
+  GROUP BY t.id
+)
+SELECT b.id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       coalesce(k.n_tokens_kept, 0) AS n_tokens_kept,
+       coalesce(k.text_kept, '') AS text_kept
+FROM base b LEFT JOIN kept k ON k.id = b.id
+ORDER BY b.id
+"""
+
+
 def setsim_join(left: DataFrame, right: DataFrame, text_col: str,
                 id_col: str, n: int = 3, threshold_num: int = 1,
                 threshold_den: int = 2,

@@ -4538,6 +4538,28 @@ FROM t ORDER BY id
 _register_token_stats_regex()
 
 
+def _register_substring_strip() -> None:
+    from .operators.dedup import render_strip_duplicate_spans_sql
+
+    def q_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cross-doc duplicate-span REMOVAL (operators/dedup.py:
+        strip_duplicate_spans — the Lee et al. treatment the stats/spans
+        ops only report): tokens covered by a window hash held by ≥2
+        docs are stripped everywhere but the min-id holder; surviving
+        text reassembled in order.  Full value oracle: token counts AND
+        the rebuilt text hash."""
+        from .operators.dedup import strip_duplicate_spans
+
+        docs = load_table(spark, sf_dir, "documents")
+        return strip_duplicate_spans(docs, "text", "doc_id", window=8)
+
+    _QUERIES["substring_strip_docs"] = q_strip
+    _ORACLES["substring_strip_docs"] = render_strip_duplicate_spans_sql(8)
+
+
+_register_substring_strip()
+
+
 def _register_clean_corpus_v2() -> None:
     from .operators.pipeline import render_clean_corpus_v2_sql
 
@@ -4857,6 +4879,7 @@ _TAIL_ORDER = [
     # and indel_kernel_check's integer LCS kernel re-walks inside the
     # scored search_by_doc full-corpus oracle)
     "token_stats_regex", "clean_corpus", "indel_kernel_check",
+    "substring_strip_docs",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
