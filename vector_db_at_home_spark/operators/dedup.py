@@ -1893,9 +1893,11 @@ ORDER BY id_a, id_b
 
 
 def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
-                   n_cells: int = 8, threshold: float = 0.8,
+                   n_cells: int | None = None, threshold: float = 0.8,
                    seed: int = 42,
-                   max_cell_rows: int = 65536) -> DataFrame:
+                   max_cell_rows: int = 65536,
+                   target_cell_rows: int = 4096,
+                   stats: dict | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): semantic
     dedup over an embedding column — the embedding-space analog of
     ``clean_corpus``.  Returns the keep/drop map ``(id, cell, keep)``.
@@ -1930,21 +1932,44 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     ≤ ~``max_cell_rows`` rows regardless of the cell's true size, at
     identical keep/drop semantics — both paths decide "drop iff a
     smaller-id same-cell row has cosine ≥ threshold", and the float64
-    row-dot is reduction-order-identical across them.  The routing
-    decision costs one ≤-n_cells-row collect; when no cell exceeds the
-    cap (every registered scale) the r7 plan is byte-identical.
+    row-dot is numerically equivalent up to BLAS reduction order (the
+    two paths run GEMMs with different tile shapes, so a cosine landing
+    EXACTLY on the threshold could in principle flip at the ULP level;
+    no registered fixture sits on the boundary).  The routing decision
+    costs one ≤-n_cells-row collect; when no cell exceeds the cap
+    (every registered scale) the r7 plan is byte-identical.
+
+    ``n_cells=None`` (auto, VERDICT r8 task 1) derives the cell count
+    from the corpus: ``clamp(ceil(n_rows / target_cell_rows), 8,
+    65536)`` — the SemDeDup paper's regime (50k clusters on LAION)
+    where CLUSTER COUNT grows with the corpus so cell size stays
+    bounded.  With a fixed ``n_cells``, 100× data means 100× rows per
+    cell and near-quadratic within-cell work (safe under the skew
+    guard, but slow); auto keeps expected cell size ≈
+    ``target_cell_rows`` at any scale with no caller tuning.  The
+    derived count is exact-integer reproducible from ``n_rows`` alone
+    (oracle-expressible); pass ``stats={}`` to receive
+    ``{"n_cells": derived}``.
     """
+    import math
+
     import numpy as np
 
     from .ann import ivf_build
 
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).cast("array<double>").alias("vec"))
+    n_rows = base.count()
+    if n_cells is None:
+        n_cells = min(max(math.ceil(n_rows / max(1, target_cell_rows)),
+                          8), 65536)
+    if stats is not None:
+        stats["n_cells"] = int(n_cells)
+        stats["n_rows"] = int(n_rows)
     # guard the degenerate regime: with n_cells ≈ n every cell is a
     # singleton and NO pair is ever compared — a tiny corpus silently
     # dedupes nothing.  Keep expected cell size ≥ 8 (and ≥ 1 cell); at
     # the registered scales the requested n_cells is unchanged.
-    n_rows = base.count()
     eff_cells = max(1, min(n_cells, n_rows // 8))
     if eff_cells < 2:  # KMeans needs k >= 2; one cell = plain full pass
         assigned = base.withColumn("cell", F.lit(0))

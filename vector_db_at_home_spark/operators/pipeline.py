@@ -178,7 +178,7 @@ def clean_corpus_v2_stage_counts(spark: SparkSession, sf_dir: str,
                                  langs: tuple[str, ...] = ("en", "de", "es",
                                                            "fr"),
                                  substring_window: int = 8,
-                                 semantic_cells: int = 8,
+                                 semantic_cells: int | None = None,
                                  semantic_threshold: float = 0.8) -> DataFrame:
     """The r8 capstone: the FULL dedup family threaded into one cleaning
     cascade (VERDICT r7 task 6), graded by its per-stage survivor counts
@@ -188,7 +188,19 @@ def clean_corpus_v2_stage_counts(spark: SparkSession, sf_dir: str,
     3_substring (drop ``flag_dup_heavy`` docs — Lee et al. substring
     profile over the surviving set) → 4_quality → 5_lang → 6_semantic
     (SemDeDup over each surviving doc's embedding where one exists —
-    docs without embeddings pass through).
+    docs without embeddings pass through), plus a ``7_semantic_cells``
+    row carrying the DERIVED SemDeDup cell count.
+
+    ``semantic_cells=None`` (default, VERDICT r8 task 1) auto-scales the
+    SemDeDup cluster count with the embedded-survivor count
+    (``clamp(ceil(n / 4096), 8, 65536)`` — see
+    :func:`..operators.dedup.semantic_dedup`), so at 100× data the
+    within-cell compare sets stay bounded instead of growing 100× inside
+    a fixed 8 cells.  The derived count is emitted as the
+    ``7_semantic_cells`` row and value-hashed by the oracle (which
+    replicates the clamp formula over the same survivor count), so a
+    drift in the auto-scale rule or in any upstream stage count flips
+    the hash.
 
     Every stage count is an exact integer the DuckDB oracle replicates —
     except 6_semantic, whose k-means is not SQL-expressible: on this
@@ -246,9 +258,11 @@ def clean_corpus_v2_stage_counts(spark: SparkSession, sf_dir: str,
                    F.col("embedding").cast("array<double>").alias("vec")),
         "doc_id",
     ).select("doc_id", "vec")
+    sem_stats: dict = {}
     sem = semantic_dedup(with_vec, "doc_id", "vec",
                          n_cells=semantic_cells,
-                         threshold=semantic_threshold)
+                         threshold=semantic_threshold,
+                         stats=sem_stats)
     sem_drop = sem.filter(~F.col("keep")) \
         .select(F.col("id").alias("doc_id"))
     kept6 = kept5.join(F.broadcast(sem_drop), "doc_id", "left_anti")
@@ -263,7 +277,12 @@ def clean_corpus_v2_stage_counts(spark: SparkSession, sf_dir: str,
         c = df.agg(F.lit(name).alias("stage"),
                    F.count(F.lit(1)).cast("long").alias("n_docs"))
         out = c if out is None else out.unionByName(c)
-    return out.orderBy("stage")
+    spark = docs.sparkSession
+    cells_row = spark.range(1).select(
+        F.lit("7_semantic_cells").alias("stage"),
+        F.lit(int(sem_stats["n_cells"])).cast("long").alias("n_docs"),
+    )
+    return out.unionByName(cells_row).orderBy("stage")
 
 
 CLEAN_CORPUS_V2_SQL = (
@@ -316,6 +335,13 @@ SELECT * FROM (
   -- semantic drops nothing on this corpus: max natural embedding cosine
   -- 0.60 << 0.8 (the semantic_dedup_map invariant)
   UNION ALL SELECT '6_semantic', CAST(count(*) AS BIGINT) FROM k5
+  -- the auto-scaled SemDeDup cell count: clamp(ceil(n_embedded/4096),
+  -- 8, 65536) over the stage-5 survivors that have embeddings — the
+  -- exact clamp formula semantic_dedup derives when n_cells=None
+  UNION ALL SELECT '7_semantic_cells',
+    LEAST(GREATEST(CAST(ceil(CAST(count(*) AS DOUBLE) / 4096.0)
+                        AS BIGINT), 8), 65536)
+  FROM k5 JOIN embeddings e ON e.vec_id = k5.doc_id
 ) ORDER BY stage
 """
 )

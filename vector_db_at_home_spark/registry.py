@@ -4120,6 +4120,12 @@ def q_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # perturbed ids are the largest, so they can never steal an
     # original's or exact plant's keep flag, and total_kept stays
     # restricted to ids < 2e6.
+    # r9: n_cells is AUTO-derived (clamp(ceil(n_rows/4096), 8, 65536),
+    # VERDICT r8 task 1) and the derived count is value-hashed — the
+    # oracle replicates the clamp over |embeddings|+64 plants, so a
+    # drift in the auto-scale rule flips the hash.  At every registered
+    # scale the derived count clamps to 8 (n_rows ≤ 2064), so the
+    # measured recall floors above are unchanged by construction.
     """
 WITH p AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 32),
      t AS (SELECT count(*) AS n FROM embeddings)
@@ -4128,18 +4134,22 @@ SELECT p.vec_id + 1000000 AS planted_id,
        CAST(1 AS BOOLEAN) AS planted_dropped,
        CAST(1 AS BOOLEAN) AS src_kept,
        t.n AS total_kept,
-       CAST(1 AS BOOLEAN) AS perturbed_dropped_ge_24
+       CAST(1 AS BOOLEAN) AS perturbed_dropped_ge_24,
+       LEAST(GREATEST(CAST(ceil(CAST(t.n + 64 AS DOUBLE) / 4096.0)
+                           AS BIGINT), 8), 65536) AS n_cells_derived
 FROM p, t ORDER BY planted_id
 """,
 )
 def q_semantic_dedup_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (operators/dedup.py:semantic_dedup): k-means cells via
-    the IVF fit/assign, within-cell triangular chunked GEMM (cells above
-    ``max_cell_rows`` route through the distributed blocked kernel),
-    drop any row whose cell holds a smaller-id row at cosine >= 0.8.
-    Planted exact duplicates grade exact recall in-plan; planted
-    PERTURBED near-dups (r8) grade realistic within-cell recall; the
-    keep/drop totals value-hash."""
+    """SemDeDup (operators/dedup.py:semantic_dedup): AUTO-scaled k-means
+    cell count (clamp(ceil(n/4096), 8, 65536) — the paper's
+    clusters-grow-with-corpus regime), cells via the IVF fit/assign,
+    within-cell triangular chunked GEMM (cells above ``max_cell_rows``
+    route through the distributed blocked kernel), drop any row whose
+    cell holds a smaller-id row at cosine >= 0.8.  Planted exact
+    duplicates grade exact recall in-plan; planted PERTURBED near-dups
+    (r8) grade realistic within-cell recall; the keep/drop totals AND
+    the derived cell count value-hash."""
     from .operators.dedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4159,8 +4169,9 @@ def q_semantic_dedup_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(x),
         ).alias("vec"),
     )
+    sem_stats: dict = {}
     m = semantic_dedup(base.union(planted).union(perturbed), "id", "vec",
-                       n_cells=8, threshold=0.8)
+                       n_cells=None, threshold=0.8, stats=sem_stats)
     pl = m.filter(
         (F.col("id") >= 1_000_000) & (F.col("id") < 2_000_000)
     ).select(
@@ -4183,7 +4194,9 @@ def q_semantic_dedup_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(total))
         .join(F.broadcast(pert))
         .select("planted_id", "src_id", "planted_dropped", "src_kept",
-                "total_kept", "perturbed_dropped_ge_24")
+                "total_kept", "perturbed_dropped_ge_24",
+                F.lit(int(sem_stats["n_cells"])).cast("long")
+                .alias("n_cells_derived"))
         .orderBy("planted_id")
     )
 
