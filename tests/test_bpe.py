@@ -119,3 +119,99 @@ def test_bpe_hybrid_equivalence_on_testdata(spark):
             bpe_train_merges(docs, "text", n_merges=8,
                              local_vocab_ceiling=0).collect()]
     assert local == dist and len(local) == 8
+
+
+def test_bpe_batched_equals_sequential_tie_free(spark):
+    """r9 (VERDICT r8 task 3): the batched distributed rounds must be
+    provably identical to sequential greedy.  Tie-free Zipf-ish corpus
+    (distinct pair counts, many symbol-disjoint winners) — the batch
+    path must take >1 merge per round AND match the pinned local
+    greedy byte-for-byte."""
+    from vector_db_at_home_spark.operators.bpe import bpe_train_merges
+
+    words = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op",
+             "qr", "st", "uv", "wx", "yz", "01", "23", "45"]
+    rows = [(i, (w + " ") * (100 - 3 * i)) for i, w in enumerate(words)]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    local = [tuple(r) for r in
+             bpe_train_merges(docs, "text", n_merges=16).collect()]
+    stats: dict = {}
+    dist = [tuple(r) for r in
+            bpe_train_merges(docs, "text", n_merges=16,
+                             local_vocab_ceiling=0,
+                             stats=stats).collect()]
+    assert local == dist and len(local) == 16
+    assert stats["path"] == "distributed"
+    # the whole point: multiple merges per distributed round — these 16
+    # symbol-disjoint distinct-count pairs batch into a single round
+    assert stats["rounds"] < 16
+    assert len(dist) / stats["rounds"] > 2
+
+
+def test_bpe_batched_equals_sequential_tie_heavy(spark):
+    """Adversarially tie-heavy corpus (every pair count equal, shared
+    symbols everywhere, self-pair runs): the batch trim must fall back
+    toward single merges and STILL match sequential greedy exactly."""
+    from vector_db_at_home_spark.operators.bpe import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aaaa aaaa bbbb bbbb"),          # self-pair runs, tied
+            (1, "abab baba abba baab"),          # shared symbols, tied
+            (2, "xy yx xy yx zz zz"),
+        ],
+        "id long, text string",
+    )
+    local = [tuple(r) for r in
+             bpe_train_merges(docs, "text", n_merges=10).collect()]
+    dist = [tuple(r) for r in
+            bpe_train_merges(docs, "text", n_merges=10,
+                             local_vocab_ceiling=0).collect()]
+    assert local == dist and len(local) == 10
+
+
+def test_bpe_batched_truncated_scan_equals_sequential(spark):
+    """batch_scan smaller than the pair table: the conservative
+    boundary (c_rest = last collected count) must keep the batch
+    sequential-identical."""
+    from vector_db_at_home_spark.operators.bpe import (
+        _train_merges_distributed,
+        _word_freqs,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} " * (30 - i) + "shared shared") for i in range(12)],
+        "id long, text string")
+    local = [tuple(r) for r in
+             bpe_train_merges(docs, "text", n_merges=12).collect()]
+    wf = _word_freqs(docs, "text")
+    dist = _train_merges_distributed(wf, 12, batch_scan=3)
+    got = [(int(a), b, c, int(d)) for a, b, c, d in dist]
+    want = [(int(a), b, c, int(d)) for a, b, c, d in local]
+    assert got == want
+
+
+def test_bpe_batched_randomized_equivalence(spark):
+    """Fixed-seed randomized corpora (mixed alphabet sizes, repeated
+    substrings, runs): batched distributed == local sequential on all
+    of them."""
+    import random
+
+    from vector_db_at_home_spark.operators.bpe import bpe_train_merges
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        alpha = "abcdef"
+        rows = []
+        for i in range(40):
+            w = "".join(rng.choice(alpha)
+                        for _ in range(rng.randint(2, 7)))
+            rows.append((i, (w + " ") * rng.randint(1, 9)))
+        docs = spark.createDataFrame(rows, "id long, text string")
+        local = [tuple(r) for r in
+                 bpe_train_merges(docs, "text", n_merges=10).collect()]
+        dist = [tuple(r) for r in
+                bpe_train_merges(docs, "text", n_merges=10,
+                                 local_vocab_ceiling=0).collect()]
+        assert local == dist, f"seed {seed} diverged"

@@ -58,7 +58,8 @@ KNOWN_BNLJ: dict[str, str] = {
     "indel_kernel_check": "literal probe strings broadcast",
     # corpus-scalar broadcasts
     "lm_quality_score": _SCALAR, "sketch_rollup_total": _SCALAR,
-    "bm25_topk": _SCALAR, "q11_important_stock": _SCALAR,
+    "bm25_topk": _SCALAR, "bm25_topk_regex": _SCALAR,
+    "q11_important_stock": _SCALAR,
     "q22_dormant_customers": _SCALAR,
     "retrieval_eval_metrics": _SCALAR,
     "semantic_dedup_map": "1-row total_kept aggregate broadcast",

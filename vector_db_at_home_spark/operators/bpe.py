@@ -90,7 +90,8 @@ _LOCAL_VOCAB_CEILING = 1_000_000
 def bpe_train_merges(docs: DataFrame, text_col: str,
                      n_merges: int = 8,
                      local_vocab_ceiling: int = _LOCAL_VOCAB_CEILING,
-                     tokenize_mode: str = "space") -> DataFrame:
+                     tokenize_mode: str = "space",
+                     stats: dict | None = None) -> DataFrame:
     """Train ``n_merges`` BPE merge rules; returns the merge table
     ``(round, left_sym, right_sym, pair_count)`` — integers and strings
     only, bit-identical across engines (ties broken ``cnt DESC, a ASC,
@@ -108,17 +109,26 @@ def bpe_train_merges(docs: DataFrame, text_col: str,
     cadence that made a realistic 30k-merge vocabulary driver-bound
     (measured: 1,024 merges at sf0.1 in seconds vs ~35 min of job
     round-trips; tools/bpe_scale_smoke.py).  Above the ceiling the
-    original distributed rounds run: one explode + partial-agg pair
-    count + 1-row argmax + codegen literal replace per round — no UDF,
-    no driver-side data beyond the winning pair."""
+    distributed rounds run, BATCHED (VERDICT r8 task 3) via an exact
+    affected-sub-corpus greedy replay — provably identical to
+    sequential greedy (see :func:`_train_merges_distributed`), dozens
+    to hundreds of merges per distributed round on realistic count
+    distributions, single-merge fallback in degenerate rounds.  One
+    explode + partial-agg pair count + bounded collects + codegen
+    literal replace chain per round — no UDF, driver data bounded by
+    the same ceiling discipline as the hybrid path.  ``stats``
+    (optional dict) receives ``{"path": "local"|"distributed",
+    "rounds": N}``."""
     spark = docs.sparkSession
     wf = _word_freqs(docs, text_col, tokenize_mode) \
         .localCheckpoint(eager=True)
     if wf.count() <= local_vocab_ceiling:
         merges = _train_merges_local(
             [(r["w"], int(r["freq"])) for r in wf.collect()], n_merges)
+        if stats is not None:
+            stats["path"], stats["rounds"] = "local", 1
     else:
-        merges = _train_merges_distributed(wf, n_merges)
+        merges = _train_merges_distributed(wf, n_merges, stats=stats)
     return spark.createDataFrame(
         merges, "round int, left_sym string, right_sym string, "
                 "pair_count long",
@@ -126,34 +136,244 @@ def bpe_train_merges(docs: DataFrame, text_col: str,
 
 
 def _train_merges_distributed(wf: DataFrame,
-                              n_merges: int
+                              n_merges: int,
+                              batch_scan: int = 4096,
+                              top_j: int = 256,
+                              w_cap: int = _LOCAL_VOCAB_CEILING,
+                              stats: dict | None = None,
                               ) -> list[tuple[int, str, str, int]]:
-    """The exact distributed loop (pre-r8 path, unchanged semantics):
-    2 Spark jobs per merge over the word-type table."""
+    """Distributed rounds with PROVABLY-SEQUENTIAL merge batching
+    (VERDICT r8 task 3), via an AFFECTED-SUB-CORPUS simulation: per
+    round, one distributed pair count feeds an exact driver-side greedy
+    replay over only the words that can change, and the resulting merge
+    batch is applied back to the full corpus in one codegen replace
+    chain.  Per round:
+
+    1. count pairs, collect the top ``batch_scan`` rows sorted
+       ``(cnt DESC, a ASC, b ASC)``; every uncollected pair has count
+       ≤ ``c_k`` (the last collected row);
+    2. collect the current global SYMBOL set (bounded: the alphabet
+       plus one symbol per past merge);
+    3. collect W = the words containing any of the top ``top_j`` pairs
+       (shrinking ``top_j`` 4x at a time if W would exceed ``w_cap``
+       word types — the same driver ceiling the hybrid local path
+       uses);
+    4. run the incremental greedy trainer (the ``_train_merges_local``
+       machinery) on W ALONE, with each top-K pair's count corrected by
+       a constant ``outside = global − local(W)`` term;
+    5. apply the simulated merges, in order, as one literal-replace
+       chain over the distributed word table.
+
+    Why the simulation is EXACT sequential greedy:
+
+    - a word containing no merged pair is a replace no-op, so merging
+      a top-J pair rewrites only W (every word containing a top-J pair
+      is in W by construction) — all count DELTAS happen inside W and
+      the sim tracks them exactly; the ``outside`` term never changes;
+    - merges only create adjacencies INVOLVING the new symbol, so an
+      original-symbol pair can never gain occurrences: every pair
+      outside the collected top-K stays ≤ ``c_k`` forever;
+    - a pair involving a FRESH created symbol (one not in the global
+      symbol set) cannot occur outside W at all — its count is fully
+      known (outside 0) and it is freely mergeable;
+    - the sim therefore stops (ending the round and forcing a
+      distributed recount) exactly when sequential greedy's next pick
+      is not certain or not locally applicable: when the winner's
+      count falls to ``c_k`` (an uncollected pair could tie or win),
+      when the winner is a known top-K pair outside top-J (its
+      occurrences extend beyond W, so the rewrite cannot be simulated),
+      or just after a merge whose created symbol COLLIDES with an
+      existing one (e.g. (a, bc) and (ab, c) both spell "abc" — the
+      collided pairs' outside occurrences poison further bookkeeping);
+    - ties among fully-known pairs resolve by the exact
+      ``(cnt DESC, a ASC, b ASC)`` order both engines use, so unlike
+      prefix-style batching this replay takes no tie penalty, handles
+      self-pairs ("aaa" runs) through the real per-word apply, and
+      keeps batching straight through interference.
+
+    The recorded per-merge counts are the sim's exact global counts —
+    identical to what single-step sequential rounds would record
+    (pytest-pinned against ``_train_merges_local`` on tie-free,
+    tie-heavy, self-pair, truncated-scan and randomized corpora).
+    Driver traffic per round: top-K pair rows + the symbol set + the W
+    word subset (≤ ``w_cap``); when even ``top_j = 1`` overflows
+    ``w_cap`` the round degrades to the classic single top-pair merge,
+    which is always correct."""
+    import heapq
+    from collections import Counter
+    from functools import reduce
+    from operator import or_
+
     words = wf.select(_rep(F.col("w")).alias("rep"), "freq") \
         .localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    for rnd in range(n_merges):
-        top = (
+    rounds = 0
+    while len(merges) < n_merges:
+        rows = (
             _pair_counts(words)
             .orderBy(F.col("cnt").desc(), F.col("a").asc(),
                      F.col("b").asc())
-            .limit(1)
+            .limit(batch_scan)
             .collect()
         )
-        if not top:
+        if not rows:
             break
-        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-        merges.append((rnd, a, b, cnt))
-        words = words.select(
-            F.replace(
-                F.col("rep"),
+        rounds += 1
+        complete = len(rows) < batch_scan
+        c_k = -1 if complete else int(rows[-1]["cnt"])
+        global_cnt = {(r["a"], r["b"]): int(r["cnt"]) for r in rows}
+
+        # global symbol set: alphabet + one symbol per past merge
+        syms = {
+            r["s"] for r in words.select(
+                F.explode(_symbols(F.col("rep"))).alias("s")
+            ).distinct().collect()
+        }
+
+        # adaptive affected-word collect
+        j = min(top_j, len(rows))
+        wrows = None
+        while j >= 1:
+            cond = reduce(or_, [
+                F.col("rep").contains(SEP + r["a"] + SEP + SEP
+                                      + r["b"] + SEP)
+                for r in rows[:j]
+            ])
+            cand = words.filter(cond)
+            if cand.count() <= w_cap:
+                wrows = cand.collect()
+                break
+            j //= 4
+        topj_set = {(r["a"], r["b"]) for r in rows[:j]} if wrows else set()
+
+        if wrows:
+            batch = _sim_merges(
+                [(r["rep"], int(r["freq"])) for r in wrows],
+                n_merges - len(merges), global_cnt, topj_set, syms, c_k,
+            )
+        else:
+            batch = []
+        if not batch:
+            # degenerate round: classic single top-pair merge
+            r0 = rows[0]
+            batch = [(r0["a"], r0["b"], int(r0["cnt"]))]
+
+        rep = F.col("rep")
+        for a, b, cnt in batch:
+            merges.append((len(merges), a, b, cnt))
+            rep = F.replace(
+                rep,
                 F.lit(SEP + a + SEP + SEP + b + SEP),
                 F.lit(SEP + a + b + SEP),
-            ).alias("rep"),
-            "freq",
-        ).localCheckpoint(eager=True)
+            )
+        words = words.select(rep.alias("rep"), "freq") \
+            .localCheckpoint(eager=True)
+    if stats is not None:
+        stats["path"], stats["rounds"] = "distributed", rounds
     return merges
+
+
+def _sim_merges(rep_freqs: list[tuple[str, int]], budget: int,
+                global_cnt: dict, topj: set, syms: set,
+                c_k: int) -> list[tuple[str, str, int]]:
+    """Exact greedy replay over the affected sub-corpus W (see
+    ``_train_merges_distributed`` for the soundness argument).  Same
+    incremental count/heap machinery as ``_train_merges_local``, with
+    three gates: a pair's GLOBAL count is its W-local count plus a
+    constant outside term (known only for collected top-K pairs and for
+    pairs involving fresh created symbols, where it is 0); the winner
+    must strictly beat ``c_k`` (the uncollected-pair ceiling); and the
+    winner must be rewritable inside W alone (top-J or fresh-symbol
+    pairs).  Returns ``(a, b, global_count)`` merges in order."""
+    import heapq
+    from collections import Counter
+
+    words: list[list[str]] = [
+        rep[1:-1].split(SEP + SEP) for rep, _ in rep_freqs
+    ]
+    freqs = [f for _, f in rep_freqs]
+    local = Counter()
+    pair_words: dict = {}
+    for wi, s in enumerate(words):
+        for p, c in Counter(zip(s, s[1:])).items():
+            local[p] += c * freqs[wi]
+            pair_words.setdefault(p, set()).add(wi)
+    outside = {p: g - local.get(p, 0) for p, g in global_cnt.items()}
+    fresh: set = set()
+
+    def known(p) -> bool:
+        return p in outside or p[0] in fresh or p[1] in fresh
+
+    def gcnt(p) -> int:
+        return local.get(p, 0) + outside.get(p, 0)
+
+    def mergeable(p) -> bool:
+        return p in topj or p[0] in fresh or p[1] in fresh
+
+    heap = [(-gcnt(p), p[0], p[1]) for p in outside]
+    heapq.heapify(heap)
+    out: list[tuple[str, str, int]] = []
+    while len(out) < budget:
+        best = None
+        while heap:
+            negc, a, b = heapq.heappop(heap)
+            p = (a, b)
+            cur = gcnt(p)
+            if cur <= 0 or not known(p):
+                continue
+            if cur == -negc:
+                best = (a, b, cur)
+                break
+            heapq.heappush(heap, (-cur, a, b))
+        if best is None:
+            break
+        a, b, cnt = best
+        if cnt <= c_k:
+            break           # an uncollected pair could tie or win
+        if not mergeable((a, b)):
+            break           # winner's occurrences extend beyond W
+        out.append((a, b, cnt))
+        ab = a + b
+        collided = ab in syms or ab in fresh
+        if not collided:
+            fresh.add(ab)
+        # apply the merge to W, incrementally (the local-trainer loop)
+        touched: set = set()
+        for wi in sorted(pair_words.get((a, b), set())):
+            old = words[wi]
+            new, i, n = [], 0, len(old)
+            while i < n:
+                if i < n - 1 and old[i] == a and old[i + 1] == b:
+                    new.append(ab)
+                    i += 2
+                else:
+                    new.append(old[i])
+                    i += 1
+            oc = Counter(zip(old, old[1:]))
+            nc = Counter(zip(new, new[1:]))
+            f = freqs[wi]
+            for p, c in oc.items():
+                if nc.get(p) != c:
+                    local[p] += (nc.get(p, 0) - c) * f
+                    touched.add(p)
+                if p not in nc:
+                    pair_words[p].discard(wi)
+            for p, c in nc.items():
+                if oc.get(p) != c:
+                    if p not in oc:
+                        local[p] += c * f
+                        pair_words.setdefault(p, set()).add(wi)
+                    touched.add(p)
+            words[wi] = new
+        local.pop((a, b), None)
+        outside.pop((a, b), None)
+        pair_words.pop((a, b), None)
+        if collided:
+            break           # new pairs' outside occurrences unknown
+        for p in touched:
+            if known(p) and gcnt(p) > 0:
+                heapq.heappush(heap, (-gcnt(p), p[0], p[1]))
+    return out
 
 
 def _train_merges_local(word_freqs: list[tuple[str, int]],

@@ -89,10 +89,20 @@ def phrase_search(docs: DataFrame, phrase: str, text_col: str,
     )
 
 
-def render_phrase_search_sql(phrase: str) -> str:
+def render_phrase_search_sql(phrase: str,
+                             tokenize_mode: str = "space",
+                             text_sql: str = "lower(text)") -> str:
     """DuckDB oracle — identical tokenization, positions, and join
-    semantics over ``documents``."""
-    terms = [t for t in phrase.lower().split(" ") if t]
+    semantics over ``documents``.  ``tokenize_mode="regex"`` uses the
+    shared cross-engine pattern on BOTH the corpus and the phrase;
+    ``text_sql`` lets the oracle index a derived text expression."""
+    from ..functions.tokenize import TOKEN_REGEX, tokens_py
+
+    if tokenize_mode == "space":
+        toks_sql = f"string_split({text_sql}, ' ')"
+    else:
+        toks_sql = f"regexp_extract_all({text_sql}, '{TOKEN_REGEX}')"
+    terms = [t for t in tokens_py(phrase.lower(), tokenize_mode) if t]
     lit0 = terms[0].replace("'", "''")
     joins = []
     for i, t in enumerate(terms[1:], start=1):
@@ -104,7 +114,7 @@ def render_phrase_search_sql(phrase: str) -> str:
     return f"""
 WITH postings AS (
   SELECT doc_id AS id, u.i - 1 AS pos, toks[u.i] AS term
-  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM (SELECT doc_id, {toks_sql} AS toks
         FROM documents) b,
        unnest(range(1, len(b.toks) + 1)) AS u(i)
 ),

@@ -213,7 +213,20 @@ def clean_corpus_v2_stage_counts(spark: SparkSession, sf_dir: str,
     Scale shape: each stage is the same plan its standalone operator
     runs (digest groupBy, shingle self-join with broadcast drop list,
     span-hash aggs, codegen filters, k-means assign + cell prune);
-    stages compose as anti-joins on (doc_id) — fixed-width keys only."""
+    stages compose as anti-joins on (doc_id) — fixed-width keys only.
+
+    Each stage's decision set (the doc_ids it keeps or drops — longs
+    only, never text) is eagerly checkpointed the moment it is derived
+    (VERDICT r8 task 2): without this, the seven stage-count branches
+    PLUS semantic_dedup's internal row-count/skew-probe actions each
+    re-derived the whole upstream chain, so the expensive stage-2
+    shingle self-join and stage-3 window explode executed 4-6× per
+    call.  With the checkpoints every heavy stage runs EXACTLY ONCE and
+    every downstream branch is a documents scan + semi/anti joins on
+    fixed-width ids (measured at sf1: wall 115 s → ~45 s, shuffle
+    2.5 GB → well under the r8 target; tools/r9ops_scale_smoke.py).
+    Values are unchanged — the sets are deterministic, checkpointing
+    only pins where they materialize."""
     from ..operators.dedup import (
         exact_dedup,
         ngram_jaccard_pairs,
@@ -225,18 +238,19 @@ def clean_corpus_v2_stage_counts(spark: SparkSession, sf_dir: str,
 
     canon = exact_dedup(docs, "text", "doc_id").filter(
         F.col("id") == F.col("canonical_id")
-    ).select(F.col("id").alias("doc_id"))
+    ).select(F.col("id").alias("doc_id")).localCheckpoint(eager=True)
     kept1 = docs.join(canon, "doc_id", "left_semi")
 
     near = ngram_jaccard_pairs(kept1, "text", "doc_id",
                                threshold=jaccard_threshold)
-    drop = near.select(F.col("id_b").alias("doc_id")).distinct()
+    drop = near.select(F.col("id_b").alias("doc_id")).distinct() \
+        .localCheckpoint(eager=True)
     kept2 = kept1.join(F.broadcast(drop), "doc_id", "left_anti")
 
     sub = substring_dedup_stats(kept2, "text", "doc_id",
                                 window=substring_window)
     heavy = sub.filter(F.col("flag_dup_heavy")) \
-        .select(F.col("id").alias("doc_id"))
+        .select(F.col("id").alias("doc_id")).localCheckpoint(eager=True)
     kept3 = kept2.join(F.broadcast(heavy), "doc_id", "left_anti")
 
     toks = F.split(F.col("text"), " ")
@@ -253,18 +267,22 @@ def clean_corpus_v2_stage_counts(spark: SparkSession, sf_dir: str,
     kept5 = kept4.filter(F.col("lang").isin(list(langs)))
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # checkpoint the embedded-survivor projection too: semantic_dedup
+    # runs 3 internal actions (row count, k-means fit sample, skew
+    # probe) plus the final job over it — each would otherwise replay
+    # the kept5 chain's regex-ratio filters over the full text column
     with_vec = kept5.join(
         emb.select(F.col("vec_id").alias("doc_id"),
                    F.col("embedding").cast("array<double>").alias("vec")),
         "doc_id",
-    ).select("doc_id", "vec")
+    ).select("doc_id", "vec").localCheckpoint(eager=True)
     sem_stats: dict = {}
     sem = semantic_dedup(with_vec, "doc_id", "vec",
                          n_cells=semantic_cells,
                          threshold=semantic_threshold,
                          stats=sem_stats)
     sem_drop = sem.filter(~F.col("keep")) \
-        .select(F.col("id").alias("doc_id"))
+        .select(F.col("id").alias("doc_id")).localCheckpoint(eager=True)
     kept6 = kept5.join(F.broadcast(sem_drop), "doc_id", "left_anti")
 
     stages = [

@@ -178,10 +178,22 @@ def bm25_search(docs: DataFrame, terms: list[str], text_col: str,
     )
 
 
-def render_bm25_sql(terms: list[str], k: int = 10) -> str:
+def render_bm25_sql(terms: list[str], k: int = 10,
+                    tokenize_mode: str = "space",
+                    text_sql: str = "lower(text)") -> str:
     """DuckDB oracle for ``bm25_search`` — identical integer rational,
     identical idf log argument, identical literal-order sum and e4 rank
-    key."""
+    key.  ``tokenize_mode="regex"`` tokenizes with the shared
+    cross-engine ``[A-Za-z0-9]+`` pattern (functions/tokenize.py);
+    ``text_sql`` lets a caller rank over a derived text expression
+    (e.g. a deterministically punctuated view) instead of the raw
+    column."""
+    from ..functions.tokenize import TOKEN_REGEX
+
+    if tokenize_mode == "space":
+        toks_sql = f"string_split({text_sql}, ' ')"
+    else:
+        toks_sql = f"regexp_extract_all({text_sql}, '{TOKEN_REGEX}')"
     lterms = [t.lower() for t in terms]
     lit = ", ".join("'" + t.replace("'", "''") + "'" for t in lterms)
     pivot_cols = ",\n         ".join(
@@ -191,7 +203,7 @@ def render_bm25_sql(terms: list[str], k: int = 10) -> str:
     score = " + ".join(f"__c{i}" for i in range(len(lterms)))
     return f"""
 WITH base AS (
-  SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents
+  SELECT doc_id AS id, {toks_sql} AS toks FROM documents
 ),
 stats AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,

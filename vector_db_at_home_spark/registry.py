@@ -4551,6 +4551,88 @@ FROM t ORDER BY id
 _register_token_stats_regex()
 
 
+def _register_regex_retrieval() -> None:
+    """Regex-mode RANKED retrieval end-to-end (VERDICT r8 task 4): the
+    r8 tokenizer was proven on token_stats only; these put BM25 ranking
+    and indexed phrase search through ``tokenize_mode="regex"`` on
+    PUNCTUATED text, with full value oracles.  The synthetic corpus has
+    no punctuation (``[A-Za-z0-9 ]`` only — measured), so each query
+    derives a deterministic punctuated view IN-PLAN on both engines:
+    even doc_ids turn every space into ", ", odd doc_ids get a trailing
+    "." — exactly the texture that makes space-splitting wrong
+    ("word," ≠ "word") and the regex mode necessary."""
+    from .operators.tfidf import bm25_search, render_bm25_sql
+
+    terms = ["vector", "merge", "batch"]
+    punct_sql = ("lower(CASE WHEN doc_id % 2 = 0 "
+                 "THEN replace(text, ' ', ', ') "
+                 "ELSE text || '.' END)")
+
+    def punct_view(docs: DataFrame) -> DataFrame:
+        return docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.regexp_replace("text", " ", ", "))
+            .otherwise(F.concat(F.col("text"), F.lit(".")))
+            .alias("text"),
+        )
+
+    def q_bm25_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BM25 over regex-mode tokens (operators/tfidf.py:bm25_search
+        + functions/tokenize.py): the punctuated view space-splits into
+        polluted tokens ("word," ≠ "word"), the regex mode recovers the
+        clean vocabulary; scores are the same exact-integer rational,
+        ranked by the e4-quantized key — value-hashed against DuckDB's
+        regexp_extract_all tokenization."""
+        docs = load_table(spark, sf_dir, "documents")
+        return bm25_search(punct_view(docs), terms, "text", "doc_id",
+                           k=10, tokenize_mode="regex")
+
+    _QUERIES["bm25_topk_regex"] = q_bm25_regex
+    _ORACLES["bm25_topk_regex"] = render_bm25_sql(
+        terms, k=10, tokenize_mode="regex", text_sql=punct_sql)
+
+    from .operators.invindex import render_phrase_search_sql
+
+    phrase = "the, query."
+
+    def q_phrase_indexed_regex(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+        """Indexed phrase search in regex mode (operators/invindex.py):
+        the punctuated corpus is indexed 80/20 via save + append with
+        ``tokenize_mode="regex"`` pinned in the store metadata, then
+        the punctuated PHRASE "the, query." tokenizes through the same
+        mode ([the, query]) and searches the loaded bucket-pruned
+        postings.  Match counts value-hash against the regex-tokenized
+        DuckDB corpus scan."""
+        import tempfile
+
+        from .operators.invindex import (
+            invindex_append,
+            invindex_load,
+            invindex_save,
+            phrase_search_indexed,
+        )
+
+        docs = punct_view(load_table(spark, sf_dir, "documents"))
+        path = tempfile.mkdtemp(prefix="invindex_rx_")
+        invindex_save(docs.filter(F.col("doc_id") % 7 != 0),
+                      "text", "doc_id", path, n_buckets=32,
+                      tokenize_mode="regex")
+        invindex_append(spark, path,
+                        docs.filter(F.col("doc_id") % 7 == 0),
+                        "text", "doc_id")
+        idx = invindex_load(spark, path)
+        return phrase_search_indexed(idx, phrase)
+
+    _QUERIES["phrase_search_indexed_regex"] = q_phrase_indexed_regex
+    _ORACLES["phrase_search_indexed_regex"] = render_phrase_search_sql(
+        phrase, tokenize_mode="regex", text_sql=punct_sql)
+
+
+_register_regex_retrieval()
+
+
 def _register_substring_strip() -> None:
     from .operators.dedup import render_strip_duplicate_spans_sql
 
@@ -4893,6 +4975,10 @@ _TAIL_ORDER = [
     # scored search_by_doc full-corpus oracle)
     "token_stats_regex", "clean_corpus", "indel_kernel_check",
     "substring_strip_docs",
+    # round-9: regex-mode RANKED retrieval end-to-end (VERDICT r8 task
+    # 4) — BM25 and indexed phrase search over a deterministically
+    # punctuated view, both full value oracles
+    "bm25_topk_regex", "phrase_search_indexed_regex",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
