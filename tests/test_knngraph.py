@@ -467,3 +467,89 @@ def test_append_crash_before_commit_healed_by_replay(spark, tmp_path,
     pairs = [(r.src, r.dst) for r in edges]
     assert len(pairs) == len(set(pairs))
     assert all(i in per_src for i, _ in batch)
+
+
+def test_serving_path_bit_identical_to_hop_loop(spark):
+    """r9 (VERDICT r8 task 6): graph_ann_search_serving — the
+    broadcast + mapInPandas single-job walk — must return EXACTLY the
+    rows of the fixed-schedule hop-loop path: same ids, bit-equal
+    distances (the cumsum scorer reproduces the Spark aggregate fold's
+    IEEE add order), on the derived navigation ring."""
+    from vector_db_at_home_spark.operators.knngraph import (
+        graph_ann_search,
+        graph_ann_search_serving,
+        knn_graph_nndescent,
+    )
+
+    df = spark.createDataFrame(_clustered(),
+                               "id long, vec array<double>")
+    graph = knn_graph_nndescent(df, "id", "vec", k=8)
+    qs = df.filter(F.col("id").isin([0, 37, 111, 185])).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+    batch = sorted(
+        (r.query_id, r.id, r.distance)
+        for r in graph_ann_search(df, graph, qs, k=4,
+                                  early_stop=False).collect()
+    )
+    serving = sorted(
+        (r.query_id, r.id, r.distance)
+        for r in graph_ann_search_serving(df, graph, qs, k=4).collect()
+    )
+    assert serving == batch  # ids AND float-exact distances
+
+
+def test_serving_path_with_loaded_fingers(spark, tmp_path):
+    """Serving through a SAVED index: persisted fingers feed the
+    broadcast adjacency; results bit-match the hop-loop on the same
+    loaded index, and the serving plan has ZERO exchanges (one
+    mapInPandas stage — no per-hop shuffle at all)."""
+    from vector_db_at_home_spark.operators.knngraph import (
+        graph_ann_search,
+        graph_ann_search_serving,
+        knn_graph_nndescent,
+        knngraph_load,
+        knngraph_save,
+    )
+
+    df = spark.createDataFrame(_clustered(),
+                               "id long, vec array<double>")
+    graph = knn_graph_nndescent(df, "id", "vec", k=8)
+    path = str(tmp_path / "gidx")
+    knngraph_save(graph, df, path, k=8)
+    idx = knngraph_load(spark, path)
+    qs = df.filter(F.col("id").isin([3, 77, 142])).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+    batch = sorted(
+        (r.query_id, r.id, r.distance)
+        for r in graph_ann_search(
+            idx.vectors, idx.edges, qs, k=4,
+            fingers=idx.fingers, early_stop=False).collect()
+    )
+    serve_df = graph_ann_search_serving(
+        idx.vectors, idx.edges, qs, k=4, fingers=idx.fingers)
+    plan = serve_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    serving = sorted(
+        (r.query_id, r.id, r.distance) for r in serve_df.collect()
+    )
+    assert serving == batch
+
+
+def test_serving_path_budget_refusal(spark):
+    """An index over the broadcast budget must refuse loudly (the cue
+    to use the distributed hop-loop), not silently collect gigabytes."""
+    import pytest
+
+    from vector_db_at_home_spark.operators.knngraph import (
+        graph_ann_search_serving,
+        knn_graph_nndescent,
+    )
+
+    df = spark.createDataFrame(_clustered(),
+                               "id long, vec array<double>")
+    graph = knn_graph_nndescent(df, "id", "vec", k=4)
+    qs = df.limit(1).select(F.col("id").alias("query_id"),
+                            F.col("vec").alias("qvec"))
+    with pytest.raises(ValueError, match="broadcast budget"):
+        graph_ann_search_serving(df, graph, qs, k=2,
+                                 broadcast_budget_mb=0)

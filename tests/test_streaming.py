@@ -740,3 +740,183 @@ def test_stream_ingest_vector_neardup_ivf_indexed(spark, tmp_path):
     # lands in the index at the NEXT sync
     n_indexed = spark.read.parquet(f"{idx}/assigned").count()
     assert n_indexed == 5
+
+
+def test_neardup_compaction_hook_bounds_state(spark, tmp_path):
+    """r9 (VERDICT r8 task 7): compact_every_batches=1 compacts the
+    persisted MinHash state in-line after every committed micro-batch —
+    acceptance behavior unchanged, state file count bounded instead of
+    one appended file set per batch, committed batch markers pruned."""
+    import os
+
+    from vector_db_at_home_spark.store import VectorStore
+    from vector_db_at_home_spark.streaming.neardup import (
+        stream_into_store_neardup,
+    )
+
+    store = VectorStore(spark, tmp_path / "cstore", dim=2)
+    wrap = lambda t: '{"t": "%s"}' % t
+    store.insert([[1.0, 0.0]], [{"t": "alpha beta gamma delta epsilon"}])
+
+    feed = str(tmp_path / "cfeed")
+    state_dir = str(tmp_path / "cstate")
+
+    def run_batch(rows, mode):
+        spark.createDataFrame(rows, "vec array<float>, doc string") \
+            .coalesce(1).write.mode(mode).parquet(feed)
+        q = stream_into_store_neardup(
+            (spark.readStream.schema("vec array<float>, doc string")
+             .parquet(feed)),
+            store, jaccard_threshold=0.4,
+            checkpoint_dir=str(tmp_path / "cckpt"),
+            state_dir=state_dir, compact_every_batches=1,
+        )
+        q.awaitTermination()
+
+    texts = ["one two three four five six seven eight nine ten",
+             "ua ub uc ud ue uf ug uh ui uj",
+             "red blue green yellow pink white black grey cyan plum"]
+    run_batch([([0.0, 1.0], wrap(texts[0]))], "overwrite")
+    run_batch([([0.0, 2.0], wrap(texts[1])),
+               ([0.0, 3.0], wrap(texts[0].replace("three", "xx")))],
+              "append")  # near-dup of a batch-0 survivor -> rejected
+    run_batch([([0.0, 4.0], wrap(texts[2]))], "append")
+
+    docs = sorted(r["doc"]["t"] for r in store.head(10))
+    assert store.count() == 4  # seed + three novels, near-dup rejected
+    assert not any("xx" in d for d in docs)
+    # bounded state: each table compacted to its target partition count,
+    # NOT one file set per batch (3 appends would leave >=3 sets)
+    for name in ("shingles", "sizes", "bands"):
+        files = [f for f in os.listdir(f"{state_dir}/{name}")
+                 if f.endswith(".parquet")]
+        assert len(files) <= 32, (name, len(files))
+    # committed markers pruned: at most the latest batch's marker left
+    mroot = f"{state_dir}/_appended_batches"
+    scopes = [s for s in os.listdir(mroot) if not s.startswith(".")]
+    markers = [m for s in scopes for m in os.listdir(f"{mroot}/{s}")
+               if not m.startswith(".")]  # skip Hadoop .crc sidecars
+    assert len(markers) <= 1, markers
+
+
+def test_neardup_replay_at_compaction_boundary(spark, tmp_path):
+    """Replay idempotence AT a compaction boundary: the crashed attempt
+    appended the batch's signatures AND compacted the state before the
+    store append committed.  The replay must still admit the batch
+    (self-pair filter works on the compacted state) and end with the
+    store and state consistent."""
+    from vector_db_at_home_spark.operators.dedup import (
+        minhash_corpus_state_append,
+        minhash_corpus_state_build,
+        minhash_corpus_state_compact,
+    )
+    from vector_db_at_home_spark.store import VectorStore
+    from vector_db_at_home_spark.streaming.neardup import (
+        stream_into_store_neardup,
+    )
+
+    store = VectorStore(spark, tmp_path / "rstore", dim=2)
+    wrap = lambda t: '{"t": "%s"}' % t
+    base = "alpha beta gamma delta epsilon"
+    store.insert([[1.0, 0.0]], [{"t": base}])
+
+    novel = "one two three four five six"
+    doc = wrap(novel)
+    state_dir = str(tmp_path / "rstate")
+    # crashed attempt: state built from the corpus, batch appended under
+    # the digest-derived id the screen will assign on replay, then the
+    # compaction hook fired — all BEFORE the store append committed
+    corpus = store.df().select(
+        F.col("id").alias("doc_id"),
+        F.coalesce(F.col("doc"), F.lit("{}")).alias("text"))
+    minhash_corpus_state_build(corpus, state_dir, "text", "doc_id", n=3)
+    bid_df = spark.createDataFrame([(doc,)], "d string").select(
+        F.conv(F.substring(F.md5("d"), 1, 15), 16, 10).cast("long")
+        .alias("doc_id"),
+        F.col("d").alias("text"))
+    minhash_corpus_state_append(spark, state_dir, bid_df,
+                                "text", "doc_id")
+    minhash_corpus_state_compact(spark, state_dir)
+
+    feed = str(tmp_path / "rfeed")
+    spark.createDataFrame([([0.0, 1.0], doc)],
+                          "vec array<float>, doc string") \
+        .coalesce(1).write.parquet(feed)
+    q = stream_into_store_neardup(
+        (spark.readStream.schema("vec array<float>, doc string")
+         .parquet(feed)),
+        store, jaccard_threshold=0.4,
+        checkpoint_dir=str(tmp_path / "rckpt"),
+        state_dir=state_dir, compact_every_batches=1,
+    )
+    q.awaitTermination()
+    # the replayed batch was ADMITTED (self-pairs filtered on the
+    # compacted state), not silently dropped
+    assert store.count() == 2
+    # and a LATER delivery of the same doc is rejected (exact digest)
+    spark.createDataFrame([([0.0, 9.0], doc)],
+                          "vec array<float>, doc string") \
+        .coalesce(1).write.mode("append").parquet(feed)
+    q2 = stream_into_store_neardup(
+        (spark.readStream.schema("vec array<float>, doc string")
+         .parquet(feed)),
+        store, jaccard_threshold=0.4,
+        checkpoint_dir=str(tmp_path / "rckpt"),
+        state_dir=state_dir, compact_every_batches=1,
+    )
+    q2.awaitTermination()
+    assert store.count() == 2
+
+
+def test_vector_neardup_compaction_hook(spark, tmp_path):
+    """IVF-indexed vector screen with compact_every_batches=1: the
+    synced index's appended assignment sets fold back per batch;
+    rejection behavior unchanged across three micro-batch runs."""
+    import os
+
+    from vector_db_at_home_spark.store import VectorStore
+    from vector_db_at_home_spark.streaming.neardup import (
+        stream_into_store_vector_neardup,
+    )
+
+    store = VectorStore(spark, tmp_path / "vcstore", dim=4)
+    store.insert(
+        [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0],
+         [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, -1.0, 0.0]],
+        [{"t": f"seed{i}"} for i in range(4)],
+    )
+    feed = tmp_path / "vcfeed"
+    feed.mkdir()
+    idx = str(tmp_path / "vcidx")
+
+    def run(name, rows):
+        spark.createDataFrame(rows, "vec array<float>, doc string") \
+            .coalesce(1).write.parquet(str(feed / name))
+        q = stream_into_store_vector_neardup(
+            (spark.readStream.schema("vec array<float>, doc string")
+             .option("maxFilesPerTrigger", 1).parquet(str(feed) + "/*")),
+            store, min_cosine=0.95, index_dir=idx,
+            n_cells=2, n_probes=2,
+            checkpoint_dir=str(tmp_path / "vcckpt"),
+            compact_every_batches=1,
+        )
+        q.awaitTermination()
+
+    run("b0", [([0.0, 1.0, 0.0, 0.0], '{"t": "novel1"}')])
+    run("b1", [([0.0, 0.999, 0.02, 0.0], '{"t": "neardup1"}'),
+               ([0.0, 0.0, 0.0, 1.0], '{"t": "novel2"}')])
+    run("b2", [([0.0, 0.0, 0.02, 0.999], '{"t": "neardup2"}')])
+
+    docs = sorted(r["doc"]["t"] for r in store.head(10))
+    assert store.count() == 6
+    assert "novel1" in docs and "novel2" in docs
+    assert not any(d.startswith("neardup") for d in docs)
+    # compacted assignment store: cell dirs exist, no unbounded pile of
+    # per-batch appended files
+    cells = [d for d in os.listdir(f"{idx}/assigned")
+             if d.startswith("cell=")]
+    assert cells
+    for c in cells:
+        files = [f for f in os.listdir(f"{idx}/assigned/{c}")
+                 if f.endswith(".parquet")]
+        assert len(files) <= 32, (c, len(files))

@@ -67,6 +67,22 @@ def fs_touch(spark, path: str) -> None:
             f.write("done")
 
 
+def fs_ls(spark, path: str) -> list[str]:
+    """Child names (not full paths) of a directory; [] if absent."""
+    try:
+        fs, p = _hadoop_fs(spark, path)
+        if not fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(p)]
+    except Exception:
+        if not _is_local_path(path):
+            raise
+        import os
+
+        lp = _strip_file_scheme(path)
+        return os.listdir(lp) if os.path.exists(lp) else []
+
+
 def fs_rename(spark, src: str, dst: str) -> None:
     """Atomic-per-FS rename (the commit primitive parquet jobs rely on)."""
     try:

@@ -426,6 +426,208 @@ def graph_ann_search(vecs: DataFrame, graph: DataFrame, queries: DataFrame,
     )
 
 
+def _py_md5_h60(s: str) -> int:
+    """Driver/executor twin of :func:`..operators.dedup._md5_h60` —
+    identical 60-bit integer from the first 15 md5 hex digits."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass
+class ServingIndex:
+    """One-time-prepared broadcast form of a loaded graph index (ids,
+    packed float64 matrix, CSR-ish adjacency, md5-ranked seeds) — build
+    with :func:`graph_serving_prepare`, query with
+    :func:`graph_ann_search_serving`.  The collect + broadcast is paid
+    ONCE per serving session; each query batch is then a single
+    mapInPandas job."""
+
+    bc: object      # Broadcast[(ids, mat, adj, seeds, pos)]
+    n: int
+    n_seeds: int
+
+
+def graph_serving_prepare(vecs: DataFrame, graph: DataFrame,
+                          fingers: DataFrame | None = None,
+                          n_seeds: int = 8,
+                          broadcast_budget_mb: int = 512,
+                          id_col: str = "id",
+                          vec_col: str = "vec") -> ServingIndex:
+    """Collect a loaded graph index into executor-broadcast form (the
+    serving session's one-time cost — see
+    :func:`graph_ann_search_serving` for semantics and the budget
+    contract).  Raises ``ValueError`` over ``broadcast_budget_mb``."""
+    import math
+
+    import numpy as np
+
+    rows = vecs.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("vec")
+                       ).collect()
+    n = len(rows)
+    ids = np.array([r["id"] for r in rows], dtype=np.int64) \
+        if n else np.empty(0, dtype=np.int64)
+    mat = (np.vstack([r["vec"] for r in rows]).astype(np.float64)
+           if n else np.empty((0, 0)))
+    edge_rows = graph.select("src", "dst").collect()
+    est_mb = (mat.nbytes + ids.nbytes + 16 * len(edge_rows)) / 2**20
+    if est_mb > broadcast_budget_mb:
+        raise ValueError(
+            f"index ~{est_mb:.0f} MB exceeds broadcast budget "
+            f"{broadcast_budget_mb} MB — use graph_ann_search")
+
+    pairs = {(int(r["src"]), int(r["dst"])) for r in edge_rows}
+    if fingers is not None:
+        pairs |= {(int(r["src"]), int(r["dst"]))
+                  for r in fingers.select("src", "dst").collect()}
+    elif n > 1:
+        order = sorted(range(n),
+                       key=lambda i: (_py_md5_h60(str(int(ids[i]))),
+                                      int(ids[i])))
+        ranked = [int(ids[i]) for i in order]
+        steps = [1 << i for i in range(max(1, math.ceil(math.log2(n))))]
+        for r, src in enumerate(ranked):
+            for st in steps:
+                dst = ranked[(r + st) % n]
+                if dst != src:
+                    pairs.add((src, dst))
+    adj: dict[int, list[int]] = {}
+    for sA, dA in pairs:
+        adj.setdefault(sA, []).append(dA)
+    seeds = sorted(
+        (int(i) for i in ids),
+        key=lambda i: (_py_md5_h60(str(i)), i),
+    )[:n_seeds]
+    pos = {int(v): i for i, v in enumerate(ids)}
+    bc = vecs.sparkSession.sparkContext.broadcast(
+        (ids, mat, adj, seeds, pos))
+    return ServingIndex(bc=bc, n=n, n_seeds=n_seeds)
+
+
+def graph_ann_search_serving(vecs: DataFrame | ServingIndex,
+                             graph: DataFrame | None = None,
+                             queries: DataFrame | None = None,
+                             k: int = 5, beam: int | None = None,
+                             hops: int | None = None, n_seeds: int = 8,
+                             fingers: DataFrame | None = None,
+                             broadcast_budget_mb: int = 512,
+                             id_col: str = "id", vec_col: str = "vec",
+                             query_id_col: str = "query_id",
+                             query_vec_col: str = "qvec") -> DataFrame:
+    """SERVING-shaped beam search (VERDICT r8 task 6): one job, zero
+    per-hop exchanges — for a LOADED graph index whose edges + vectors
+    fit a broadcast budget.
+
+    :func:`graph_ann_search` is breadth-synchronous: every hop is a
+    keyed-join Spark job, right for offline batches of thousands of
+    queries but useless interactively (measured 44 s for 64 queries at
+    50k — all scheduling, not compute).  This path collects the index
+    ONCE (ids, a packed float64 vector matrix, the CSR adjacency of
+    k-NN ∪ navigation edges, the md5-ranked seed list), ships it to
+    executors as a broadcast, and runs the ENTIRE walk for each query
+    inside one ``mapInPandas`` pass over the query partitions — the
+    plan is a single Python-map stage with no Exchange at all.
+
+    BIT-IDENTICAL to ``graph_ann_search(early_stop=False)`` on the same
+    index (pytest-pinned): same md5-smallest seeds, same
+    ``max(4, ⌈log₂(n/n_seeds)⌉)`` hop default, same best-first frontier
+    (beam best scored-but-unexpanded by ``(d2, id)``), same accumulated
+    scored set, and the same FLOAT SEMANTICS — squared L2 accumulates
+    left-to-right over the dimensions (``np.cumsum`` is the same
+    sequential IEEE add chain as the Spark ``aggregate`` fold), so even
+    distance ties resolve identically.  When ``fingers`` is None the
+    Chord ring is derived driver-side by the exact
+    :func:`navigation_edges` rule (rank by ``(md5_h60(id), id)``, rank
+    r → r + 2^i mod n).
+
+    Raises ``ValueError`` when the index exceeds
+    ``broadcast_budget_mb`` — the caller's cue to use the hop-loop
+    path; serving an index bigger than executor memory needs the
+    distributed walk, not a bigger broadcast."""
+    import math
+
+    if isinstance(vecs, ServingIndex):
+        prepared = vecs
+        if queries is None:     # allow (index, queries) positionally
+            queries = graph
+    else:
+        prepared = graph_serving_prepare(
+            vecs, graph, fingers=fingers, n_seeds=n_seeds,
+            broadcast_budget_mb=broadcast_budget_mb,
+            id_col=id_col, vec_col=vec_col)
+    n = prepared.n
+    if n == 0:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, id long, distance double")
+    if hops is None:
+        hops = max(4, math.ceil(
+            math.log2(max(n / max(prepared.n_seeds, 1), 2))))
+    if beam is None:
+        beam = max(2 * k, 10)
+    n_hops, n_beam, n_k = hops, beam, k
+    bc = prepared.bc
+
+    def walk(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        _ids, _mat, _adj, _seeds, _pos = bc.value
+
+        def sq_dists(cand_ids, qv):
+            rows_ = _mat[[_pos[c] for c in cand_ids]]
+            diff = rows_ - qv
+            # cumsum = the same left-to-right IEEE add chain as the
+            # Spark aggregate fold — ties resolve identically
+            return _np.cumsum(diff * diff, axis=1)[:, -1]
+
+        for pdf in batches:
+            out_q, out_i, out_d = [], [], []
+            for qid, qv in zip(pdf[query_id_col], pdf[query_vec_col]):
+                qv = _np.asarray(qv, dtype=_np.float64)
+                scored: dict[int, float] = {}
+                for c, d2 in zip(_seeds, sq_dists(_seeds, qv)):
+                    scored[c] = float(d2)
+                expanded: set[int] = set()
+                for _ in range(n_hops):
+                    frontier = sorted(
+                        (c for c in scored if c not in expanded),
+                        key=lambda c: (scored[c], c),
+                    )[:n_beam]
+                    if not frontier:
+                        break
+                    # d in _pos: the hop-loop path scores new candidates
+                    # through an inner join with the vector table, so a
+                    # dst without a vector (e.g. tombstoned) drops there
+                    # — drop it here identically
+                    new = {
+                        d for c in frontier for d in _adj.get(c, ())
+                        if d not in scored and d in _pos
+                    }
+                    expanded.update(frontier)
+                    if new:
+                        newl = sorted(new)
+                        for c, d2 in zip(newl, sq_dists(newl, qv)):
+                            scored[c] = float(d2)
+                top = sorted(scored.items(),
+                             key=lambda t: (t[1], t[0]))[:n_k]
+                for c, d2 in top:
+                    out_q.append(qid)
+                    out_i.append(c)
+                    out_d.append(math.sqrt(d2))
+            yield _pd.DataFrame({"query_id": out_q, "id": out_i,
+                                 "distance": out_d})
+
+    q = queries.select(F.col(query_id_col).alias(query_id_col),
+                       F.col(query_vec_col).cast("array<double>")
+                       .alias(query_vec_col))
+    return q.mapInPandas(
+        walk, schema="query_id long, id long, distance double")
+
+
 # --------------------------------------------------------------------------
 # Persistence — save/load/append/delete-propagation/compaction, the same
 # contract every other index family has (ann.ivf_*, pq.pq_*, sq.ivfsq_*).

@@ -66,7 +66,8 @@ def stream_into_store_neardup(stream_df: DataFrame, store: VectorStore,
                               trigger: dict | None = None,
                               max_doc_freq: int | None = None,
                               max_band_bucket: int | None = None,
-                              state_dir: str | None = None):
+                              state_dir: str | None = None,
+                              compact_every_batches: int | None = None):
     """Start a streaming query appending only novel ``(vec, doc)`` rows.
 
     Rejection rules, applied per micro-batch in order:
@@ -92,6 +93,23 @@ def stream_into_store_neardup(stream_df: DataFrame, store: VectorStore,
     build; rebuild on your compaction cadence.  ``None`` keeps the
     recompute-per-batch form (exact caps every batch).  Replays are safe
     either way (module docstring).
+
+    ``compact_every_batches`` (VERDICT r8 task 7, requires
+    ``state_dir``): every N committed micro-batches the screen runs
+    ``minhash_corpus_state_compact`` in-line — per-batch appends
+    otherwise accumulate one small-file set PER BATCH FOREVER, the
+    streaming-side gap the batch operators' compaction cadence never
+    covered.  The compact is a pure rewrite (content pytest-pinned
+    identical) staged + double-renamed, healed by
+    ``_recover_compact_crash`` on every read, so a replay that re-runs
+    the compaction batch is idempotent: the append is marker-skipped,
+    the re-compact rewrites identical content.  Committed batch markers
+    older than the current batch are pruned at the same cadence
+    (foreachBatch can only replay the LAST uncommitted batch), so the
+    marker directory stays O(compact interval) instead of O(stream
+    lifetime).  The exact-digest screen needs no hook of its own — it
+    derives from ``store.df()``, whose snapshot/vacuum cadence is the
+    store's own maintenance surface.
 
     Batches larger than ``_MAX_SCREEN_BATCH_ROWS`` raise — shrink the
     trigger rather than screening a mega-batch in one shot."""
@@ -191,6 +209,21 @@ def stream_into_store_neardup(stream_df: DataFrame, store: VectorStore,
                     "text", "doc_id",
                 )
                 _fs_touch(spark, marker)
+            if (compact_every_batches is not None
+                    and (batch_id + 1) % compact_every_batches == 0):
+                from ..functions.fsutil import fs_ls, fs_rmtree
+                from ..operators.dedup import minhash_corpus_state_compact
+
+                minhash_corpus_state_compact(spark, state_dir)
+                # prune committed markers: only the CURRENT batch can
+                # ever replay under foreachBatch's contract
+                mdir = f"{state_dir}/_appended_batches/{scope}"
+                for name in fs_ls(spark, mdir):
+                    try:
+                        if int(name) < batch_id:
+                            fs_rmtree(spark, f"{mdir}/{name}")
+                    except ValueError:
+                        pass
         return survivors.drop("__digest", "__bid")
 
     return stream_into_store(
@@ -209,7 +242,9 @@ def stream_into_store_vector_neardup(stream_df: DataFrame,
                                      n_cells: int = 16,
                                      n_probes: int = 4,
                                      checkpoint_dir: str | None = None,
-                                     trigger: dict | None = None):
+                                     trigger: dict | None = None,
+                                     compact_every_batches: int | None
+                                     = None):
     """Streaming ingest with EMBEDDING-space near-dup rejection — the
     vector analog of :func:`stream_into_store_neardup` (SemDeDup's admit
     rule run online): a batch row whose cosine against ANY stored vector
@@ -236,7 +271,18 @@ def stream_into_store_vector_neardup(stream_df: DataFrame,
 
     Within-batch NEAR-dups are admitted in the same batch by design
     (same rationale as the text screen: both may be novel; they reject
-    each other's re-deliveries once stored)."""
+    each other's re-deliveries once stored).
+
+    ``compact_every_batches`` (VERDICT r8 task 7, requires
+    ``index_dir``): every N committed micro-batches the screen runs
+    ``maintenance.ivf_compact_saved`` in-line, folding the sync's
+    per-batch assignment appends (and any tombstones) back into
+    ``target_partitions`` files per cell — without it the saved index
+    accumulates one appended file set per batch for the stream's
+    lifetime.  The compact's two-rename swap is healed by
+    ``recover_compact_crash`` on every load, and ``ivf_sync_with_store``
+    is an idempotent anti-join, so a replayed compaction batch
+    re-syncs to a no-op and re-compacts identical content."""
     import math
 
     from ..operators.ann import (
@@ -309,7 +355,14 @@ def stream_into_store_vector_neardup(stream_df: DataFrame,
             .distinct()
         )
         survivors = keyed.join(F.broadcast(dupped), "__bid", "left_anti")
-        return survivors.drop("__bid", "__nvec").localCheckpoint(eager=True)
+        survivors = survivors.drop("__bid", "__nvec") \
+            .localCheckpoint(eager=True)
+        if (use_index and compact_every_batches is not None
+                and (batch_id + 1) % compact_every_batches == 0):
+            from ..operators.maintenance import ivf_compact_saved
+
+            ivf_compact_saved(spark, index_dir)
+        return survivors
 
     return stream_into_store(
         stream_df, store, vec_col=vec_col, doc_col=doc_col,
