@@ -52,6 +52,8 @@ KNOWN_BNLJ: dict[str, str] = {
     "hybrid_search_rrf": _QVEC,
     "knn_graph_recall": _QVEC, "knn_graph_append_recall": _QVEC,
     "graph_ann_topk": _QVEC + " + 8 seed rows",
+    "graph_ann_serving_topk": _QVEC
+    + " + 1-row serving/hop-loop equality aggregate broadcast",
     # fuzzy probes: literal query strings broadcast for the length band
     "search_by_doc": "literal probe strings broadcast",
     "fuzzy_topk_small": "literal probe strings broadcast",

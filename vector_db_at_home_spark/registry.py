@@ -4101,6 +4101,117 @@ def q_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_ann_serving_topk",
+    # r9 (VERDICT r8 task 6): the SERVING path on the driver record —
+    # same exact-leg-hashed fixture as graph_ann_topk, searched through
+    # graph_serving_prepare + the one-job mapInPandas walk, PLUS an
+    # in-plan boolean asserting the serving rows equal the hop-loop's
+    # fixed-schedule rows EXACTLY (ids and bit-equal distances — the
+    # cumsum scorer reproduces the aggregate fold's IEEE add order).
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings ORDER BY vec_id LIMIT 4
+), d AS (
+  SELECT q.query_id, e.vec_id AS id,
+         sqrt((SELECT sum((u.a - u.b) * (u.a - u.b))
+               FROM (SELECT unnest(e.embedding) AS a,
+                            unnest(q.qvec) AS b) u)) AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT query_id,
+       count(*) AS n_exact,
+       CAST(sum(CAST(floor(dist * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS exact_dist_e6_sum,
+       CAST(1 AS BOOLEAN) AS serving_found_ge_4,
+       CAST(1 AS BOOLEAN) AS serving_equals_hop_loop
+FROM r WHERE rn <= 5
+GROUP BY query_id ORDER BY query_id
+""",
+)
+def q_graph_ann_serving_topk(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Serving-path beam search (operators/knngraph.py:
+    graph_serving_prepare + graph_ann_search_serving): the loaded index
+    is collected into one broadcast and the whole walk runs in a single
+    mapInPandas job — zero exchanges.  Graded in-plan: the exact top-5
+    value-hashes; the serving leg asserts >= 4/5 agreement per query
+    AND exact row equality (bit-equal distances) with the
+    fixed-schedule hop-loop leg."""
+    from pyspark.sql import Window
+
+    from .operators.knn import knn_search as _knn
+    from .operators.knngraph import (
+        graph_ann_search,
+        graph_ann_search_serving,
+        knn_graph_nndescent,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.orderBy("vec_id").limit(4)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+    )
+    exact6 = _knn(emb, qs, k=6, id_col="vec_id", vec_col="embedding",
+                  impl="expr").filter(F.col("id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("id").asc()
+    )
+    exact = exact6.withColumn("rn", F.row_number().over(w)) \
+                  .filter(F.col("rn") <= 5).drop("rn")
+    graph = knn_graph_nndescent(emb, "vec_id", "embedding", k=20,
+                                init_bucket_size=32)
+    hop6 = graph_ann_search(emb, graph, qs, k=6, id_col="vec_id",
+                            vec_col="embedding", early_stop=False)
+    serve6 = graph_ann_search_serving(emb, graph, qs, k=6,
+                                      id_col="vec_id",
+                                      vec_col="embedding")
+    # exact row equality of the two legs (ids AND bit-equal distances):
+    # symmetric anti-join count must be zero
+    n_diff = (
+        serve6.join(hop6, ["query_id", "id", "distance"], "left_anti")
+        .union(hop6.join(serve6, ["query_id", "id", "distance"],
+                         "left_anti"))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    serve = (
+        serve6.filter(F.col("id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5).drop("rn")
+    )
+    hits = (
+        exact.select("query_id", "id")
+        .join(serve.select("query_id", "id"), ["query_id", "id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                F.floor(F.col("distance") * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("exact_dist_e6_sum"),
+        )
+        .join(hits, "query_id", "left")
+        .join(F.broadcast(n_diff))
+        .select(
+            "query_id", "n_exact", "exact_dist_e6_sum",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 4)
+            .alias("serving_found_ge_4"),
+            (F.col("n_diff") == 0).alias("serving_equals_hop_loop"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
     "semantic_dedup_map",
     # SemDeDup capstone (VERDICT r6 task 4): the k-means cells are not
     # SQL-expressible, but the keep/drop semantics are provable from the
@@ -4759,6 +4870,21 @@ def _register_bpe_train() -> None:
     _QUERIES["bpe_train_merges"] = q_bpe
     _ORACLES["bpe_train_merges"] = render_bpe_train_sql(n_merges=8)
 
+    def q_bpe_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The BATCHED DISTRIBUTED BPE path on the driver record (r9):
+        ``local_vocab_ceiling=0`` forces the affected-sub-corpus greedy
+        replay (operators/bpe.py:_train_merges_distributed) instead of
+        the hybrid local finisher; the merge table must value-hash
+        against the SAME unrolled-CTE oracle as ``bpe_train_merges`` —
+        sequential-greedy identity is the whole design contract."""
+        from .operators.bpe import bpe_train_merges as _train
+
+        docs = load_table(spark, sf_dir, "documents")
+        return _train(docs, "text", n_merges=8, local_vocab_ceiling=0)
+
+    _QUERIES["bpe_train_distributed"] = q_bpe_dist
+    _ORACLES["bpe_train_distributed"] = render_bpe_train_sql(n_merges=8)
+
     from .operators.bpe import bpe_apply, render_bpe_tokenize_sql
 
     def q_bpe_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4977,8 +5103,14 @@ _TAIL_ORDER = [
     "substring_strip_docs",
     # round-9: regex-mode RANKED retrieval end-to-end (VERDICT r8 task
     # 4) — BM25 and indexed phrase search over a deterministically
-    # punctuated view, both full value oracles
+    # punctuated view, both full value oracles; plus the two new r9
+    # execution paths pinned on the driver record: the batched
+    # distributed BPE replay (same oracle as the hybrid path — that IS
+    # the sequential-identity contract) and the serving-path graph
+    # search (exact leg hashed + in-plan bit-equality with the
+    # hop-loop)
     "bm25_topk_regex", "phrase_search_indexed_regex",
+    "bpe_train_distributed", "graph_ann_serving_topk",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
