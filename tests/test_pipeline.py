@@ -68,9 +68,12 @@ def test_clean_corpus_with_decontamination(spark):
 
 
 def test_clean_corpus_v2_stage_counts_monotone(spark):
-    """r8 capstone: 7 stages, monotonically non-increasing survivor
-    counts, semantic stage drops nothing on the natural corpus (max
-    embedding cosine 0.60 << 0.8 — the semantic_dedup_map invariant)."""
+    """r8 capstone (+r9 auto-cells row): 7 stages with monotonically
+    non-increasing survivor counts, semantic stage drops nothing on the
+    natural corpus (max embedding cosine 0.60 << 0.8 — the
+    semantic_dedup_map invariant), plus the 7_semantic_cells row
+    carrying the auto-derived SemDeDup cell count (clamped to the floor
+    of 8 at this scale)."""
     from vector_db_at_home_spark.operators.pipeline import (
         clean_corpus_v2_stage_counts,
     )
@@ -80,7 +83,9 @@ def test_clean_corpus_v2_stage_counts_monotone(spark):
     stages = [r.stage for r in rows]
     counts = [r.n_docs for r in rows]
     assert stages == ["0_input", "1_exact", "2_neardup", "3_substring",
-                      "4_quality", "5_lang", "6_semantic"]
-    assert all(a >= b for a, b in zip(counts, counts[1:]))
-    assert counts[-1] > 0
+                      "4_quality", "5_lang", "6_semantic",
+                      "7_semantic_cells"]
+    assert all(a >= b for a, b in zip(counts[:7], counts[1:7]))
+    assert counts[6] > 0
     assert counts[6] == counts[5]  # semantic no-op on natural corpus
+    assert counts[7] == 8          # clamp floor at sf0.001

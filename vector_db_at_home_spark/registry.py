@@ -4740,6 +4740,54 @@ def _register_regex_retrieval() -> None:
     _ORACLES["phrase_search_indexed_regex"] = render_phrase_search_sql(
         phrase, tokenize_mode="regex", text_sql=punct_sql)
 
+    # TF-IDF in regex mode — the remaining leg of the ranked-retrieval
+    # surface (tfidf/bm25/phrase all exercise the shared tokenizer on
+    # the driver record now).  tfidf does NOT lowercase (parity with
+    # the space-mode scored query), so the punctuated view here keeps
+    # case too.
+    from .functions.tokenize import TOKEN_REGEX as _TOKRX
+
+    def q_tfidf_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-3 characteristic terms per doc by smooth-idf TF-IDF over
+        REGEX-mode tokens (operators/tfidf.py:top_terms_per_doc +
+        functions/tokenize.py) on the punctuated view — exact rational/
+        log arithmetic, value-hashed against DuckDB's
+        regexp_extract_all tokenization."""
+        from .operators.tfidf import top_terms_per_doc
+
+        docs = load_table(spark, sf_dir, "documents")
+        return top_terms_per_doc(punct_view(docs), "text", "doc_id",
+                                 k=3, tokenize_mode="regex")
+
+    punct_raw = ("CASE WHEN doc_id % 2 = 0 "
+                 "THEN replace(text, ' ', ', ') "
+                 "ELSE text || '.' END")
+    _QUERIES["tfidf_top_terms_regex"] = q_tfidf_regex
+    _ORACLES["tfidf_top_terms_regex"] = f"""
+WITH tf AS (
+  SELECT doc_id AS id, t.token, count(*) AS tf
+  FROM documents,
+       unnest(regexp_extract_all({punct_raw}, '{_TOKRX}')) AS t(token)
+  GROUP BY 1, 2
+),
+df_t AS (SELECT token, count(*) AS df_count FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.id, tf.token, tf.tf, df_t.df_count,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (df_t.df_count + 1)) + 1.0), 6)
+           AS tfidf
+  FROM tf, df_t, n WHERE tf.token = df_t.token
+),
+r AS (
+  SELECT id, token, tf, df_count, tfidf,
+         CAST(row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, token)
+              AS BIGINT) AS rank
+  FROM scored
+)
+SELECT id, token, tf, df_count, tfidf, rank
+FROM r WHERE rank <= 3 ORDER BY id, rank
+"""
+
 
 _register_regex_retrieval()
 
@@ -5110,6 +5158,7 @@ _TAIL_ORDER = [
     # search (exact leg hashed + in-plan bit-equality with the
     # hop-loop)
     "bm25_topk_regex", "phrase_search_indexed_regex",
+    "tfidf_top_terms_regex",
     "bpe_train_distributed", "graph_ann_serving_topk",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
