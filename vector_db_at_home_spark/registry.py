@@ -2163,6 +2163,75 @@ def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_documents_bins",
+    # sampling.pack_documents' greedy first-fit-decreasing is sequential
+    # WITHIN each of the 64 hash groups — the oracle replays it exactly
+    # with a recursive CTE that advances every group in lockstep (one doc
+    # per group per step, joined by the FFD-order row_number), carrying
+    # each group's remaining-capacity list as recursion state.  The
+    # first-fit probe is list_min over the capacities that still hold the
+    # doc; docs >= max_tokens (96) take a dedicated full bin, matching the
+    # kernel's singleton branch.  bin_id = grp << 40 | local index,
+    # digit-for-digit the Spark output.
+    """
+WITH RECURSIVE docs AS (
+  SELECT doc_id AS id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR || '_pack'), 1, 15))
+              AS BIGINT) % 64 AS grp
+  FROM documents
+),
+ordered AS (
+  SELECT id, toks, grp,
+         row_number() OVER (PARTITION BY grp ORDER BY toks DESC, id) AS rn
+  FROM docs
+),
+ffd AS (
+  SELECT grp, 1 AS step, id, toks,
+         CASE WHEN toks >= 96 THEN [CAST(0 AS BIGINT)]
+              ELSE [CAST(96 - toks AS BIGINT)] END AS caps,
+         CAST(0 AS BIGINT) AS bin_local
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.grp, f.step + 1, o.id, o.toks,
+         CASE
+           WHEN o.toks >= 96 THEN list_append(f.caps, CAST(0 AS BIGINT))
+           WHEN fit.fidx IS NULL
+             THEN list_append(f.caps, CAST(96 - o.toks AS BIGINT))
+           ELSE list_transform(range(1, len(f.caps) + 1),
+                  jx -> CASE WHEN jx = fit.fidx THEN f.caps[jx] - o.toks
+                             ELSE f.caps[jx] END)
+         END AS caps,
+         CAST(CASE WHEN o.toks >= 96 OR fit.fidx IS NULL THEN len(f.caps)
+                   ELSE fit.fidx - 1 END AS BIGINT) AS bin_local
+  FROM ffd f
+  JOIN ordered o ON o.grp = f.grp AND o.rn = f.step + 1
+  CROSS JOIN LATERAL (
+    SELECT list_min(list_filter(range(1, len(f.caps) + 1),
+                    ix -> f.caps[ix] >= o.toks)) AS fidx) fit
+)
+SELECT id, grp * (CAST(1 AS BIGINT) << 40) + bin_local AS bin_id,
+       CAST(sum(toks) OVER (PARTITION BY grp, bin_local) AS BIGINT)
+         AS bin_tokens
+FROM ffd
+ORDER BY id
+""",
+)
+def q_pack_documents_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training context windows
+    (sampling.pack_documents): greedy FFD into 96-token bins, parallel
+    across 64 md5 hash groups so bins never span groups.  The whole
+    assignment — bin membership AND per-bin token sums — is value-hashed
+    against a DuckDB recursive-CTE replay of the same FFD."""
+    from .operators.sampling import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("toks")
+    )
+    return pack_documents(docs, "doc_id", "toks", max_tokens=96,
+                          n_groups=64, salt="pack").orderBy("id")
+
+
+@register(
     "benchmark_decontamination",
     # the VERBATIM-LEAK scenario decontamination exists for: the benchmark
     # rows (doc_id % 25 = 0, re-keyed +1000000) appear word-for-word in the
@@ -5160,6 +5229,10 @@ _TAIL_ORDER = [
     "bm25_topk_regex", "phrase_search_indexed_regex",
     "tfidf_top_terms_regex",
     "bpe_train_distributed", "graph_ann_serving_topk",
+    # round-9 continuation: sequence packing (the one sampling-family
+    # operator without an oracle query) — the per-group sequential FFD
+    # replayed exactly by a DuckDB recursive CTE over capacity lists
+    "pack_documents_bins",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
