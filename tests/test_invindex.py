@@ -170,3 +170,102 @@ def test_phrase_search_indexed_prunes_partitions(spark, tmp_path):
     for line in scans:
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", line)
         assert m and re.search(r"bucket#\d+ = \d+", m.group(1)), line
+
+
+def test_bm25_indexed_matches_corpus_scan(spark, tmp_path):
+    """r9: BM25 through the loaded store is bit-identical to the
+    corpus-scan bm25_search at every lifecycle point — after save,
+    after append, through a crash-torn append window (duplicate
+    postings AND doclens rows), after a tombstoned delete (the doc
+    leaves the ranking and the idf/avgdl statistics), and after
+    compact."""
+    from vector_db_at_home_spark.operators.invindex import (
+        bm25_search_indexed,
+        invindex_append,
+        invindex_compact_saved,
+        invindex_load,
+        invindex_save,
+        invindex_sync_deletes,
+    )
+    from vector_db_at_home_spark.operators.tfidf import bm25_search
+
+    docs = _corpus(spark)
+    terms = ["cat", "the", "dog"]
+    path = str(tmp_path / "inv_bm25")
+    base, batch = docs.filter("doc_id <= 4"), docs.filter("doc_id > 4")
+    invindex_save(base, "text", "doc_id", path, n_buckets=8)
+
+    def scan(d):
+        return bm25_search(d, terms, "text", "doc_id", k=10).collect()
+
+    def indexed():
+        return bm25_search_indexed(
+            invindex_load(spark, path), terms, k=10).collect()
+
+    assert indexed() == scan(base)
+
+    invindex_append(spark, path, batch, "text", "doc_id")
+    assert indexed() == scan(docs)
+
+    # crash-torn append replay window: duplicate rows in BOTH tables
+    full = spark.read.parquet(f"{path}/postings")
+    full.filter("id = 6").repartition(1).write.partitionBy("bucket") \
+        .mode("append").parquet(f"{path}/postings")
+    lens = spark.read.parquet(f"{path}/doclens")
+    lens.filter("id = 6").write.mode("append").parquet(f"{path}/doclens")
+    assert indexed() == scan(docs)
+
+    # delete: doc 2 leaves the ranking AND n_docs/avgdl
+    class FakeStore:
+        def __init__(self, df_):
+            self._df = df_
+
+        def df(self):
+            return self._df
+
+    live = docs.filter("doc_id <> 2")
+    invindex_sync_deletes(
+        spark, FakeStore(live.withColumnRenamed("doc_id", "id")), path)
+    assert indexed() == scan(live)
+
+    invindex_compact_saved(spark, path)
+    assert indexed() == scan(live)
+    # compact physically deduped doclens too
+    raw = spark.read.parquet(f"{path}/doclens")
+    assert raw.count() == raw.distinct().count() == live.count()
+
+
+def test_bm25_indexed_prunes_partitions(spark, tmp_path):
+    """r9 plan pin: every postings scan in the indexed BM25 carries a
+    literal ``bucket = N`` PartitionFilter (one pruned scan per unique
+    query term); the only other parquet read is the doclens long-pair
+    table — the corpus text is never scanned."""
+    from vector_db_at_home_spark.operators.invindex import (
+        bm25_search_indexed,
+        invindex_load,
+        invindex_save,
+    )
+
+    docs = _corpus(spark)
+    path = str(tmp_path / "inv_bm25_prune")
+    invindex_save(docs, "text", "doc_id", path, n_buckets=8)
+    idx = invindex_load(spark, path)
+    q = bm25_search_indexed(idx, ["cat", "dog"], k=5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    scans = [l for l in plan.split("\n") if "PartitionFilters" in l]
+    pruned = [l for l in scans
+              if re.search(r"PartitionFilters: \[.*bucket#\d+ = \d+",
+                           l)]
+    # two pruned scans per unique term: the tf leg and the df leg each
+    # read the term's ONE bucket (same partition, read twice — the
+    # shape bm25_search has always had for its corpus scan; here both
+    # reads are ~1/B of the store)
+    assert len(pruned) == 4
+    # remaining scans: the doclens long-pair reads (no bucket filter,
+    # by design — identified by their 2-long ReadSchema; the scan line
+    # truncates the path)
+    for line in scans:
+        if line not in pruned:
+            assert "struct<id:bigint,dl:bigint>" in line, line

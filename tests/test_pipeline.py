@@ -89,3 +89,61 @@ def test_clean_corpus_v2_stage_counts_monotone(spark):
     assert counts[6] > 0
     assert counts[6] == counts[5]  # semantic no-op on natural corpus
     assert counts[7] == 8          # clamp floor at sf0.001
+
+
+def test_cosine_admit_blocked_hand_case(spark):
+    """r9 kernel: exact two-relation cosine admit — threshold hits,
+    zero-norm convention (scores 0 vs everything), distinct output,
+    and block-count invariance (the grid decomposition cannot change
+    the answer)."""
+    from vector_db_at_home_spark.operators.dedup import (
+        cosine_admit_blocked,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0]),    # cos 1.0 with corpus 1 → drop
+            (11, [1.0, 1.0]),    # cos 0.7071 with both → drop at 0.7
+            (12, [-1.0, 0.0]),   # max cos 0.0 → keep
+            (13, [0.0, 0.0]),    # zero norm → scores 0 → keep
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    for nb in (1, 3):
+        got = {r.id for r in cosine_admit_blocked(
+            batch, corpus, "embedding", "vec_id", 0.7, n_blocks=nb
+        ).collect()}
+        assert got == {10, 11}, (nb, got)
+    # raise the threshold above 0.71: only the exact duplicate drops
+    got = {r.id for r in cosine_admit_blocked(
+        batch, corpus, "embedding", "vec_id", 0.99).collect()}
+    assert got == {10}
+
+
+def test_clean_corpus_incremental_stage_counts(spark):
+    """r9 ingest capstone: 7 monotonically non-increasing batch
+    stage counts; the semantic admit stage drops a real vs-corpus
+    near-dup count (>0 at every scale by the τ=0.4 measurement); the
+    exact stage respects both the vs-corpus digest check and the
+    within-batch min-id rule."""
+    from vector_db_at_home_spark.operators.pipeline import (
+        clean_corpus_incremental_stage_counts,
+    )
+
+    rows = clean_corpus_incremental_stage_counts(
+        spark, "/root/testdata/sf0.001").collect()
+    stages = [r.stage for r in rows]
+    counts = [r.n_docs for r in rows]
+    assert stages == ["0_batch", "1_exact", "2_neardup", "3_substring",
+                      "4_quality", "5_lang", "6_semantic"]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[0] == 100          # doc_id % 5 == 0 slice at sf0.001
+    assert counts[6] > 0             # survivors remain
+    # real vs-corpus semantic drops at τ=0.4 (17 of the 68 stage-5
+    # survivors at sf0.001 — the whole-batch measurement is 23; the
+    # difference is upstream-dropped docs)
+    assert counts[5] - counts[6] == 17

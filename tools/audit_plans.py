@@ -61,6 +61,7 @@ KNOWN_BNLJ: dict[str, str] = {
     # corpus-scalar broadcasts
     "lm_quality_score": _SCALAR, "sketch_rollup_total": _SCALAR,
     "bm25_topk": _SCALAR, "bm25_topk_regex": _SCALAR,
+    "bm25_topk_indexed": _SCALAR,
     "q11_important_stock": _SCALAR,
     "q22_dormant_customers": _SCALAR,
     "retrieval_eval_metrics": _SCALAR,

@@ -33,6 +33,8 @@ QUERIES = [
     "clean_corpus_v2",
     "bm25_topk_regex",
     "phrase_search_indexed_regex",
+    "bm25_topk_indexed",
+    "clean_corpus_incremental",
 ]
 
 

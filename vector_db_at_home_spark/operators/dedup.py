@@ -1386,6 +1386,90 @@ def cosine_topk_pairs_blocked(df: DataFrame, vec_col: str, id_col: str,
     ).limit(k)
 
 
+def cosine_admit_blocked(new_df: DataFrame, corpus_df: DataFrame,
+                         vec_col: str, id_col: str,
+                         min_cosine: float,
+                         n_blocks: int = 8) -> DataFrame:
+    """Two-relation EXACT cosine admit screen — the SemDeDup-style
+    vs-corpus rejection a production pipeline runs when a new shard
+    arrives: return the DISTINCT new-side ids whose cosine against ANY
+    corpus vector reaches ``min_cosine`` (the caller anti-joins them
+    out).  This is the batch-ingest sibling of the same-table
+    ``cosine_topk_pairs_blocked`` kernel above and of the streaming
+    screen (streaming/neardup.py) — exact, so it pairs with a
+    brute-force SQL oracle.
+
+    Plan: both sides pack into ``n_blocks`` single-row blobs (ids +
+    L2-normalized float64 matrix — the Arrow conversion paid once per
+    block); every new-block × corpus-block pair joins its two blobs and
+    runs one chunked NumPy GEMM, emitting only the new ids that hit the
+    threshold in that block pair; a final distinct merges.  Shuffle =
+    2N narrow pack rows + B_new·B_cor blob rows; nothing touches the
+    driver; resident memory ≤ 2 blocks per task.  O(batch·corpus)
+    FLOPs are inherent to an EXACT screen — at 100 TB either bound the
+    batch (ingest cadence) or pre-screen with the IVF/sign-LSH tiers
+    and verify exactly, as the streaming path does.  Zero-norm vectors
+    score 0 against everything (the ``norms == 0 → 1`` guard), matching
+    the SQL oracle's ``CASE WHEN na*nb = 0 THEN 0`` convention."""
+    import numpy as np
+
+    def side(df, col_name):
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+            .cast("int").alias(col_name),
+        )
+
+    def pack(key, pdf):
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        return pd.DataFrame({
+            "blk": [int(key[0])],
+            "n": [len(ids)],
+            "dim": [int(mat.shape[1])],
+            "ids": [ids.tobytes()],
+            "mat": [mat.tobytes()],
+        })
+
+    schema = "blk int, n long, dim long, ids binary, mat binary"
+    a = side(new_df, "blk").groupBy("blk").applyInPandas(pack, schema) \
+        .select(F.col("blk").alias("gi"), F.col("n").alias("a_n"),
+                F.col("dim").alias("a_dim"), F.col("ids").alias("a_ids"),
+                F.col("mat").alias("a_mat"))
+    b = side(corpus_df, "blk").groupBy("blk").applyInPandas(pack, schema) \
+        .select(F.col("blk").alias("gj"), F.col("n").alias("b_n"),
+                F.col("dim").alias("b_dim"), F.col("ids").alias("b_ids"),
+                F.col("mat").alias("b_mat"))
+    pairs = a.crossJoin(b)  # B_new × B_cor blob rows — the block grid
+
+    tau = float(min_cosine)
+
+    def gemm(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ia = np.frombuffer(r.a_ids, dtype=np.int64)
+                a_m = np.frombuffer(r.a_mat, dtype=np.float64).reshape(
+                    r.a_n, r.a_dim)
+                b_m = np.frombuffer(r.b_mat, dtype=np.float64).reshape(
+                    r.b_n, r.b_dim)
+                hit = np.zeros(len(ia), dtype=bool)
+                chunk = max(1, (1 << 22) // max(1, b_m.shape[0]))
+                for s in range(0, a_m.shape[0], chunk):
+                    sims = a_m[s:s + chunk] @ b_m.T
+                    hit[s:s + chunk] = (sims >= tau).any(axis=1)
+                if hit.any():
+                    yield pd.DataFrame({"id": ia[hit]})
+
+    n_pairs = n_blocks * n_blocks
+    return pairs.repartition(n_pairs).mapInPandas(
+        gemm, schema="id long"
+    ).distinct()
+
+
 def hyperplane_bucket_candidates(df: DataFrame, vec_col: str, id_col: str,
                                  n_planes: int = 16, n_tables: int = 4,
                                  seed: int = 42,

@@ -141,10 +141,26 @@ class InvIndex:
     docids: "DataFrame"     # (id) — the append replay guard
     n_buckets: int
     tokenize_mode: str = "space"   # pinned at save; appends/queries follow
+    doclens: "DataFrame | None" = None   # (id, dl) — BM25 lengths (r9)
 
 
 def _bucket(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def _doclens(docs: DataFrame, text_col: str, id_col: str,
+             tokenize_mode: str) -> DataFrame:
+    """(id, dl) — token counts under the store's pinned tokenizer, the
+    exact ``size(tokens_col(lower(text)))`` long the corpus-scan BM25
+    computes, so the indexed ranking reproduces it bit-for-bit.  Empty
+    and all-stopword docs keep a row (BM25's n_docs counts them)."""
+    from ..functions.tokenize import tokens_col
+
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens_col(F.lower(F.col(text_col)), tokenize_mode))
+        .cast("long").alias("dl"),
+    )
 
 
 def invindex_save(docs: DataFrame, text_col: str, id_col: str,
@@ -165,6 +181,8 @@ def invindex_save(docs: DataFrame, text_col: str, id_col: str,
     # written by few tasks (one file per bucket, not n_tasks slivers)
     p.repartition(n_buckets, "bucket").write.partitionBy("bucket") \
         .mode("overwrite").parquet(f"{path}/postings")
+    _doclens(docs, text_col, id_col, tokenize_mode) \
+        .write.mode("overwrite").parquet(f"{path}/doclens")
     docs.select(F.col(id_col).alias("id")).distinct() \
         .write.mode("overwrite").parquet(f"{path}/docids")
     spark.createDataFrame(
@@ -189,18 +207,23 @@ def invindex_load(spark, path: str) -> InvIndex:
 
     recover_compact_crash(spark, f"{path}/postings")
     recover_compact_crash(spark, f"{path}/docids")
+    recover_compact_crash(spark, f"{path}/doclens")
     meta = json.loads(spark.read.json(f"{path}/meta.json").first().meta)
     n_buckets = int(meta["n_buckets"])
     tokenize_mode = meta.get("tokenize_mode", "space")  # pre-r8 meta
     postings = spark.read.parquet(f"{path}/postings")
     docids = spark.read.parquet(f"{path}/docids")
+    doclens = (spark.read.parquet(f"{path}/doclens")
+               if fs_exists(spark, f"{path}/doclens") else None)  # pre-r9
     tomb = f"{path}/tombstones"
     if fs_exists(spark, tomb):
         dead = spark.read.parquet(tomb).select("id")
         postings = postings.join(dead, "id", "left_anti")
         docids = docids.join(dead, "id", "left_anti")
+        if doclens is not None:
+            doclens = doclens.join(dead, "id", "left_anti")
     return InvIndex(postings=postings, docids=docids, n_buckets=n_buckets,
-                    tokenize_mode=tokenize_mode)
+                    tokenize_mode=tokenize_mode, doclens=doclens)
 
 
 def invindex_append(spark, path: str, docs: DataFrame, text_col: str,
@@ -230,6 +253,9 @@ def invindex_append(spark, path: str, docs: DataFrame, text_col: str,
         .withColumn("bucket", _bucket(F.col("term"), idx.n_buckets))
     p.repartition(idx.n_buckets, "bucket").write.partitionBy("bucket") \
         .mode("append").parquet(f"{path}/postings")
+    if idx.doclens is not None:  # pre-r9 stores stay doclens-less
+        _doclens(fresh, "__text", "id", idx.tokenize_mode) \
+            .write.mode("append").parquet(f"{path}/doclens")
     fresh.select("id").write.mode("append").parquet(f"{path}/docids")
     return n
 
@@ -257,13 +283,16 @@ def invindex_compact_saved(spark, path: str,
     from ..functions.fsutil import fs_exists, fs_rename, fs_rmtree
 
     idx = invindex_load(spark, path)  # load IS the recovery point
-    rewrites = (
+    rewrites = [
         ("postings",
          idx.postings.dropDuplicates(["term", "id", "pos"])
          .repartition(target_partitions, "bucket"),
          "bucket"),
         ("docids", idx.docids.distinct().repartition(8), None),
-    )
+    ]
+    if idx.doclens is not None:
+        rewrites.append(
+            ("doclens", idx.doclens.distinct().repartition(8), None))
     for name, df, part_col in rewrites:
         table_dir = f"{path}/{name}"
         stage = f"{path}/_compact_{name}"
@@ -304,3 +333,73 @@ def phrase_search_indexed(idx: InvIndex, phrase: str) -> DataFrame:
         )
 
     return _phrase_join(stream, terms)
+
+
+def bm25_search_indexed(idx: InvIndex, terms: list[str],
+                        k: int = 10) -> DataFrame:
+    """BM25 ranked retrieval THROUGH a loaded index — same output
+    contract and bit-identical scores as ``tfidf.bm25_search`` (the two
+    share ``tfidf.bm25_rank``, so the doubles and ties are expression-
+    identical by construction), but the corpus text is never touched:
+
+    - per-term tf comes from the term's partition-pruned postings read
+      (the same constant-folded ``bucket = N`` literal the phrase path
+      pins in tests/test_plans.py) — a q-term query scans q buckets of
+      the postings store, ~q/B of it;
+    - doc lengths and the two corpus scalars (n_docs, total_toks) come
+      from ``{path}/doclens`` — 16 bytes/doc, written at save/append
+      under the store's pinned tokenizer, tombstone-filtered at load so
+      deletes drop out of the ranking AND the idf/avgdl statistics.
+
+    At 100 TB this is the serving shape for lexical retrieval: the only
+    full-table read is the per-doc long pair, ~1e-4 of the corpus bytes.
+    Crash-window append duplicates collapse via the per-term
+    ``(id, pos)`` distinct (tf) and the ``(id, dl)`` distinct (lengths)
+    — replayed rows are byte-identical, so both are exact.
+
+    Pre-r9 stores have no doclens table; lengths then fall back to a
+    full postings scan (``dl`` = postings rows per doc — equal for
+    every doc with ≥1 token, but token-LESS docs drop out of n_docs,
+    so idf/avgdl can differ from the corpus scan on corpora with empty
+    documents) and the pruning win is forfeited; re-save to get the
+    table."""
+    from .tfidf import bm25_rank
+
+    from ..functions.tokenize import tokens_py
+
+    lterms = []
+    for raw in terms:
+        lterms.extend(t for t in tokens_py(raw.lower(), idx.tokenize_mode)
+                      if t)
+    if not lterms:
+        raise ValueError("bm25_search_indexed requires query terms")
+    B = idx.n_buckets
+
+    tf = None
+    # stream per UNIQUE term (the corpus-scan path's groupBy(id, t)
+    # yields one tf row per distinct term too); bm25_rank still gets
+    # the full lterms list so duplicate query terms pivot/sum exactly
+    # like bm25_search
+    for t in dict.fromkeys(lterms):
+        s = (
+            idx.postings
+            .filter((F.col("bucket") == _bucket(F.lit(t), B))
+                    & (F.col("term") == t))
+            .select("id", "pos")
+            .distinct()
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .select("id", F.lit(t).alias("t"), "tf")
+        )
+        tf = s if tf is None else tf.unionByName(s)
+
+    if idx.doclens is not None:
+        dl = idx.doclens.select("id", "dl").distinct()
+    else:  # pre-r9 fallback: dl = total postings rows per doc
+        dl = (idx.postings.select("id", "pos").distinct()
+              .groupBy("id").agg(F.count(F.lit(1)).alias("dl")))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_toks"),
+    )
+    return bm25_rank(tf, dl, stats, lterms, k)

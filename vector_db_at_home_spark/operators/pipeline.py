@@ -378,3 +378,235 @@ def render_clean_corpus_v2_sql(jaccard_threshold: float = 0.5,
         langs="(" + ", ".join(f"'{lang}'" for lang in langs) + ")",
         window=substring_window,
     )
+
+
+def clean_corpus_incremental_stage_counts(
+        spark: SparkSession, sf_dir: str,
+        jaccard_threshold: float = 0.5,
+        min_distinct_ratio: float = 0.3,
+        max_punct_ratio: float = 0.2,
+        langs: tuple[str, ...] = ("en", "de", "es", "fr"),
+        substring_window: int = 8,
+        semantic_min_cosine: float = 0.4) -> DataFrame:
+    """The INGEST form of the cleaning capstone (r9): a NEW shard
+    (doc_id % 5 == 0) is admitted against the EXISTING corpus (the
+    rest) with every heavy screen running at O(batch) through prepared
+    dedup state — the shape a production pipeline actually runs when a
+    crawl shard arrives, where ``clean_corpus_v2`` is the initial bulk
+    clean.  Graded by per-stage batch-survivor counts ``(stage,
+    n_docs)``:
+
+    0_batch → 1_exact (digest vs corpus digests ∪ within-batch min-id)
+    → 2_neardup (MinHash-LSH vs the PERSISTED corpus state —
+    ``minhash_lsh_pairs_incremental_prepared``, only the batch is
+    shingled/signed) → 3_substring (Lee-et-al span profile vs
+    corpus ∪ batch through the persisted span state —
+    ``substring_dedup_incremental``) → 4_quality → 5_lang →
+    6_semantic (EXACT cosine admit vs the corpus embeddings —
+    ``dedup.cosine_admit_blocked``; batch docs without embeddings pass
+    through).
+
+    Screen decisions are PER-DOC against the corpus (or the full
+    batch, for the two self-dup screens), then AND-composed — so each
+    decision set is computed once over the whole shard and the stage
+    counts are pure set intersections (checkpointed as id lists, longs
+    only).  That also makes every stage exactly SQL-expressible: the
+    oracle recomputes each screen from the raw tables with the same
+    predicate split (the state tables are pure functions of the
+    corpus), including the semantic stage — a brute-force batch×corpus
+    cosine join, exact because the Spark side is the exact blocked
+    GEMM, no k-means anywhere.  ``semantic_min_cosine=0.4`` exercises
+    REAL vs-corpus semantic drops on this corpus (natural cross-slice
+    cosines reach 0.60; min |cos − τ| ≥ 1.1e-5 at all three scales, so
+    the float64-GEMM vs SQL-sum ULP gap of ~1e-15 can never flip a
+    decision); a production SemDeDup admit would run τ ≈ 0.95 — the
+    knob is the caller's.
+
+    In-query the two state tables are BUILT from the corpus first (the
+    driver's self-contained-query contract, same as
+    ``phrase_search_indexed`` / ``bm25_topk_indexed``); production
+    builds them once and appends admitted batches
+    (``minhash_corpus_state_append`` / ``substring_state_append`` —
+    both green standalone queries)."""
+    import tempfile
+
+    from .dedup import (
+        cosine_admit_blocked,
+        minhash_corpus_state_build,
+        minhash_lsh_pairs_incremental_prepared,
+        substring_dedup_incremental,
+        substring_state_build,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+    mh_state = tempfile.mkdtemp(prefix="cci_mh_")
+    minhash_corpus_state_build(corpus, mh_state, "text", "doc_id", n=3)
+    ss_state = tempfile.mkdtemp(prefix="cci_ss_")
+    substring_state_build(corpus, ss_state, "text", "doc_id",
+                          window=substring_window)
+
+    # 1_exact: batch digest present in the corpus, or a non-min-id
+    # duplicate within the batch
+    bd = batch.select("doc_id", F.md5("text").alias("digest"))
+    cd = corpus.select(F.md5("text").alias("digest")).distinct()
+    wmin = bd.groupBy("digest").agg(F.min("doc_id").alias("__mn"))
+    keep_exact = (
+        bd.join(cd, "digest", "left_anti")
+        .join(wmin, "digest")
+        .filter(F.col("doc_id") == F.col("__mn"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+
+    # 2_neardup: batch vs the persisted MinHash state — O(batch)
+    drop_near = (
+        minhash_lsh_pairs_incremental_prepared(
+            spark, mh_state, batch, "text", "doc_id",
+            threshold=jaccard_threshold)
+        .select(F.col("new_id").alias("doc_id")).distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # 3_substring: span profile vs corpus ∪ batch through the state
+    drop_sub = (
+        substring_dedup_incremental(spark, ss_state, batch,
+                                    "text", "doc_id")
+        .filter(F.col("flag_dup_heavy"))
+        .select(F.col("id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+
+    # 4/5: stateless per-doc filters (same expressions as v2)
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    distinct_ratio = (F.size(F.array_distinct(toks)).cast("double")
+                      / n_tokens)
+    punct_ratio = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", ""))
+    ).cast("double") / F.length("text")
+    keep_quality = batch.filter(
+        (distinct_ratio >= min_distinct_ratio)
+        & (punct_ratio <= max_punct_ratio)
+    ).select("doc_id")
+    keep_lang = batch.filter(F.col("lang").isin(list(langs))) \
+        .select("doc_id")
+
+    # 6_semantic: exact cosine admit vs the corpus embeddings
+    emb = load_table(spark, sf_dir, "embeddings")
+    drop_sem = cosine_admit_blocked(
+        emb.filter(F.col("vec_id") % 5 == 0),
+        emb.filter(F.col("vec_id") % 5 != 0),
+        "embedding", "vec_id", semantic_min_cosine,
+    ).select(F.col("id").alias("doc_id")).localCheckpoint(eager=True)
+
+    k1 = keep_exact
+    k2 = k1.join(F.broadcast(drop_near), "doc_id", "left_anti")
+    k3 = k2.join(F.broadcast(drop_sub), "doc_id", "left_anti")
+    k4 = k3.join(keep_quality, "doc_id", "left_semi")
+    k5 = k4.join(keep_lang, "doc_id", "left_semi")
+    k6 = k5.join(F.broadcast(drop_sem), "doc_id", "left_anti")
+
+    stages = [
+        ("0_batch", batch), ("1_exact", k1), ("2_neardup", k2),
+        ("3_substring", k3), ("4_quality", k4), ("5_lang", k5),
+        ("6_semantic", k6),
+    ]
+    out = None
+    for name, df in stages:
+        c = df.agg(F.lit(name).alias("stage"),
+                   F.count(F.lit(1)).cast("long").alias("n_docs"))
+        out = c if out is None else out.unionByName(c)
+    return out.orderBy("stage")
+
+
+def render_clean_corpus_incremental_sql(
+        jaccard_threshold: float = 0.5,
+        min_distinct_ratio: float = 0.3,
+        max_punct_ratio: float = 0.2,
+        langs: tuple[str, ...] = ("en", "de", "es", "fr"),
+        substring_window: int = 8,
+        semantic_min_cosine: float = 0.4) -> str:
+    """DuckDB oracle for ``clean_corpus_incremental_stage_counts`` —
+    every screen recomputed from the raw tables over the same
+    batch/corpus predicate split: the MinHash screen is the FULL
+    incremental SQL (``render_minhash_incremental_sql`` — same md5
+    permutations, banding and exact verify the persisted state
+    reproduces), the substring screen the predicate-split full span
+    profile, the semantic screen a brute-force batch×corpus cosine
+    join.  Stage counts are then the same set intersections."""
+    from .dedup import (
+        render_minhash_incremental_sql,
+        render_substring_stats_sql,
+    )
+
+    batch_pred = "doc_id % 5 = 0"
+    corpus_pred = "doc_id % 5 <> 0"
+    nd_sql = render_minhash_incremental_sql(
+        batch_pred=batch_pred, corpus_pred=corpus_pred,
+        n=3, threshold=jaccard_threshold,
+        max_doc_freq=None, max_band_bucket=None,
+    )
+    sub_sql = render_substring_stats_sql(
+        window=substring_window, out_predicate=f"d.{batch_pred}"
+    )
+    lang_list = "(" + ", ".join(f"'{lang}'" for lang in langs) + ")"
+    return f"""
+WITH batch AS (SELECT * FROM documents WHERE {batch_pred}),
+k1 AS (
+  SELECT b.doc_id FROM batch b
+  WHERE md5(b.text) NOT IN
+        (SELECT md5(text) FROM documents WHERE {corpus_pred})
+    AND b.doc_id = (SELECT min(b2.doc_id) FROM batch b2
+                    WHERE md5(b2.text) = md5(b.text))
+),
+neardrop AS (SELECT DISTINCT new_id AS doc_id FROM ({nd_sql}) nd),
+subdrop AS (SELECT id AS doc_id FROM ({sub_sql}) ss
+            WHERE ss.flag_dup_heavy),
+k2 AS (SELECT doc_id FROM k1 WHERE doc_id NOT IN
+         (SELECT doc_id FROM neardrop)),
+k3 AS (SELECT doc_id FROM k2 WHERE doc_id NOT IN
+         (SELECT doc_id FROM subdrop)),
+k4 AS (
+  SELECT b.doc_id FROM batch b JOIN k3 USING (doc_id)
+  WHERE CAST(len(list_distinct(string_split(b.text, ' '))) AS DOUBLE)
+        / len(string_split(b.text, ' ')) >= {min_distinct_ratio}
+    AND CAST(length(b.text) - length(regexp_replace(b.text,
+             '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        / length(b.text) <= {max_punct_ratio}
+),
+k5 AS (
+  SELECT b.doc_id FROM batch b JOIN k4 USING (doc_id)
+  WHERE b.lang IN {lang_list}
+),
+bv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE vec_id % 5 = 0),
+cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE vec_id % 5 <> 0),
+semdrop AS (
+  SELECT DISTINCT b.vec_id AS doc_id
+  FROM bv b JOIN cv c ON TRUE,
+  LATERAL (SELECT sum(x.xa * x.xb) AS dot
+           FROM (SELECT unnest(b.v) AS xa, unnest(c.v) AS xb) x) d,
+  LATERAL (SELECT sqrt(sum(x.xa * x.xa)) AS n
+           FROM (SELECT unnest(b.v) AS xa) x) na,
+  LATERAL (SELECT sqrt(sum(x.xb * x.xb)) AS n
+           FROM (SELECT unnest(c.v) AS xb) x) nb
+  WHERE (CASE WHEN na.n * nb.n = 0 THEN 0.0
+              ELSE d.dot / (na.n * nb.n) END) >= {semantic_min_cosine}
+),
+k6 AS (SELECT doc_id FROM k5 WHERE doc_id NOT IN
+         (SELECT doc_id FROM semdrop))
+SELECT * FROM (
+  SELECT '0_batch' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM batch
+  UNION ALL SELECT '1_exact', CAST(count(*) AS BIGINT) FROM k1
+  UNION ALL SELECT '2_neardup', CAST(count(*) AS BIGINT) FROM k2
+  UNION ALL SELECT '3_substring', CAST(count(*) AS BIGINT) FROM k3
+  UNION ALL SELECT '4_quality', CAST(count(*) AS BIGINT) FROM k4
+  UNION ALL SELECT '5_lang', CAST(count(*) AS BIGINT) FROM k5
+  UNION ALL SELECT '6_semantic', CAST(count(*) AS BIGINT) FROM k6
+) ORDER BY stage
+"""

@@ -139,6 +139,17 @@ def bm25_search(docs: DataFrame, terms: list[str], text_col: str,
         .groupBy("id", "t")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return bm25_rank(tf, dl, stats, lterms, k)
+
+
+def bm25_rank(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+              lterms: list[str], k: int) -> DataFrame:
+    """The BM25 scoring tail shared by the corpus-scan path above and
+    the pruned-index path (``invindex.bm25_search_indexed``): given
+    ``tf (id, t, tf)``, ``dl (id, dl)`` and the 1-row ``stats (n_docs,
+    total_toks)``, rank with the exact-integer rational + literal-order
+    pivot sum + e4 key.  One function so the two paths are
+    expression-identical by construction (same doubles, same ties)."""
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "t")

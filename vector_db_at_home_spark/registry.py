@@ -4687,6 +4687,44 @@ def _register_phrase_search() -> None:
     _QUERIES["phrase_search_indexed"] = q_phrase_indexed
     _ORACLES["phrase_search_indexed"] = render_phrase_search_sql(phrase)
 
+    def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BM25 ranked retrieval THROUGH the persisted inverted index
+        (operators/invindex.py:bm25_search_indexed — r9): per-term tf
+        from partition-pruned postings reads (the literal ``bucket =
+        N`` PartitionFilter), doc lengths and the idf/avgdl scalars
+        from the 16-byte/doc ``doclens`` table written at save/append
+        — the corpus text is never rescanned, the ranking is
+        bit-identical to the corpus-scan ``bm25_search`` (shared
+        ``bm25_rank`` tail), and the oracle is the SAME SQL that scores
+        ``bm25_topk``.  This is the 100 TB lexical serving shape: a
+        q-term query reads ~q/B of the postings store plus one
+        long-pair table."""
+        import tempfile
+
+        from .operators.invindex import (
+            bm25_search_indexed,
+            invindex_append,
+            invindex_load,
+            invindex_save,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="bm25idx_")
+        invindex_save(docs.filter(F.col("doc_id") % 7 != 0),
+                      "text", "doc_id", path, n_buckets=32)
+        invindex_append(spark, path,
+                        docs.filter(F.col("doc_id") % 7 == 0),
+                        "text", "doc_id")
+        idx = invindex_load(spark, path)
+        return bm25_search_indexed(idx, ["vector", "merge", "batch"],
+                                   k=10)
+
+    from .operators.tfidf import render_bm25_sql
+
+    _QUERIES["bm25_topk_indexed"] = q_bm25_indexed
+    _ORACLES["bm25_topk_indexed"] = render_bm25_sql(
+        ["vector", "merge", "batch"], k=10)
+
 
 _register_phrase_search()
 
@@ -4902,6 +4940,30 @@ def _register_clean_corpus_v2() -> None:
 
     _QUERIES["clean_corpus_v2"] = q_v2
     _ORACLES["clean_corpus_v2"] = render_clean_corpus_v2_sql()
+
+    def q_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The INGEST form of the capstone (operators/pipeline.py:
+        clean_corpus_incremental_stage_counts — r9): a new shard
+        (doc_id % 5 == 0) admitted against the existing corpus with
+        every heavy screen at O(batch) through PREPARED dedup state —
+        digest check, MinHash-LSH vs the persisted corpus state,
+        substring span profile vs the persisted span state, quality,
+        language, and an EXACT blocked-GEMM cosine admit vs the corpus
+        embeddings (τ=0.4 → real semantic drops at every scale,
+        decision margin ≥ 1.1e-5).  All seven stage counts replicated
+        exactly by DuckDB — including the semantic stage, which unlike
+        v2's k-means form is brute-force-expressible."""
+        from .operators.pipeline import (
+            clean_corpus_incremental_stage_counts,
+        )
+
+        return clean_corpus_incremental_stage_counts(spark, sf_dir)
+
+    from .operators.pipeline import render_clean_corpus_incremental_sql
+
+    _QUERIES["clean_corpus_incremental"] = q_incr
+    _ORACLES["clean_corpus_incremental"] = \
+        render_clean_corpus_incremental_sql()
 
 
 _register_clean_corpus_v2()
@@ -5233,6 +5295,15 @@ _TAIL_ORDER = [
     # operator without an oracle query) — the per-group sequential FFD
     # replayed exactly by a DuckDB recursive CTE over capacity lists
     "pack_documents_bins",
+    # round-9 continuation: BM25 THROUGH the persisted inverted index —
+    # partition-pruned per-term tf + the 16-byte/doc doclens table;
+    # bit-identical to bm25_topk (shared bm25_rank tail), same oracle
+    "bm25_topk_indexed",
+    # round-9 continuation: the INGEST form of the cleaning capstone —
+    # a new shard admitted against prepared corpus state at O(batch),
+    # all seven stage counts (incl. the exact-GEMM semantic admit)
+    # replicated exactly by DuckDB
+    "clean_corpus_incremental",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
