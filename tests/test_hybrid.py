@@ -69,3 +69,63 @@ def test_filtered_knn_only_returns_matching_labels(spark):
     for q, ds in per.items():
         assert len(ds) == 5
         assert ds == sorted(ds)
+
+
+def test_hybrid_indexed_matches_corpus_scan(spark, tmp_path):
+    """r9: the pruned-index lexical leg reproduces the corpus-scan
+    hybrid exactly — after save, after append, and through a
+    crash-torn append window (duplicate postings rows collapse via the
+    per-term distinct before counting)."""
+    from vector_db_at_home_spark.operators.hybrid import (
+        hybrid_search_rrf,
+        hybrid_search_rrf_indexed,
+    )
+    from vector_db_at_home_spark.operators.invindex import (
+        invindex_append,
+        invindex_load,
+        invindex_save,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat mat"),
+            (2, "the cat the cat the cat"),
+            (3, "cat the"),
+            (4, "dog park visit"),
+            (5, "completely unrelated text"),
+            (6, "the cat returns"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5 * i]) for i in range(1, 7)],
+        "vec_id long, embedding array<double>",
+    )
+    qvec = emb.filter("vec_id = 1").select(
+        emb.embedding.alias("qvec"))
+    terms = ["cat", "dog"]
+
+    expect = hybrid_search_rrf(docs, emb, terms, qvec,
+                               k=5, depth=4).collect()
+
+    path = str(tmp_path / "hyb_idx")
+    invindex_save(docs.filter("doc_id <= 4"), "text", "doc_id",
+                  path, n_buckets=8)
+    invindex_append(spark, path, docs.filter("doc_id > 4"),
+                    "text", "doc_id")
+
+    def indexed():
+        return hybrid_search_rrf_indexed(
+            invindex_load(spark, path), emb, terms, qvec,
+            k=5, depth=4).collect()
+
+    assert indexed() == expect
+
+    # crash-torn append window: duplicate posting rows must not
+    # inflate the lexical counts
+    from pyspark.sql import functions as F  # noqa: F401
+
+    full = spark.read.parquet(f"{path}/postings")
+    full.filter("id = 6").repartition(1).write.partitionBy("bucket") \
+        .mode("append").parquet(f"{path}/postings")
+    assert indexed() == expect

@@ -920,3 +920,81 @@ def test_vector_neardup_compaction_hook(spark, tmp_path):
         files = [f for f in os.listdir(f"{idx}/assigned/{c}")
                  if f.endswith(".parquet")]
         assert len(files) <= 32, (c, len(files))
+
+
+def test_stream_into_invindex(spark, tmp_path):
+    """r9: streaming ingest into the persisted inverted index — the
+    streamed store equals a batch-built index over the same docs
+    (phrase AND BM25 search legs), a re-run of the same feed is a
+    no-op (invindex_append's docids guard — no marker machinery), and
+    the compaction cadence bounds the postings file count."""
+    import os
+
+    from pyspark.sql import functions as F
+    from vector_db_at_home_spark.operators.invindex import (
+        bm25_search_indexed,
+        invindex_load,
+        invindex_save,
+        phrase_search_indexed,
+    )
+    from vector_db_at_home_spark.streaming.ingest import (
+        stream_into_invindex,
+    )
+
+    docs = [
+        (1, "the cat sat on the cat mat"),
+        (2, "the cat the cat the cat"),
+        (3, "cat the"),
+        (4, "dog park visit"),
+        (5, "the cat returns"),
+        (6, "completely unrelated text"),
+    ]
+    feed = str(tmp_path / "feed")
+    for i in range(3):  # three 2-doc files → three micro-batches
+        spark.createDataFrame(docs[2 * i:2 * i + 2],
+                              "doc_id long, text string") \
+            .coalesce(1).write.parquet(feed, mode="append")
+
+    # index starts empty (meta pins buckets/mode); stream fills it
+    path = str(tmp_path / "inv_stream")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    invindex_save(empty, "text", "doc_id", path, n_buckets=8)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    q = stream_into_invindex(stream, path,
+                             checkpoint_dir=str(tmp_path / "ck1"),
+                             compact_every_batches=2)
+    q.awaitTermination()
+
+    all_docs = spark.createDataFrame(docs, "doc_id long, text string")
+    ref_path = str(tmp_path / "inv_batch")
+    invindex_save(all_docs, "text", "doc_id", ref_path, n_buckets=8)
+
+    def results(p):
+        idx = invindex_load(spark, p)
+        ph = [(r.id, r.n_matches)
+              for r in phrase_search_indexed(idx, "the cat").collect()]
+        bm = [(r.id, r.score_e4)
+              for r in bm25_search_indexed(idx, ["cat", "dog"],
+                                           k=10).collect()]
+        return ph, bm
+
+    assert results(path) == results(ref_path)
+
+    # replay the whole feed through a FRESH checkpoint: docids guard
+    # makes every batch a no-op — identical results, no growth
+    n_docids = spark.read.parquet(f"{path}/docids").count()
+    q2 = stream_into_invindex(
+        (spark.readStream.schema("doc_id long, text string")
+         .option("maxFilesPerTrigger", 1).parquet(feed)),
+        path, checkpoint_dir=str(tmp_path / "ck2"))
+    q2.awaitTermination()
+    assert spark.read.parquet(f"{path}/docids").count() == n_docids
+    assert results(path) == results(ref_path)
+
+    # the in-line compact bounded the per-table file count (vs one
+    # appended file set per batch forever)
+    n_files = sum(len(fs) for _r, _d, fs in os.walk(f"{path}/postings"))
+    assert n_files <= 8 * 3 + 2  # ≤ ~compact target, not O(batches)
+    assert F is not None

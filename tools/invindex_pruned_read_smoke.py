@@ -34,6 +34,7 @@ sys.path.insert(0, _HERE)
 from sf1_bench import build_sf1  # noqa: E402
 
 PHRASE = "the query"
+BM25_TERMS = ["vector", "merge", "batch"]
 N_BUCKETS = 32
 
 
@@ -77,12 +78,24 @@ def main() -> None:
         store_bytes = _du(store)
         idx = invindex_load(spark, store)
 
+        from vector_db_at_home_spark.operators.invindex import (
+            bm25_search_indexed,
+        )
+        from vector_db_at_home_spark.operators.tfidf import bm25_search
+
         legs = {}
         for leg, fn in (
             ("indexed_search",
              lambda: phrase_search_indexed(idx, PHRASE)),
             ("corpus_rescan",
              lambda: phrase_search(docs, PHRASE, "text", "doc_id")),
+            # r9: the ranked-retrieval serving leg — BM25 through the
+            # same store (pruned tf reads + the doclens long pairs)
+            ("bm25_indexed",
+             lambda: bm25_search_indexed(idx, BM25_TERMS, k=10)),
+            ("bm25_rescan",
+             lambda: bm25_search(docs, BM25_TERMS, "text", "doc_id",
+                                 k=10)),
         ):
             fn().collect()  # warmup: codegen + page cache parity
             best, rows = None, 0
@@ -108,7 +121,22 @@ def main() -> None:
             for b in buckets
         )
         docs_bytes = _du(f"{d}/documents.parquet")
+        # r9: the BM25 serving leg's exact byte footprint — each unique
+        # term's bucket (read twice in-plan: tf leg + df leg) plus the
+        # doclens long-pair table
+        bm25_buckets = {
+            int(v) for v in spark.range(1).select(
+                *[F.pmod(F.xxhash64(F.lit(t)), F.lit(N_BUCKETS))
+                  .alias(f"b{i}") for i, t in enumerate(BM25_TERMS)]
+            ).first()
+        }
+        bm25_touched = 2 * sum(
+            _du(os.path.join(store, "postings", f"bucket={b}"))
+            for b in bm25_buckets
+        ) + _du(os.path.join(store, "doclens"))
         results[label] = {
+            "bm25_bytes_read_mb": round(bm25_touched / 2**20, 2),
+            "bm25_bytes_vs_rescan": round(bm25_touched / docs_bytes, 3),
             "build_wall_sec": round(build_wall, 1),
             "postings_store_mb": round(store_bytes / 2**20, 2),
             "touched_bucket_mb": round(touched / 2**20, 2),

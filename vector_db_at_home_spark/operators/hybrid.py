@@ -62,6 +62,18 @@ def hybrid_search_rrf(docs: DataFrame, emb: DataFrame, terms: list[str],
         )
         .filter(F.col("tf") > 0)
     )
+    return rrf_fuse(tf, emb, qvec, k, depth, vec_id_col, vec_col)
+
+
+def rrf_fuse(tf: DataFrame, emb: DataFrame, qvec, k: int, depth: int,
+             vec_id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """The ranking tail shared by :func:`hybrid_search_rrf` and the
+    pruned-index lexical leg (``hybrid_search_rrf_indexed``): given the
+    lexical ``tf (id, tf)`` hits, rank both legs, truncate to
+    ``depth``, fuse by RRF.  One function so the corpus-scan and
+    indexed paths are expression-identical — same windows, same
+    integer ranks, same e6 key."""
     # distributed top-depth FIRST (TakeOrderedAndProject — per-partition
     # heads merged, no full shuffle), THEN the rank window over the ≤depth
     # survivors; ranking the raw leg directly would single-partition the
@@ -100,6 +112,53 @@ def hybrid_search_rrf(docs: DataFrame, emb: DataFrame, terms: list[str],
         .orderBy(F.col("rrf_e6").desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def hybrid_search_rrf_indexed(idx, emb: DataFrame, terms: list[str],
+                              qvec, k: int = 10, depth: int = 50,
+                              vec_id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """:func:`hybrid_search_rrf` with the LEXICAL leg served from a
+    loaded inverted index (``invindex.InvIndex``) instead of a corpus
+    rescan: per-doc matched-token counts come from each query term's
+    partition-pruned postings read (``bucket = N`` literal, ~1/B of
+    the store per term) summed across terms — the same number the
+    corpus scan's ``size(filter(toks, isin))`` computes, because the
+    postings hold every token occurrence.  The vector leg and the RRF
+    fusion are the shared :func:`rrf_fuse` tail, so results are
+    identical to the corpus-scan path by construction (same oracle).
+
+    Together with ``invindex.bm25_search_indexed`` this makes the full
+    two-tower serving stack pruned on the lexical side; the vector leg
+    stays the exact cosine scan here — swap in the IVF/graph tier when
+    approximate recall is acceptable (those are separate, recalled
+    queries).  Crash-window append duplicates collapse via the per-term
+    ``(id, pos)`` distinct, exactly like the phrase and BM25 paths."""
+    from ..functions.tokenize import tokens_py
+
+    lterms = []
+    for raw in terms:
+        lterms.extend(t for t in tokens_py(raw.lower(), idx.tokenize_mode)
+                      if t)
+    if not lterms:
+        raise ValueError("hybrid_search_rrf_indexed requires query terms")
+    from .invindex import _bucket
+
+    B = idx.n_buckets
+    per_term = None
+    for t in dict.fromkeys(lterms):  # isin counts each token once
+        s = (
+            idx.postings
+            .filter((F.col("bucket") == _bucket(F.lit(t), B))
+                    & (F.col("term") == t))
+            .select("id", "pos")
+            .distinct()
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        per_term = s if per_term is None else per_term.unionByName(s)
+    tf = per_term.groupBy("id").agg(F.sum("c").cast("int").alias("tf"))
+    return rrf_fuse(tf, emb, qvec, k, depth, vec_id_col, vec_col)
 
 
 def render_hybrid_rrf_sql(terms: list[str], k: int = 10,

@@ -211,9 +211,13 @@ def invindex_load(spark, path: str) -> InvIndex:
     meta = json.loads(spark.read.json(f"{path}/meta.json").first().meta)
     n_buckets = int(meta["n_buckets"])
     tokenize_mode = meta.get("tokenize_mode", "space")  # pre-r8 meta
-    postings = spark.read.parquet(f"{path}/postings")
-    docids = spark.read.parquet(f"{path}/docids")
-    doclens = (spark.read.parquet(f"{path}/doclens")
+    # explicit schemas: a store saved from an EMPTY corpus (the
+    # streaming-ingest bootstrap) has no part files to infer from
+    postings = spark.read.schema("term string, id long, pos int, "
+                                 "bucket int").parquet(f"{path}/postings")
+    docids = spark.read.schema("id long").parquet(f"{path}/docids")
+    doclens = (spark.read.schema("id long, dl long")
+               .parquet(f"{path}/doclens")
                if fs_exists(spark, f"{path}/doclens") else None)  # pre-r9
     tomb = f"{path}/tombstones"
     if fs_exists(spark, tomb):

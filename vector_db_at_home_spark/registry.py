@@ -3715,6 +3715,43 @@ def _register_hybrid() -> None:
         terms, k=10, depth=50
     )
 
+    def q_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hybrid RRF with the lexical leg served through the persisted
+        inverted index (operators/hybrid.py:hybrid_search_rrf_indexed —
+        r9): per-term matched-token counts from partition-pruned
+        postings reads summed across terms, vector leg + fusion shared
+        with the corpus-scan path (rrf_fuse) — identical results, same
+        oracle, the corpus text never rescanned on the lexical side."""
+        import tempfile
+
+        from .operators.hybrid import hybrid_search_rrf_indexed
+        from .operators.invindex import (
+            invindex_append,
+            invindex_load,
+            invindex_save,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = (
+            emb.filter(F.col("vec_id") == 0)
+            .select(F.col("embedding").alias("qvec"))
+        )
+        path = tempfile.mkdtemp(prefix="hybridx_")
+        invindex_save(docs.filter(F.col("doc_id") % 7 != 0),
+                      "text", "doc_id", path, n_buckets=32)
+        invindex_append(spark, path,
+                        docs.filter(F.col("doc_id") % 7 == 0),
+                        "text", "doc_id")
+        idx = invindex_load(spark, path)
+        return hybrid_search_rrf_indexed(idx, emb, terms, qvec,
+                                         k=10, depth=50)
+
+    _QUERIES["hybrid_search_rrf_indexed"] = q_hybrid_indexed
+    _ORACLES["hybrid_search_rrf_indexed"] = render_hybrid_rrf_sql(
+        terms, k=10, depth=50
+    )
+
 
 _register_hybrid()
 
@@ -5304,6 +5341,10 @@ _TAIL_ORDER = [
     # all seven stage counts (incl. the exact-GEMM semantic admit)
     # replicated exactly by DuckDB
     "clean_corpus_incremental",
+    # round-9 continuation: hybrid RRF with the lexical leg through the
+    # persisted index — shared rrf_fuse tail, same oracle as
+    # hybrid_search_rrf
+    "hybrid_search_rrf_indexed",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
