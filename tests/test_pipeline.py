@@ -147,3 +147,88 @@ def test_clean_corpus_incremental_stage_counts(spark):
     # survivors at sf0.001 — the whole-batch measurement is 23; the
     # difference is upstream-dropped docs)
     assert counts[5] - counts[6] == 17
+
+
+def test_clean_corpus_admit_batch_loop(spark, tmp_path):
+    """r9: the full production ingest loop — screen a shard against
+    the persisted cascade state, append survivors, and the NEXT shard
+    is screened against corpus ∪ survivors: an exact dup, a near-dup,
+    and an embedding near-dup of a batch-1 SURVIVOR are all rejected
+    in batch 2 (proof the write-back half works for every family)."""
+    from vector_db_at_home_spark.operators.pipeline import (
+        clean_corpus_admit_batch,
+        clean_corpus_states_build,
+    )
+
+    base = "w%d " * 20
+    long_a = (" ".join(f"a{i}" for i in range(20)))
+    long_b = (" ".join(f"b{i}" for i in range(20)))
+    long_c = (" ".join(f"c{i}" for i in range(20)))
+    corpus = spark.createDataFrame(
+        [(1, long_a, "en"), (2, "corpus second doc entirely", "en")],
+        "doc_id long, text string, lang string",
+    )
+    cemb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    root = str(tmp_path / "states")
+    clean_corpus_states_build(spark, corpus, cemb, root)
+
+    batch1 = spark.createDataFrame(
+        [
+            (10, long_a, "en"),            # exact dup of corpus → 1_exact
+            (11, long_a + " extra", "en"),  # near-dup of corpus → 2_neardup
+            (12, long_b, "en"),             # novel survivor
+            (13, "x " * 9 + "x", "en"),     # distinct ratio 0.1 → 4_quality
+            (14, long_c, "xx"),             # lang → 5_lang
+            (15, "semantic twin doc here", "en"),  # emb near corpus → 6
+        ],
+        "doc_id long, text string, lang string",
+    )
+    b1emb = spark.createDataFrame(
+        [(12, [0.0, 1.0, 0.0]), (15, [0.99, 0.1, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    k1, counts1 = clean_corpus_admit_batch(spark, root, batch1, b1emb)
+    survivors1 = {r.doc_id for r in k1.collect()}
+    assert survivors1 == {12}
+    d = dict(counts1)
+    assert d["0_batch"] == 6 and d["1_exact"] == 5
+    assert d["2_neardup"] == 4          # 11 dropped
+    assert d["4_quality"] == 3          # 13 dropped (3_substring no-op)
+    assert d["5_lang"] == 2             # 14 dropped
+    assert d["6_semantic"] == 1         # 15 dropped (cos≈0.995 vs corpus)
+
+    # batch 2 collides with the ADMITTED batch-1 survivor (doc 12)
+    batch2 = spark.createDataFrame(
+        [
+            (20, long_b, "en"),             # exact dup of survivor 12
+            (21, long_b + " tail", "en"),   # near-dup of survivor 12
+            (22, "genuinely new content words", "en"),  # survivor
+            (23, "vector twin of twelve", "en"),        # emb near 12
+        ],
+        "doc_id long, text string, lang string",
+    )
+    # 22 must clear τ=0.4 against ALL stored vectors ([1,0,0], [0,0,1],
+    # and survivor 12's [0,1,0] — an orthonormal basis, so any vector
+    # with non-negative coords has max cos ≥ 1/√3): negative coords
+    # give cos = −0.577 everywhere
+    b2emb = spark.createDataFrame(
+        [(22, [-1.0, -1.0, -1.0]), (23, [0.05, 0.999, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    k2, counts2 = clean_corpus_admit_batch(spark, root, batch2, b2emb)
+    survivors2 = {r.doc_id for r in k2.collect()}
+    assert survivors2 == {22}
+    d2 = dict(counts2)
+    assert d2["0_batch"] == 4 and d2["1_exact"] == 3   # 20 vs survivor
+    assert d2["2_neardup"] == 2                        # 21 vs survivor
+    assert d2["6_semantic"] == 1                       # 23 vs survivor emb
+
+    # replayed shard converges: every row is now its own stored copy
+    k2r, counts2r = clean_corpus_admit_batch(spark, root, batch2, b2emb)
+    assert {r.doc_id for r in k2r.collect()} == set()
+    # 20 still dups survivor 12 AND the replayed 22 dups its own stored
+    # copy — the self-rejection that makes at-least-once converge
+    assert dict(counts2r)["1_exact"] == 2

@@ -35,6 +35,7 @@ QUERIES = [
     "phrase_search_indexed_regex",
     "bm25_topk_indexed",
     "clean_corpus_incremental",
+    "hybrid_search_rrf_indexed",
 ]
 
 
@@ -44,7 +45,13 @@ def main() -> None:
 
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("r9ops_scale",
-                      extra_conf={"spark.ui.enabled": "true"})
+                      extra_conf={"spark.ui.enabled": "true",
+                                  # the shuffle accounting sums the UI's
+                                  # completed-stage list; the default
+                                  # 1000-stage retention evicts early
+                                  # stages mid-smoke and the cumulative
+                                  # sum goes BACKWARDS (a negative delta)
+                                  "spark.ui.retainedStages": "300000"})
     spark.sparkContext.setLogLevel("ERROR")
 
     out_dir = tempfile.mkdtemp(prefix="sf1_r9ops_")

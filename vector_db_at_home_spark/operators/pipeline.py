@@ -610,3 +610,154 @@ SELECT * FROM (
   UNION ALL SELECT '6_semantic', CAST(count(*) AS BIGINT) FROM k6
 ) ORDER BY stage
 """
+
+
+def clean_corpus_states_build(spark: SparkSession, corpus_docs: DataFrame,
+                              corpus_emb: DataFrame, root: str,
+                              substring_window: int = 8) -> None:
+    """Materialize ALL the cleaning-cascade state an ingest loop needs
+    under one ``root``: ``{root}/minhash`` (band/shingle/size tables),
+    ``{root}/substring`` (span-hash deltas), ``{root}/digests`` (the
+    exact-dedup (id, md5) pairs), ``{root}/embeddings`` (the vs-corpus
+    semantic screen's comparison set).  Built once from the initial
+    clean corpus; :func:`clean_corpus_admit_batch` screens each
+    arriving shard against it and appends the survivors, so the loop
+    never rescans the corpus."""
+    from .dedup import minhash_corpus_state_build, substring_state_build
+
+    minhash_corpus_state_build(corpus_docs, f"{root}/minhash",
+                               "text", "doc_id", n=3)
+    substring_state_build(corpus_docs, f"{root}/substring",
+                          "text", "doc_id", window=substring_window)
+    corpus_docs.select(
+        F.col("doc_id").alias("id"), F.md5("text").alias("digest")
+    ).write.mode("overwrite").parquet(f"{root}/digests")
+    corpus_emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    ).write.mode("overwrite").parquet(f"{root}/embeddings")
+
+
+def clean_corpus_admit_batch(spark: SparkSession, root: str,
+                             batch_docs: DataFrame,
+                             batch_emb: DataFrame | None = None,
+                             jaccard_threshold: float = 0.5,
+                             min_distinct_ratio: float = 0.3,
+                             max_punct_ratio: float = 0.2,
+                             langs: tuple[str, ...] = ("en", "de", "es",
+                                                       "fr"),
+                             semantic_min_cosine: float = 0.4
+                             ) -> tuple[DataFrame, list[tuple[str, int]]]:
+    """ONE production ingest step: screen ``batch_docs`` (and their
+    ``batch_emb`` embeddings, ``(vec_id, embedding)``) against the
+    persisted cascade state at ``root``
+    (:func:`clean_corpus_states_build`), then APPEND the survivors to
+    every state table — so the NEXT shard is screened against
+    corpus ∪ survivors with no corpus rescan, ever.  Returns
+    ``(survivor ids DataFrame, [(stage, count), ...])``.
+
+    Same screens and AND-composition as
+    :func:`clean_corpus_incremental_stage_counts` (the registered,
+    DuckDB-replicated query proves the decision semantics; this
+    function adds the write-back half of the loop).  Append order per
+    family follows each state's documented crash discipline
+    (``minhash_corpus_state_append`` lands verify-side tables before
+    band rows; ``substring_state_append`` is a pure delta append;
+    digests/embeddings are idempotent re-screens on replay — an
+    admitted duplicate re-arriving is simply rejected by its own
+    stored copy, the streaming screens' convergence argument)."""
+    from .dedup import (
+        cosine_admit_blocked,
+        minhash_corpus_state_append,
+        minhash_lsh_pairs_incremental_prepared,
+        substring_dedup_incremental,
+        substring_state_append,
+    )
+
+    counts: list[tuple[str, int]] = []
+    batch = batch_docs.localCheckpoint(eager=True)
+    counts.append(("0_batch", batch.count()))
+
+    # 1_exact — vs stored digests ∪ within-batch min-id
+    bd = batch.select("doc_id", F.md5("text").alias("digest"))
+    stored = spark.read.parquet(f"{root}/digests").select("digest") \
+        .distinct()
+    wmin = bd.groupBy("digest").agg(F.min("doc_id").alias("__mn"))
+    k = (
+        bd.join(stored, "digest", "left_anti")
+        .join(wmin, "digest")
+        .filter(F.col("doc_id") == F.col("__mn"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    counts.append(("1_exact", k.count()))
+
+    # 2_neardup — vs the persisted MinHash state
+    drop_near = minhash_lsh_pairs_incremental_prepared(
+        spark, f"{root}/minhash", batch, "text", "doc_id",
+        threshold=jaccard_threshold,
+    ).select(F.col("new_id").alias("doc_id")).distinct()
+    k = k.join(F.broadcast(drop_near), "doc_id", "left_anti") \
+        .localCheckpoint(eager=True)
+    counts.append(("2_neardup", k.count()))
+
+    # 3_substring — span profile vs corpus ∪ batch through the state
+    drop_sub = substring_dedup_incremental(
+        spark, f"{root}/substring", batch, "text", "doc_id",
+    ).filter(F.col("flag_dup_heavy")).select(F.col("id").alias("doc_id"))
+    k = k.join(F.broadcast(drop_sub), "doc_id", "left_anti") \
+        .localCheckpoint(eager=True)
+    counts.append(("3_substring", k.count()))
+
+    # 4/5 — stateless filters
+    toks = F.split(F.col("text"), " ")
+    distinct_ratio = (F.size(F.array_distinct(toks)).cast("double")
+                      / F.size(toks))
+    punct_ratio = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", ""))
+    ).cast("double") / F.length("text")
+    k = k.join(batch.filter(
+        (distinct_ratio >= min_distinct_ratio)
+        & (punct_ratio <= max_punct_ratio)
+    ).select("doc_id"), "doc_id", "left_semi").localCheckpoint(eager=True)
+    counts.append(("4_quality", k.count()))
+    k = k.join(batch.filter(F.col("lang").isin(list(langs)))
+               .select("doc_id"), "doc_id", "left_semi") \
+        .localCheckpoint(eager=True)
+    counts.append(("5_lang", k.count()))
+
+    # 6_semantic — exact cosine admit vs the stored embedding set
+    bemb = None
+    if batch_emb is not None:
+        bemb = batch_emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("vec"),
+        ).localCheckpoint(eager=True)
+        corpus_vecs = spark.read.parquet(f"{root}/embeddings")
+        drop_sem = cosine_admit_blocked(
+            bemb.withColumnRenamed("id", "vec_id")
+                .withColumnRenamed("vec", "embedding"),
+            corpus_vecs.withColumnRenamed("id", "vec_id")
+                .withColumnRenamed("vec", "embedding"),
+            "embedding", "vec_id", semantic_min_cosine,
+        ).select(F.col("id").alias("doc_id"))
+        k = k.join(F.broadcast(drop_sem), "doc_id", "left_anti") \
+            .localCheckpoint(eager=True)
+    counts.append(("6_semantic", k.count()))
+
+    # write-back: the survivors join every state table at O(batch)
+    admitted = batch.join(k, "doc_id", "left_semi") \
+        .localCheckpoint(eager=True)
+    minhash_corpus_state_append(spark, f"{root}/minhash", admitted,
+                                "text", "doc_id")
+    substring_state_append(spark, f"{root}/substring", admitted,
+                           "text", "doc_id")
+    admitted.select(
+        F.col("doc_id").alias("id"), F.md5("text").alias("digest")
+    ).write.mode("append").parquet(f"{root}/digests")
+    if bemb is not None:
+        bemb.join(k.select(F.col("doc_id").alias("id")), "id",
+                  "left_semi") \
+            .write.mode("append").parquet(f"{root}/embeddings")
+    return k, counts
