@@ -49,7 +49,7 @@ KNOWN_BNLJ: dict[str, str] = {
     "pq_recall": _QVEC, "pq_append_recall": _QVEC, "ivfpq_recall": _QVEC,
     "ivfsq_recall": _QVEC, "bq_hamming_topk": _QVEC,
     "range_search_radius": _QVEC, "text_hash_selfsearch": _QVEC,
-    "hybrid_search_rrf": _QVEC,
+    "hybrid_search_rrf": _QVEC, "hybrid_search_rrf_indexed": _QVEC,
     "knn_graph_recall": _QVEC, "knn_graph_append_recall": _QVEC,
     "graph_ann_topk": _QVEC + " + 8 seed rows",
     "graph_ann_serving_topk": _QVEC
