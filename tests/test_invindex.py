@@ -269,3 +269,76 @@ def test_bm25_indexed_prunes_partitions(spark, tmp_path):
     for line in scans:
         if line not in pruned:
             assert "struct<id:bigint,dl:bigint>" in line, line
+
+
+def test_hybrid_indexed_prunes_partitions(spark, tmp_path):
+    """r9 plan pin: the hybrid's indexed lexical leg reads one pruned
+    postings partition per unique query term (literal ``bucket = N``);
+    the only other parquet scans are the embeddings side."""
+    from vector_db_at_home_spark.operators.hybrid import (
+        hybrid_search_rrf_indexed,
+    )
+    from vector_db_at_home_spark.operators.invindex import (
+        invindex_load,
+        invindex_save,
+    )
+
+    docs = _corpus(spark)
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 8)],
+        "vec_id long, embedding array<double>",
+    )
+    qvec = emb.filter("vec_id = 1").select(
+        emb.embedding.alias("qvec"))
+    path = str(tmp_path / "inv_hyb_prune")
+    invindex_save(docs, "text", "doc_id", path, n_buckets=8)
+    idx = invindex_load(spark, path)
+    q = hybrid_search_rrf_indexed(idx, emb, ["cat", "dog"], qvec,
+                                  k=5, depth=4)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pruned = [l for l in plan.split("\n")
+              if re.search(r"PartitionFilters: \[.*bucket#\d+ = \d+", l)]
+    assert len(pruned) == 2  # one pruned postings scan per unique term
+
+
+def test_bm25_indexed_pre_r9_store_fallback(spark, tmp_path):
+    """A store saved before the doclens table existed still ranks:
+    lengths fall back to the full postings scan (dl = postings rows per
+    doc — equal on corpora without token-less docs), and append leaves
+    the store doclens-less rather than writing a partial table."""
+    import shutil
+
+    from vector_db_at_home_spark.operators.invindex import (
+        bm25_search_indexed,
+        invindex_append,
+        invindex_load,
+        invindex_save,
+    )
+    from vector_db_at_home_spark.operators.tfidf import bm25_search
+
+    docs = _corpus(spark)
+    path = str(tmp_path / "inv_prer9")
+    invindex_save(docs.filter("doc_id <= 5"), "text", "doc_id",
+                  path, n_buckets=8)
+    shutil.rmtree(f"{path}/doclens")  # simulate a pre-r9 store
+
+    idx = invindex_load(spark, path)
+    assert idx.doclens is None
+    terms = ["cat", "the", "dog"]
+    expect = bm25_search(docs.filter("doc_id <= 5"), terms,
+                         "text", "doc_id", k=10).collect()
+    assert bm25_search_indexed(idx, terms, k=10).collect() == expect
+
+    # append keeps the store consistently doclens-less
+    invindex_append(spark, path, docs.filter("doc_id > 5"),
+                    "text", "doc_id")
+    import os
+
+    assert not os.path.exists(f"{path}/doclens")
+    expect_all = bm25_search(docs, terms, "text", "doc_id",
+                             k=10).collect()
+    got = bm25_search_indexed(invindex_load(spark, path), terms,
+                              k=10).collect()
+    assert got == expect_all

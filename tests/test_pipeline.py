@@ -232,3 +232,21 @@ def test_clean_corpus_admit_batch_loop(spark, tmp_path):
     # 20 still dups survivor 12 AND the replayed 22 dups its own stored
     # copy — the self-rejection that makes at-least-once converge
     assert dict(counts2r)["1_exact"] == 2
+
+    # marker-keyed replay (the at-least-once contract for callers that
+    # persist the RETURNED ids): first run writes {root}/_admitted/<id>
+    # as the commit point, the replay returns the RECORDED survivors
+    # and counts without touching any state
+    batch3 = spark.createDataFrame(
+        [(30, "a third shard with fresh words", "en")],
+        "doc_id long, text string, lang string",
+    )
+    k3a, c3a = clean_corpus_admit_batch(spark, root, batch3,
+                                        batch_id="shard-3")
+    assert {r.doc_id for r in k3a.collect()} == {30}
+    n_dig = spark.read.parquet(f"{root}/digests").count()
+    k3b, c3b = clean_corpus_admit_batch(spark, root, batch3,
+                                        batch_id="shard-3")
+    assert {r.doc_id for r in k3b.collect()} == {30}  # NOT self-rejected
+    assert c3b == c3a
+    assert spark.read.parquet(f"{root}/digests").count() == n_dig

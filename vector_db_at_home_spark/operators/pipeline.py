@@ -646,7 +646,8 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
                              max_punct_ratio: float = 0.2,
                              langs: tuple[str, ...] = ("en", "de", "es",
                                                        "fr"),
-                             semantic_min_cosine: float = 0.4
+                             semantic_min_cosine: float = 0.4,
+                             batch_id: int | str | None = None
                              ) -> tuple[DataFrame, list[tuple[str, int]]]:
     """ONE production ingest step: screen ``batch_docs`` (and their
     ``batch_emb`` embeddings, ``(vec_id, embedding)``) against the
@@ -659,13 +660,27 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
     Same screens and AND-composition as
     :func:`clean_corpus_incremental_stage_counts` (the registered,
     DuckDB-replicated query proves the decision semantics; this
-    function adds the write-back half of the loop).  Append order per
-    family follows each state's documented crash discipline
+    function adds the write-back half of the loop).
+
+    Replay semantics (``batch_id``): without an id, a replayed
+    already-admitted shard CONVERGES but returns no survivors — every
+    row is rejected by its own stored copy (the streaming screens'
+    convergence argument), which is wrong for an at-least-once caller
+    that persists the RETURNED ids.  Pass a stable ``batch_id`` and the
+    function writes ``{root}/_admitted/<id>`` (survivor ids + the stage
+    counts) as the LAST step — the commit point; a replay that finds
+    the marker returns the recorded result without touching any state.
+    A crash MID-write-back (marker absent, some family states already
+    appended) is the torn window every ``*_state_append`` documents:
+    the replayed screen then runs against partial state and family
+    self-rejection can drop some of the shard permanently — the
+    recovery path for a suspected torn write-back is a state rebuild
+    (:func:`clean_corpus_states_build`, the same rule
+    ``minhash_corpus_state_append`` pins).  Append order per family
+    follows each state's own crash discipline
     (``minhash_corpus_state_append`` lands verify-side tables before
-    band rows; ``substring_state_append`` is a pure delta append;
-    digests/embeddings are idempotent re-screens on replay — an
-    admitted duplicate re-arriving is simply rejected by its own
-    stored copy, the streaming screens' convergence argument)."""
+    band rows; ``substring_state_append`` is a pure delta append)."""
+    import json as _json
     from .dedup import (
         cosine_admit_blocked,
         minhash_corpus_state_append,
@@ -673,6 +688,18 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
         substring_dedup_incremental,
         substring_state_append,
     )
+
+    from ..functions.fsutil import fs_exists
+
+    marker = (f"{root}/_admitted/{batch_id}"
+              if batch_id is not None else None)
+    if marker is not None and fs_exists(spark, f"{marker}/ids"):
+        ids = spark.read.schema("doc_id long").parquet(f"{marker}/ids")
+        recorded = _json.loads(
+            spark.read.text(f"{marker}/counts.json")
+            .agg(F.concat_ws("", F.collect_list("value"))).first()[0]
+        )
+        return ids, [(s, int(n)) for s, n in recorded]
 
     counts: list[tuple[str, int]] = []
     batch = batch_docs.localCheckpoint(eager=True)
@@ -760,4 +787,8 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
         bemb.join(k.select(F.col("doc_id").alias("id")), "id",
                   "left_semi") \
             .write.mode("append").parquet(f"{root}/embeddings")
+    if marker is not None:  # the commit point — written LAST
+        k.write.mode("overwrite").parquet(f"{marker}/ids")
+        spark.createDataFrame([(_json.dumps(counts),)], "value string") \
+            .coalesce(1).write.mode("overwrite").text(f"{marker}/counts.json")
     return k, counts
