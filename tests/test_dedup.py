@@ -812,3 +812,81 @@ def test_strip_duplicate_spans_planted_boilerplate(spark):
              strip_duplicate_spans(docs, "text", "doc_id", window=8)
              .collect()}
     assert again == {i: r.text_kept for i, r in got.items()}
+
+
+def test_cosine_admit_blocked_randomized_vs_numpy(spark):
+    """r9 kernel, randomized: on seeded random batch/corpus matrices the
+    distributed two-relation admit screen returns exactly the ids NumPy
+    brute force finds, across thresholds and block counts (including
+    n_blocks > n_rows)."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.dedup import (
+        cosine_admit_blocked,
+    )
+
+    rng = np.random.default_rng(1234)
+    nb, nc, dim = 37, 53, 8
+    B = rng.standard_normal((nb, dim))
+    C = rng.standard_normal((nc, dim))
+    # plant an exact dup and a zero vector on both sides
+    B[5] = C[7]
+    B[11] = 0.0
+    C[13] = 0.0
+    batch = spark.createDataFrame(
+        [(i, [float(x) for x in B[i]]) for i in range(nb)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(100 + j, [float(x) for x in C[j]]) for j in range(nc)],
+        "vec_id long, embedding array<double>",
+    )
+
+    Bn = B / np.where(np.linalg.norm(B, axis=1, keepdims=True) == 0, 1,
+                      np.linalg.norm(B, axis=1, keepdims=True))
+    Cn = C / np.where(np.linalg.norm(C, axis=1, keepdims=True) == 0, 1,
+                      np.linalg.norm(C, axis=1, keepdims=True))
+    S = Bn @ Cn.T
+    # tau sweep at one grid, block sweep at one tau (incl. more blocks
+    # than rows) — a full cross product is ~12 Spark jobs for no extra
+    # coverage
+    cases = [(0.2, 4), (0.5, 1), (0.5, 4), (0.5, 16), (0.9, 4),
+             (0.999999, 4)]
+    for tau, nblk in cases:
+        want = {i for i in range(nb) if (S[i] >= tau).any()}
+        got = {r.id for r in cosine_admit_blocked(
+            batch, corpus, "embedding", "vec_id", tau,
+            n_blocks=nblk).collect()}
+        assert got == want, (tau, nblk)
+
+
+def test_bm25_indexed_randomized_corpus(spark, tmp_path):
+    """r9, randomized: on a seeded random corpus (duplicate words,
+    skewed lengths, docs without any query term, an empty doc) the
+    indexed BM25 is bit-identical to the corpus scan for several
+    query-term sets."""
+    import random
+
+    from vector_db_at_home_spark.operators.invindex import (
+        bm25_search_indexed,
+        invindex_load,
+        invindex_save,
+    )
+    from vector_db_at_home_spark.operators.tfidf import bm25_search
+
+    rnd = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(80):
+        n = rnd.choice([0, 3, 8, 20, 60])
+        rows.append((i, " ".join(rnd.choice(vocab) for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "inv_rand")
+    invindex_save(docs, "text", "doc_id", path, n_buckets=16)
+    idx = invindex_load(spark, path)
+    for terms in (["w0"], ["w1", "w2", "w3"],
+                  ["w4", "w4", "w5"],            # duplicate query term
+                  ["absent", "w6"]):             # term not in corpus
+        want = bm25_search(docs, terms, "text", "doc_id", k=15).collect()
+        got = bm25_search_indexed(idx, terms, k=15).collect()
+        assert got == want, terms
