@@ -277,3 +277,58 @@ def test_ivf_filtered_search_prefilters(spark, emb, queries):
         vec_col="embedding", impl="expr",
     )
     assert recall_at_k(approx, exact) == 1.0  # all cells probed
+
+
+def test_cosine_admit_ivf_exhaustive_equals_blocked(spark):
+    """r9: the IVF-pruned admit screen at n_probes = n_cells is
+    exhaustive and returns exactly the blocked-GEMM kernel's ids; an
+    EXACT copy of an indexed vector is found at even ONE probe (its
+    nearest centroid is its source's cell by construction)."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.ann import (
+        cosine_admit_ivf,
+        ivf_build,
+    )
+    from vector_db_at_home_spark.operators.dedup import (
+        cosine_admit_blocked,
+    )
+
+    rng = np.random.default_rng(7)
+    C = rng.standard_normal((60, 6))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(j, [float(x) for x in C[j]]) for j in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    B = rng.standard_normal((20, 6))
+    B /= np.linalg.norm(B, axis=1, keepdims=True)
+    batch = spark.createDataFrame(
+        [(100 + i, [float(x) for x in B[i]]) for i in range(20)]
+        + [(1000 + j, [float(x) for x in C[j]]) for j in range(5)],  # copies
+        "vec_id long, embedding array<double>",
+    )
+    ivf = ivf_build(corpus, id_col="vec_id", vec_col="embedding",
+                    n_cells=8)
+
+    # exhaustive probes == the exact kernel, at two thresholds
+    for tau in (0.5, 0.9):
+        want = {r.id for r in cosine_admit_blocked(
+            batch, corpus, "embedding", "vec_id", tau).collect()}
+        got = {r.id for r in cosine_admit_ivf(
+            batch, ivf, "embedding", "vec_id", tau,
+            n_probes=8).collect()}
+        assert got == want, tau
+
+    # exact copies found at ONE probe regardless of tau < 1
+    got1 = {r.id for r in cosine_admit_ivf(
+        batch, ivf, "embedding", "vec_id", 0.999999,
+        n_probes=1).collect()}
+    assert {1000 + j for j in range(5)} <= got1
+
+    # probe-bound recall: 1 probe finds a SUBSET of exhaustive
+    sub = {r.id for r in cosine_admit_ivf(
+        batch, ivf, "embedding", "vec_id", 0.5, n_probes=1).collect()}
+    full = {r.id for r in cosine_admit_ivf(
+        batch, ivf, "embedding", "vec_id", 0.5, n_probes=8).collect()}
+    assert sub <= full

@@ -250,3 +250,59 @@ def test_clean_corpus_admit_batch_loop(spark, tmp_path):
     assert {r.doc_id for r in k3b.collect()} == {30}  # NOT self-rejected
     assert c3b == c3a
     assert spark.read.parquet(f"{root}/digests").count() == n_dig
+
+
+def test_clean_corpus_admit_batch_ivf_screen(spark, tmp_path):
+    """r9: the semantic screen's IVF tier inside the loop — with
+    exhaustive probes the decisions equal the exact screen's, and the
+    write-back syncs admitted vectors into the saved index so the next
+    shard's near-dups are caught THROUGH the index."""
+    from vector_db_at_home_spark.operators.pipeline import (
+        clean_corpus_admit_batch,
+        clean_corpus_states_build,
+    )
+
+    long_a = " ".join(f"a{i}" for i in range(20))
+    long_b = " ".join(f"b{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [(1, long_a, "en"), (2, "another corpus document here", "en")],
+        "doc_id long, text string, lang string")
+    cemb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    root = str(tmp_path / "states_ivf")
+    clean_corpus_states_build(spark, corpus, cemb, root,
+                              semantic_index_cells=2)
+
+    batch1 = spark.createDataFrame(
+        [(12, long_b, "en"), (15, "semantic twin doc here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    b1emb = spark.createDataFrame(
+        [(12, [0.0, 1.0, 0.0]), (15, [0.99, 0.1, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    k1, c1 = clean_corpus_admit_batch(
+        spark, root, batch1, b1emb,
+        semantic_screen="ivf", n_probes=2)  # exhaustive at 2 cells
+    assert {r.doc_id for r in k1.collect()} == {12}  # 15 near corpus 1
+    # write-back synced 12's vector into the saved index
+    assigned = spark.read.parquet(f"{root}/ivf/assigned")
+    assert {r.id for r in assigned.collect()} == {1, 2, 12}
+
+    # next shard: an embedding near-dup of ADMITTED 12, caught through
+    # the index
+    batch2 = spark.createDataFrame(
+        [(23, "vector twin of twelve", "en"),
+         (24, "actually novel content here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    b2emb = spark.createDataFrame(
+        [(23, [0.05, 0.999, 0.0]), (24, [-1.0, -1.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    k2, c2 = clean_corpus_admit_batch(
+        spark, root, batch2, b2emb,
+        semantic_screen="ivf", n_probes=2)
+    assert {r.doc_id for r in k2.collect()} == {24}
+    assert dict(c2)["6_semantic"] == 1  # 23 dropped by the indexed screen

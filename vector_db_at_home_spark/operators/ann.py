@@ -280,3 +280,61 @@ def ivf_sync_with_store(spark, store, path: str,
         f"{path}/assigned"
     )
     return n
+
+
+def cosine_admit_ivf(new_df: DataFrame, ivf: IVFIndex,
+                     vec_col: str, id_col: str,
+                     min_cosine: float,
+                     n_probes: int = 4) -> DataFrame:
+    """IVF-pruned cosine admit screen — the SCALE path for
+    ``dedup.cosine_admit_blocked``'s O(batch·corpus) exact GEMM: return
+    the distinct new-side ids whose cosine against some INDEXED vector
+    in their ``n_probes`` nearest cells reaches ``min_cosine``.  This is
+    the batch form of the streaming vector screen's indexed mode
+    (streaming/neardup.py) and the semantic-admit tier a 100 TB ingest
+    actually runs: candidate volume is the probed fraction, the verify
+    is exact cosine.
+
+    Contract mirrors the streaming screen: build the index over
+    L2-NORMALIZED corpus vectors (``cos ≥ τ ⇔ ‖a−b‖ ≤ sqrt(2−2τ)`` then
+    holds and the centroid geometry matches the cosine metric); the
+    verify here computes raw cosine, so an un-normalized index still
+    verifies correctly — only probe QUALITY degrades.  Recall is the
+    IVF probe bound: a near-dup whose cell is outside the query's
+    ``n_probes`` nearest is admitted (raise ``n_probes``; at
+    ``n_probes = n_cells`` the screen is exhaustive and equals the
+    blocked-GEMM kernel exactly — pytest-pinned).  An EXACT COPY of an
+    indexed vector is always found at ANY probe count: the copy's
+    nearest centroid IS its source's assigned cell (same argmin over
+    the same centroid table).
+
+    Plan: batch × broadcast-centroid distances (|batch|·n_cells narrow
+    rows) → top-``n_probes`` cells per row → keyed join against the
+    assigned table (partition-pruned on a ``partitionBy(cell)`` store)
+    → exact cosine filter → distinct.  Nothing is quadratic; nothing
+    collects."""
+    from ..functions.distance import cosine_similarity, l2_distance
+    from .topk import top_k_per_group
+
+    q = new_df.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    )
+    cd = q.crossJoin(F.broadcast(ivf.centroids)).select(
+        "__qid", "cell", l2_distance("__qvec", "cvec").alias("__cd"),
+    )
+    probe = top_k_per_group(
+        cd, ["__qid"], [F.col("__cd").asc(), F.col("cell").asc()],
+        min(n_probes, ivf.n_cells),
+    ).select("__qid", "cell")
+    cand = ivf.assigned.join(probe, "cell").join(
+        q, "__qid"
+    )
+    return (
+        cand.filter(
+            cosine_similarity(F.col("vec"), F.col("__qvec"))
+            >= F.lit(float(min_cosine))
+        )
+        .select(F.col("__qid").alias("id"))
+        .distinct()
+    )

@@ -612,9 +612,30 @@ SELECT * FROM (
 """
 
 
+def _normalized_vec(col):
+    v = F.transform(col, lambda x: x.cast("double"))
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(n == 0.0, v).otherwise(F.transform(v, lambda x: x / n))
+
+
+class _EmbStateView:
+    """store-shaped adapter over ``{root}/embeddings`` feeding
+    ``ann.ivf_sync_with_store`` the NORMALIZED vectors (the index
+    invariant the streaming screen pins)."""
+
+    def __init__(self, spark, root):
+        self._spark, self._root = spark, root
+
+    def df(self):
+        return self._spark.read.parquet(f"{self._root}/embeddings") \
+            .select("id", _normalized_vec(F.col("vec")).alias("vec"))
+
+
 def clean_corpus_states_build(spark: SparkSession, corpus_docs: DataFrame,
                               corpus_emb: DataFrame, root: str,
-                              substring_window: int = 8) -> None:
+                              substring_window: int = 8,
+                              semantic_index_cells: int | None = None
+                              ) -> None:
     """Materialize ALL the cleaning-cascade state an ingest loop needs
     under one ``root``: ``{root}/minhash`` (band/shingle/size tables),
     ``{root}/substring`` (span-hash deltas), ``{root}/digests`` (the
@@ -636,6 +657,17 @@ def clean_corpus_states_build(spark: SparkSession, corpus_docs: DataFrame,
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("vec"),
     ).write.mode("overwrite").parquet(f"{root}/embeddings")
+    if semantic_index_cells is not None:
+        # the IVF tier for the semantic screen (cosine_admit_ivf): built
+        # over NORMALIZED vectors so the centroid geometry matches the
+        # cosine metric; admit_batch(semantic_screen="ivf") probes it
+        # and the write-back syncs admitted vectors in at O(batch)
+        from .ann import ivf_build, ivf_save
+
+        ivf_save(ivf_build(
+            _EmbStateView(spark, root).df(),
+            id_col="id", vec_col="vec", n_cells=semantic_index_cells,
+        ), f"{root}/ivf")
 
 
 def clean_corpus_admit_batch(spark: SparkSession, root: str,
@@ -647,7 +679,9 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
                              langs: tuple[str, ...] = ("en", "de", "es",
                                                        "fr"),
                              semantic_min_cosine: float = 0.4,
-                             batch_id: int | str | None = None
+                             batch_id: int | str | None = None,
+                             semantic_screen: str = "exact",
+                             n_probes: int = 4
                              ) -> tuple[DataFrame, list[tuple[str, int]]]:
     """ONE production ingest step: screen ``batch_docs`` (and their
     ``batch_emb`` embeddings, ``(vec_id, embedding)``) against the
@@ -754,21 +788,35 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
         .localCheckpoint(eager=True)
     counts.append(("5_lang", k.count()))
 
-    # 6_semantic — exact cosine admit vs the stored embedding set
+    # 6_semantic — cosine admit vs the stored embedding set: "exact" =
+    # the blocked batch×corpus GEMM (exact, O(batch·corpus) FLOPs);
+    # "ivf" = the probe-pruned tier over {root}/ivf (requires
+    # states_build(semantic_index_cells=...); probe-bound recall, the
+    # 100 TB shape)
     bemb = None
     if batch_emb is not None:
         bemb = batch_emb.select(
             F.col("vec_id").alias("id"),
             F.col("embedding").cast("array<double>").alias("vec"),
         ).localCheckpoint(eager=True)
-        corpus_vecs = spark.read.parquet(f"{root}/embeddings")
-        drop_sem = cosine_admit_blocked(
-            bemb.withColumnRenamed("id", "vec_id")
-                .withColumnRenamed("vec", "embedding"),
-            corpus_vecs.withColumnRenamed("id", "vec_id")
-                .withColumnRenamed("vec", "embedding"),
-            "embedding", "vec_id", semantic_min_cosine,
-        ).select(F.col("id").alias("doc_id"))
+        if semantic_screen == "ivf":
+            from .ann import cosine_admit_ivf, ivf_load
+
+            drop_sem = cosine_admit_ivf(
+                bemb.select("id", _normalized_vec(F.col("vec"))
+                            .alias("vec")),
+                ivf_load(spark, f"{root}/ivf"),
+                "vec", "id", semantic_min_cosine, n_probes=n_probes,
+            ).select(F.col("id").alias("doc_id"))
+        else:
+            corpus_vecs = spark.read.parquet(f"{root}/embeddings")
+            drop_sem = cosine_admit_blocked(
+                bemb.withColumnRenamed("id", "vec_id")
+                    .withColumnRenamed("vec", "embedding"),
+                corpus_vecs.withColumnRenamed("id", "vec_id")
+                    .withColumnRenamed("vec", "embedding"),
+                "embedding", "vec_id", semantic_min_cosine,
+            ).select(F.col("id").alias("doc_id"))
         k = k.join(F.broadcast(drop_sem), "doc_id", "left_anti") \
             .localCheckpoint(eager=True)
     counts.append(("6_semantic", k.count()))
@@ -787,6 +835,16 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
         bemb.join(k.select(F.col("doc_id").alias("id")), "id",
                   "left_semi") \
             .write.mode("append").parquet(f"{root}/embeddings")
+        from ..functions.fsutil import fs_exists as _fse
+
+        if _fse(spark, f"{root}/ivf"):
+            # keep the semantic IVF tier in sync at O(batch): admitted
+            # vectors assign to the EXISTING centroids and append to the
+            # cell-partitioned store (idempotent anti-join inside)
+            from .ann import ivf_sync_with_store
+
+            ivf_sync_with_store(spark, _EmbStateView(spark, root),
+                                f"{root}/ivf")
     if marker is not None:  # the commit point — written LAST
         k.write.mode("overwrite").parquet(f"{marker}/ids")
         spark.createDataFrame([(_json.dumps(counts),)], "value string") \

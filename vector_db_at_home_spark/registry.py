@@ -5006,6 +5006,99 @@ def _register_clean_corpus_v2() -> None:
 _register_clean_corpus_v2()
 
 
+def _register_semantic_admit_ivf() -> None:
+    def q_admit_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The SCALE path for the vs-corpus semantic admit screen
+        (operators/ann.py:cosine_admit_ivf — r9): IVF-pruned candidate
+        cells + exact cosine verify replace the O(batch·corpus) exact
+        GEMM (`clean_corpus_incremental`'s stage 6).  Graded by the
+        planted pattern semantic_dedup_map pins: 32 EXACT copies of
+        indexed vectors (found at ANY probe count — a copy's nearest
+        centroid IS its source's cell, each value-hashed per row), 32
+        PERTURBED near-dups (cos ≈ 0.95; measured ≥24 recall floor —
+        32/32 at all three scales with n_probes=4/16 cells), and the
+        natural batch (max cross cosine 0.60 << τ=0.9, so
+        natural_admitted = the full batch count — any natural drop
+        flips the hash)."""
+        from .operators.ann import cosine_admit_ivf, ivf_build
+
+        emb = load_table(spark, sf_dir, "embeddings")
+
+        def normalized(df):
+            v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+            return df.select(
+                "vec_id",
+                F.when(n == 0.0, v)
+                .otherwise(F.transform(v, lambda x: x / n))
+                .alias("embedding"),
+            )
+
+        corpus = normalized(emb.filter(F.col("vec_id") % 5 != 0))
+        batch = normalized(emb.filter(F.col("vec_id") % 5 == 0))
+        ivf = ivf_build(corpus, id_col="vec_id", vec_col="embedding",
+                        n_cells=16)
+        head32 = corpus.orderBy("vec_id").limit(32)
+        planted = head32.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+        pert = normalized(head32.select(
+            (F.col("vec_id") + 2_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    i == F.pmod(F.col("vec_id"),
+                                F.size(F.col("embedding"))).cast("int"),
+                    x + F.lit(0.3),
+                ).otherwise(x),
+            ).alias("embedding"),
+        ))
+        b = batch.union(planted).union(pert)
+        dropped = cosine_admit_ivf(b, ivf, "embedding", "vec_id",
+                                   0.9, n_probes=4)
+        pl = planted.select(
+            F.col("vec_id").alias("planted_id"),
+            (F.col("vec_id") - 1_000_000).alias("src_id"),
+        ).join(
+            dropped.select(F.col("id").alias("planted_id"),
+                           F.lit(True).alias("planted_dropped")),
+            "planted_id", "left",
+        ).select(
+            "planted_id", "src_id",
+            F.coalesce("planted_dropped", F.lit(False))
+            .alias("planted_dropped"),
+        )
+        nat = batch.join(dropped.select(F.col("id").alias("vec_id")),
+                         "vec_id", "left_anti").agg(
+            F.count(F.lit(1)).alias("natural_admitted"))
+        pe = dropped.filter(F.col("id") >= 2_000_000).agg(
+            (F.count(F.lit(1)) >= 24).alias("perturbed_dropped_ge_24"))
+        return (
+            pl.join(F.broadcast(nat)).join(F.broadcast(pe))
+            .orderBy("planted_id")
+        )
+
+    _QUERIES["semantic_admit_ivf"] = q_admit_ivf
+    _ORACLES["semantic_admit_ivf"] = """
+WITH src AS (
+  SELECT vec_id FROM embeddings WHERE vec_id % 5 <> 0
+  ORDER BY vec_id LIMIT 32
+),
+nat AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings WHERE vec_id % 5 = 0
+)
+SELECT vec_id + 1000000 AS planted_id,
+       vec_id AS src_id,
+       TRUE AS planted_dropped,
+       nat.n AS natural_admitted,
+       TRUE AS perturbed_dropped_ge_24
+FROM src, nat
+ORDER BY planted_id
+"""
+
+
+_register_semantic_admit_ivf()
+
+
 def _register_retrieval_eval() -> None:
     from .operators.ranking_eval import (
         ranking_metrics,
@@ -5345,6 +5438,10 @@ _TAIL_ORDER = [
     # persisted index — shared rrf_fuse tail, same oracle as
     # hybrid_search_rrf
     "hybrid_search_rrf_indexed",
+    # round-9 continuation: the IVF-pruned scale path for the semantic
+    # admit screen — planted exact copies value-hashed per row, ≥24
+    # perturbed recall floor, natural-admit count pinned
+    "semantic_admit_ivf",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
