@@ -66,6 +66,8 @@ KNOWN_BNLJ: dict[str, str] = {
     "q22_dormant_customers": _SCALAR,
     "retrieval_eval_metrics": _SCALAR,
     "semantic_dedup_map": "1-row total_kept aggregate broadcast",
+    "semantic_admit_ivf": ("1-row natural_admitted / recall-floor "
+                           "aggregate broadcasts"),
     # r8 Gram overflow guard: the 1-row assert_true bound crossJoins in
     # (embeddings.second_moment_matrix — ADVICE r7)
     "embedding_pca_check": _SCALAR,
