@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -309,32 +310,83 @@ def cosine_admit_ivf(new_df: DataFrame, ivf: IVFIndex,
     the same centroid table).
 
     Plan: batch × broadcast-centroid distances (|batch|·n_cells narrow
-    rows) → top-``n_probes`` cells per row → keyed join against the
-    assigned table (partition-pruned on a ``partitionBy(cell)`` store)
-    → exact cosine filter → distinct.  Nothing is quadratic; nothing
-    collects."""
-    from ..functions.distance import cosine_similarity, l2_distance
+    rows) → top-``n_probes`` cells per row → BOTH sides pack into
+    per-cell single-row blobs (the probed queries grouped by probed
+    cell; the assigned vectors grouped by cell — the same
+    pack-once-then-GEMM discipline as ``dedup.cosine_admit_blocked``)
+    → one NumPy GEMM per probed cell → distinct hit ids.  The verify
+    being a BLAS GEMM rather than a per-row codegen fold is what makes
+    the probe tier actually FASTER than the exact kernel: measured at
+    200k×5.5k (tools/admit_screen_smoke.py), the per-row expression
+    verify lost to the exact blocked GEMM despite touching 1/64 of the
+    pairs — BLAS is ~2 orders denser per FLOP, so the pruned tier must
+    stay in BLAS too.  Nothing is quadratic; nothing collects; resident
+    memory ≤ one cell block + its probing queries per task."""
+    import numpy as np
+
+    from ..functions.distance import l2_distance
     from .topk import top_k_per_group
 
     q = new_df.select(
-        F.col(id_col).alias("__qid"),
-        F.col(vec_col).cast("array<double>").alias("__qvec"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
-    cd = q.crossJoin(F.broadcast(ivf.centroids)).select(
-        "__qid", "cell", l2_distance("__qvec", "cvec").alias("__cd"),
-    )
+    cd = q.select(F.col("id").alias("__qid"), F.col("v").alias("__qvec")) \
+        .crossJoin(F.broadcast(ivf.centroids)).select(
+            "__qid", "cell", l2_distance("__qvec", "cvec").alias("__cd"),
+        )
     probe = top_k_per_group(
         cd, ["__qid"], [F.col("__cd").asc(), F.col("cell").asc()],
         min(n_probes, ivf.n_cells),
-    ).select("__qid", "cell")
-    cand = ivf.assigned.join(probe, "cell").join(
-        q, "__qid"
-    )
-    return (
-        cand.filter(
-            cosine_similarity(F.col("vec"), F.col("__qvec"))
-            >= F.lit(float(min_cosine))
-        )
-        .select(F.col("__qid").alias("id"))
-        .distinct()
-    )
+    ).select(F.col("__qid").alias("id"), "cell")
+
+    def pack(key, pdf):
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pd.DataFrame({
+            "cell": [int(key[0])],
+            "n": [len(ids)],
+            "dim": [int(mat.shape[1])],
+            "ids": [ids.tobytes()],
+            "mat": [(mat / norms).tobytes()],
+        })
+
+    schema = "cell int, n long, dim long, ids binary, mat binary"
+    qcells = q.join(probe, "id").groupBy("cell").applyInPandas(
+        pack, schema
+    ).select(F.col("cell"), F.col("n").alias("q_n"),
+             F.col("dim").alias("q_dim"), F.col("ids").alias("q_ids"),
+             F.col("mat").alias("q_mat"))
+    # only cells some query probes are packed on the index side — on a
+    # partitionBy(cell) store the semi-join prunes the parquet scan
+    probed_cells = probe.select("cell").distinct()
+    icells = ivf.assigned.join(probed_cells, "cell", "left_semi") \
+        .select("cell", "id",
+                F.col("vec").cast("array<double>").alias("v")) \
+        .groupBy("cell").applyInPandas(pack, schema) \
+        .select(F.col("cell"), F.col("n").alias("i_n"),
+                F.col("dim").alias("i_dim"), F.col("ids").alias("i_ids"),
+                F.col("mat").alias("i_mat"))
+    pairs = qcells.join(icells, "cell")
+
+    tau = float(min_cosine)
+
+    def gemm(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                qi = np.frombuffer(r.q_ids, dtype=np.int64)
+                qm = np.frombuffer(r.q_mat, dtype=np.float64).reshape(
+                    r.q_n, r.q_dim)
+                im = np.frombuffer(r.i_mat, dtype=np.float64).reshape(
+                    r.i_n, r.i_dim)
+                hit = np.zeros(len(qi), dtype=bool)
+                chunk = max(1, (1 << 22) // max(1, im.shape[0]))
+                for s in range(0, qm.shape[0], chunk):
+                    sims = qm[s:s + chunk] @ im.T
+                    hit[s:s + chunk] = (sims >= tau).any(axis=1)
+                if hit.any():
+                    yield pd.DataFrame({"id": qi[hit]})
+
+    return pairs.mapInPandas(gemm, schema="id long").distinct()
