@@ -332,3 +332,66 @@ def test_cosine_admit_ivf_exhaustive_equals_blocked(spark):
     full = {r.id for r in cosine_admit_ivf(
         batch, ivf, "embedding", "vec_id", 0.5, n_probes=8).collect()}
     assert sub <= full
+
+
+def test_cosine_admit_ivf_hot_cell_guard(spark):
+    """r10 (VERDICT r9 task 1): a 90%-one-cell corpus must flow through
+    sub-block packing on BOTH sides without one giant blob, with admit
+    decisions IDENTICAL to the unguarded per-cell pack."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.ann import (
+        cosine_admit_ivf,
+        ivf_build,
+    )
+
+    # one dense blob (180 corpus rows sharing a dominant axis — one
+    # k-means cell) + a small far cluster (20 rows)
+    rows = []
+    for i in range(180):
+        v = np.zeros(16)
+        v[0] = 100.0
+        v[1 + (i % 5)] = ((i * 2654435761) % 97) / 10.0
+        rows.append((i, [float(x) for x in v]))
+    for i in range(20):
+        v = np.zeros(16)
+        v[8] = -50.0
+        v[9] = float(i)
+        rows.append((2000 + i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ivf = ivf_build(corpus, id_col="vec_id", vec_col="embedding", n_cells=2)
+
+    # batch: 30 exact copies of blob rows (always admitted at any probe
+    # count), 5 copies of far-cluster rows, 10 novel orthogonal rows
+    brows = [(10_000 + i, list(rows[i][1])) for i in range(30)]
+    brows += [(20_000 + i, list(rows[180 + i][1])) for i in range(5)]
+    for i in range(10):
+        v = np.zeros(16)
+        v[12] = 7.0 + i
+        brows.append((30_000 + i, [float(x) for x in v]))
+    batch = spark.createDataFrame(brows, "vec_id long, embedding array<double>")
+
+    kw = dict(n_probes=2)
+    guarded = {r.id for r in cosine_admit_ivf(
+        batch, ivf, "embedding", "vec_id", 0.999,
+        max_cell_rows=40, **kw).collect()}
+    plain = {r.id for r in cosine_admit_ivf(
+        batch, ivf, "embedding", "vec_id", 0.999,
+        max_cell_rows=10**9, **kw).collect()}
+    assert guarded == plain
+    assert {10_000 + i for i in range(30)} <= guarded   # exact copies
+    assert {20_000 + i for i in range(5)} <= guarded
+    assert not any(i >= 30_000 for i in guarded)        # novel rows pass
+    # determinism of the guarded path
+    g2 = {r.id for r in cosine_admit_ivf(
+        batch, ivf, "embedding", "vec_id", 0.999,
+        max_cell_rows=40, **kw).collect()}
+    assert g2 == guarded
+    # a lower threshold admits more, identically in both paths
+    g_lo = {r.id for r in cosine_admit_ivf(
+        batch, ivf, "embedding", "vec_id", 0.5,
+        max_cell_rows=40, **kw).collect()}
+    p_lo = {r.id for r in cosine_admit_ivf(
+        batch, ivf, "embedding", "vec_id", 0.5,
+        max_cell_rows=10**9, **kw).collect()}
+    assert g_lo == p_lo and guarded <= g_lo

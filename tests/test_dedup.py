@@ -890,3 +890,44 @@ def test_bm25_indexed_randomized_corpus(spark, tmp_path):
         want = bm25_search(docs, terms, "text", "doc_id", k=15).collect()
         got = bm25_search_indexed(idx, terms, k=15).collect()
         assert got == want, terms
+
+
+def test_blocked_kernels_auto_n_blocks(spark):
+    """r10 (VERDICT r9 task 3): n_blocks=None derives the block count
+    from a count so the resident block stays ~target_block_rows at any
+    scale — and the derivation is result-invariant vs explicit counts."""
+    import math
+
+    from vector_db_at_home_spark.operators.dedup import (
+        _derive_n_blocks,
+        cosine_admit_blocked,
+        cosine_topk_pairs_blocked,
+    )
+
+    # derivation math: floor at 8, grows with n, capped at 512
+    assert _derive_n_blocks(100, 8192) == 8
+    assert _derive_n_blocks(8 * 8192, 8192) == 8
+    assert _derive_n_blocks(100 * 8192, 8192) == 100
+    assert _derive_n_blocks(10**9, 8192) == 512
+    # resident block ≈ target at any scale in the derived regime
+    for n in (9 * 8192, 100 * 8192, 400 * 8192):
+        nb = _derive_n_blocks(n, 8192)
+        assert math.ceil(n / nb) <= 8192 + nb
+
+    mat = _pseudo_random_matrix(120, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    auto = cosine_topk_pairs_blocked(df, "embedding", "vec_id",
+                                     k=10).collect()
+    explicit = cosine_topk_pairs_blocked(df, "embedding", "vec_id",
+                                         k=10, n_blocks=8).collect()
+    assert [tuple(r) for r in auto] == [tuple(r) for r in explicit]
+
+    batch, corpus = df.limit(40), df.filter(F.col("vec_id") >= 40)
+    got_auto = {r.id for r in cosine_admit_blocked(
+        batch, corpus, "embedding", "vec_id", 0.9).collect()}
+    got_exp = {r.id for r in cosine_admit_blocked(
+        batch, corpus, "embedding", "vec_id", 0.9, n_blocks=8).collect()}
+    assert got_auto == got_exp

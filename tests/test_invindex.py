@@ -342,3 +342,32 @@ def test_bm25_indexed_pre_r9_store_fallback(spark, tmp_path):
     got = bm25_search_indexed(invindex_load(spark, path), terms,
                               k=10).collect()
     assert got == expect_all
+
+
+def test_query_term_normalization_parity(spark, tmp_path):
+    """r10 (ADVICE r9): a query term containing a space or punctuation
+    normalizes through the SAME tokenizer on the corpus-scan and the
+    indexed paths — 'cat dog' splits into [cat, dog] in BOTH, and in
+    regex mode 'cat-dog!' does too — so the advertised bit-identity
+    holds for any query string, not just single-word terms."""
+    from vector_db_at_home_spark.operators.invindex import (
+        bm25_search_indexed,
+        invindex_load,
+        invindex_save,
+    )
+    from vector_db_at_home_spark.operators.tfidf import bm25_search
+
+    docs = _corpus(spark)
+    for mode, messy in (("space", ["cat dog", "the"]),
+                        ("regex", ["cat-dog!", "the"])):
+        path = str(tmp_path / f"inv_norm_{mode}")
+        invindex_save(docs, "text", "doc_id", path, n_buckets=8,
+                      tokenize_mode=mode)
+        split = ["cat", "dog", "the"]
+        scan_messy = bm25_search(docs, messy, "text", "doc_id", k=10,
+                                 tokenize_mode=mode).collect()
+        scan_split = bm25_search(docs, split, "text", "doc_id", k=10,
+                                 tokenize_mode=mode).collect()
+        idx_messy = bm25_search_indexed(
+            invindex_load(spark, path), messy, k=10).collect()
+        assert scan_messy == scan_split == idx_messy, mode

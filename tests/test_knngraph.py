@@ -553,3 +553,37 @@ def test_serving_path_budget_refusal(spark):
     with pytest.raises(ValueError, match="broadcast budget"):
         graph_ann_search_serving(df, graph, qs, k=2,
                                  broadcast_budget_mb=0)
+
+
+def test_serving_budget_refuses_before_collect(spark, monkeypatch):
+    """r10 (VERDICT r9 task 4): the refusal must fire from counts alone
+    — BEFORE the index materializes on the driver.  A spy on
+    DataFrame.collect records every collected row; refusal may touch at
+    most the single-row dim probe, never the vectors or edges."""
+    import pytest
+    from pyspark.sql import DataFrame
+
+    from vector_db_at_home_spark.operators.knngraph import (
+        graph_ann_search_serving,
+        knn_graph_nndescent,
+    )
+
+    df = spark.createDataFrame(_clustered(),
+                               "id long, vec array<double>")
+    graph = knn_graph_nndescent(df, "id", "vec", k=4)
+    qs = df.limit(1).select(F.col("id").alias("query_id"),
+                            F.col("vec").alias("qvec"))
+
+    collected = []
+    real_collect = DataFrame.collect
+
+    def spy(self, *a, **kw):
+        rows = real_collect(self, *a, **kw)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    with pytest.raises(ValueError, match="broadcast budget"):
+        graph_ann_search_serving(df, graph, qs, k=2,
+                                 broadcast_budget_mb=0)
+    assert sum(collected) <= 1, collected

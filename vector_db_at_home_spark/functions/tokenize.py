@@ -54,3 +54,19 @@ def tokens_py(text: str, mode: str = "space") -> list[str]:
 
         return re.findall(TOKEN_REGEX, text)
     raise ValueError(f"tokenize_mode must be one of {MODES}, got {mode!r}")
+
+
+def normalize_query_terms(terms: list[str], mode: str = "space") -> list[str]:
+    """Query-term normalization shared by the corpus-scan AND
+    indexed retrieval paths (ADVICE r9): each raw term lowercases and
+    tokenizes under ``mode`` exactly like the corpus, so a term
+    containing a space or punctuation (e.g. ``'foo bar'``, or
+    ``'foo-bar'`` in regex mode) expands to the SAME token list
+    everywhere — previously the corpus-scan BM25/RRF matched such a
+    term verbatim (never hitting any corpus token) while the indexed
+    path split it, breaking the advertised bit-identical parity.
+    Single-word alphanumeric terms are unchanged under both modes."""
+    out: list[str] = []
+    for raw in terms:
+        out.extend(t for t in tokens_py(raw.lower(), mode) if t)
+    return out

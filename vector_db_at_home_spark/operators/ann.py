@@ -286,7 +286,8 @@ def ivf_sync_with_store(spark, store, path: str,
 def cosine_admit_ivf(new_df: DataFrame, ivf: IVFIndex,
                      vec_col: str, id_col: str,
                      min_cosine: float,
-                     n_probes: int = 4) -> DataFrame:
+                     n_probes: int = 4,
+                     max_cell_rows: int = 65536) -> DataFrame:
     """IVF-pruned cosine admit screen — the SCALE path for
     ``dedup.cosine_admit_blocked``'s O(batch·corpus) exact GEMM: return
     the distinct new-side ids whose cosine against some INDEXED vector
@@ -311,22 +312,46 @@ def cosine_admit_ivf(new_df: DataFrame, ivf: IVFIndex,
 
     Plan: batch × broadcast-centroid distances (|batch|·n_cells narrow
     rows) → top-``n_probes`` cells per row → BOTH sides pack into
-    per-cell single-row blobs (the probed queries grouped by probed
-    cell; the assigned vectors grouped by cell — the same
+    per-(cell, sub-block) single-row blobs (the probed queries grouped
+    by probed cell; the assigned vectors grouped by cell — the same
     pack-once-then-GEMM discipline as ``dedup.cosine_admit_blocked``)
-    → one NumPy GEMM per probed cell → distinct hit ids.  The verify
+    → one NumPy GEMM per blob pair → distinct hit ids.  The verify
     being a BLAS GEMM rather than a per-row codegen fold is what makes
     the probe tier actually FASTER than the exact kernel: measured at
     200k×5.5k (tools/admit_screen_smoke.py), the per-row expression
     verify lost to the exact blocked GEMM despite touching 1/64 of the
     pairs — BLAS is ~2 orders denser per FLOP, so the pruned tier must
-    stay in BLAS too.  Nothing is quadratic; nothing collects; resident
-    memory ≤ one cell block + its probing queries per task."""
+    stay in BLAS too.
+
+    ``max_cell_rows`` is the HOT-CELL SKEW GUARD (VERDICT r9 task 1 —
+    the ``dedup._semantic_dedup_blocked`` discipline applied to the
+    bipartite screen): k-means balance is not guaranteed, and without
+    the guard a pathological distribution concentrates the corpus in
+    one cell whose single packed blob OOMs its task.  On EITHER side,
+    a cell above the cap hashes its rows into
+    ``ceil(cell_rows / max_cell_rows)`` sub-blocks
+    (``pmod(xxhash64(id), n_sub)``) and packs per (cell, sub-block);
+    the per-cell join then runs one GEMM per sub-block PAIR.  Admit
+    decisions are invariant (a hit in any sub-pair admits — the union
+    over sub-pairs is exactly the cell's pair set; pytest-pinned on a
+    90%-one-cell distribution), and every resident matrix is
+    ≤ ~``max_cell_rows`` rows regardless of the cell's true size.  The
+    sub-block derivation is two bounded collects (≤ one narrow row per
+    probed cell, the ``semantic_dedup`` routing probe's shape), which
+    also yield the exact blob-pair count — the pair table repartitions
+    to ~one blob pair per task BEFORE the GEMM (ADVICE r9: the join's
+    hash partitioning would otherwise co-locate many cells in one
+    partition and Arrow would materialize them all in a single pandas
+    batch).  Nothing is quadratic; nothing collects beyond the
+    per-cell counts; resident memory per task ≤ one sub-block pair."""
+    import math
+
     import numpy as np
 
     from ..functions.distance import l2_distance
     from .topk import top_k_per_group
 
+    spark = new_df.sparkSession
     q = new_df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -339,6 +364,30 @@ def cosine_admit_ivf(new_df: DataFrame, ivf: IVFIndex,
         cd, ["__qid"], [F.col("__cd").asc(), F.col("cell").asc()],
         min(n_probes, ivf.n_cells),
     ).select(F.col("__qid").alias("id"), "cell")
+    # probe feeds four consumers (q-side pack, the index semi-join, and
+    # the two per-cell count probes) — materialize once
+    probe = probe.localCheckpoint(eager=True)
+    probed_cells = probe.select("cell").distinct()
+
+    # skew-guard routing: per-cell row counts on both sides (bounded
+    # actions, ≤ one narrow row per probed cell) → sub-block counts
+    cap = max(1, int(max_cell_rows))
+    q_cnt = {int(r["cell"]): int(r["__n"])
+             for r in probe.groupBy("cell")
+             .agg(F.count(F.lit(1)).alias("__n")).collect()}
+    i_cnt = {int(r["cell"]): int(r["__n"])
+             for r in ivf.assigned.join(probed_cells, "cell", "left_semi")
+             .groupBy("cell")
+             .agg(F.count(F.lit(1)).alias("__n")).collect()}
+    q_sub = {c: math.ceil(n / cap) for c, n in q_cnt.items()}
+    i_sub = {c: math.ceil(n / cap) for c, n in i_cnt.items()}
+    n_pairs = sum(q_sub[c] * i_sub[c] for c in q_sub if c in i_sub)
+    q_split = F.broadcast(spark.createDataFrame(
+        [(c, s) for c, s in q_sub.items()] or [(-1, 1)],
+        "cell int, __nsub int"))
+    i_split = F.broadcast(spark.createDataFrame(
+        [(c, s) for c, s in i_sub.items()] or [(-1, 1)],
+        "cell int, __nsub int"))
 
     def pack(key, pdf):
         ids = pdf["id"].to_numpy(dtype=np.int64)
@@ -354,21 +403,31 @@ def cosine_admit_ivf(new_df: DataFrame, ivf: IVFIndex,
         })
 
     schema = "cell int, n long, dim long, ids binary, mat binary"
-    qcells = q.join(probe, "id").groupBy("cell").applyInPandas(
-        pack, schema
-    ).select(F.col("cell"), F.col("n").alias("q_n"),
-             F.col("dim").alias("q_dim"), F.col("ids").alias("q_ids"),
-             F.col("mat").alias("q_mat"))
+    qcells = (
+        q.join(probe, "id").join(q_split, "cell")
+        .withColumn("__blk", F.pmod(F.xxhash64(F.col("id")),
+                                    F.col("__nsub")).cast("int"))
+        .groupBy("cell", "__blk").applyInPandas(pack, schema)
+        .select(F.col("cell"), F.col("n").alias("q_n"),
+                F.col("dim").alias("q_dim"), F.col("ids").alias("q_ids"),
+                F.col("mat").alias("q_mat"))
+    )
     # only cells some query probes are packed on the index side — on a
     # partitionBy(cell) store the semi-join prunes the parquet scan
-    probed_cells = probe.select("cell").distinct()
-    icells = ivf.assigned.join(probed_cells, "cell", "left_semi") \
+    icells = (
+        ivf.assigned.join(probed_cells, "cell", "left_semi")
         .select("cell", "id",
-                F.col("vec").cast("array<double>").alias("v")) \
-        .groupBy("cell").applyInPandas(pack, schema) \
+                F.col("vec").cast("array<double>").alias("v"))
+        .join(i_split, "cell")
+        .withColumn("__blk", F.pmod(F.xxhash64(F.col("id")),
+                                    F.col("__nsub")).cast("int"))
+        .groupBy("cell", "__blk").applyInPandas(pack, schema)
         .select(F.col("cell"), F.col("n").alias("i_n"),
                 F.col("dim").alias("i_dim"), F.col("ids").alias("i_ids"),
                 F.col("mat").alias("i_mat"))
+    )
+    # per cell: every q-sub-block × i-sub-block blob pair (the plain
+    # cell join when neither side split)
     pairs = qcells.join(icells, "cell")
 
     tau = float(min_cosine)
@@ -389,4 +448,10 @@ def cosine_admit_ivf(new_df: DataFrame, ivf: IVFIndex,
                 if hit.any():
                     yield pd.DataFrame({"id": qi[hit]})
 
-    return pairs.mapInPandas(gemm, schema="id long").distinct()
+    # ~one blob pair per partition: the cell join alone hash-partitions
+    # many cells together and Arrow batches a whole partition into one
+    # pandas frame — many resident cell matrices at once (ADVICE r9).
+    # n_pairs is exact (derived from the same counts as the sub-block
+    # routing); round-robin repartition spreads the pairs evenly.
+    return pairs.repartition(max(1, n_pairs)) \
+        .mapInPandas(gemm, schema="id long").distinct()

@@ -45,7 +45,16 @@ def hybrid_search_rrf(docs: DataFrame, emb: DataFrame, terms: list[str],
 
     Output: ``(id, lex_rank, vec_rank, rrf_e6)`` — ranks NULL where a
     leg did not retrieve the doc within ``depth``; ``rrf_e6`` =
-    ``floor(1e6·score + 0.5)``, hash-stable cross-engine."""
+    ``floor(1e6·score + 0.5)``, hash-stable cross-engine.
+
+    Query terms normalize through the corpus tokenizer (space mode —
+    ``normalize_query_terms``, ADVICE r9), so a term with a space in
+    it splits into the same token list the indexed path matches."""
+    from ..functions.tokenize import normalize_query_terms
+
+    lterms = normalize_query_terms(terms, "space")
+    if not lterms:
+        raise ValueError("hybrid_search_rrf requires query terms")
     # literal single-space split, matching the oracle's string_split
     # exactly (the corpus is single-spaced; \s+ would silently diverge
     # from the oracle on tab/multi-space text)
@@ -53,12 +62,7 @@ def hybrid_search_rrf(docs: DataFrame, emb: DataFrame, terms: list[str],
     tf = (
         docs.select(
             F.col(doc_id_col).alias("id"),
-            F.size(
-                F.filter(
-                    toks,
-                    lambda t: t.isin([term.lower() for term in terms]),
-                )
-            ).alias("tf"),
+            F.size(F.filter(toks, lambda t: t.isin(lterms))).alias("tf"),
         )
         .filter(F.col("tf") > 0)
     )
@@ -134,12 +138,9 @@ def hybrid_search_rrf_indexed(idx, emb: DataFrame, terms: list[str],
     approximate recall is acceptable (those are separate, recalled
     queries).  Crash-window append duplicates collapse via the per-term
     ``(id, pos)`` distinct, exactly like the phrase and BM25 paths."""
-    from ..functions.tokenize import tokens_py
+    from ..functions.tokenize import normalize_query_terms
 
-    lterms = []
-    for raw in terms:
-        lterms.extend(t for t in tokens_py(raw.lower(), idx.tokenize_mode)
-                      if t)
+    lterms = normalize_query_terms(terms, idx.tokenize_mode)
     if not lterms:
         raise ValueError("hybrid_search_rrf_indexed requires query terms")
     from .invindex import _bucket
@@ -165,7 +166,11 @@ def render_hybrid_rrf_sql(terms: list[str], k: int = 10,
                           depth: int = 50) -> str:
     """DuckDB oracle for ``hybrid_search_rrf`` over the test tables
     (query vector = embedding of vec_id 0, as the registry query uses)."""
-    term_list = ", ".join(f"'{t.lower()}'" for t in terms)
+    from ..functions.tokenize import normalize_query_terms
+
+    term_list = ", ".join(
+        "'" + t.replace("'", "''") + "'"
+        for t in normalize_query_terms(terms, "space"))
     return f"""
 WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
 tf AS (

@@ -369,12 +369,9 @@ def bm25_search_indexed(idx: InvIndex, terms: list[str],
     table."""
     from .tfidf import bm25_rank
 
-    from ..functions.tokenize import tokens_py
+    from ..functions.tokenize import normalize_query_terms
 
-    lterms = []
-    for raw in terms:
-        lterms.extend(t for t in tokens_py(raw.lower(), idx.tokenize_mode)
-                      if t)
+    lterms = normalize_query_terms(terms, idx.tokenize_mode)
     if not lterms:
         raise ValueError("bm25_search_indexed requires query terms")
     B = idx.n_buckets

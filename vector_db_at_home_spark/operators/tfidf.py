@@ -122,10 +122,17 @@ def bm25_search(docs: DataFrame, terms: list[str], text_col: str,
     Plan: the exploded token stream filters to the query terms AT THE
     SCAN (a handful of rows survive per doc); df and the two corpus
     scalars broadcast; one groupBy(id) pivot.  Returns ``(id,
-    score_e4)`` top-k ranked ``(score_e4 DESC, id ASC)``."""
-    from ..functions.tokenize import tokens_col
+    score_e4)`` top-k ranked ``(score_e4 DESC, id ASC)``.
 
-    lterms = [t.lower() for t in terms]
+    Query terms normalize through the SAME tokenizer as the corpus
+    (``normalize_query_terms`` — ADVICE r9): a multi-token term splits
+    here exactly as it does on the indexed path, keeping the two
+    bit-identical for any query string."""
+    from ..functions.tokenize import normalize_query_terms, tokens_col
+
+    lterms = normalize_query_terms(terms, tokenize_mode)
+    if not lterms:
+        raise ValueError("bm25_search requires query terms")
     toks = tokens_col(F.lower(F.col(text_col)), tokenize_mode)
     base = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
     stats = base.agg(
@@ -205,7 +212,9 @@ def render_bm25_sql(terms: list[str], k: int = 10,
         toks_sql = f"string_split({text_sql}, ' ')"
     else:
         toks_sql = f"regexp_extract_all({text_sql}, '{TOKEN_REGEX}')"
-    lterms = [t.lower() for t in terms]
+    from ..functions.tokenize import normalize_query_terms
+
+    lterms = normalize_query_terms(terms, tokenize_mode)
     lit = ", ".join("'" + t.replace("'", "''") + "'" for t in lterms)
     pivot_cols = ",\n         ".join(
         f"coalesce(max(CASE WHEN t = '{t}' THEN c END), 0.0) AS __c{i}"
