@@ -395,3 +395,124 @@ def test_cosine_admit_ivf_hot_cell_guard(spark):
         batch, ivf, "embedding", "vec_id", 0.5,
         max_cell_rows=10**9, **kw).collect()}
     assert g_lo == p_lo and guarded <= g_lo
+
+
+class _VecStore:
+    """store-shaped adapter for ivf_sync_with_store."""
+
+    def __init__(self, df_):
+        self._df = df_
+
+    def df(self):
+        return self._df
+
+
+def test_ivf_drift_monitor_and_refit(spark, tmp_path):
+    """r10 (VERDICT r9 task 5): a drifting ingest stream must raise the
+    centroid-drift signal — the batch's mean distance-to-assigned-
+    centroid vs the build-time baseline — before probe recall silently
+    rots; a refit (ivf_build + ivf_save, the documented policy) resets
+    the baseline and restores recall."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.ann import (
+        ivf_build,
+        ivf_drift_status,
+        ivf_save,
+        ivf_search,
+        ivf_sync_with_store,
+        recall_at_k,
+    )
+    from vector_db_at_home_spark.operators.knn import knn_search
+
+    rng = np.random.default_rng(3)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    base_rows = []
+    for i in range(300):
+        c = centers[i % 3]
+        base_rows.append((i, [float(c[0] + rng.normal(0, 0.5)),
+                              float(c[1] + rng.normal(0, 0.5))]))
+    base_df = spark.createDataFrame(base_rows, "id long, vec array<double>")
+    path = str(tmp_path / "ivf_drift")
+    ivf_save(ivf_build(base_df, n_cells=3, seed=1), path)
+
+    st = ivf_drift_status(spark, path)
+    assert st["baseline"] is not None and st["n_batches"] == 0
+    assert st["refit_recommended"] is False
+
+    # batch 1: in-distribution → ratio ≈ 1, no recommendation
+    in_rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        in_rows.append((1000 + i, [float(c[0] + rng.normal(0, 0.5)),
+                                   float(c[1] + rng.normal(0, 0.5))]))
+    store_df = base_df.unionByName(
+        spark.createDataFrame(in_rows, "id long, vec array<double>"))
+    s1 = {}
+    assert ivf_sync_with_store(spark, _VecStore(store_df), path,
+                               stats=s1) == 60
+    assert 0.5 < s1["drift_ratio"] < 1.5 and not s1["refit_recommended"]
+
+    # batch 2: the distribution SHIFTS to (50, 50) — far from every
+    # centroid, split across two old cells by the x<>y diagonal
+    far_rows = [(2000 + i, [float(50 + rng.normal(0, 0.5)),
+                            float(50 + rng.normal(0, 0.5))])
+                for i in range(80)]
+    store_df = store_df.unionByName(
+        spark.createDataFrame(far_rows, "id long, vec array<double>"))
+    s2 = {}
+    assert ivf_sync_with_store(spark, _VecStore(store_df), path,
+                               stats=s2) == 80
+    assert s2["drift_ratio"] > 5 and s2["refit_recommended"]
+    st = ivf_drift_status(spark, path)
+    assert st["n_batches"] == 2 and st["refit_recommended"]
+
+    # recall on the drifted slice degrades at low probes…
+    from vector_db_at_home_spark.operators.ann import ivf_load
+
+    queries = spark.createDataFrame(
+        [(i, [float(50 + rng.normal(0, 0.5)), float(50 + rng.normal(0, 0.5))])
+         for i in range(8)],
+        "query_id long, qvec array<double>",
+    )
+    exact = knn_search(store_df, queries, k=5)
+    drifted_recall = recall_at_k(
+        ivf_search(ivf_load(spark, path), queries, k=5, n_probes=1), exact)
+
+    # …the documented response: refit + save (resets baseline and log)
+    ivf_save(ivf_build(store_df, n_cells=4, seed=1), path)
+    st = ivf_drift_status(spark, path)
+    assert st["n_batches"] == 0 and st["refit_recommended"] is False
+    refit_recall = recall_at_k(
+        ivf_search(ivf_load(spark, path), queries, k=5, n_probes=1), exact)
+    assert refit_recall >= 0.9 and refit_recall > drifted_recall
+
+    # a post-refit in-distribution batch scores ~1 against the NEW
+    # baseline (the far region is in-distribution now)
+    more = [(3000 + i, [float(50 + rng.normal(0, 0.5)),
+                        float(50 + rng.normal(0, 0.5))]) for i in range(20)]
+    store_df = store_df.unionByName(
+        spark.createDataFrame(more, "id long, vec array<double>"))
+    s3 = {}
+    ivf_sync_with_store(spark, _VecStore(store_df), path, stats=s3)
+    assert s3["drift_ratio"] < 1.5 and not s3["refit_recommended"]
+
+
+def test_ivf_build_auto_cells(spark):
+    """r10: n_cells=None derives the cell count from the corpus size
+    (the semantic_dedup auto-cells rule), clamped to the fit sample."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((400, 4))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(400)],
+        "id long, vec array<double>",
+    )
+    ivf = ivf_build(df, n_cells=None, target_cell_rows=50)
+    assert ivf.n_cells == 8  # ceil(400/50)
+    assert ivf.assigned.select("cell").distinct().count() <= 8
+    # tiny corpus: clamps to >= 2, never exceeds the row count
+    small = df.limit(3)
+    ivf2 = ivf_build(small, n_cells=None, target_cell_rows=4096)
+    assert ivf2.n_cells == 2

@@ -306,3 +306,207 @@ def test_clean_corpus_admit_batch_ivf_screen(spark, tmp_path):
         semantic_screen="ivf", n_probes=2)
     assert {r.doc_id for r in k2.collect()} == {24}
     assert dict(c2)["6_semantic"] == 1  # 23 dropped by the indexed screen
+
+
+def test_admit_batch_crash_replay_per_family(spark, tmp_path):
+    """r10 (VERDICT r9 task 6 + ADVICE r9): crash injection at every
+    inter-append gap of the admit write-back.  After a crash that
+    leaves some families appended and others not, a marker-keyed
+    replay must (a) return the RECORDED survivors and counts without
+    re-screening, (b) complete the missing family appends, and (c)
+    leave every state table byte-equal to a run that never crashed —
+    no duplicate state rows, no state rebuild."""
+    import pytest
+
+    import vector_db_at_home_spark.operators.dedup as dd
+    import vector_db_at_home_spark.operators.pipeline as pl
+    from vector_db_at_home_spark.operators.pipeline import (
+        clean_corpus_admit_batch,
+        clean_corpus_states_build,
+    )
+
+    long_a = " ".join(f"a{i}" for i in range(20))
+    long_b = " ".join(f"b{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [(1, long_a, "en"), (2, "corpus second doc entirely", "en")],
+        "doc_id long, text string, lang string",
+    )
+    cemb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(10, long_a, "en"),          # exact dup → rejected
+         (12, long_b, "en"),          # survivor
+         (15, "semantic twin doc here", "en")],   # emb near corpus
+        "doc_id long, text string, lang string",
+    )
+    bemb = spark.createDataFrame(
+        [(12, [0.0, 1.0, 0.0]), (15, [0.99, 0.1, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+
+    def fingerprint(root):
+        out = {}
+        for tbl in ("digests", "embeddings", "minhash/bands",
+                    "minhash/shingles", "minhash/sizes",
+                    "substring/spans"):
+            try:
+                df = spark.read.parquet(f"{root}/{tbl}")
+            except Exception:
+                continue
+            out[tbl] = sorted(tuple(r) for r in df.collect())
+        return out
+
+    # control: the same admit with no crash
+    control = str(tmp_path / "control")
+    clean_corpus_states_build(spark, corpus, cemb, control)
+    kc, cc = clean_corpus_admit_batch(spark, control, batch, bemb,
+                                      batch_id="s1")
+    assert {r.doc_id for r in kc.collect()} == {12}
+    want = fingerprint(control)
+
+    class Boom(RuntimeError):
+        pass
+
+    crash_points = [
+        (dd, "minhash_corpus_state_append"),
+        (dd, "substring_state_append"),
+        (pl, "_append_digests_state"),
+        (pl, "_append_embeddings_state"),
+    ]
+    from vector_db_at_home_spark.functions.fsutil import fs_exists
+
+    for i, (mod, fname) in enumerate(crash_points):
+        root = str(tmp_path / f"crash{i}")
+        clean_corpus_states_build(spark, corpus, cemb, root)
+        orig = getattr(mod, fname)
+
+        def boom(*a, **kw):
+            raise Boom(fname)
+
+        setattr(mod, fname, boom)
+        try:
+            with pytest.raises(Boom):
+                clean_corpus_admit_batch(spark, root, batch, bemb,
+                                         batch_id="s1")
+        finally:
+            setattr(mod, fname, orig)
+        # decision recorded, commit absent, earlier families applied
+        marker = f"{root}/_admitted/s1"
+        assert fs_exists(spark, f"{marker}/_DECIDED")
+        assert not fs_exists(spark, f"{marker}/_COMMITTED")
+        # replay completes the write-back and returns the recorded result
+        kr, cr = clean_corpus_admit_batch(spark, root, batch, bemb,
+                                          batch_id="s1")
+        assert {r.doc_id for r in kr.collect()} == {12}
+        assert cr == cc
+        assert fs_exists(spark, f"{marker}/_COMMITTED")
+        assert fingerprint(root) == want, fname
+        # second replay is a pure read of the commit record
+        kr2, cr2 = clean_corpus_admit_batch(spark, root, batch, bemb,
+                                            batch_id="s1")
+        assert {r.doc_id for r in kr2.collect()} == {12} and cr2 == cc
+
+    # the ADVICE r9 wedge: a crash BETWEEN the two decision artifacts
+    # (ids written, counts.json missing, _DECIDED absent) must NOT
+    # enter the marker branch — the screens replay in full against the
+    # untouched state and overwrite the partial marker
+    root = str(tmp_path / "wedge")
+    clean_corpus_states_build(spark, corpus, cemb, root)
+    spark.createDataFrame([(999,)], "doc_id long").write.parquet(
+        f"{root}/_admitted/s1/ids")
+    kw_, cw = clean_corpus_admit_batch(spark, root, batch, bemb,
+                                       batch_id="s1")
+    assert {r.doc_id for r in kw_.collect()} == {12} and cw == cc
+    assert fingerprint(root) == want
+
+
+def test_admit_batch_drift_stats_and_auto_refit(spark, tmp_path):
+    """r10: the admit loop surfaces the IVF drift measurement per batch
+    and, with auto_refit_drift set, rebuilds the semantic tier in place
+    when the admitted distribution shifts — the monitor made actionable
+    INSIDE the production loop.  The tier indexes NORMALIZED vectors,
+    so drift is DIRECTIONAL; the fixture places rows deterministically
+    on the sphere: four corpus clusters spread ±0.5 rad along the e5
+    tangent, the in-distribution shard rotated 0.30 rad along the
+    ORTHOGONAL e6 tangent (inside the cluster's angular envelope —
+    ratio well under the refit threshold — but ≥0.30 rad from every
+    corpus row, so cos ≤ ~0.955 clears the τ=0.96 screen), and the drifted shard at e4, orthogonal
+    to everything (dist ~1.4, ratio >3)."""
+    import math
+
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.ann import ivf_drift_status
+    from vector_db_at_home_spark.operators.pipeline import (
+        clean_corpus_admit_batch,
+        clean_corpus_states_build,
+    )
+
+    rng = np.random.default_rng(5)
+    eye = np.eye(8)
+
+    def mk(rows_spec):
+        rows, erows = [], []
+        for i, v in rows_spec:
+            rows.append((i, " ".join(f"w{i}x{t}" for t in range(12)), "en"))
+            v = np.asarray(v, float) + rng.normal(0, 0.005, 8)  # tie-break
+            erows.append((i, [float(x) for x in v]))
+        return (
+            spark.createDataFrame(rows,
+                                  "doc_id long, text string, lang string"),
+            spark.createDataFrame(erows,
+                                  "vec_id long, embedding array<double>"),
+        )
+
+    def ring(center, tangent, ang):
+        return math.cos(ang) * center + math.sin(ang) * tangent
+
+    tau = 0.96
+    corpus_spec = [
+        (10 * k + j, ring(eye[k], eye[5], -0.5 + j / 9.0))
+        for k in range(4) for j in range(10)
+    ]
+    corpus, cemb = mk(corpus_spec)
+    root = str(tmp_path / "drift_loop")
+    clean_corpus_states_build(spark, corpus, cemb, root,
+                              semantic_index_cells=5)
+
+    # in-distribution shard: drift ~1, no refit, survivors flow
+    b1, e1 = mk([(100 + j, ring(eye[j % 4], eye[6], 0.30))
+                 for j in range(10)])
+    s1: dict = {}
+    k1, _ = clean_corpus_admit_batch(
+        spark, root, b1, e1, semantic_screen="ivf",
+        semantic_min_cosine=tau, n_probes=5, stats=s1,
+        auto_refit_drift=1.5)
+    assert k1.count() == 10         # cos ≤ ~0.94 vs every corpus row
+    assert "ivf_drift" in s1 and s1["ivf_drift"]["drift_ratio"] < 1.5
+    assert "ivf_refit" not in s1
+
+    # shifted shard: a TIGHT cluster in a novel direction — far from
+    # every centroid on the sphere → ratio spikes → auto-refit
+    b2, e2 = mk([(200 + j, eye[4]) for j in range(15)])
+    s2: dict = {}
+    k2, _ = clean_corpus_admit_batch(
+        spark, root, b2, e2, semantic_screen="ivf",
+        semantic_min_cosine=tau, n_probes=5, stats=s2,
+        auto_refit_drift=1.5)
+    assert k2.count() == 15         # orthogonal to the corpus: all admit
+    assert s2["ivf_drift"]["drift_ratio"] > 1.5
+    assert s2["ivf_drift"]["refit_recommended"]
+    assert s2.get("ivf_refit") is True
+    # the refit reset the baseline: status shows a fresh log…
+    st = ivf_drift_status(spark, root + "/ivf")
+    assert st["n_batches"] == 0
+    # …and the next shard rotated off the NEW cluster is measured
+    # against the refit baseline (monitor-only this time)
+    b3, e3 = mk([(300 + j, ring(eye[4], eye[7], 0.35))
+                 for j in range(10)])
+    s3: dict = {}
+    k3, _ = clean_corpus_admit_batch(
+        spark, root, b3, e3, semantic_screen="ivf",
+        semantic_min_cosine=tau, n_probes=5, stats=s3,
+        auto_refit_drift=None)
+    assert "ivf_drift" in s3 and "ivf_refit" not in s3

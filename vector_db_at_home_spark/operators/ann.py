@@ -36,9 +36,10 @@ class IVFIndex:
 
 
 def ivf_build(index: DataFrame, id_col: str = "id", vec_col: str = "vec",
-              n_cells: int = 16, seed: int = 42,
+              n_cells: int | None = 16, seed: int = 42,
               max_iter: int = 20,
-              fit_sample_rows: int = 100_000) -> IVFIndex:
+              fit_sample_rows: int = 100_000,
+              target_cell_rows: int = 4096) -> IVFIndex:
     """Build an IVF index with KMeans centroids (pyspark.ml, seeded).
 
     The KMeans fit runs on at most ``fit_sample_rows`` rows (seeded
@@ -47,7 +48,17 @@ def ivf_build(index: DataFrame, id_col: str = "id", vec_col: str = "vec",
     then one full assign pass — the assignment is itself a tiny exact-kNN
     (k=1) against the centroid set.  Index build is eager by contract
     (fitting is an action); searches against the returned index are lazy.
+
+    ``n_cells=None`` (r10) derives the cell count from the corpus —
+    ``clamp(ceil(n_rows / target_cell_rows), 2, 65536)``, the same
+    auto-scaling rule as ``dedup.semantic_dedup``'s cells — so expected
+    cell size stays ≈ ``target_cell_rows`` as the table grows instead
+    of N/16; the count further clamps to the fit-sample size (KMeans
+    needs k ≤ fit rows).  The default stays the explicit 16 for
+    back-compat with every registered query.
     """
+    import math
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -58,6 +69,10 @@ def ivf_build(index: DataFrame, id_col: str = "id", vec_col: str = "vec",
         array_to_vector(F.col(vec_col)).alias("features"),
     )
     n_rows = ml_df.count()
+    if n_cells is None:
+        n_cells = min(max(math.ceil(n_rows / max(1, target_cell_rows)),
+                          2), 65536)
+        n_cells = min(n_cells, max(2, min(n_rows, fit_sample_rows)))
     fit_df = ml_df
     if n_rows > fit_sample_rows:
         # oversample 10% then cap: Bernoulli sampling is approximate
@@ -131,13 +146,51 @@ def ivf_search(ivf: IVFIndex, queries: DataFrame, k: int,
     ).orderBy("query_id", "distance", "id")
 
 
+def _assign_dist_agg(assigned: DataFrame, centroids: DataFrame):
+    """(mean L2 distance to assigned centroid, row count) — the one
+    number the drift monitor tracks.  Broadcast join (centroids are
+    tiny by construction), one pass over the vectors."""
+    from ..functions.distance import l2_distance
+
+    row = (
+        assigned.select("cell",
+                        F.col("vec").cast("array<double>").alias("__v"))
+        .join(F.broadcast(centroids), "cell")
+        .agg(F.avg(l2_distance("__v", "cvec")).alias("m"),
+             F.count(F.lit(1)).alias("n"))
+        .first()
+    )
+    return float(row["m"] or 0.0), int(row["n"])
+
+
 def ivf_save(ivf: IVFIndex, path: str) -> None:
     """Persist the index: assignments partitioned by ``cell`` (so probes
-    prune parquet partitions at the scan) + the tiny centroid table."""
+    prune parquet partitions at the scan) + the tiny centroid table.
+
+    Also records the DRIFT BASELINE (r10, VERDICT r9 task 5): the
+    build-time mean distance-to-assigned-centroid at
+    ``{path}/drift/baseline.json``.  ``ivf_sync_with_store`` compares
+    each synced batch against it and ``ivf_drift_status`` turns the
+    comparison into an actionable refit signal — without this, a
+    long-lived admit loop ingesting a shifting distribution degrades
+    probe recall invisibly (the centroids never move after build).
+    Saving (= building or refitting) resets the baseline and clears
+    the drift log."""
+    import json
+
+    from ..functions.fsutil import fs_rmtree
+
+    spark = ivf.assigned.sparkSession
     ivf.assigned.write.partitionBy("cell").mode("overwrite").parquet(
         f"{path}/assigned"
     )
     ivf.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    mean_dist, n = _assign_dist_agg(ivf.assigned, ivf.centroids)
+    spark.createDataFrame(
+        [(json.dumps({"mean_dist": mean_dist, "n": n}),)], "meta string"
+    ).coalesce(1).write.mode("overwrite").json(
+        f"{path}/drift/baseline.json")
+    fs_rmtree(spark, f"{path}/drift/log")
 
 
 def ivf_load(spark, path: str) -> IVFIndex:
@@ -233,7 +286,8 @@ def ivf_append(ivf: IVFIndex, new_rows: DataFrame, id_col: str = "id",
 
 def ivf_sync_with_store(spark, store, path: str,
                         id_col: str = "id",
-                        vec_col: str = "vec") -> int:
+                        vec_col: str = "vec",
+                        stats: dict | None = None) -> int:
     """Incrementally sync a SAVED IVF index (``ivf_save`` layout) with a
     growing :class:`~vector_db_at_home_spark.store.VectorStore`: store
     rows whose ids are not yet in the index are assigned to the EXISTING
@@ -249,7 +303,20 @@ def ivf_sync_with_store(spark, store, path: str,
     nothing twice as long as the previous append committed — a torn
     append is repaired by re-saving with ``ivf_save``).  Centroids are
     NOT refit — rebuild with ``ivf_build`` + ``ivf_save`` on the
-    compaction cadence, as with every index family here."""
+    compaction cadence, as with every index family here.
+
+    DRIFT MONITOR (r10, VERDICT r9 task 5): each sync measures the
+    batch's mean distance-to-assigned-centroid against the build-time
+    baseline ``ivf_save`` recorded, appends the comparison to
+    ``{path}/drift/log``, and (when ``stats`` is passed) fills it with
+    ``{"batch_mean_dist", "baseline_mean_dist", "drift_ratio",
+    "refit_recommended"}``.  A batch drawn from the build distribution
+    has ratio ≈ 1; a shifted distribution lands far from every
+    centroid and the ratio climbs — the invisible-recall-loss signal
+    the "refit on the compaction cadence when batch statistics move"
+    policy needs to be actionable.  ``ivf_drift_status`` reads the log
+    without syncing.  The stat costs one broadcast join + agg over the
+    NEW rows only (pre-r10 stores without a baseline skip it)."""
     ivf = ivf_load(spark, path)
     have = ivf.assigned.select("id")
     new_rows = (
@@ -267,6 +334,9 @@ def ivf_sync_with_store(spark, store, path: str,
                  n_cells=ivf.n_cells),
         new_rows, id_col="id", vec_col="vec",
     ).assigned
+    fresh = fresh.localCheckpoint(eager=True)  # stat + count + write, once
+    n = fresh.count()
+    _drift_record(spark, path, ivf, fresh, stats)
     # ivf_append computes distances over double vecs; write back in the
     # SAVED schema's element type so the partitioned dataset stays
     # parquet-consistent across appends
@@ -275,12 +345,86 @@ def ivf_sync_with_store(spark, store, path: str,
         F.col("vec").cast(ivf.assigned.schema["vec"].dataType).alias("vec"),
         "cell",
     )
-    fresh = fresh.localCheckpoint(eager=True)  # count + write, one compute
-    n = fresh.count()
     fresh.write.partitionBy("cell").mode("append").parquet(
         f"{path}/assigned"
     )
     return n
+
+
+#: drift_ratio above this ⇒ ``refit_recommended`` (batch lands 1.5× as
+#: far from its nearest centroid as the build corpus did — well past
+#: sampling noise on any reasonable batch, and in the drifting-stream
+#: pytest the recall loss is already material at this point)
+DRIFT_REFIT_RATIO = 1.5
+
+
+def _drift_record(spark, path: str, ivf: IVFIndex, fresh: DataFrame,
+                  stats: dict | None) -> None:
+    """Append one drift-log row for a synced batch (no-op on a
+    pre-r10 store without a baseline)."""
+    import json
+
+    from ..functions.fsutil import fs_exists
+
+    if not fs_exists(spark, f"{path}/drift/baseline.json"):
+        return
+    base = json.loads(
+        spark.read.json(f"{path}/drift/baseline.json").first().meta)
+    batch_mean, batch_n = _assign_dist_agg(fresh, ivf.centroids)
+    ratio = batch_mean / max(float(base["mean_dist"]), 1e-12)
+    log_dir = f"{path}/drift/log"
+    seq = (spark.read.schema(
+        "seq long, batch_n long, batch_mean_dist double, "
+        "drift_ratio double").parquet(log_dir)
+        .agg(F.max("seq")).first()[0]
+        if fs_exists(spark, log_dir) else None)
+    seq = (int(seq) + 1) if seq is not None else 0
+    spark.createDataFrame(
+        [(seq, batch_n, batch_mean, ratio)],
+        "seq long, batch_n long, batch_mean_dist double, "
+        "drift_ratio double",
+    ).coalesce(1).write.mode("append").parquet(log_dir)
+    if stats is not None:
+        stats.update({
+            "batch_mean_dist": batch_mean,
+            "baseline_mean_dist": float(base["mean_dist"]),
+            "drift_ratio": ratio,
+            "refit_recommended": ratio > DRIFT_REFIT_RATIO,
+        })
+
+
+def ivf_drift_status(spark, path: str,
+                     refit_threshold: float = DRIFT_REFIT_RATIO) -> dict:
+    """Read the drift monitor without syncing: the build-time baseline,
+    the most recent synced batch's ``drift_ratio``, and the
+    ``refit_recommended`` flag (``ratio > refit_threshold``).  The
+    documented response to a recommendation is the existing policy:
+    ``ivf_build`` (sampled, bounded cost) + ``ivf_save`` — which
+    resets the baseline and clears the log."""
+    import json
+
+    from ..functions.fsutil import fs_exists
+
+    if not fs_exists(spark, f"{path}/drift/baseline.json"):
+        return {"baseline": None, "n_batches": 0, "drift_ratio": None,
+                "refit_recommended": False}
+    base = json.loads(
+        spark.read.json(f"{path}/drift/baseline.json").first().meta)
+    log_dir = f"{path}/drift/log"
+    if not fs_exists(spark, log_dir):
+        return {"baseline": base, "n_batches": 0, "drift_ratio": None,
+                "refit_recommended": False}
+    log = spark.read.schema(
+        "seq long, batch_n long, batch_mean_dist double, "
+        "drift_ratio double").parquet(log_dir)
+    last = log.orderBy(F.col("seq").desc()).limit(1).first()
+    return {
+        "baseline": base,
+        "n_batches": int(log.count()),
+        "drift_ratio": float(last["drift_ratio"]),
+        "batch_mean_dist": float(last["batch_mean_dist"]),
+        "refit_recommended": float(last["drift_ratio"]) > refit_threshold,
+    }
 
 
 def cosine_admit_ivf(new_df: DataFrame, ivf: IVFIndex,

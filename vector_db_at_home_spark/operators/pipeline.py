@@ -428,6 +428,7 @@ def clean_corpus_incremental_stage_counts(
     builds them once and appends admitted batches
     (``minhash_corpus_state_append`` / ``substring_state_append`` —
     both green standalone queries)."""
+    import shutil
     import tempfile
 
     from .dedup import (
@@ -478,6 +479,12 @@ def clean_corpus_incremental_stage_counts(
         .select(F.col("id").alias("doc_id"))
         .localCheckpoint(eager=True)
     )
+    # both stateful screens are now eager id-list checkpoints — the
+    # temp state trees are dead; remove them so a registered query
+    # doesn't leak two directories per invocation (ADVICE r9).  mkdtemp
+    # is driver-local by construction, so shutil is the right remover.
+    shutil.rmtree(mh_state, ignore_errors=True)
+    shutil.rmtree(ss_state, ignore_errors=True)
 
     # 4/5: stateless per-doc filters (same expressions as v2)
     toks = F.split(F.col("text"), " ")
@@ -681,7 +688,9 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
                              semantic_min_cosine: float = 0.4,
                              batch_id: int | str | None = None,
                              semantic_screen: str = "exact",
-                             n_probes: int = 4
+                             n_probes: int = 4,
+                             stats: dict | None = None,
+                             auto_refit_drift: float | None = None
                              ) -> tuple[DataFrame, list[tuple[str, int]]]:
     """ONE production ingest step: screen ``batch_docs`` (and their
     ``batch_emb`` embeddings, ``(vec_id, embedding)``) against the
@@ -696,44 +705,88 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
     DuckDB-replicated query proves the decision semantics; this
     function adds the write-back half of the loop).
 
-    Replay semantics (``batch_id``): without an id, a replayed
-    already-admitted shard CONVERGES but returns no survivors — every
-    row is rejected by its own stored copy (the streaming screens'
-    convergence argument), which is wrong for an at-least-once caller
-    that persists the RETURNED ids.  Pass a stable ``batch_id`` and the
-    function writes ``{root}/_admitted/<id>`` (survivor ids + the stage
-    counts) as the LAST step — the commit point; a replay that finds
-    the marker returns the recorded result without touching any state.
-    A crash MID-write-back (marker absent, some family states already
-    appended) is the torn window every ``*_state_append`` documents:
-    the replayed screen then runs against partial state and family
-    self-rejection can drop some of the shard permanently — the
-    recovery path for a suspected torn write-back is a state rebuild
-    (:func:`clean_corpus_states_build`, the same rule
-    ``minhash_corpus_state_append`` pins).  Append order per family
-    follows each state's own crash discipline
+    Replay semantics (``batch_id``, reworked r10 — VERDICT r9 task 6 +
+    ADVICE r9): without an id, a replayed already-admitted shard
+    CONVERGES but returns no survivors — every row is rejected by its
+    own stored copy (the streaming screens' convergence argument),
+    which is wrong for an at-least-once caller that persists the
+    RETURNED ids.  Pass a stable ``batch_id`` and the function runs a
+    three-phase marker protocol under ``{root}/_admitted/<id>``:
+
+    1. **Decide**: after the screens (state untouched), the survivor
+       ids + stage counts land in the marker (``ids`` parquet,
+       ``counts.json``), then ``_DECIDED`` is touched.  A crash
+       anywhere before ``_DECIDED`` replays the full screens against
+       the UNTOUCHED state — exact by determinism (and the gate is the
+       LAST-written ``_DECIDED`` touch file, so a crash between the
+       two decision artifacts can never wedge the replay on a partial
+       marker — the ADVICE r9 gate bug).
+    2. **Apply**: each state family appends in turn, each append
+       followed by an ``_applied_<family>`` touch file.  A replay
+       after a crash at any inter-append gap finds ``_DECIDED``, skips
+       the screens entirely (the decisions are already recorded — a
+       re-screen against partially-appended state would self-reject),
+       skips every ``_applied`` family, completes the rest, and
+       returns the recorded result — no duplicate state rows, no
+       state rebuild (the r9 contract required a full
+       ``clean_corpus_states_build`` here).  The replay must pass the
+       same ``batch_docs``/``batch_emb`` (the at-least-once
+       contract).  The one residual window is a crash BETWEEN a
+       family's parquet job commit and its marker touch: that family
+       re-appends once on replay — MinHash/substring/digest readers
+       aggregate or distinct their delta rows so byte-identical
+       duplicates are absorbed, and the embeddings family is an
+       any-semantics compare set; ``*_compact`` removes them
+       physically.
+    3. **Commit**: ``_COMMITTED`` is touched LAST; a replay that finds
+       it returns the recorded result without touching anything.
+
+    Append order per family follows each state's own crash discipline
     (``minhash_corpus_state_append`` lands verify-side tables before
-    band rows; ``substring_state_append`` is a pure delta append)."""
+    band rows; ``substring_state_append`` is a pure delta append).
+
+    DRIFT IN THE LOOP (r10): when the semantic IVF tier exists, the
+    write-back's ``ivf`` family surfaces ``ann.ivf_sync_with_store``'s
+    drift measurement into ``stats["ivf_drift"]``, and
+    ``auto_refit_drift`` (a ratio threshold, e.g.
+    ``ann.DRIFT_REFIT_RATIO``) makes the documented refit policy
+    AUTOMATIC: when the admitted batch's drift ratio exceeds it, the
+    tier rebuilds in place (``ivf_build`` at the stored cell count +
+    ``ivf_save`` — sampled fit, bounded cost) so probe recall tracks a
+    shifting ingest distribution without operator intervention;
+    ``stats["ivf_refit"]`` records that it happened.  On a marker
+    replay whose ivf family already applied, no new measurement exists
+    and ``stats`` is left without the key."""
     import json as _json
     from .dedup import (
         cosine_admit_blocked,
-        minhash_corpus_state_append,
         minhash_lsh_pairs_incremental_prepared,
         substring_dedup_incremental,
-        substring_state_append,
     )
 
     from ..functions.fsutil import fs_exists
 
     marker = (f"{root}/_admitted/{batch_id}"
               if batch_id is not None else None)
-    if marker is not None and fs_exists(spark, f"{marker}/ids"):
+
+    def _recorded():
         ids = spark.read.schema("doc_id long").parquet(f"{marker}/ids")
         recorded = _json.loads(
             spark.read.text(f"{marker}/counts.json")
             .agg(F.concat_ws("", F.collect_list("value"))).first()[0]
         )
         return ids, [(s, int(n)) for s, n in recorded]
+
+    if marker is not None and fs_exists(spark, f"{marker}/_COMMITTED"):
+        return _recorded()
+    if marker is not None and fs_exists(spark, f"{marker}/_DECIDED"):
+        # crash mid-write-back: decisions are on record — complete the
+        # apply phase (skipping applied families), never re-screen
+        k, counts = _recorded()
+        k = k.localCheckpoint(eager=True)
+        _admit_write_back(spark, root, marker, batch_docs, batch_emb, k,
+                          stats=stats, auto_refit_drift=auto_refit_drift)
+        return k, counts
 
     counts: list[tuple[str, int]] = []
     batch = batch_docs.localCheckpoint(eager=True)
@@ -821,32 +874,97 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
             .localCheckpoint(eager=True)
     counts.append(("6_semantic", k.count()))
 
-    # write-back: the survivors join every state table at O(batch)
-    admitted = batch.join(k, "doc_id", "left_semi") \
-        .localCheckpoint(eager=True)
-    minhash_corpus_state_append(spark, f"{root}/minhash", admitted,
-                                "text", "doc_id")
-    substring_state_append(spark, f"{root}/substring", admitted,
-                           "text", "doc_id")
-    admitted.select(
-        F.col("doc_id").alias("id"), F.md5("text").alias("digest")
-    ).write.mode("append").parquet(f"{root}/digests")
-    if bemb is not None:
-        bemb.join(k.select(F.col("doc_id").alias("id")), "id",
-                  "left_semi") \
-            .write.mode("append").parquet(f"{root}/embeddings")
-        from ..functions.fsutil import fs_exists as _fse
+    # decision record FIRST (phase 1) — the screens above ran against
+    # untouched state, so until _DECIDED lands a crash replays them
+    # exactly; after it, replays skip straight to the apply phase
+    if marker is not None:
+        from ..functions.fsutil import fs_touch as _fst
 
-        if _fse(spark, f"{root}/ivf"):
-            # keep the semantic IVF tier in sync at O(batch): admitted
-            # vectors assign to the EXISTING centroids and append to the
-            # cell-partitioned store (idempotent anti-join inside)
-            from .ann import ivf_sync_with_store
-
-            ivf_sync_with_store(spark, _EmbStateView(spark, root),
-                                f"{root}/ivf")
-    if marker is not None:  # the commit point — written LAST
         k.write.mode("overwrite").parquet(f"{marker}/ids")
         spark.createDataFrame([(_json.dumps(counts),)], "value string") \
             .coalesce(1).write.mode("overwrite").text(f"{marker}/counts.json")
+        _fst(spark, f"{marker}/_DECIDED")
+    # apply + commit (phases 2-3): the survivors join every state table
+    # at O(batch), each family behind its own applied marker
+    _admit_write_back(spark, root, marker, batch, batch_emb, k,
+                      stats=stats, auto_refit_drift=auto_refit_drift)
     return k, counts
+
+
+def _append_digests_state(spark, root: str, admitted: DataFrame) -> None:
+    admitted.select(
+        F.col("doc_id").alias("id"), F.md5("text").alias("digest")
+    ).write.mode("append").parquet(f"{root}/digests")
+
+
+def _append_embeddings_state(spark, root: str, batch_emb: DataFrame,
+                             k: DataFrame) -> None:
+    batch_emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    ).join(k.select(F.col("doc_id").alias("id")), "id", "left_semi") \
+        .write.mode("append").parquet(f"{root}/embeddings")
+
+
+def _admit_write_back(spark, root: str, marker: str | None,
+                      batch_docs: DataFrame, batch_emb: DataFrame | None,
+                      k: DataFrame, stats: dict | None = None,
+                      auto_refit_drift: float | None = None) -> None:
+    """Phases 2-3 of :func:`clean_corpus_admit_batch`'s marker protocol
+    (r10): append the survivors to each state family in a fixed order,
+    touching ``{marker}/_applied_<family>`` after each append so a
+    replay after a crash at any inter-append gap skips the completed
+    families and finishes the rest; ``_COMMITTED`` lands last.  With
+    ``marker=None`` (no ``batch_id``) the appends run unguarded — the
+    pre-r10 behavior."""
+    from .dedup import minhash_corpus_state_append, substring_state_append
+
+    from ..functions.fsutil import fs_exists, fs_touch
+
+    admitted = batch_docs.join(k, "doc_id", "left_semi") \
+        .localCheckpoint(eager=True)
+    families: list[tuple[str, object]] = [
+        ("minhash", lambda: minhash_corpus_state_append(
+            spark, f"{root}/minhash", admitted, "text", "doc_id")),
+        ("substring", lambda: substring_state_append(
+            spark, f"{root}/substring", admitted, "text", "doc_id")),
+        ("digests", lambda: _append_digests_state(spark, root, admitted)),
+    ]
+    if batch_emb is not None:
+        families.append(
+            ("embeddings",
+             lambda: _append_embeddings_state(spark, root, batch_emb, k)))
+        if fs_exists(spark, f"{root}/ivf"):
+            # keep the semantic IVF tier in sync at O(batch): admitted
+            # vectors assign to the EXISTING centroids and append to the
+            # cell-partitioned store (idempotent anti-join inside);
+            # surface the drift measurement, optionally auto-refit
+            def _sync_ivf():
+                from .ann import ivf_build, ivf_save, ivf_sync_with_store
+
+                s: dict = {}
+                ivf_sync_with_store(spark, _EmbStateView(spark, root),
+                                    f"{root}/ivf", stats=s)
+                if stats is not None and s:
+                    stats["ivf_drift"] = s
+                if (auto_refit_drift is not None
+                        and s.get("drift_ratio", 0.0) > auto_refit_drift):
+                    n_cells = spark.read.parquet(
+                        f"{root}/ivf/centroids").count()
+                    ivf_save(ivf_build(
+                        _EmbStateView(spark, root).df(),
+                        id_col="id", vec_col="vec", n_cells=n_cells,
+                    ), f"{root}/ivf")
+                    if stats is not None:
+                        stats["ivf_refit"] = True
+
+            families.append(("ivf", _sync_ivf))
+    for name, fn in families:
+        if marker is not None and fs_exists(spark,
+                                            f"{marker}/_applied_{name}"):
+            continue
+        fn()
+        if marker is not None:
+            fs_touch(spark, f"{marker}/_applied_{name}")
+    if marker is not None:  # the commit point — touched LAST
+        fs_touch(spark, f"{marker}/_COMMITTED")
