@@ -238,3 +238,133 @@ def test_maxsim_matches_python_md5_reference(spark):
         assert want.get(i) == sc, (i, sc, want.get(i))
     ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     assert dict(ranked) == got
+
+
+def test_maxsim_indexed_matches_corpus_scan(spark, tmp_path):
+    """r10: MaxSim through the saved token-vector index is bit-identical
+    to the corpus-scan maxsim_search at every lifecycle point — after
+    save, after append (old AND new tokens), through a crash-torn
+    append window (duplicate tokvec/posting rows), after a tombstoned
+    delete, and after compact.  Integer scores end to end, so equality
+    is exact, not approximate."""
+    from vector_db_at_home_spark.operators.featurize import (
+        maxsim_index_append,
+        maxsim_index_compact_saved,
+        maxsim_index_load,
+        maxsim_index_save,
+        maxsim_index_sync_deletes,
+        maxsim_search,
+        maxsim_search_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge vectors into the batch store"),
+            (2, "the quick brown fox jumps over fences"),
+            (3, "vector merges and batches of vectors"),
+            (4, "nothing relevant whatsoever here today"),
+            (5, "merged batch vector pipelines"),
+            (6, "fresh tokens arriving with novel vocabulary"),
+            (7, "batch merging vector bulk appends"),
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["vector", "merge", "batch"]
+    path = str(tmp_path / "maxsim_idx")
+    base, extra = docs.filter("doc_id <= 5"), docs.filter("doc_id > 5")
+    maxsim_index_save(base, "text", "doc_id", path, dim=16, n_buckets=8)
+
+    def scan(d):
+        return maxsim_search(d, terms, "text", "doc_id", k=10,
+                             dim=16).collect()
+
+    def indexed():
+        return maxsim_search_indexed(
+            maxsim_index_load(spark, path), terms, k=10).collect()
+
+    assert indexed() == scan(base)
+
+    assert maxsim_index_append(spark, path, extra, "text", "doc_id") == 2
+    assert indexed() == scan(docs)
+    # replay is a no-op (docids guard)
+    assert maxsim_index_append(spark, path, extra, "text", "doc_id") == 0
+
+    # crash-torn append window: duplicate rows in BOTH tables
+    spark.read.parquet(f"{path}/tokvecs").limit(5) \
+        .write.mode("append").parquet(f"{path}/tokvecs")
+    full = spark.read.parquet(f"{path}/postings")
+    full.filter("id = 6").repartition(1).write.partitionBy("pbk") \
+        .mode("append").parquet(f"{path}/postings")
+    assert indexed() == scan(docs)
+
+    class FakeStore:
+        def __init__(self, df_):
+            self._df = df_
+
+        def df(self):
+            return self._df
+
+    live = docs.filter("doc_id <> 3")
+    assert maxsim_index_sync_deletes(
+        spark, FakeStore(live.withColumnRenamed("doc_id", "id")),
+        path) == 1
+    assert indexed() == scan(live)
+
+    maxsim_index_compact_saved(spark, path)
+    assert indexed() == scan(live)
+    raw = spark.read.parquet(f"{path}/postings")
+    assert raw.count() == raw.dropDuplicates(["tok", "id"]).count()
+
+
+def test_maxsim_indexed_zero_score_membership(spark, tmp_path):
+    """The 0-floor membership tail: when fewer than k docs score
+    positive, the scan path fills the tail with 0-score docs whose
+    tokens merely SHARE a hash bucket with some term — the indexed
+    path must reproduce that set exactly (the docs_any semi-join)."""
+    from vector_db_at_home_spark.operators.featurize import (
+        maxsim_index_load,
+        maxsim_index_save,
+        maxsim_search,
+        maxsim_search_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"filler{i}a filler{i}b filler{i}c") for i in range(1, 7)]
+        + [(10, "vector merge batch")],
+        "doc_id long, text string",
+    )
+    terms = ["vector"]
+    path = str(tmp_path / "maxsim_zero")
+    maxsim_index_save(docs, "text", "doc_id", path, dim=16, n_buckets=8)
+    scan = maxsim_search(docs, terms, "text", "doc_id", k=10,
+                         dim=16).collect()
+    idxd = maxsim_search_indexed(
+        maxsim_index_load(spark, path), terms, k=10).collect()
+    assert idxd == scan
+    assert scan[0].doc_id if hasattr(scan[0], "doc_id") else True
+
+
+def test_maxsim_indexed_plan_never_scans_corpus(spark, tmp_path):
+    """Plan pin: the indexed search reads ONLY the saved index tables —
+    the corpus text appears nowhere in the physical plan (the serving
+    claim at 100 TB)."""
+    from vector_db_at_home_spark.operators.featurize import (
+        maxsim_index_load,
+        maxsim_index_save,
+        maxsim_search_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "merge vectors into the batch store"),
+         (2, "unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "maxsim_plan")
+    maxsim_index_save(docs, "text", "doc_id", path, dim=16, n_buckets=4)
+    from vector_db_at_home_spark.plans.explain import formatted_plan
+
+    df = maxsim_search_indexed(maxsim_index_load(spark, path),
+                               ["vector"], k=5)
+    plan = formatted_plan(df)
+    assert "tokvecs" in plan and "postings" in plan
+    assert "text#" not in plan  # no corpus text column anywhere

@@ -510,3 +510,74 @@ def test_admit_batch_drift_stats_and_auto_refit(spark, tmp_path):
         semantic_min_cosine=tau, n_probes=5, stats=s3,
         auto_refit_drift=None)
     assert "ivf_drift" in s3 and "ivf_refit" not in s3
+
+
+def test_admit_batch_crash_replay_ivf_family(spark, tmp_path):
+    """r10 follow-up: the crash-injection coverage extended to the IVF
+    family's gap (states built with the semantic tier) — a crash before
+    the ivf sync leaves every other family applied; the replay
+    completes ONLY the sync (idempotent anti-join), returns the
+    recorded result, and the index ends identical to a never-crashed
+    run."""
+    import pytest
+
+    import vector_db_at_home_spark.operators.ann as ann
+    from vector_db_at_home_spark.operators.pipeline import (
+        clean_corpus_admit_batch,
+        clean_corpus_states_build,
+    )
+    from vector_db_at_home_spark.functions.fsutil import fs_exists
+
+    long_b = " ".join(f"b{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [(1, "first corpus doc body", "en"),
+         (2, "second corpus doc body", "en")],
+        "doc_id long, text string, lang string",
+    )
+    cemb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(12, long_b, "en")], "doc_id long, text string, lang string")
+    bemb = spark.createDataFrame(
+        [(12, [0.0, 1.0, 0.0])], "vec_id long, embedding array<double>")
+
+    def run_root(name, crash_first):
+        root = str(tmp_path / name)
+        clean_corpus_states_build(spark, corpus, cemb, root,
+                                  semantic_index_cells=2)
+        if crash_first:
+            orig = ann.ivf_sync_with_store
+
+            def boom(*a, **kw):
+                raise RuntimeError("ivf-crash")
+
+            ann.ivf_sync_with_store = boom
+            try:
+                with pytest.raises(RuntimeError, match="ivf-crash"):
+                    clean_corpus_admit_batch(
+                        spark, root, batch, bemb, semantic_screen="ivf",
+                        n_probes=2, batch_id="s1")
+            finally:
+                ann.ivf_sync_with_store = orig
+            marker = f"{root}/_admitted/s1"
+            # every earlier family applied, ivf + commit absent
+            for fam in ("minhash", "substring", "digests", "embeddings"):
+                assert fs_exists(spark, f"{marker}/_applied_{fam}"), fam
+            assert not fs_exists(spark, f"{marker}/_applied_ivf")
+            assert not fs_exists(spark, f"{marker}/_COMMITTED")
+        k, c = clean_corpus_admit_batch(
+            spark, root, batch, bemb, semantic_screen="ivf",
+            n_probes=2, batch_id="s1")
+        assert fs_exists(spark, f"{root}/_admitted/s1/_COMMITTED")
+        rows = sorted(
+            tuple(r) for r in spark.read.parquet(f"{root}/ivf/assigned")
+            .select("id", "cell").collect())
+        return {r.doc_id for r in k.collect()}, c, rows
+
+    k_ok, c_ok, idx_ok = run_root("ctl", crash_first=False)
+    k_cr, c_cr, idx_cr = run_root("crash", crash_first=True)
+    assert k_cr == k_ok == {12}
+    assert c_cr == c_ok
+    assert idx_cr == idx_ok  # survivor synced exactly once, same cells

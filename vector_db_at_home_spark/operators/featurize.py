@@ -629,3 +629,238 @@ SELECT id, best_start, score FROM best
 ORDER BY score DESC, id LIMIT {k}
 """.replace("{h60}", _sql_hex2int("md5(t)", 1, 15)) \
    .replace("{sgn}", _sql_hex2int("md5(t)", 16, 1))
+
+
+# --------------------------------------------------------------------------
+# MaxSim serving index (r10) — the late-interaction analog of the
+# inverted-index BM25 path: persist the token-vector VOCAB and the
+# token→doc postings once, then serve MaxSim queries without ever
+# re-tokenizing or re-embedding the corpus.  Same lifecycle contract as
+# every other index family (invindex_*, ann.ivf_*, pq_*, sq.ivfsq_*,
+# knngraph_*): save / load / append / sync_deletes / compact.
+# --------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+
+@dataclass
+class MaxSimIndex:
+    tokvecs: "DataFrame"    # (tok, bucket, val) — the distinct-token vocab
+    postings: "DataFrame"   # (tok, id, pbk) — pbk-partitioned token→doc map
+    docids: "DataFrame"     # (id) — the append replay guard
+    n_buckets: int
+    dim: int
+
+
+def _maxsim_doc_tokens(docs: DataFrame, text_col: str,
+                       id_col: str) -> DataFrame:
+    """(id, tok) over DISTINCT doc tokens — the exact projection
+    ``maxsim_search`` scores (its per-doc max is over distinct tokens)."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_token_col(text_col))).alias("tok"),
+    )
+
+
+def _tok_pbk(col, n_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def maxsim_index_save(docs: DataFrame, text_col: str, id_col: str,
+                      path: str, dim: int = 16,
+                      n_buckets: int = 64) -> None:
+    """Persist the MaxSim serving state: ``{path}/tokvecs`` (the signed
+    trigram-hash vector of every DISTINCT corpus token — vocab-sized,
+    corpus-size-independent), ``{path}/postings`` (the (tok, id) map,
+    partitioned by ``pbk = pmod(xxhash64(tok), n_buckets)`` so the
+    winner-token join can prune via dynamic partition pruning),
+    ``{path}/docids`` (the append replay guard) and ``meta.json``
+    (dim + n_buckets, enforced at read)."""
+    import json
+
+    spark = docs.sparkSession
+    dtok = _maxsim_doc_tokens(docs, text_col, id_col)
+    vocab = dtok.select("tok").distinct()
+    _token_vectors(vocab, "tok", dim, "val") \
+        .write.mode("overwrite").parquet(f"{path}/tokvecs")
+    p = dtok.select("tok", "id").distinct() \
+        .withColumn("pbk", _tok_pbk(F.col("tok"), n_buckets))
+    p.repartition(n_buckets, "pbk").write.partitionBy("pbk") \
+        .mode("overwrite").parquet(f"{path}/postings")
+    docs.select(F.col(id_col).alias("id")).distinct() \
+        .write.mode("overwrite").parquet(f"{path}/docids")
+    spark.createDataFrame(
+        [(json.dumps({"dim": dim, "n_buckets": n_buckets}),)],
+        "meta string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta.json")
+
+
+def maxsim_index_load(spark, path: str) -> MaxSimIndex:
+    """Reopen the saved state as its live view: crash recovery first,
+    id tombstones anti-joined at the postings/docids scans.  Crash-
+    window duplicate rows (see ``maxsim_index_append``) are byte-
+    identical and collapse at the search path's distincts;
+    ``maxsim_index_compact_saved`` removes them physically."""
+    import json
+
+    from ..functions.fsutil import fs_exists
+    from .maintenance import recover_compact_crash
+
+    for tbl in ("tokvecs", "postings", "docids"):
+        recover_compact_crash(spark, f"{path}/{tbl}")
+    meta = json.loads(spark.read.json(f"{path}/meta.json").first().meta)
+    tokvecs = spark.read.schema("tok string, bucket int, val long") \
+        .parquet(f"{path}/tokvecs")
+    postings = spark.read.schema("tok string, id long, pbk int") \
+        .parquet(f"{path}/postings")
+    docids = spark.read.schema("id long").parquet(f"{path}/docids")
+    tomb = f"{path}/tombstones"
+    if fs_exists(spark, tomb):
+        dead = spark.read.parquet(tomb).select("id")
+        postings = postings.join(dead, "id", "left_anti")
+        docids = docids.join(dead, "id", "left_anti")
+    return MaxSimIndex(tokvecs=tokvecs, postings=postings, docids=docids,
+                       n_buckets=int(meta["n_buckets"]),
+                       dim=int(meta["dim"]))
+
+
+def maxsim_index_append(spark, path: str, docs: DataFrame, text_col: str,
+                        id_col: str) -> int:
+    """Admit a batch at O(batch) cost: tokenize ONLY the new docs,
+    append their postings, and append token vectors for UNSEEN tokens
+    only (a token's vector is a pure function of the token, so the
+    vocab anti-join keeps tokvecs one-row-per-(tok, bucket)).  Returns
+    the number of docs admitted.
+
+    Idempotent by the docids guard; write order (tokvecs → postings →
+    docids LAST) follows the ``invindex_append`` rule: a crash between
+    them is healed by replay at the cost of byte-identical duplicate
+    rows in the window — the search path's distincts absorb them, the
+    compact removes them physically.  Marking docids first would lose
+    the batch forever."""
+    idx = maxsim_index_load(spark, path)
+    fresh = docs.select(F.col(id_col).alias("id"),
+                        F.col(text_col).alias("__text")) \
+        .join(idx.docids, "id", "left_anti") \
+        .localCheckpoint(eager=True)
+    n = fresh.count()
+    if n == 0:
+        return 0
+    dtok = _maxsim_doc_tokens(fresh, "__text", "id")
+    new_vocab = dtok.select("tok").distinct() \
+        .join(idx.tokvecs.select("tok").distinct(), "tok", "left_anti")
+    _token_vectors(new_vocab, "tok", idx.dim, "val") \
+        .write.mode("append").parquet(f"{path}/tokvecs")
+    p = dtok.select("tok", "id").distinct() \
+        .withColumn("pbk", _tok_pbk(F.col("tok"), idx.n_buckets))
+    p.repartition(idx.n_buckets, "pbk").write.partitionBy("pbk") \
+        .mode("append").parquet(f"{path}/postings")
+    fresh.select("id").write.mode("append").parquet(f"{path}/docids")
+    return n
+
+
+def maxsim_index_sync_deletes(spark, store, path: str,
+                              id_col: str = "id") -> int:
+    """Propagate store DELETES as id-only tombstones — the load
+    filters, the compact removes physically (vocab vectors stay: they
+    are token facts, not doc facts).  Same contract as
+    ``invindex_sync_deletes``."""
+    idx = maxsim_index_load(spark, path)
+    gone = idx.docids.select("id").join(
+        store.df().select(F.col(id_col).alias("id")), "id", "left_anti"
+    ).localCheckpoint(eager=True)
+    n = gone.count()
+    if n:
+        gone.write.mode("append").parquet(f"{path}/tombstones")
+    return n
+
+
+def maxsim_index_compact_saved(spark, path: str,
+                               target_partitions: int = 32) -> None:
+    """Fold tombstones and crash-window duplicates physically; the
+    crash-safe two-rename swap per table (recovery runs on every
+    load)."""
+    from ..functions.fsutil import fs_exists, fs_rename, fs_rmtree
+
+    idx = maxsim_index_load(spark, path)  # load IS the recovery point
+    rewrites = [
+        ("tokvecs",
+         idx.tokvecs.dropDuplicates(["tok", "bucket"]).repartition(8),
+         None),
+        ("postings",
+         idx.postings.dropDuplicates(["tok", "id"])
+         .repartition(target_partitions, "pbk"),
+         "pbk"),
+        ("docids", idx.docids.distinct().repartition(8), None),
+    ]
+    for name, df, part_col in rewrites:
+        table_dir = f"{path}/{name}"
+        stage = f"{path}/_compact_{name}"
+        w = df.write.mode("overwrite")
+        if part_col:
+            w = w.partitionBy(part_col)
+        w.parquet(stage)
+        old = f"{path}/_old_{name}"
+        fs_rename(spark, table_dir, old)
+        fs_rename(spark, stage, table_dir)
+        fs_rmtree(spark, old)
+    if fs_exists(spark, f"{path}/tombstones"):
+        fs_rmtree(spark, f"{path}/tombstones")
+
+
+def maxsim_search_indexed(idx: MaxSimIndex, terms: list[str],
+                          k: int = 10) -> DataFrame:
+    """Late-interaction MaxSim THROUGH the saved index — BIT-IDENTICAL
+    to :func:`maxsim_search` on the same corpus (integer scores, same
+    ``(score DESC, id ASC)`` rank; pytest-pinned), but the corpus text
+    is never touched:
+
+    - per-(token, term) dots compute over the VOCAB table (corpus-size
+      -independent — the whole point of late-interaction serving: the
+      token vectors are corpus facts, re-derived per query by the scan
+      path but read once here);
+    - only tokens with a POSITIVE dot join to the postings map (a
+      non-positive dot can never move a doc's score past the 0 floor),
+      carrying their ``pbk`` so the pbk-partitioned read can prune
+      dynamically;
+    - the 0-floor membership rule is reproduced exactly: docs whose
+      tokens share ≥ 1 hash bucket with some term but win nothing
+      still appear with score 0 (one postings semi-join), so even the
+      fewer-than-k-positives tail ranks identically to the scan path.
+
+    Serving cost: one vocab scan + the matching slice of a fixed-width
+    (tok, id) table — at 100 TB the corpus text is the thing you
+    cannot afford to rescan per query, and it never appears in this
+    plan (plan-pinned: no ``documents`` scan).  Crash-window duplicate
+    rows collapse at the three distincts."""
+    spark = idx.postings.sparkSession
+    qdf = spark.createDataFrame([(t.lower(),) for t in terms],
+                                "qt string")
+    qvec = _token_vectors(qdf, "qt", idx.dim, "qval")
+    dots = (
+        idx.tokvecs.distinct()
+        .join(F.broadcast(qvec), "bucket")
+        .groupBy("tok", "qt")
+        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
+    )
+    posts = idx.postings.select("pbk", "tok", "id").distinct()
+    pos = dots.filter(F.col("dot") > 0) \
+        .withColumn("pbk", _tok_pbk(F.col("tok"), idx.n_buckets))
+    per_term = (
+        posts.join(pos, ["pbk", "tok"])
+        .groupBy("id", "qt")
+        .agg(F.max("dot").alias("mx"))
+    )
+    s = per_term.groupBy("id").agg(F.sum("mx").alias("score"))
+    any_tok = dots.select("tok").distinct() \
+        .withColumn("pbk", _tok_pbk(F.col("tok"), idx.n_buckets))
+    docs_any = posts.join(any_tok, ["pbk", "tok"], "left_semi") \
+        .select("id").distinct()
+    return (
+        docs_any.join(s, "id", "left")
+        .select("id",
+                F.coalesce(F.col("score"), F.lit(0).cast("long"))
+                .alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )

@@ -3639,6 +3639,40 @@ def _register_featurize() -> None:
     _QUERIES["maxsim_topk"] = q_maxsim
     _ORACLES["maxsim_topk"] = render_maxsim_sql(maxsim_terms, k=10, dim=16)
 
+    def q_maxsim_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Late-interaction MaxSim THROUGH the persisted token-vector
+        index (operators/featurize.py:maxsim_search_indexed — r10): the
+        per-(token, term) dots compute over the saved VOCAB table and
+        winners join the pbk-partitioned (tok, id) postings map — the
+        corpus text is never rescanned (plan-pinned), the integer
+        ranking is bit-identical to the corpus-scan ``maxsim_search``
+        including the 0-floor membership tail, and the oracle is the
+        SAME SQL that scores ``maxsim_topk``.  Completes the serving
+        stack: BM25, hybrid RRF, phrase and now MaxSim all rank
+        through persisted index state."""
+        import tempfile
+
+        from .operators.featurize import (
+            maxsim_index_append,
+            maxsim_index_load,
+            maxsim_index_save,
+            maxsim_search_indexed,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="maxsimidx_")
+        maxsim_index_save(docs.filter(F.col("doc_id") % 7 != 0),
+                          "text", "doc_id", path, dim=16, n_buckets=32)
+        maxsim_index_append(spark, path,
+                            docs.filter(F.col("doc_id") % 7 == 0),
+                            "text", "doc_id")
+        idx = maxsim_index_load(spark, path)
+        return maxsim_search_indexed(idx, maxsim_terms, k=10)
+
+    _QUERIES["maxsim_topk_indexed"] = q_maxsim_indexed
+    _ORACLES["maxsim_topk_indexed"] = render_maxsim_sql(
+        maxsim_terms, k=10, dim=16)
+
     from .operators.tfidf import bm25_search, render_bm25_sql
 
     def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5455,6 +5489,11 @@ _TAIL_ORDER = [
     # committed three-scale gate
     "dedup_minhash_incremental", "cosine_topk_pairs", "graph_ann_topk",
     "pq_append_recall",
+    # round-10: MaxSim through the persisted token-vector index — the
+    # last retrieval path without a serving form; bit-identical to the
+    # scored maxsim machinery (integer scores, shared trigram/bucket
+    # derivation), same oracle as maxsim_topk
+    "maxsim_topk_indexed",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
