@@ -998,3 +998,66 @@ def test_stream_into_invindex(spark, tmp_path):
     n_files = sum(len(fs) for _r, _d, fs in os.walk(f"{path}/postings"))
     assert n_files <= 8 * 3 + 2  # ≤ ~compact target, not O(batches)
     assert F is not None
+
+
+def test_stream_into_maxsim_index(spark, tmp_path):
+    """r10: streaming ingest into the persisted MaxSim token-vector
+    index — the streamed store ranks identically to a batch-built index
+    over the same docs, a full-feed replay through a fresh checkpoint
+    is a no-op (docids guard), and the in-line compact bounds file
+    counts."""
+    from vector_db_at_home_spark.operators.featurize import (
+        maxsim_index_load,
+        maxsim_index_save,
+        maxsim_search_indexed,
+    )
+    from vector_db_at_home_spark.streaming.ingest import (
+        stream_into_maxsim_index,
+    )
+
+    docs = [
+        (1, "merge vectors into the batch store"),
+        (2, "the quick brown fox jumps fences"),
+        (3, "vector merges and batches of vectors"),
+        (4, "dog park visit today"),
+        (5, "merged batch vector pipelines"),
+        (6, "completely unrelated text"),
+    ]
+    feed = str(tmp_path / "feed")
+    for i in range(3):
+        spark.createDataFrame(docs[2 * i:2 * i + 2],
+                              "doc_id long, text string") \
+            .coalesce(1).write.parquet(feed, mode="append")
+
+    path = str(tmp_path / "ms_stream")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    maxsim_index_save(empty, "text", "doc_id", path, dim=16, n_buckets=8)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(feed))
+    q = stream_into_maxsim_index(stream, path,
+                                 checkpoint_dir=str(tmp_path / "ck1"),
+                                 compact_every_batches=2)
+    q.awaitTermination()
+
+    all_docs = spark.createDataFrame(docs, "doc_id long, text string")
+    ref_path = str(tmp_path / "ms_batch")
+    maxsim_index_save(all_docs, "text", "doc_id", ref_path,
+                      dim=16, n_buckets=8)
+
+    terms = ["vector", "merge", "batch"]
+
+    def results(p):
+        return [tuple(r) for r in maxsim_search_indexed(
+            maxsim_index_load(spark, p), terms, k=10).collect()]
+
+    assert results(path) == results(ref_path)
+
+    n_docids = spark.read.parquet(f"{path}/docids").count()
+    q2 = stream_into_maxsim_index(
+        (spark.readStream.schema("doc_id long, text string")
+         .option("maxFilesPerTrigger", 1).parquet(feed)),
+        path, checkpoint_dir=str(tmp_path / "ck2"))
+    q2.awaitTermination()
+    assert spark.read.parquet(f"{path}/docids").count() == n_docids
+    assert results(path) == results(ref_path)

@@ -238,3 +238,45 @@ def stream_into_invindex(stream_df: DataFrame, path: str,
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.trigger(**(trigger or {"availableNow": True})).start()
+
+
+def stream_into_maxsim_index(stream_df: DataFrame, path: str,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             checkpoint_dir: str | None = None,
+                             trigger: dict | None = None,
+                             compact_every_batches: int | None = None):
+    """Streaming ingest into a PERSISTED MaxSim token-vector index
+    (``operators.featurize.maxsim_index_*`` — r10), completing the
+    family's lifecycle contract the same way ``stream_into_invindex``
+    did for the lexical tier: each micro-batch lands through
+    ``maxsim_index_append`` (new postings + vectors for UNSEEN tokens
+    only), so the late-interaction serving path sees the stream at
+    O(batch) per batch.
+
+    Replay semantics mirror the invindex hook exactly: the append is
+    idempotent by the ``docids`` guard, the crash-torn window is healed
+    by the replay itself, and the search path's distincts absorb the
+    interim byte-identical duplicates — no marker machinery.
+    ``compact_every_batches`` runs ``maxsim_index_compact_saved``
+    in-line on the r9 cadence to bound file counts and fold duplicates.
+
+    The index must exist (``maxsim_index_save``, possibly on an empty
+    corpus) — its meta pins ``dim``/``n_buckets``."""
+    from ..operators.featurize import (
+        maxsim_index_append,
+        maxsim_index_compact_saved,
+    )
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        maxsim_index_append(spark, path, batch_df, text_col, id_col)
+        if (compact_every_batches
+                and (batch_id + 1) % compact_every_batches == 0):
+            maxsim_index_compact_saved(spark, path)
+
+    writer = stream_df.writeStream.foreachBatch(append_batch) \
+        .outputMode("append")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(**(trigger or {"availableNow": True})).start()
