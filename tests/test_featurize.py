@@ -368,3 +368,39 @@ def test_maxsim_indexed_plan_never_scans_corpus(spark, tmp_path):
     plan = formatted_plan(df)
     assert "tokvecs" in plan and "postings" in plan
     assert "text#" not in plan  # no corpus text column anywhere
+
+
+def test_maxsim_indexed_randomized_parity(spark, tmp_path):
+    """r10, randomized: on seeded random corpora (shared vocab, skewed
+    doc lengths, docs with repeated tokens, an empty-ish doc) the
+    indexed MaxSim equals the corpus scan exactly across query shapes —
+    including terms absent from the corpus and single-term queries."""
+    import random
+
+    from vector_db_at_home_spark.operators.featurize import (
+        maxsim_index_load,
+        maxsim_index_save,
+        maxsim_search,
+        maxsim_search_indexed,
+    )
+
+    rng = random.Random(77)
+    vocab = [f"w{j}" for j in range(40)] + ["vector", "merge", "batch"]
+    rows = []
+    for i in range(60):
+        n = rng.choice([1, 3, 8, 20])
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    rows.append((999, "x"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "ms_rand")
+    maxsim_index_save(docs, "text", "doc_id", path, dim=16, n_buckets=8)
+    idx = maxsim_index_load(spark, path)
+
+    for terms in (["vector"], ["vector", "merge", "batch"],
+                  ["absentterm"], ["w3", "w17", "absentterm"],
+                  ["VeCtOr", "W3"]):
+        scan = [tuple(r) for r in maxsim_search(
+            docs, terms, "text", "doc_id", k=15, dim=16).collect()]
+        served = [tuple(r) for r in maxsim_search_indexed(
+            idx, terms, k=15).collect()]
+        assert served == scan, terms
