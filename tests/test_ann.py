@@ -516,3 +516,48 @@ def test_ivf_build_auto_cells(spark):
     small = df.limit(3)
     ivf2 = ivf_build(small, n_cells=None, target_cell_rows=4096)
     assert ivf2.n_cells == 2
+
+
+def test_ivf_append_saved_equals_store_diff_sync(spark, tmp_path):
+    """r10: the batch form (caller knows the new rows) lands the SAME
+    index rows as the store-diff sync — without scanning the embedding
+    store — and shares its idempotence (the index-id anti-join) and
+    drift recording."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.ann import (
+        ivf_append_saved,
+        ivf_build,
+        ivf_save,
+        ivf_sync_with_store,
+    )
+
+    rng = np.random.default_rng(21)
+    mat = rng.standard_normal((120, 6))
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(100)],
+        "id long, vec array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(100 + j, [float(x) for x in mat[100 + j]]) for j in range(20)],
+        "id long, vec array<double>",
+    )
+    ivf = ivf_build(base, n_cells=4, seed=3)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    ivf_save(ivf, pa)
+    ivf_save(ivf, pb)
+
+    sa, sb = {}, {}
+    assert ivf_append_saved(spark, pa, batch, stats=sa) == 20
+    assert ivf_sync_with_store(
+        spark, _VecStore(base.unionByName(batch)), pb, stats=sb) == 20
+
+    rows_a = sorted(tuple(r) for r in spark.read.parquet(f"{pa}/assigned")
+                    .select("id", "cell").collect())
+    rows_b = sorted(tuple(r) for r in spark.read.parquet(f"{pb}/assigned")
+                    .select("id", "cell").collect())
+    assert rows_a == rows_b
+    assert abs(sa["drift_ratio"] - sb["drift_ratio"]) < 1e-12
+
+    # idempotent: replaying the same batch adds nothing
+    assert ivf_append_saved(spark, pa, batch) == 0

@@ -548,19 +548,19 @@ def test_admit_batch_crash_replay_ivf_family(spark, tmp_path):
         clean_corpus_states_build(spark, corpus, cemb, root,
                                   semantic_index_cells=2)
         if crash_first:
-            orig = ann.ivf_sync_with_store
+            orig = ann.ivf_append_saved
 
             def boom(*a, **kw):
                 raise RuntimeError("ivf-crash")
 
-            ann.ivf_sync_with_store = boom
+            ann.ivf_append_saved = boom
             try:
                 with pytest.raises(RuntimeError, match="ivf-crash"):
                     clean_corpus_admit_batch(
                         spark, root, batch, bemb, semantic_screen="ivf",
                         n_probes=2, batch_id="s1")
             finally:
-                ann.ivf_sync_with_store = orig
+                ann.ivf_append_saved = orig
             marker = f"{root}/_admitted/s1"
             # every earlier family applied, ivf + commit absent
             for fam in ("minhash", "substring", "digests", "embeddings"):

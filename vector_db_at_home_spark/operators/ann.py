@@ -318,12 +318,38 @@ def ivf_sync_with_store(spark, store, path: str,
     without syncing.  The stat costs one broadcast join + agg over the
     NEW rows only (pre-r10 stores without a baseline skip it)."""
     ivf = ivf_load(spark, path)
+    new_rows = store.df().select(F.col(id_col).alias("id"),
+                                 F.col(vec_col).alias("vec"))
+    return _assign_and_append_saved(spark, path, ivf, new_rows, stats)
+
+
+def ivf_append_saved(spark, path: str, new_rows: DataFrame,
+                     id_col: str = "id", vec_col: str = "vec",
+                     stats: dict | None = None) -> int:
+    """Batch form of :func:`ivf_sync_with_store` for callers that KNOW
+    the new rows (r10): assign them to the existing centroids and
+    append to the saved store WITHOUT the store-diff scan — at 100 TB
+    the full embedding-store read per sync is the cost that breaks the
+    O(batch) ingest claim, and the admit loop always knows exactly
+    which rows it just admitted.  Idempotence is the same index-id
+    anti-join (one narrow id-column scan of the cell-partitioned
+    store — O(index ids), not O(index bytes)); drift is recorded
+    identically.  Same vectors in ⇒ byte-identical index rows to the
+    store-diff path (pytest-pinned)."""
+    ivf = ivf_load(spark, path)
+    new_rows = new_rows.select(F.col(id_col).alias("id"),
+                               F.col(vec_col).alias("vec"))
+    return _assign_and_append_saved(spark, path, ivf, new_rows, stats)
+
+
+def _assign_and_append_saved(spark, path: str, ivf: IVFIndex,
+                             new_rows: DataFrame,
+                             stats: dict | None) -> int:
+    """Shared tail of the two saved-store ingest forms: anti-join the
+    index ids (idempotence), assign via the ``ivf_append`` kernel,
+    drift-record, append in the saved element type."""
     have = ivf.assigned.select("id")
-    new_rows = (
-        store.df()
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .join(have, "id", "left_anti")
-    )
+    new_rows = new_rows.join(have, "id", "left_anti")
     if new_rows.isEmpty():
         return 0
     # assign ONLY the new rows (empty-assigned index + the ivf_append

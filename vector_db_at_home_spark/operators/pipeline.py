@@ -935,16 +935,24 @@ def _admit_write_back(spark, root: str, marker: str | None,
             ("embeddings",
              lambda: _append_embeddings_state(spark, root, batch_emb, k)))
         if fs_exists(spark, f"{root}/ivf"):
-            # keep the semantic IVF tier in sync at O(batch): admitted
-            # vectors assign to the EXISTING centroids and append to the
-            # cell-partitioned store (idempotent anti-join inside);
-            # surface the drift measurement, optionally auto-refit
+            # keep the semantic IVF tier in sync at O(batch): the loop
+            # KNOWS the admitted vectors, so the batch-form
+            # ivf_append_saved assigns exactly them to the EXISTING
+            # centroids — no store-diff scan of {root}/embeddings per
+            # shard (r10; the store-diff ivf_sync_with_store remains
+            # for callers without the batch in hand).  Surface the
+            # drift measurement, optionally auto-refit.
             def _sync_ivf():
-                from .ann import ivf_build, ivf_save, ivf_sync_with_store
+                from .ann import ivf_append_saved, ivf_build, ivf_save
 
+                admitted_vecs = batch_emb.select(
+                    F.col("vec_id").alias("id"),
+                    _normalized_vec(F.col("embedding")).alias("vec"),
+                ).join(k.select(F.col("doc_id").alias("id")), "id",
+                       "left_semi")
                 s: dict = {}
-                ivf_sync_with_store(spark, _EmbStateView(spark, root),
-                                    f"{root}/ivf", stats=s)
+                ivf_append_saved(spark, f"{root}/ivf", admitted_vecs,
+                                 stats=s)
                 if stats is not None and s:
                     stats["ivf_drift"] = s
                 if (auto_refit_drift is not None
