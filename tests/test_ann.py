@@ -561,3 +561,133 @@ def test_ivf_append_saved_equals_store_diff_sync(spark, tmp_path):
 
     # idempotent: replaying the same batch adds nothing
     assert ivf_append_saved(spark, pa, batch) == 0
+
+
+def test_ivf_drift_baseline_torn_save_guard(spark, tmp_path):
+    """r11 (ADVICE r10): a crash between ivf_save's centroid overwrite
+    and its baseline write must NOT pair the fresh centroids with the
+    previous build's baseline — the baseline's centroid_sig detects the
+    mismatch and every drift reader degrades to no-signal."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.ann import (
+        ivf_append_saved,
+        ivf_build,
+        ivf_drift_status,
+        ivf_save,
+    )
+    from vector_db_at_home_spark.functions.fsutil import fs_exists
+
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((80, 4))
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(60)],
+        "id long, vec array<double>",
+    )
+    path = str(tmp_path / "torn")
+    ivf_save(ivf_build(base, n_cells=4, seed=5), path)
+    assert ivf_drift_status(spark, path)["baseline"] is not None
+
+    # simulate the torn window: a refit overwrote assigned+centroids
+    # and crashed before the new baseline landed
+    refit = ivf_build(base, n_cells=3, seed=99)
+    refit.assigned.write.partitionBy("cell").mode("overwrite").parquet(
+        f"{path}/assigned")
+    refit.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+    st = ivf_drift_status(spark, path)
+    assert st["baseline"] is None and st["refit_recommended"] is False
+
+    # a sync in this state records nothing (no spurious refit signal)
+    batch = spark.createDataFrame(
+        [(100 + j, [float(x) for x in mat[60 + j]]) for j in range(20)],
+        "id long, vec array<double>",
+    )
+    s = {}
+    assert ivf_append_saved(spark, path, batch, stats=s) == 20
+    assert "drift_ratio" not in s
+    assert not fs_exists(spark, f"{path}/drift/log")
+
+    # a completed refit (full ivf_save) restores the signal
+    ivf_save(ivf_build(base.unionByName(batch), n_cells=4, seed=5), path)
+    assert ivf_drift_status(spark, path)["baseline"] is not None
+
+
+def test_ivf_drift_zero_baseline_is_no_signal(spark, tmp_path):
+    """r11 (ADVICE r10): a ~0 baseline (k ≈ n, every vector ON its
+    centroid) must not divide to an astronomically large ratio that
+    latches refit_recommended true forever — it records NaN and never
+    recommends."""
+    import math
+
+    from vector_db_at_home_spark.operators.ann import (
+        ivf_append_saved,
+        ivf_build,
+        ivf_drift_status,
+        ivf_save,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [float(i), float(-i)]) for i in range(6)],
+        "id long, vec array<double>",
+    )
+    path = str(tmp_path / "zero")
+    ivf_save(ivf_build(base, n_cells=6, seed=1, max_iter=30), path)
+    st = ivf_drift_status(spark, path)
+    assert st["baseline"] is not None
+    assert st["baseline"]["mean_dist"] <= 1e-9
+
+    batch = spark.createDataFrame(
+        [(100, [500.0, 500.0]), (101, [501.0, 499.0])],
+        "id long, vec array<double>",
+    )
+    s = {}
+    assert ivf_append_saved(spark, path, batch, stats=s) == 2
+    assert math.isnan(s["drift_ratio"])
+    assert s["refit_recommended"] is False
+    st = ivf_drift_status(spark, path)
+    assert st["n_batches"] == 1 and st["refit_recommended"] is False
+
+
+def test_ivf_append_saved_drift_after_rows(spark, tmp_path, monkeypatch):
+    """r11 (ADVICE r10): the assigned rows land BEFORE the drift-log
+    row, so a crash between them can only lose one drift row — the
+    replay's anti-join sees the committed rows and no-ops instead of
+    re-appending the batch and double-counting it in the log."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators import ann
+
+    rng = np.random.default_rng(13)
+    mat = rng.standard_normal((70, 4))
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(50)],
+        "id long, vec array<double>",
+    )
+    path = str(tmp_path / "order")
+    ann.ivf_save(ann.ivf_build(base, n_cells=4, seed=2), path)
+    batch = spark.createDataFrame(
+        [(100 + j, [float(x) for x in mat[50 + j]]) for j in range(20)],
+        "id long, vec array<double>",
+    )
+
+    real_record = ann._drift_record
+
+    def boom(*a, **k):
+        raise RuntimeError("crash between append and drift record")
+
+    monkeypatch.setattr(ann, "_drift_record", boom)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="crash between"):
+        ann.ivf_append_saved(spark, path, batch)
+    # the batch IS committed (rows first) …
+    got = spark.read.parquet(f"{path}/assigned").select("id")
+    assert got.count() == 70 and got.distinct().count() == 70
+    # … and the drift log has nothing (the lost-row window, documented)
+    assert ann.ivf_drift_status(spark, path)["n_batches"] == 0
+
+    # replay converges: no duplicates, still exactly one row per id
+    monkeypatch.setattr(ann, "_drift_record", real_record)
+    assert ann.ivf_append_saved(spark, path, batch) == 0
+    got = spark.read.parquet(f"{path}/assigned").select("id")
+    assert got.count() == 70 and got.distinct().count() == 70

@@ -163,6 +163,18 @@ def _assign_dist_agg(assigned: DataFrame, centroids: DataFrame):
     return float(row["m"] or 0.0), int(row["n"])
 
 
+def _centroid_sig(centroids: DataFrame) -> int:
+    """Order-independent content signature of a centroid table (xor of
+    per-row xxhash64) — the build-epoch id that pairs a drift baseline
+    with the exact centroid set it was measured against.  Tiny table,
+    one small agg."""
+    row = centroids.select(
+        F.xxhash64(F.col("cell").cast("int"),
+                   F.col("cvec").cast("array<double>")).alias("h")
+    ).agg(F.expr("bit_xor(h)").alias("s")).first()
+    return int(row["s"]) if row["s"] is not None else 0
+
+
 def ivf_save(ivf: IVFIndex, path: str) -> None:
     """Persist the index: assignments partitioned by ``cell`` (so probes
     prune parquet partitions at the scan) + the tiny centroid table.
@@ -175,22 +187,37 @@ def ivf_save(ivf: IVFIndex, path: str) -> None:
     long-lived admit loop ingesting a shifting distribution degrades
     probe recall invisibly (the centroids never move after build).
     Saving (= building or refitting) resets the baseline and clears
-    the drift log."""
+    the drift log.
+
+    TORN-WINDOW GUARD (r11, ADVICE r10): the baseline carries
+    ``centroid_sig`` — a content signature of the centroid table it
+    was measured against — and every drift read (``_drift_record``,
+    ``ivf_drift_status``) re-derives the signature from the LIVE
+    centroids and treats a mismatch as no-baseline.  A crash between
+    the centroid overwrite and the baseline write therefore yields
+    "no signal" instead of drift ratios computed against the previous
+    build's baseline (which could spuriously trigger or suppress
+    auto-refit).  The log is cleared BEFORE the baseline lands so a
+    stale log can never pair with a fresh baseline either."""
     import json
 
     from ..functions.fsutil import fs_rmtree
 
     spark = ivf.assigned.sparkSession
+    mean_dist, n = _assign_dist_agg(ivf.assigned, ivf.centroids)
     ivf.assigned.write.partitionBy("cell").mode("overwrite").parquet(
         f"{path}/assigned"
     )
     ivf.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    mean_dist, n = _assign_dist_agg(ivf.assigned, ivf.centroids)
+    # sig over the PERSISTED table (one parquet roundtrip) so the drift
+    # readers — which always read from disk — re-derive it bit-exactly
+    sig = _centroid_sig(spark.read.parquet(f"{path}/centroids"))
+    fs_rmtree(spark, f"{path}/drift/log")
     spark.createDataFrame(
-        [(json.dumps({"mean_dist": mean_dist, "n": n}),)], "meta string"
+        [(json.dumps({"mean_dist": mean_dist, "n": n,
+                      "centroid_sig": sig}),)], "meta string"
     ).coalesce(1).write.mode("overwrite").json(
         f"{path}/drift/baseline.json")
-    fs_rmtree(spark, f"{path}/drift/log")
 
 
 def ivf_load(spark, path: str) -> IVFIndex:
@@ -362,18 +389,22 @@ def _assign_and_append_saved(spark, path: str, ivf: IVFIndex,
     ).assigned
     fresh = fresh.localCheckpoint(eager=True)  # stat + count + write, once
     n = fresh.count()
-    _drift_record(spark, path, ivf, fresh, stats)
     # ivf_append computes distances over double vecs; write back in the
     # SAVED schema's element type so the partitioned dataset stays
     # parquet-consistent across appends
-    fresh = fresh.select(
+    out = fresh.select(
         "id",
         F.col("vec").cast(ivf.assigned.schema["vec"].dataType).alias("vec"),
         "cell",
     )
-    fresh.write.partitionBy("cell").mode("append").parquet(
+    out.write.partitionBy("cell").mode("append").parquet(
         f"{path}/assigned"
     )
+    # drift row AFTER the assigned append (r11, ADVICE r10): a crash
+    # between the two can now only LOSE one batch's drift row (the
+    # replay's anti-join sees the committed rows and no-ops) — the old
+    # order let a crash duplicate the whole batch AND its drift row
+    _drift_record(spark, path, ivf, fresh, stats)
     return n
 
 
@@ -387,8 +418,17 @@ DRIFT_REFIT_RATIO = 1.5
 def _drift_record(spark, path: str, ivf: IVFIndex, fresh: DataFrame,
                   stats: dict | None) -> None:
     """Append one drift-log row for a synced batch (no-op on a
-    pre-r10 store without a baseline)."""
+    pre-r10 store without a baseline, or when the baseline's
+    ``centroid_sig`` no longer matches the live centroids — the
+    ``ivf_save`` torn-window guard, r11).
+
+    A ~0 baseline (k ≈ n builds where every vector sits ON a centroid)
+    carries no drift signal: the ratio would be batch_mean/ε and
+    ``refit_recommended`` would latch permanently true, rebuilding on
+    every batch forever.  Such batches record ``drift_ratio = NaN``
+    and never recommend a refit (NaN compares false)."""
     import json
+    import math
 
     from ..functions.fsutil import fs_exists
 
@@ -396,8 +436,12 @@ def _drift_record(spark, path: str, ivf: IVFIndex, fresh: DataFrame,
         return
     base = json.loads(
         spark.read.json(f"{path}/drift/baseline.json").first().meta)
+    if ("centroid_sig" in base
+            and int(base["centroid_sig"]) != _centroid_sig(ivf.centroids)):
+        return  # stale baseline from a torn ivf_save — no signal
     batch_mean, batch_n = _assign_dist_agg(fresh, ivf.centroids)
-    ratio = batch_mean / max(float(base["mean_dist"]), 1e-12)
+    base_mean = float(base["mean_dist"])
+    ratio = batch_mean / base_mean if base_mean > 1e-9 else math.nan
     log_dir = f"{path}/drift/log"
     seq = (spark.read.schema(
         "seq long, batch_n long, batch_mean_dist double, "
@@ -436,6 +480,11 @@ def ivf_drift_status(spark, path: str,
                 "refit_recommended": False}
     base = json.loads(
         spark.read.json(f"{path}/drift/baseline.json").first().meta)
+    if ("centroid_sig" in base and int(base["centroid_sig"])
+            != _centroid_sig(spark.read.parquet(f"{path}/centroids"))):
+        # torn ivf_save: baseline predates the live centroid table
+        return {"baseline": None, "n_batches": 0, "drift_ratio": None,
+                "refit_recommended": False}
     log_dir = f"{path}/drift/log"
     if not fs_exists(spark, log_dir):
         return {"baseline": base, "n_batches": 0, "drift_ratio": None,
