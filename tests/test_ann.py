@@ -691,3 +691,52 @@ def test_ivf_append_saved_drift_after_rows(spark, tmp_path, monkeypatch):
     assert ann.ivf_append_saved(spark, path, batch) == 0
     got = spark.read.parquet(f"{path}/assigned").select("id")
     assert got.count() == 70 and got.distinct().count() == 70
+
+
+def test_ivf_append_saved_readmit_tombstoned_id(spark, tmp_path):
+    """r11 (ADVICE r10): ivf_search never dedups, so a re-admitted
+    tombstoned id must NOT append a second assignment row — the append
+    rewrites the tombstones (resurfacing the original row) and the
+    idempotence guard anti-joins the RAW ids.  Also pins that a
+    still-tombstoned store row is no longer re-appended on every sync."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.ann import (
+        ivf_append_saved,
+        ivf_build,
+        ivf_load,
+        ivf_save,
+        ivf_sync_deletes,
+        ivf_sync_with_store,
+    )
+
+    rng = np.random.default_rng(31)
+    mat = rng.standard_normal((60, 4))
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(50)]
+    base = spark.createDataFrame(rows, "id long, vec array<double>")
+    path = str(tmp_path / "ivf_readmit")
+    ivf_save(ivf_build(base, n_cells=4, seed=9), path)
+
+    live = base.filter("id <> 7")
+    assert ivf_sync_deletes(spark, _VecStore(live), path) == 1
+    assert ivf_load(spark, path).assigned.filter("id = 7").count() == 0
+
+    # a sync while id 7 is still in the store and tombstoned must not
+    # re-append it (the old filtered guard did, duplicating every sync)
+    assert ivf_sync_with_store(spark, _VecStore(live), path) == 0
+    raw = spark.read.parquet(f"{path}/assigned")
+    assert raw.filter("id = 7").count() == 1
+
+    # re-admit id 7 (same vector) alongside a truly new row
+    batch = spark.createDataFrame(
+        [rows[7], (100, [float(x) for x in mat[50]])],
+        "id long, vec array<double>",
+    )
+    assert ivf_append_saved(spark, path, batch) == 2
+    idx = ivf_load(spark, path)
+    assert idx.assigned.filter("id = 7").count() == 1
+    assert idx.assigned.filter("id = 100").count() == 1
+    raw = spark.read.parquet(f"{path}/assigned")
+    assert raw.filter("id = 7").count() == 1  # resurfaced, not duplicated
+    # replay: everything already live
+    assert ivf_append_saved(spark, path, batch) == 0

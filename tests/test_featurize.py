@@ -404,3 +404,58 @@ def test_maxsim_indexed_randomized_parity(spark, tmp_path):
         served = [tuple(r) for r in maxsim_search_indexed(
             idx, terms, k=15).collect()]
         assert served == scan, terms
+
+
+def test_maxsim_index_readmit_tombstoned_id(spark, tmp_path):
+    """r11 (ADVICE r10): re-admitting a doc under a previously
+    tombstoned id must make it searchable IMMEDIATELY — the append
+    rewrites the tombstones minus the fresh ids (resurfacing the
+    original postings) instead of appending rows the load-time
+    tombstone anti-join hides until the next physical compact."""
+    from vector_db_at_home_spark.operators.featurize import (
+        maxsim_index_append,
+        maxsim_index_load,
+        maxsim_index_save,
+        maxsim_index_sync_deletes,
+        maxsim_search,
+        maxsim_search_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "merge vectors into the store"),
+         (2, "the quick brown fox"),
+         (3, "vector merges and batches")],
+        "doc_id long, text string",
+    )
+    terms = ["vector", "merge", "fox"]
+    path = str(tmp_path / "readmit")
+    maxsim_index_save(docs, "text", "doc_id", path, dim=16, n_buckets=8)
+
+    class FakeStore:
+        def __init__(self, df_):
+            self._df = df_
+
+        def df(self):
+            return self._df
+
+    live = docs.filter("doc_id <> 2")
+    assert maxsim_index_sync_deletes(
+        spark, FakeStore(live.withColumnRenamed("doc_id", "id")), path) == 1
+
+    def indexed():
+        return maxsim_search_indexed(
+            maxsim_index_load(spark, path), terms, k=10).collect()
+
+    assert indexed() == maxsim_search(live, terms, "text", "doc_id", k=10,
+                                      dim=16).collect()
+
+    # re-admit doc 2 (same content) — searchable immediately, counted
+    readd = docs.filter("doc_id = 2")
+    assert maxsim_index_append(spark, path, readd, "text", "doc_id") == 1
+    assert indexed() == maxsim_search(docs, terms, "text", "doc_id", k=10,
+                                      dim=16).collect()
+    # no duplicate rows were appended (the original postings resurfaced)
+    raw = spark.read.parquet(f"{path}/postings").filter("id = 2")
+    assert raw.count() == raw.dropDuplicates(["tok", "id"]).count()
+    # replay is a no-op again (the docids guard sees the doc)
+    assert maxsim_index_append(spark, path, readd, "text", "doc_id") == 0

@@ -371,3 +371,51 @@ def test_query_term_normalization_parity(spark, tmp_path):
         idx_messy = bm25_search_indexed(
             invindex_load(spark, path), messy, k=10).collect()
         assert scan_messy == scan_split == idx_messy, mode
+
+
+def test_invindex_readmit_tombstoned_id(spark, tmp_path):
+    """r11 (ADVICE r10): re-admission under a tombstoned id resurfaces
+    the doc's original postings/doclens immediately instead of
+    appending rows the tombstone anti-join hides until compact."""
+    from vector_db_at_home_spark.operators.invindex import (
+        invindex_append,
+        invindex_load,
+        invindex_save,
+        invindex_sync_deletes,
+        phrase_search_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"),
+         (2, "beta gamma delta"),
+         (3, "gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "inv_readmit")
+    invindex_save(docs, "text", "doc_id", path, n_buckets=8)
+
+    class FakeStore:
+        def __init__(self, df_):
+            self._df = df_
+
+        def df(self):
+            return self._df
+
+    live = docs.filter("doc_id <> 2")
+    assert invindex_sync_deletes(
+        spark, FakeStore(live.withColumnRenamed("doc_id", "id")), path) == 1
+    assert sorted(r["id"] for r in phrase_search_indexed(
+        invindex_load(spark, path), "beta gamma").select("id")
+        .distinct().collect()) == [1]
+
+    # re-admit (same content): visible immediately, nothing duplicated
+    readd = docs.filter("doc_id = 2")
+    assert invindex_append(spark, path, readd, "text", "doc_id") == 1
+    idx = invindex_load(spark, path)
+    assert sorted(r["id"] for r in phrase_search_indexed(
+        idx, "beta gamma").select("id").distinct().collect()) == [1, 2]
+    assert idx.docids.count() == idx.docids.distinct().count() == 3
+    raw = spark.read.parquet(f"{path}/postings").filter("id = 2")
+    assert raw.count() == raw.dropDuplicates(
+        ["term", "id", "pos"]).count()
+    assert invindex_append(spark, path, readd, "text", "doc_id") == 0

@@ -233,6 +233,7 @@ def ivf_load(spark, path: str) -> IVFIndex:
     from .maintenance import recover_compact_crash
 
     recover_compact_crash(spark, f"{path}/assigned")
+    recover_compact_crash(spark, f"{path}/tombstones")
     centroids = spark.read.parquet(f"{path}/centroids")
     assigned = spark.read.parquet(f"{path}/assigned")
     tomb = f"{path}/tombstones"
@@ -374,11 +375,31 @@ def _assign_and_append_saved(spark, path: str, ivf: IVFIndex,
                              stats: dict | None) -> int:
     """Shared tail of the two saved-store ingest forms: anti-join the
     index ids (idempotence), assign via the ``ivf_append`` kernel,
-    drift-record, append in the saved element type."""
-    have = ivf.assigned.select("id")
+    append in the saved element type, drift-record.  Returns the rows
+    ADDED TO THE LIVE VIEW (appended + resurrected).
+
+    The idempotence guard anti-joins the RAW assigned ids, not the
+    tombstone-filtered view (r11, ADVICE r10): a row re-admitted under
+    a previously tombstoned id must not append a SECOND assignment row
+    (unlike the postings families, ``ivf_search`` never dedups, so a
+    duplicate would surface twice in results after the tombstone
+    lifts) — instead the tombstone is rewritten minus the batch's ids,
+    resurfacing the original assignment immediately
+    (``maintenance.tombstones_resurrect_ids`` documents the
+    same-content contract on reused ids).  This also stops the old
+    filtered guard re-appending every still-tombstoned store row on
+    every sync."""
+    from .maintenance import tombstones_resurrect_ids
+
+    have = spark.read.schema(ivf.assigned.schema) \
+        .parquet(f"{path}/assigned").select("id")
+    # tombstones ⊆ historical index ids, so intersecting with the whole
+    # batch resurrects exactly the re-admitted ones
+    n_res = tombstones_resurrect_ids(spark, f"{path}/tombstones",
+                                     new_rows.select("id"))
     new_rows = new_rows.join(have, "id", "left_anti")
     if new_rows.isEmpty():
-        return 0
+        return n_res
     # assign ONLY the new rows (empty-assigned index + the ivf_append
     # kernel) so the write below is O(batch), no corpus anti-join
     empty = ivf.assigned.filter(F.lit(False))
@@ -405,7 +426,7 @@ def _assign_and_append_saved(spark, path: str, ivf: IVFIndex,
     # replay's anti-join sees the committed rows and no-ops) — the old
     # order let a crash duplicate the whole batch AND its drift row
     _drift_record(spark, path, ivf, fresh, stats)
-    return n
+    return n + n_res
 
 
 #: drift_ratio above this ⇒ ``refit_recommended`` (batch lands 1.5× as

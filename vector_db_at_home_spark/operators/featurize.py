@@ -706,7 +706,7 @@ def maxsim_index_load(spark, path: str) -> MaxSimIndex:
     from ..functions.fsutil import fs_exists
     from .maintenance import recover_compact_crash
 
-    for tbl in ("tokvecs", "postings", "docids"):
+    for tbl in ("tokvecs", "postings", "docids", "tombstones"):
         recover_compact_crash(spark, f"{path}/{tbl}")
     meta = json.loads(spark.read.json(f"{path}/meta.json").first().meta)
     tokvecs = spark.read.schema("tok string, bucket int, val long") \
@@ -737,7 +737,18 @@ def maxsim_index_append(spark, path: str, docs: DataFrame, text_col: str,
     them is healed by replay at the cost of byte-identical duplicate
     rows in the window — the search path's distincts absorb them, the
     compact removes them physically.  Marking docids first would lose
-    the batch forever."""
+    the batch forever.
+
+    Re-admission under a previously TOMBSTONED id (r11, ADVICE r10)
+    rewrites the tombstone table minus the fresh ids, resurfacing the
+    doc's original postings immediately — before this the doc passed
+    the (tombstone-filtered) guard, appended rows, and stayed silently
+    unsearchable until the next physical compact.  Resurrected ids are
+    then excluded from the appends (their rows already exist; see
+    ``maintenance.tombstones_resurrect_ids`` for the same-content
+    contract on reused ids)."""
+    from .maintenance import tombstones_resurrect_ids
+
     idx = maxsim_index_load(spark, path)
     fresh = docs.select(F.col(id_col).alias("id"),
                         F.col(text_col).alias("__text")) \
@@ -746,6 +757,13 @@ def maxsim_index_append(spark, path: str, docs: DataFrame, text_col: str,
     n = fresh.count()
     if n == 0:
         return 0
+    if tombstones_resurrect_ids(spark, f"{path}/tombstones",
+                                fresh.select("id")):
+        raw_ids = spark.read.schema("id long").parquet(f"{path}/docids")
+        fresh = fresh.join(raw_ids, "id", "left_anti") \
+            .localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            return n  # every fresh doc was a resurrection
     dtok = _maxsim_doc_tokens(fresh, "__text", "id")
     new_vocab = dtok.select("tok").distinct() \
         .join(idx.tokvecs.select("tok").distinct(), "tok", "left_anti")

@@ -208,6 +208,7 @@ def invindex_load(spark, path: str) -> InvIndex:
     recover_compact_crash(spark, f"{path}/postings")
     recover_compact_crash(spark, f"{path}/docids")
     recover_compact_crash(spark, f"{path}/doclens")
+    recover_compact_crash(spark, f"{path}/tombstones")
     meta = json.loads(spark.read.json(f"{path}/meta.json").first().meta)
     n_buckets = int(meta["n_buckets"])
     tokenize_mode = meta.get("tokenize_mode", "space")  # pre-r8 meta
@@ -244,7 +245,16 @@ def invindex_append(spark, path: str, docs: DataFrame, text_col: str,
     posting rows in the crash window; the search path dedups its
     term-filtered streams and compaction removes duplicates physically.
     Marking docids FIRST would instead LOSE the batch's postings
-    forever (the guard would skip the replay)."""
+    forever (the guard would skip the replay).
+
+    Re-admission under a previously TOMBSTONED id (r11, ADVICE r10)
+    rewrites the tombstones minus the fresh ids — resurfacing the doc's
+    original postings/doclens rather than appending rows the tombstone
+    anti-join would hide until the next compact; resurrected ids are
+    excluded from the appends (``maintenance.tombstones_resurrect_ids``
+    documents the same-content contract on reused ids)."""
+    from .maintenance import tombstones_resurrect_ids
+
     idx = invindex_load(spark, path)
     fresh = docs.select(F.col(id_col).alias("id"),
                         F.col(text_col).alias("__text")) \
@@ -253,6 +263,13 @@ def invindex_append(spark, path: str, docs: DataFrame, text_col: str,
     n = fresh.count()
     if n == 0:
         return 0
+    if tombstones_resurrect_ids(spark, f"{path}/tombstones",
+                                fresh.select("id")):
+        raw_ids = spark.read.schema("id long").parquet(f"{path}/docids")
+        fresh = fresh.join(raw_ids, "id", "left_anti") \
+            .localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            return n  # every fresh doc was a resurrection
     p = build_positional_index(fresh, "__text", "id", idx.tokenize_mode) \
         .withColumn("bucket", _bucket(F.col("term"), idx.n_buckets))
     p.repartition(idx.n_buckets, "bucket").write.partitionBy("bucket") \

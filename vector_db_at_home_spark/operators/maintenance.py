@@ -52,6 +52,49 @@ def recover_compact_crash(spark, table_dir: str) -> None:
             fs_rmtree(spark, old)
 
 
+def tombstones_resurrect_ids(spark, tomb_dir: str, ids: "DataFrame") -> int:
+    """Rewrite a tombstone table MINUS the given ids (r11, ADVICE r10):
+    the re-admission half of delete propagation.  Every ``*_append``
+    guards on the tombstone-filtered id view, so a doc re-admitted under
+    a previously tombstoned id used to pass the guard, append rows — and
+    then stay invisible until the next physical compact folded the
+    tombstone.  Removing the id from the tombstones instead resurfaces
+    the doc's original rows immediately (they were hidden, not deleted).
+
+    Contract: re-admission under a reused id assumes the SAME content —
+    every index family's rows are pure functions of (id, content), so
+    the resurfaced rows are byte-identical to what the append would have
+    produced.  Re-admitting CHANGED content under a reused id requires a
+    physical compact between the delete and the re-admit (the same
+    discipline as every append-only family here); the store itself never
+    reuses ids (max+1 allocation), so this arises only from external id
+    management.
+
+    Crash-safe two-rename swap, healed by ``recover_compact_crash`` (run
+    here and by every ``*_load``).  Returns the number of tombstones
+    removed; no-op (0) when the table is absent or disjoint from ``ids``.
+    """
+    from ..functions.fsutil import fs_exists, fs_rename, fs_rmtree
+
+    recover_compact_crash(spark, tomb_dir)
+    if not fs_exists(spark, tomb_dir):
+        return 0
+    t = spark.read.parquet(tomb_dir).select("id")
+    keep = t.join(ids.select("id"), "id", "left_anti") \
+        .localCheckpoint(eager=True)  # materialize BEFORE the dir swap
+    n_drop = t.count() - keep.count()
+    if n_drop == 0:
+        return 0
+    parent, _, name = tomb_dir.rstrip("/").rpartition("/")
+    stage = f"{parent}/_compact_{name}"
+    keep.coalesce(1).write.mode("overwrite").parquet(stage)
+    old = f"{parent}/_old_{name}"
+    fs_rename(spark, tomb_dir, old)
+    fs_rename(spark, stage, tomb_dir)
+    fs_rmtree(spark, old)
+    return n_drop
+
+
 def compact_saved_table(spark, table_dir: str,
                         target_partitions: int = 32,
                         partition_by: str | None = None,
