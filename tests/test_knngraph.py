@@ -587,3 +587,57 @@ def test_serving_budget_refuses_before_collect(spark, monkeypatch):
         graph_ann_search_serving(df, graph, qs, k=2,
                                  broadcast_budget_mb=0)
     assert sum(collected) <= 1, collected
+
+
+def test_graph_serving_backstop_counts_final_pairs(spark):
+    """r11 (ADVICE r10): the post-collect backstop estimates 16 bytes
+    per FINAL adjacency pair — derived Chord-ring pairs included — so
+    it matches what is actually broadcast.  Exercised through the
+    backstop's stated purpose (vecs counted between the two checks): a
+    shim under-reports count() so the pre-check passes, and only an
+    honest backstop can refuse.  The old edges-only estimate would have
+    accepted this budget and broadcast ~2× over it."""
+    import numpy as np
+    import pytest
+
+    from vector_db_at_home_spark.operators.knngraph import (
+        graph_serving_prepare,
+    )
+
+    rng = np.random.default_rng(17)
+    mat = rng.standard_normal((64, 8))
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(64)],
+        "id long, vec array<double>",
+    )
+    graph = spark.createDataFrame(
+        [(i, (i + 1) % 64) for i in range(10)], "src long, dst long")
+
+    class LyingCount:
+        """reports a stale (tiny) count — the concurrent-append race"""
+
+        def __init__(self, df):
+            self._df = df
+
+        def count(self):
+            return 1
+
+        def __getattr__(self, attr):
+            return getattr(self._df, attr)
+
+    # exact sizes: vectors+ids = 64·(8+64) B; edges-only ≈ +160 B; the
+    # final pair set adds the derived ring (~64·6 pairs → ~6 KB more)
+    edges_only_mb = (64 * (8 + 64) + 16 * 10) / 2**20
+    budget = edges_only_mb * 1.5  # old backstop passes, honest one can't
+    with pytest.raises(ValueError, match="exceeds broadcast budget"):
+        graph_serving_prepare(LyingCount(vecs), LyingCount(graph),
+                              broadcast_budget_mb=budget)
+
+    # with an honest budget the prepare succeeds and the broadcast's
+    # adjacency carries the ring pairs the estimate charged for
+    prepared = graph_serving_prepare(vecs, graph,
+                                     broadcast_budget_mb=budget * 10)
+    _, _, adj, _, _ = prepared.bc.value
+    n_pairs = sum(len(v) for v in adj.values())
+    assert n_pairs > 300  # 10 edges + ~64·6 ring pairs
+    assert (64 * (8 + 64) + 16 * n_pairs) / 2**20 <= budget * 10

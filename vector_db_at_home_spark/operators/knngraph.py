@@ -465,11 +465,18 @@ def graph_serving_prepare(vecs: DataFrame, graph: DataFrame,
     The budget is checked BEFORE anything materializes (VERDICT r9
     task 4): counts × fixed row widths — exact for fixed-dim vectors
     (8 id + 8·dim bytes/row) and (src, dst) long pairs (16 bytes) —
-    reproduce the post-collect estimate without collecting, so a
-    too-large index is refused with zero rows on the driver instead of
-    OOMing it first.  The dim probe is a single-row LIMIT 1 read; the
-    post-collect exact check stays as a backstop (vecs counted between
-    the two points, a concurrently-appended store, ragged dims)."""
+    bound the broadcast size without collecting, so a too-large index
+    is refused with zero rows on the driver instead of OOMing it
+    first.  With ``fingers=None`` the pre-check includes the derived
+    Chord-ring pairs (≤ n·⌈log₂ n⌉ — an upper bound: ring pairs that
+    coincide with graph edges dedup in the final set), so borderline
+    indexes that only fit WITHOUT their navigation edges are refused
+    up front (r10 behavior change vs the edges-only estimate).  The
+    dim probe is a single-row LIMIT 1 read; an exact check over the
+    FINAL pair set (fingers and ring included — 16 bytes per pair
+    actually broadcast) stays as the backstop for what the pre-check
+    can only bound: vecs counted between the two points, a
+    concurrently-appended store, ragged dims (r11, ADVICE r10)."""
     import math
 
     import numpy as np
@@ -500,11 +507,6 @@ def graph_serving_prepare(vecs: DataFrame, graph: DataFrame,
     mat = (np.vstack([r["vec"] for r in rows]).astype(np.float64)
            if n else np.empty((0, 0)))
     edge_rows = graph.select("src", "dst").collect()
-    est_mb = (mat.nbytes + ids.nbytes + 16 * len(edge_rows)) / 2**20
-    if est_mb > broadcast_budget_mb:
-        raise ValueError(
-            f"index ~{est_mb:.0f} MB exceeds broadcast budget "
-            f"{broadcast_budget_mb} MB — use graph_ann_search")
 
     pairs = {(int(r["src"]), int(r["dst"])) for r in edge_rows}
     if fingers is not None:
@@ -521,6 +523,16 @@ def graph_serving_prepare(vecs: DataFrame, graph: DataFrame,
                 dst = ranked[(r + st) % n]
                 if dst != src:
                     pairs.add((src, dst))
+    # exact backstop over the FINAL pair set (r11, ADVICE r10): 16 bytes
+    # per pair actually broadcast, fingers and derived ring included —
+    # the pre-collect check above bounds the same quantity from counts
+    # (its ring term n·⌈log₂ n⌉ is an upper bound on the derived pairs),
+    # so the two estimates can no longer disagree about what they count
+    est_mb = (mat.nbytes + ids.nbytes + 16 * len(pairs)) / 2**20
+    if est_mb > broadcast_budget_mb:
+        raise ValueError(
+            f"index ~{est_mb:.0f} MB exceeds broadcast budget "
+            f"{broadcast_budget_mb} MB — use graph_ann_search")
     adj: dict[int, list[int]] = {}
     for sA, dA in pairs:
         adj.setdefault(sA, []).append(dA)
