@@ -41,3 +41,49 @@ def test_registry_priority_order_and_oracles():
     names = list(q)
     assert len(q) >= 50
     assert set(o) == set(q)
+
+
+def test_registry_queries_leave_no_tempdir_entries(spark):
+    """r11 (VERDICT r10 task 3 / ADVICE r10): the self-contained
+    registered queries that build per-invocation index/state trees
+    under tempfile.mkdtemp must clean up after materializing — invoking
+    each twice leaves ZERO new entries in the tempdir (previously a
+    driver loop calling them slowly filled it)."""
+    import os
+    import tempfile
+
+    from vector_db_at_home_spark.registry import queries
+
+    fixed = [
+        "dedup_minhash_prepared",
+        "dedup_simhash_incremental",
+        "maxsim_topk_indexed",
+        "hybrid_search_rrf_indexed",
+        "substring_dedup_incremental",
+        "knn_graph_append_recall",
+        "phrase_search_indexed",
+        "bm25_topk_indexed",
+        "phrase_search_indexed_regex",
+        "streaming_dedup_equiv",
+        "streaming_vector_neardup_equiv",
+    ]
+    owned_prefixes = (
+        "mh_state_q_", "sh_state_q_", "maxsimidx_", "hybridx_",
+        "substring_state_", "knngraph_idx_", "invindex_", "bm25idx_",
+        "invindex_rx_", "stream_equiv_", "stream_vec_equiv_",
+    )
+    qs = queries()
+    sf_dir = "/root/testdata/sf0.001"
+    tmp = tempfile.gettempdir()
+
+    def owned():
+        return {e for e in os.listdir(tmp)
+                if e.startswith(owned_prefixes)}
+
+    for name in fixed:
+        before = owned()
+        for _ in range(2):
+            df = qs[name](spark, sf_dir)
+            assert df.count() >= 0  # drain the (materialized) result
+        leaked = owned() - before
+        assert not leaked, f"{name} leaked {sorted(leaked)}"

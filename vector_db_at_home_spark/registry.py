@@ -38,6 +38,25 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _finish_rmtree(df: DataFrame, *paths: str) -> DataFrame:
+    """Materialize a small query result, then remove the per-invocation
+    temp state trees it was lazily reading (r11, VERDICT r10 task 3 /
+    ADVICE r10).  Self-contained registered queries that build index or
+    dedup state under ``tempfile.mkdtemp`` must not leak one tree per
+    invocation — a driver loop calling them repeatedly slowly fills the
+    tempdir.  A pre-return ``rmtree`` alone would break the plan (the
+    returned frame reads the trees lazily), so the result — bounded at
+    ≤ a few thousand rows for every such query — is pinned with
+    ``localCheckpoint`` first, the same fix ``pipeline.py`` applied in
+    r10."""
+    import shutil
+
+    df = df.localCheckpoint(eager=True)
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+    return df
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
@@ -561,9 +580,9 @@ def q_dedup_minhash_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = tempfile.mkdtemp(prefix="mh_state_q_")
     minhash_corpus_state_build(base, state, "text", "doc_id", n=3)
     minhash_corpus_state_append(spark, state, late, "text", "doc_id")
-    return minhash_lsh_pairs_incremental_prepared(
+    return _finish_rmtree(minhash_lsh_pairs_incremental_prepared(
         spark, state, batch, "text", "doc_id", threshold=0.5
-    )
+    ), state)
 
 
 def _attach_minhash_prepared_oracle() -> None:
@@ -606,9 +625,9 @@ def q_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = tempfile.mkdtemp(prefix="sh_state_q_")
     simhash_state_build(base, state, "text", "doc_id", n=3)
     simhash_state_append(spark, state, late, "text", "doc_id")
-    return simhash_pairs_incremental_prepared(
+    return _finish_rmtree(simhash_pairs_incremental_prepared(
         spark, state, batch, "text", "doc_id", max_hamming=5
-    )
+    ), state)
 
 
 def _attach_simhash_incremental_oracle() -> None:
@@ -1534,7 +1553,7 @@ def q_streaming_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
 
     landed = spark.read.parquet(out)
-    return (
+    return _finish_rmtree(
         landed.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -1545,7 +1564,8 @@ def q_streaming_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value_e6"),
         )
         .withColumn("multi_batch", F.lit(bool(n_batches >= 2)))
-        .orderBy("event_type")
+        .orderBy("event_type"),
+        work,
     )
 
 
@@ -1630,14 +1650,15 @@ def q_streaming_vector_neardup_equiv(spark: SparkSession,
         F.get_json_object("doc", "$.i").cast("long").alias("src_id"),
         F.element_at("vec", 1).cast("double").alias("e0"),
     )
-    return (
+    return _finish_rmtree(
         landed.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("src_id").alias("sum_id"),
             F.sum(F.floor(F.col("e0") * 1e6).cast("long"))
             .alias("sum_e0_e6"),
         )
-        .withColumn("multi_batch", F.lit(bool(n_batches >= 2)))
+        .withColumn("multi_batch", F.lit(bool(n_batches >= 2))),
+        work,
     )
 
 
@@ -3667,7 +3688,8 @@ def _register_featurize() -> None:
                             docs.filter(F.col("doc_id") % 7 == 0),
                             "text", "doc_id")
         idx = maxsim_index_load(spark, path)
-        return maxsim_search_indexed(idx, maxsim_terms, k=10)
+        return _finish_rmtree(
+            maxsim_search_indexed(idx, maxsim_terms, k=10), path)
 
     _QUERIES["maxsim_topk_indexed"] = q_maxsim_indexed
     _ORACLES["maxsim_topk_indexed"] = render_maxsim_sql(
@@ -3778,8 +3800,8 @@ def _register_hybrid() -> None:
                         docs.filter(F.col("doc_id") % 7 == 0),
                         "text", "doc_id")
         idx = invindex_load(spark, path)
-        return hybrid_search_rrf_indexed(idx, emb, terms, qvec,
-                                         k=10, depth=50)
+        return _finish_rmtree(hybrid_search_rrf_indexed(
+            idx, emb, terms, qvec, k=10, depth=50), path)
 
     _QUERIES["hybrid_search_rrf_indexed"] = q_hybrid_indexed
     _ORACLES["hybrid_search_rrf_indexed"] = render_hybrid_rrf_sql(
@@ -4027,8 +4049,8 @@ def _register_substring_dedup() -> None:
             "text", "doc_id",
         )
         batch = docs.filter(F.col("doc_id") % 5 == 0)
-        return substring_dedup_incremental(spark, state, batch,
-                                           "text", "doc_id")
+        return _finish_rmtree(substring_dedup_incremental(
+            spark, state, batch, "text", "doc_id"), state)
 
     _QUERIES["substring_dedup_incremental"] = q_incr
     _ORACLES["substring_dedup_incremental"] = render_substring_stats_sql(
@@ -4546,7 +4568,7 @@ def q_knn_graph_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    return (
+    return _finish_rmtree(
         exact.groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
@@ -4562,7 +4584,8 @@ def q_knn_graph_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3)
             .alias("beam_append_found_ge_3"),
         )
-        .orderBy("query_id")
+        .orderBy("query_id"),
+        path,
     )
 
 
@@ -4753,7 +4776,7 @@ def _register_phrase_search() -> None:
                         docs.filter(F.col("doc_id") % 7 == 0),
                         "text", "doc_id")
         idx = invindex_load(spark, path)
-        return phrase_search_indexed(idx, phrase)
+        return _finish_rmtree(phrase_search_indexed(idx, phrase), path)
 
     _QUERIES["phrase_search_indexed"] = q_phrase_indexed
     _ORACLES["phrase_search_indexed"] = render_phrase_search_sql(phrase)
@@ -4787,8 +4810,8 @@ def _register_phrase_search() -> None:
                         docs.filter(F.col("doc_id") % 7 == 0),
                         "text", "doc_id")
         idx = invindex_load(spark, path)
-        return bm25_search_indexed(idx, ["vector", "merge", "batch"],
-                                   k=10)
+        return _finish_rmtree(bm25_search_indexed(
+            idx, ["vector", "merge", "batch"], k=10), path)
 
     from .operators.tfidf import render_bm25_sql
 
@@ -4912,7 +4935,7 @@ def _register_regex_retrieval() -> None:
                         docs.filter(F.col("doc_id") % 7 == 0),
                         "text", "doc_id")
         idx = invindex_load(spark, path)
-        return phrase_search_indexed(idx, phrase)
+        return _finish_rmtree(phrase_search_indexed(idx, phrase), path)
 
     _QUERIES["phrase_search_indexed_regex"] = q_phrase_indexed_regex
     _ORACLES["phrase_search_indexed_regex"] = render_phrase_search_sql(
