@@ -5387,8 +5387,12 @@ _SCORED_ORDER = [
     # (the O(batch) append discipline stays scored via
     # ann_ivf_append_recall and the PQ encode/ADC kernels via
     # pq_recall/ivfpq_recall — their composition keeps its full oracle
-    # in the tail)
-    "ann_cosine_topk", "ann_ivf_recall", "pq_recall", "ivfpq_recall",
+    # in the tail).  r11 rotation (VERDICT r10 task 1): the r10/r9
+    # serving flagships land on the record — maxsim_topk_indexed
+    # displaces ann_cosine_topk (whose brute-force cosine kernel
+    # re-walks inside the scored semantic_dedup_map and
+    # semantic_admit_ivf verify legs; full oracle kept in the tail)
+    "maxsim_topk_indexed", "ann_ivf_recall", "pq_recall", "ivfpq_recall",
     "ann_ivf_append_recall", "bm25_topk_indexed", "graph_ann_serving_topk",
     # streaming ≡ batch (cross-micro-batch dedup state vs DISTINCT *)
     "streaming_dedup_equiv",
@@ -5399,14 +5403,16 @@ _SCORED_ORDER = [
     # capstone slot upgrades clean_corpus → clean_corpus_v2 (a strict
     # stage superset: the same exact/neardup/quality/lang cascade PLUS
     # substring and semantic dedup, its oracle replicating every
-    # SQL-expressible stage count), and phrase_search_indexed takes
-    # indel_kernel_check's slot (the LCS kernel is now value-checked
-    # END-TO-END inside the scored search_by_doc full-corpus oracle;
-    # the indexed phrase search is the r8 persistence-parity flagship
-    # with a partition-pruned plan).  Both demoted entries keep full
-    # oracles in the tail and stay green in the committed three-scale
-    # gate (ORACLE_LOCAL_r8.txt).
-    "doc_hash_split", "mixture_resample_docs", "phrase_search_indexed",
+    # SQL-expressible stage count), and phrase_search_indexed took
+    # indel_kernel_check's slot in r8.  r11 rotation (VERDICT r10 task
+    # 1): hybrid_search_rrf_indexed displaces phrase_search_indexed —
+    # the positional-index machinery (save/append/load, bucket-pruned
+    # postings reads, tombstone discipline) re-walks inside the scored
+    # bm25_topk_indexed, which builds the same invindex; the hybrid
+    # query adds the RRF fusion + vector leg on top of that same index
+    # family.  Both demoted entries keep full oracles in the tail and
+    # stay green in the committed three-scale gate.
+    "doc_hash_split", "mixture_resample_docs", "hybrid_search_rrf_indexed",
     "multimodal_stats", "sketch_user_cardinality", "clean_corpus_v2",
 ]
 
@@ -5497,10 +5503,6 @@ _TAIL_ORDER = [
     # operator without an oracle query) — the per-group sequential FFD
     # replayed exactly by a DuckDB recursive CTE over capacity lists
     "pack_documents_bins",
-    # round-9 continuation: hybrid RRF with the lexical leg through the
-    # persisted index — shared rrf_fuse tail, same oracle as
-    # hybrid_search_rrf
-    "hybrid_search_rrf_indexed",
     # demoted r10 to put the round-9 flagships on the scored record
     # (see the _SCORED_ORDER slot notes): dedup_minhash_incremental's
     # full screen re-walks inside the scored clean_corpus_incremental;
@@ -5512,11 +5514,15 @@ _TAIL_ORDER = [
     # committed three-scale gate
     "dedup_minhash_incremental", "cosine_topk_pairs", "graph_ann_topk",
     "pq_append_recall",
-    # round-10: MaxSim through the persisted token-vector index — the
-    # last retrieval path without a serving form; bit-identical to the
-    # scored maxsim machinery (integer scores, shared trigram/bucket
-    # derivation), same oracle as maxsim_topk
-    "maxsim_topk_indexed",
+    # demoted r11 to put the serving flagships (maxsim_topk_indexed,
+    # hybrid_search_rrf_indexed) on the scored record: ann_cosine_topk's
+    # brute-force cosine kernel re-walks inside the scored
+    # semantic_dedup_map and the semantic_admit_ivf exact-verify leg;
+    # phrase_search_indexed's index machinery (save/append/load,
+    # partition-pruned postings reads) re-walks inside the scored
+    # bm25_topk_indexed over the same invindex family.  Both keep full
+    # value oracles here and in the committed three-scale gate.
+    "ann_cosine_topk", "phrase_search_indexed",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
