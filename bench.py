@@ -105,6 +105,34 @@ def bench_queries(spark):
     }
 
 
+# Calibration probe (r11, VERDICT r10 task 5): a FIXED pure-codegen plan
+# — spark.range → xxhash64 → sum over 32 partitions, no IO, no Python,
+# data-independent — whose wall tracks host CPU contention and nothing
+# else.  Twice (r9 +14%, r10 +31%) the committed artifact caught ambient
+# noise that was invisible to the pre-suite load average because it
+# arrived DURING the suite; the probe runs before and after, so either
+# window shows up in the ratio.  CALIB_QUIET_S is the committed quiet
+# cost on this VM (median-of-3, load < 0.1 — see BASELINE.md, which
+# documents the re-run/stamp rule); the ratio vs it is emitted in the
+# JSON every run, and past CALIB_NOISY_RATIO the suite re-runs once
+# (keeping minima) before stamping ``"noisy": true`` so the judge/driver
+# can normalize instead of mistaking host noise for a regression.
+CALIB_QUIET_S = 0.53
+CALIB_NOISY_RATIO = 1.25
+
+
+def calibration_probe(spark) -> float:
+    """Median-of-3 wall of the fixed codegen plan — median, not min:
+    the probe exists to SEE contention, a min would mask it."""
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(xxhash64(id)) AS s").collect()
+        reps.append(time.time() - t0)
+    return sorted(reps)[1]
+
+
 def main() -> None:
     from vector_db_at_home_spark.schema import TESTDATA_TABLES
     from vector_db_at_home_spark.session import get_spark
@@ -171,12 +199,29 @@ def main() -> None:
     # process started (someone else on the box — load0 is sampled before
     # Spark startup and warmup add our own), one extra full pass buys
     # per-query minima from a possibly-quieter window.
+    calib_before = calibration_probe(spark)
     timings = run_suite()
+    calib_after = calibration_probe(spark)
     if load0 > 3.0:
         print(f"# pre-suite loadavg {load0:.1f} > 3: retrying suite once, "
               "keeping minima", file=sys.stderr)
         second = run_suite()
         timings = {k: min(timings[k], second[k]) for k in timings}
+        calib_after = min(calib_after, calibration_probe(spark))
+
+    # calibration verdict: the WORSE of the two windows decides — noise
+    # during either the lead-in or the suite tail inflates minima.  One
+    # automatic retry from a possibly-quieter window before stamping.
+    calib_ratio = max(calib_before, calib_after) / CALIB_QUIET_S
+    if calib_ratio > CALIB_NOISY_RATIO:
+        print(f"# calibration ratio {calib_ratio:.2f} > "
+              f"{CALIB_NOISY_RATIO}: host noise detected — retrying suite "
+              "once, keeping minima", file=sys.stderr)
+        calib_before = calibration_probe(spark)
+        second = run_suite()
+        timings = {k: min(timings[k], second[k]) for k in timings}
+        calib_after = calibration_probe(spark)
+        calib_ratio = max(calib_before, calib_after) / CALIB_QUIET_S
 
     total = round(sum(timings.values()), 3)
     print(
@@ -187,6 +232,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_value(SF_DIR),
+                "calib_before_s": round(calib_before, 3),
+                "calib_after_s": round(calib_after, 3),
+                "calib_quiet_s": CALIB_QUIET_S,
+                "calib_ratio": round(calib_ratio, 3),
+                "noisy": calib_ratio > CALIB_NOISY_RATIO,
             }
         )
     )

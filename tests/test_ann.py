@@ -740,3 +740,51 @@ def test_ivf_append_saved_readmit_tombstoned_id(spark, tmp_path):
     assert raw.filter("id = 7").count() == 1  # resurfaced, not duplicated
     # replay: everything already live
     assert ivf_append_saved(spark, path, batch) == 0
+
+
+def test_ivf_sync_watermark_equals_store_diff(spark, tmp_path):
+    """r11 (VERDICT r10 task 2): the id-watermark sync — the streaming
+    vector hook's per-micro-batch form — lands BYTE-IDENTICAL index
+    rows to the full store-diff sync across a 3-batch growth sequence,
+    while reading only the store slice above the max indexed id."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.ann import (
+        ivf_build,
+        ivf_save,
+        ivf_sync_with_store,
+        ivf_sync_with_store_watermark,
+    )
+
+    rng = np.random.default_rng(41)
+    mat = rng.standard_normal((190, 6))
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(190)]
+    base = spark.createDataFrame(rows[:100], "id long, vec array<double>")
+    pa, pb = str(tmp_path / "diff"), str(tmp_path / "wm")
+    ivf = ivf_build(base, n_cells=4, seed=7)
+    ivf_save(ivf, pa)
+    ivf_save(ivf, pb)
+
+    growing = rows[:100]
+    for lo, hi in ((100, 130), (130, 160), (160, 190)):
+        growing = growing + rows[lo:hi]
+        store_df = spark.createDataFrame(growing,
+                                         "id long, vec array<double>")
+        sa, sb = {}, {}
+        na = ivf_sync_with_store(spark, _VecStore(store_df), pa, stats=sa)
+        nb = ivf_sync_with_store_watermark(spark, _VecStore(store_df), pb,
+                                           stats=sb)
+        assert na == nb == hi - lo
+        assert abs(sa["drift_ratio"] - sb["drift_ratio"]) < 1e-12
+
+    cols = ["id", "vec", "cell"]
+    rows_a = sorted(map(tuple, spark.read.parquet(f"{pa}/assigned")
+                        .select(*cols).collect()))
+    rows_b = sorted(map(tuple, spark.read.parquet(f"{pb}/assigned")
+                        .select(*cols).collect()))
+    assert rows_a == rows_b
+
+    # replayed sync (same store) is a no-op under both forms
+    store_df = spark.createDataFrame(growing, "id long, vec array<double>")
+    assert ivf_sync_with_store_watermark(spark, _VecStore(store_df),
+                                         pb) == 0

@@ -370,10 +370,10 @@ def test_admit_batch_crash_replay_per_family(spark, tmp_path):
         pass
 
     crash_points = [
-        (dd, "minhash_corpus_state_append"),
-        (dd, "substring_state_append"),
-        (pl, "_append_digests_state"),
-        (pl, "_append_embeddings_state"),
+        (dd, "minhash_corpus_state_delta"),
+        (dd, "substring_state_delta"),
+        (pl, "_digests_delta"),
+        (pl, "_embeddings_delta"),
     ]
     from vector_db_at_home_spark.functions.fsutil import fs_exists
 
@@ -581,3 +581,96 @@ def test_admit_batch_crash_replay_ivf_family(spark, tmp_path):
     assert k_cr == k_ok == {12}
     assert c_cr == c_ok
     assert idx_cr == idx_ok  # survivor synced exactly once, same cells
+
+
+def test_admit_batch_crash_before_marker_touch_no_duplicates(spark,
+                                                             tmp_path):
+    """r11 (VERDICT r10 task 6): crash AFTER a family's delta fully
+    landed (staged write + idempotent per-file moves) but BEFORE its
+    ``_applied_<family>`` touch — the r10 residual double-append
+    window.  The replay must leave every state table byte-equal to a
+    run that never crashed WITHOUT any compaction: re-running the
+    family finds its staged files already moved and appends nothing,
+    where the r10 protocol re-appended byte-identical duplicates for
+    the delta-aggregating readers to absorb."""
+    import pytest
+
+    import vector_db_at_home_spark.functions.fsutil as fsu
+    from vector_db_at_home_spark.functions.fsutil import fs_exists
+    from vector_db_at_home_spark.operators.pipeline import (
+        clean_corpus_admit_batch,
+        clean_corpus_states_build,
+    )
+
+    long_a = " ".join(f"a{i}" for i in range(20))
+    long_b = " ".join(f"b{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [(1, long_a, "en"), (2, "corpus second doc entirely", "en")],
+        "doc_id long, text string, lang string",
+    )
+    cemb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(10, long_a, "en"), (12, long_b, "en"),
+         (15, "semantic twin doc here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    bemb = spark.createDataFrame(
+        [(12, [0.0, 1.0, 0.0]), (15, [0.99, 0.1, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+
+    def fingerprint(root):
+        out = {}
+        for tbl in ("digests", "embeddings", "minhash/bands",
+                    "minhash/shingles", "minhash/sizes",
+                    "substring/spans"):
+            try:
+                df = spark.read.parquet(f"{root}/{tbl}")
+            except Exception:
+                continue
+            out[tbl] = sorted(tuple(r) for r in df.collect())
+        return out
+
+    control = str(tmp_path / "control")
+    clean_corpus_states_build(spark, corpus, cemb, control)
+    kc, cc = clean_corpus_admit_batch(spark, control, batch, bemb,
+                                      batch_id="s1")
+    assert {r.doc_id for r in kc.collect()} == {12}
+    want = fingerprint(control)
+
+    class Boom(RuntimeError):
+        pass
+
+    for i, fam in enumerate(("minhash", "substring", "digests",
+                             "embeddings")):
+        root = str(tmp_path / f"touchcrash{i}")
+        clean_corpus_states_build(spark, corpus, cemb, root)
+        orig = fsu.fs_touch
+
+        def boom_touch(spark_, path, _fam=fam, _orig=orig):
+            if path.endswith(f"_applied_{_fam}"):
+                raise Boom(_fam)
+            return _orig(spark_, path)
+
+        fsu.fs_touch = boom_touch
+        try:
+            with pytest.raises(Boom):
+                clean_corpus_admit_batch(spark, root, batch, bemb,
+                                         batch_id="s1")
+        finally:
+            fsu.fs_touch = orig
+        marker = f"{root}/_admitted/s1"
+        # the window: delta landed, marker absent, commit absent
+        assert not fs_exists(spark, f"{marker}/_applied_{fam}")
+        assert not fs_exists(spark, f"{marker}/_COMMITTED")
+        # replay: recorded result, tables byte-equal, NO compaction run
+        kr, cr = clean_corpus_admit_batch(spark, root, batch, bemb,
+                                          batch_id="s1")
+        assert {r.doc_id for r in kr.collect()} == {12} and cr == cc
+        assert fs_exists(spark, f"{marker}/_COMMITTED")
+        assert fingerprint(root) == want, fam
+        # the staging tree is gone after the completed replay
+        assert not fs_exists(spark, f"{marker}/_staging_{fam}")

@@ -1,5 +1,5 @@
-"""MaxSim serving smoke (r10): corpus-scan vs index-served walls at two
-corpus scales 10× apart.
+"""MaxSim serving smoke (r10; 1M point + component isolation r11):
+corpus-scan vs index-served walls at two corpus scales 10× apart.
 
 The scan path re-tokenizes + re-embeds every distinct corpus token per
 query; the indexed path reads the persisted vocab + the fixed-width
@@ -7,7 +7,15 @@ query; the indexed path reads the persisted vocab + the fixed-width
 rankings, and the indexed wall stays vocab/postings-bound while the
 scan's grows with corpus text.
 
+r11 (VERDICT r10 task 7) adds per-scale isolation of the two serving
+components the corpus-independence claim rests on: the VOCAB-SCAN leg
+(tokvecs distinct + broadcast-query dot agg — vocab-sized, so its wall
+must not track corpus growth once the derived vocab saturates) and the
+PRUNED POSTINGS READ (bytes under the pbk partition dirs the positive
+dots actually select vs the dataset total).
+
 Run: python tools/maxsim_serving_smoke.py [n_small]
+(n_small=100000 gives the 100k + 1M pair)
 """
 import json
 import sys
@@ -84,6 +92,32 @@ for n in (N1, 10 * N1):
         idx, terms, k=10).collect()]
     warm2 = round(time.time() - t0, 2)
 
+    # component isolation (r11): the vocab-scan + dot leg alone, and the
+    # pruned postings bytes the winner tokens' pbk partitions cover
+    import os
+
+    from vector_db_at_home_spark.operators.featurize import (
+        _tok_pbk,
+        _token_vectors,
+    )
+
+    qdf = spark.createDataFrame([(t.lower(),) for t in terms], "qt string")
+    qvec = _token_vectors(qdf, "qt", 16, "qval")
+    t0 = time.time()
+    dots = (idx.tokvecs.distinct()
+            .join(F.broadcast(qvec), "bucket")
+            .groupBy("tok", "qt")
+            .agg(F.sum(F.col("val") * F.col("qval")).alias("dot")))
+    pbks = sorted({r["pbk"] for r in dots.filter(F.col("dot") > 0)
+                   .withColumn("pbk",
+                               _tok_pbk(F.col("tok"), idx.n_buckets))
+                   .select("pbk").distinct().collect()})
+    vocab_scan_s = round(time.time() - t0, 2)
+
+    def dir_bytes(d):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _dirs, files in os.walk(d) for f in files)
+
     out["scales"].append({
         "n_docs": n,
         "vocab_rows": spark.read.parquet(f"{path}/tokvecs").count(),
@@ -91,6 +125,11 @@ for n in (N1, 10 * N1):
         "index_build_s": build,
         "scan_wall_s": scan_wall,
         "indexed_wall_s": min(warm, warm2),
+        "vocab_scan_s": vocab_scan_s,
+        "postings_pbk_selected": len(pbks),
+        "postings_bytes_total": dir_bytes(f"{path}/postings"),
+        "postings_bytes_pruned": sum(
+            dir_bytes(f"{path}/postings/pbk={b}") for b in pbks),
         "identical": scan == served == served2,
     })
     docs.unpersist()

@@ -100,6 +100,19 @@ def fs_rename(spark, src: str, dst: str) -> None:
         os.rename(_strip_file_scheme(src), _strip_file_scheme(dst))
 
 
+def fs_mkdirs(spark, path: str) -> None:
+    """Create a directory (parents included, exists-ok)."""
+    try:
+        fs, p = _hadoop_fs(spark, path)
+        fs.mkdirs(p)
+    except Exception:
+        if not _is_local_path(path):
+            raise
+        import os
+
+        os.makedirs(_strip_file_scheme(path), exist_ok=True)
+
+
 def fs_rmtree(spark, path: str) -> None:
     """Recursive delete, ignore-missing."""
     try:
@@ -112,6 +125,33 @@ def fs_rmtree(spark, path: str) -> None:
         import shutil
 
         shutil.rmtree(_strip_file_scheme(path), ignore_errors=True)
+
+
+def fs_write_text(spark, path: str, content: str) -> None:
+    """Write a small text file ATOMICALLY: content lands at
+    ``{path}.tmp`` first, then renames over (readers see the old file,
+    the new file, or — in the crash window between delete and rename —
+    no file, never a torn one; callers treat a missing file as
+    no-state)."""
+    tmp = f"{path}.tmp"
+    try:
+        fs, p = _hadoop_fs(spark, tmp)
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+    except Exception:
+        if not _is_local_path(path):
+            raise
+        import os
+
+        lp = _strip_file_scheme(tmp)
+        os.makedirs(os.path.dirname(lp), exist_ok=True)
+        with open(lp, "w", encoding="utf-8") as f:
+            f.write(content)
+    fs_rmtree(spark, path)
+    fs_rename(spark, tmp, path)
 
 
 def fs_read_text(spark, path: str) -> str:

@@ -213,6 +213,9 @@ def ivf_save(ivf: IVFIndex, path: str) -> None:
     # readers — which always read from disk — re-derive it bit-exactly
     sig = _centroid_sig(spark.read.parquet(f"{path}/centroids"))
     fs_rmtree(spark, f"{path}/drift/log")
+    # a save may rewrite the assigned set entirely — the next watermark
+    # sync re-derives its bound from the fresh table (one max-id scan)
+    fs_rmtree(spark, f"{path}/sync_watermark")
     spark.createDataFrame(
         [(json.dumps({"mean_dist": mean_dist, "n": n,
                       "centroid_sig": sig}),)], "meta string"
@@ -351,6 +354,67 @@ def ivf_sync_with_store(spark, store, path: str,
     return _assign_and_append_saved(spark, path, ivf, new_rows, stats)
 
 
+def ivf_sync_with_store_watermark(spark, store, path: str,
+                                  id_col: str = "id",
+                                  vec_col: str = "vec",
+                                  stats: dict | None = None) -> int:
+    """Watermark form of :func:`ivf_sync_with_store` for MONOTONE-id
+    stores — the streaming ingest loop's shape (``store.insert`` is
+    max+1 allocation, appends only, batches serialized): only store
+    rows with ``id`` above the max RAW indexed id are read, so the
+    store-side scan prunes to the newly appended parquet files via
+    their id min/max stats and the per-micro-batch sync cost stays
+    O(new rows) as the corpus grows — the full-store scan per sync is
+    exactly the cost the r10 batch form (:func:`ivf_append_saved`)
+    removed from the admit loop (VERDICT r10 task 2; the streaming
+    hook was still paying it).
+
+    Bit-identical index rows to the store-diff path on the same store
+    (pytest-pinned): with monotone ids, ``id > watermark`` selects a
+    superset of ``store ∖ indexed`` restricted to never-indexed rows,
+    and the anti-join against the ``id > watermark`` slice of the index
+    removes any overlap (a replayed crash window) — that slice prunes
+    to the recently-appended parquet files too, so NO per-sync cost
+    scales with the index.  The watermark persists at
+    ``{path}/sync_watermark`` (written AFTER the append — a crash
+    between leaves it stale, and the replay's pruned anti-join dedups
+    the re-covered slice); a missing file (first sync, or after
+    ``ivf_save`` cleared it on a rebuild) falls back to one max-id
+    scan of the RAW assigned table (raw: a tombstoned max id must
+    still bound the scan — deleted ≠ missing).  Do NOT use over stores
+    that backfill ids below the current max; the general store-diff
+    form covers those."""
+    import json
+
+    from ..functions.fsutil import fs_exists, fs_read_text, fs_write_text
+
+    wm_file = f"{path}/sync_watermark"
+    if fs_exists(spark, wm_file):  # driver-side read: no Spark job
+        wm = int(json.loads(fs_read_text(spark, wm_file))["max_id"])
+    else:
+        row = spark.read.parquet(f"{path}/assigned") \
+            .agg(F.max("id").alias("m")).first()
+        wm = row["m"]
+    new_rows = store.df().select(F.col(id_col).alias("id"),
+                                 F.col(vec_col).alias("vec"))
+    have = None
+    if wm is not None:
+        new_rows = new_rows.filter(F.col("id") > wm)
+        # overlap with the index is only possible above the watermark
+        # (stale-wm replay window) — the pruned slice is the whole
+        # idempotence guard
+        have = spark.read.parquet(f"{path}/assigned") \
+            .filter(F.col("id") > wm).select("id")
+    ivf = ivf_load(spark, path)
+    new_max_box: list[int] = []
+    n = _assign_and_append_saved(spark, path, ivf, new_rows, stats,
+                                 have=have, max_id_out=new_max_box)
+    if new_max_box and (wm is None or new_max_box[0] > int(wm)):
+        fs_write_text(spark, wm_file,
+                      json.dumps({"max_id": new_max_box[0]}))
+    return n
+
+
 def ivf_append_saved(spark, path: str, new_rows: DataFrame,
                      id_col: str = "id", vec_col: str = "vec",
                      stats: dict | None = None) -> int:
@@ -372,7 +436,9 @@ def ivf_append_saved(spark, path: str, new_rows: DataFrame,
 
 def _assign_and_append_saved(spark, path: str, ivf: IVFIndex,
                              new_rows: DataFrame,
-                             stats: dict | None) -> int:
+                             stats: dict | None,
+                             have: DataFrame | None = None,
+                             max_id_out: list | None = None) -> int:
     """Shared tail of the two saved-store ingest forms: anti-join the
     index ids (idempotence), assign via the ``ivf_append`` kernel,
     append in the saved element type, drift-record.  Returns the rows
@@ -388,11 +454,17 @@ def _assign_and_append_saved(spark, path: str, ivf: IVFIndex,
     (``maintenance.tombstones_resurrect_ids`` documents the
     same-content contract on reused ids).  This also stops the old
     filtered guard re-appending every still-tombstoned store row on
-    every sync."""
+    every sync.
+
+    ``have`` (optional) narrows the idempotence guard to a
+    caller-proven sufficient id slice — the watermark sync passes the
+    ``id > watermark`` slice so the guard prunes to recent files
+    instead of scanning every index id."""
     from .maintenance import tombstones_resurrect_ids
 
-    have = spark.read.schema(ivf.assigned.schema) \
-        .parquet(f"{path}/assigned").select("id")
+    if have is None:
+        have = spark.read.schema(ivf.assigned.schema) \
+            .parquet(f"{path}/assigned").select("id")
     # tombstones ⊆ historical index ids, so intersecting with the whole
     # batch resurrects exactly the re-admitted ones
     n_res = tombstones_resurrect_ids(spark, f"{path}/tombstones",
@@ -410,6 +482,12 @@ def _assign_and_append_saved(spark, path: str, ivf: IVFIndex,
     ).assigned
     fresh = fresh.localCheckpoint(eager=True)  # stat + count + write, once
     n = fresh.count()
+    if max_id_out is not None:  # watermark callers: max over the
+        # checkpointed batch (no re-scan; appended rows only is enough —
+        # anti-joined duplicates are already bounded by the old wm)
+        m = fresh.agg(F.max("id").alias("m")).first()["m"]
+        if m is not None:
+            max_id_out.append(int(m))
     # ivf_append computes distances over double vecs; write back in the
     # SAVED schema's element type so the partitioned dataset stays
     # parquet-consistent across appends
@@ -418,9 +496,13 @@ def _assign_and_append_saved(spark, path: str, ivf: IVFIndex,
         F.col("vec").cast(ivf.assigned.schema["vec"].dataType).alias("vec"),
         "cell",
     )
-    out.write.partitionBy("cell").mode("append").parquet(
-        f"{path}/assigned"
-    )
+    # one task per cell before the partitioned write (r11): without it
+    # every shuffle partition writes a sliver into every cell dir —
+    # ~n_partitions × n_cells files PER SYNC — and the per-sync scans
+    # of a long-lived streaming index drown in file-open overhead
+    out.repartition(ivf.n_cells, "cell") \
+        .write.partitionBy("cell").mode("append").parquet(
+            f"{path}/assigned")
     # drift row AFTER the assigned append (r11, ADVICE r10): a crash
     # between the two can now only LOSE one batch's drift row (the
     # replay's anti-join sees the committed rows and no-ops) — the old

@@ -686,15 +686,35 @@ def minhash_corpus_state_append(spark, state_path: str,
     (those docs miss future candidate generation until rebuild, surfaced
     by row-count drift), never band rows whose candidates silently vanish
     at the verify joins (ADVICE r4).  ``minhash_corpus_state_build`` is
-    the recovery path for any suspected partial append."""
+    the recovery path for any suspected partial append.
+
+    For EXACTLY-ONCE appends across crash replays use
+    :func:`minhash_corpus_state_delta` with the admit loop's staged
+    protocol (``pipeline._exactly_once_append``, r11)."""
+    for df, dataset_dir in minhash_corpus_state_delta(
+            spark, state_path, admitted_df, text_col, id_col):
+        df.write.mode("append").parquet(dataset_dir)
+
+
+def minhash_corpus_state_delta(spark, state_path: str,
+                               admitted_df: DataFrame,
+                               text_col: str, id_col: str
+                               ) -> list[tuple[DataFrame, str]]:
+    """The batch's state delta as ``(frame, dataset_dir)`` pairs in the
+    safe write order (verify side before the candidate-generating
+    bands — the ADVICE r4 ordering ``minhash_corpus_state_append``
+    documents).  Deterministic in the state: the only state read is the
+    frozen hot-shingle list, so recomputing the delta on a crash replay
+    yields identical rows."""
     meta, _cs, _cb, _cz, hot = _read_minhash_state(spark, state_path)
     sh = hashed_shingles(admitted_df, text_col, id_col, meta["n"], None) \
         .join(F.broadcast(hot), "h60", "left_anti")
     band_rows, sizes = _signature_bands(sh, meta["num_perm"], meta["bands"])
-    sh.select("id", "h60").write.mode("append") \
-        .parquet(f"{state_path}/shingles")
-    sizes.write.mode("append").parquet(f"{state_path}/sizes")
-    band_rows.write.mode("append").parquet(f"{state_path}/bands")
+    return [
+        (sh.select("id", "h60"), f"{state_path}/shingles"),
+        (sizes, f"{state_path}/sizes"),
+        (band_rows, f"{state_path}/bands"),
+    ]
 
 
 def minhash_corpus_state_compact(spark, state_path: str,
@@ -2366,7 +2386,20 @@ def substring_state_append(spark, state_path: str, admitted_df: DataFrame,
     """Admit a batch: append its per-hash delta rows — one aggregation
     over the batch only, no corpus rescan, no read-modify-write of the
     state (readers aggregate deltas, so a concurrent read mid-append
-    sees either the old or the new total per file, never a torn row)."""
+    sees either the old or the new total per file, never a torn row).
+    For exactly-once appends use :func:`substring_state_delta` with the
+    admit loop's staged protocol (r11)."""
+    for df, dataset_dir in substring_state_delta(
+            spark, state_path, admitted_df, text_col, id_col):
+        df.write.mode("append").parquet(dataset_dir)
+
+
+def substring_state_delta(spark, state_path: str, admitted_df: DataFrame,
+                          text_col: str, id_col: str
+                          ) -> list[tuple[DataFrame, str]]:
+    """The batch's per-hash delta rows as ``(frame, dataset_dir)``
+    pairs — deterministic in the state (only ``meta.window`` is read),
+    so a crash-replay recomputation is identical."""
     meta, _state = _read_substring_state(spark, state_path)
     window = int(meta["window"])
     ex = _fan_out_small_input(
@@ -2379,7 +2412,7 @@ def substring_state_append(spark, state_path: str, admitted_df: DataFrame,
         .agg(F.sum("c").cast("long").alias("occ"),
              F.count(F.lit(1)).cast("long").alias("ndocs"))
     )
-    g.write.mode("append").parquet(f"{state_path}/spans")
+    return [(g, f"{state_path}/spans")]
 
 
 def substring_state_compact(spark, state_path: str,

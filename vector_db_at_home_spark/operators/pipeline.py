@@ -721,32 +721,35 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
        LAST-written ``_DECIDED`` touch file, so a crash between the
        two decision artifacts can never wedge the replay on a partial
        marker — the ADVICE r9 gate bug).
-    2. **Apply**: each state family appends in turn, each append
-       followed by an ``_applied_<family>`` touch file.  A replay
-       after a crash at any inter-append gap finds ``_DECIDED``, skips
-       the screens entirely (the decisions are already recorded — a
-       re-screen against partially-appended state would self-reject),
-       skips every ``_applied`` family, completes the rest, and
-       returns the recorded result — no duplicate state rows, no
-       state rebuild (the r9 contract required a full
-       ``clean_corpus_states_build`` here).  The replay must pass the
-       same ``batch_docs``/``batch_emb`` (the at-least-once
-       contract).  The one residual window is a crash BETWEEN a
-       family's parquet job commit and its marker touch: that family
-       re-appends once on replay — MinHash/substring/digest readers
-       aggregate or distinct their delta rows so byte-identical
-       duplicates are absorbed, and the embeddings family is an
-       any-semantics compare set; ``*_compact`` removes them
-       physically.
+    2. **Apply**: each state family lands in turn, each followed by an
+       ``_applied_<family>`` touch file.  A replay after a crash at
+       any inter-family gap finds ``_DECIDED``, skips the screens
+       entirely (the decisions are already recorded — a re-screen
+       against partially-appended state would self-reject), skips
+       every ``_applied`` family, completes the rest, and returns the
+       recorded result — no duplicate state rows, no state rebuild
+       (the r9 contract required a full ``clean_corpus_states_build``
+       here).  The replay must pass the same
+       ``batch_docs``/``batch_emb`` (the at-least-once contract).
+       The parquet-append families are EXACTLY-ONCE even across the
+       gap between a family's job commit and its marker touch (r11,
+       VERDICT r10 task 6): each delta stages under the batch marker
+       and moves in via idempotent per-file renames
+       (:func:`_exactly_once_append`), so the replay's re-run finds
+       the files already in place and appends nothing — the r10
+       protocol instead re-appended byte-identical duplicates there
+       for the delta-aggregating readers to absorb until compaction.
+       The ivf family's replay is a structural no-op through
+       ``ivf_append_saved``'s index-id anti-join.
     3. **Commit**: ``_COMMITTED`` is touched LAST; a replay that finds
        it returns the recorded result without touching anything.
 
-    Append order per family follows each state's own crash discipline
-    (``minhash_corpus_state_append`` lands verify-side tables before
-    band rows; ``substring_state_append`` is a pure delta append).
+    Landing order per family follows each state's own crash discipline
+    (the minhash delta moves verify-side tables before band rows; the
+    substring delta is a pure delta append).
 
     DRIFT IN THE LOOP (r10): when the semantic IVF tier exists, the
-    write-back's ``ivf`` family surfaces ``ann.ivf_sync_with_store``'s
+    write-back's ``ivf`` family surfaces ``ann.ivf_append_saved``'s
     drift measurement into ``stats["ivf_drift"]``, and
     ``auto_refit_drift`` (a ratio threshold, e.g.
     ``ann.DRIFT_REFIT_RATIO``) makes the documented refit policy
@@ -891,19 +894,55 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
     return k, counts
 
 
-def _append_digests_state(spark, root: str, admitted: DataFrame) -> None:
-    admitted.select(
+def _digests_delta(root: str, admitted: DataFrame):
+    return [(admitted.select(
         F.col("doc_id").alias("id"), F.md5("text").alias("digest")
-    ).write.mode("append").parquet(f"{root}/digests")
+    ), f"{root}/digests")]
 
 
-def _append_embeddings_state(spark, root: str, batch_emb: DataFrame,
-                             k: DataFrame) -> None:
-    batch_emb.select(
+def _embeddings_delta(root: str, batch_emb: DataFrame, k: DataFrame):
+    return [(batch_emb.select(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("vec"),
-    ).join(k.select(F.col("doc_id").alias("id")), "id", "left_semi") \
-        .write.mode("append").parquet(f"{root}/embeddings")
+    ).join(k.select(F.col("doc_id").alias("id")), "id", "left_semi"),
+        f"{root}/embeddings")]
+
+
+def _exactly_once_append(spark, staging_root: str,
+                         tables: list[tuple[DataFrame, str]]) -> None:
+    """Append each ``(delta, dataset_dir)`` EXACTLY ONCE across crash
+    replays (r11, VERDICT r10 task 6): the delta is first written to
+    ``{staging_root}/<i>`` (skipped when that staged write already
+    committed — its ``_SUCCESS`` is the job-commit marker), then its
+    part files MOVE into the dataset via atomic per-file renames, each
+    skipped when the destination already exists.  Staged file names
+    carry a per-attempt UUID, and a replay never re-stages a committed
+    staging dir, so a crash at ANY point — mid-stage, mid-move, or
+    between the last move and the family marker touch — replays to the
+    same final file set with zero duplicate rows.  This closes the r10
+    residual double-append window (parquet job commit → marker touch)
+    that previously relied on delta-aggregating/distinct readers to
+    absorb byte-identical duplicates until compaction."""
+    from ..functions.fsutil import (
+        fs_exists,
+        fs_ls,
+        fs_mkdirs,
+        fs_rename,
+        fs_rmtree,
+    )
+
+    for i, (delta, dataset_dir) in enumerate(tables):
+        stage = f"{staging_root}/{i}"
+        if not fs_exists(spark, f"{stage}/_SUCCESS"):
+            fs_rmtree(spark, stage)  # torn previous attempt, if any
+            delta.write.mode("overwrite").parquet(stage)
+        fs_mkdirs(spark, dataset_dir)
+        for name in fs_ls(spark, stage):
+            if name.startswith(("_", ".")):
+                continue
+            dest = f"{dataset_dir}/{name}"
+            if not fs_exists(spark, dest):
+                fs_rename(spark, f"{stage}/{name}", dest)
 
 
 def _admit_write_back(spark, root: str, marker: str | None,
@@ -911,29 +950,39 @@ def _admit_write_back(spark, root: str, marker: str | None,
                       k: DataFrame, stats: dict | None = None,
                       auto_refit_drift: float | None = None) -> None:
     """Phases 2-3 of :func:`clean_corpus_admit_batch`'s marker protocol
-    (r10): append the survivors to each state family in a fixed order,
-    touching ``{marker}/_applied_<family>`` after each append so a
-    replay after a crash at any inter-append gap skips the completed
-    families and finishes the rest; ``_COMMITTED`` lands last.  With
+    (r10): land the survivors in each state family in a fixed order,
+    touching ``{marker}/_applied_<family>`` after each so a replay
+    after a crash at any inter-family gap skips the completed families
+    and finishes the rest; ``_COMMITTED`` lands last.  With
     ``marker=None`` (no ``batch_id``) the appends run unguarded — the
-    pre-r10 behavior."""
-    from .dedup import minhash_corpus_state_append, substring_state_append
+    pre-r10 behavior.
 
-    from ..functions.fsutil import fs_exists, fs_touch
+    The parquet-append families (minhash/substring/digests/embeddings)
+    go through :func:`_exactly_once_append` (r11): their deltas stage
+    under the batch marker and move in with idempotent per-file
+    renames, so a crash between the append's job commit and the family
+    marker touch no longer leaves duplicate state rows for the replay's
+    re-append (the r10 protocol absorbed those via delta-aggregating
+    readers until compaction; now they cannot occur).  The ivf family
+    keeps its own exactly-once mechanism — ``ivf_append_saved``'s
+    index-id anti-join makes its replay a structural no-op."""
+    from .dedup import minhash_corpus_state_delta, substring_state_delta
+
+    from ..functions.fsutil import fs_exists, fs_rmtree, fs_touch
 
     admitted = batch_docs.join(k, "doc_id", "left_semi") \
         .localCheckpoint(eager=True)
-    families: list[tuple[str, object]] = [
-        ("minhash", lambda: minhash_corpus_state_append(
+    staged: list[tuple[str, object]] = [
+        ("minhash", lambda: minhash_corpus_state_delta(
             spark, f"{root}/minhash", admitted, "text", "doc_id")),
-        ("substring", lambda: substring_state_append(
+        ("substring", lambda: substring_state_delta(
             spark, f"{root}/substring", admitted, "text", "doc_id")),
-        ("digests", lambda: _append_digests_state(spark, root, admitted)),
+        ("digests", lambda: _digests_delta(root, admitted)),
     ]
+    families: list[tuple[str, object]] = []
     if batch_emb is not None:
-        families.append(
-            ("embeddings",
-             lambda: _append_embeddings_state(spark, root, batch_emb, k)))
+        staged.append(
+            ("embeddings", lambda: _embeddings_delta(root, batch_emb, k)))
         if fs_exists(spark, f"{root}/ivf"):
             # keep the semantic IVF tier in sync at O(batch): the loop
             # KNOWS the admitted vectors, so the batch-form
@@ -967,6 +1016,24 @@ def _admit_write_back(spark, root: str, marker: str | None,
                         stats["ivf_refit"] = True
 
             families.append(("ivf", _sync_ivf))
+    for name, delta_fn in staged:
+        if marker is not None and fs_exists(spark,
+                                            f"{marker}/_applied_{name}"):
+            # a crash between the touch and the staging rmtree leaves an
+            # inert, fully-moved staging tree — clean it on the skip
+            fs_rmtree(spark, f"{marker}/_staging_{name}")
+            continue
+        if marker is None:  # unguarded pre-r10 path: plain appends
+            for df, dataset_dir in delta_fn():
+                df.write.mode("append").parquet(dataset_dir)
+        else:
+            staging = f"{marker}/_staging_{name}"
+            _exactly_once_append(spark, staging, delta_fn())
+            fs_touch(spark, f"{marker}/_applied_{name}")
+            fs_rmtree(spark, staging)  # after the touch: a crash between
+            # leaves an inert (fully-moved) staging tree the next replay
+            # skips via the marker; rmtree-first would let a replay
+            # re-stage fresh UUID files and duplicate the moves
     for name, fn in families:
         if marker is not None and fs_exists(spark,
                                             f"{marker}/_applied_{name}"):
