@@ -106,8 +106,8 @@ def bench_queries(spark):
 
 
 # Calibration probe (r11, VERDICT r10 task 5): a FIXED pure-codegen plan
-# — spark.range → xxhash64 → sum over 32 partitions, no IO, no Python,
-# data-independent — whose wall tracks host CPU contention and nothing
+# — spark.range → xxhash64 → bit_xor over 32 partitions, no IO, no
+# Python, data-independent — whose wall tracks CPU contention and nothing
 # else.  Twice (r9 +14%, r10 +31%) the committed artifact caught ambient
 # noise that was invisible to the pre-suite load average because it
 # arrived DURING the suite; the probe runs before and after, so either
@@ -117,8 +117,11 @@ def bench_queries(spark):
 # JSON every run, and past CALIB_NOISY_RATIO the suite re-runs once
 # (keeping minima) before stamping ``"noisy": true`` so the judge/driver
 # can normalize instead of mistaking host noise for a regression.
-CALIB_QUIET_S = 0.53
-CALIB_NOISY_RATIO = 1.25
+CALIB_QUIET_S = 0.15   # IN-BENCH quiet medians measured 0.12-0.16
+#                          (after the suite warmup; load < 0.3)
+CALIB_NOISY_RATIO = 1.5  # pure-CPU probe inflates >= the suite under
+#                          co-tenant load; 1.5 clears the quiet jitter
+#                          band (max observed quiet ratio ~1.05)
 
 
 def calibration_probe(spark) -> float:
@@ -128,7 +131,7 @@ def calibration_probe(spark) -> float:
     for _ in range(3):
         t0 = time.time()
         spark.range(0, 200_000_000, 1, 32).selectExpr(
-            "sum(xxhash64(id)) AS s").collect()
+            "bit_xor(xxhash64(id)) AS s").collect()
         reps.append(time.time() - t0)
     return sorted(reps)[1]
 
