@@ -1061,3 +1061,73 @@ def test_stream_into_maxsim_index(spark, tmp_path):
     q2.awaitTermination()
     assert spark.read.parquet(f"{path}/docids").count() == n_docids
     assert results(path) == results(ref_path)
+
+
+def test_neardup_state_append_exactly_once_across_marker_crash(
+        spark, tmp_path, monkeypatch):
+    """r11: the streaming text hook's state append goes through the
+    staged exactly-once protocol — a crash BETWEEN the state append's
+    job commit and the batch marker touch must replay to a state
+    byte-equal to a never-crashed run, with zero duplicate rows and no
+    compaction (the pre-r11 hook re-appended the batch for the
+    delta-aggregating readers to absorb)."""
+    import pytest
+
+    import vector_db_at_home_spark.streaming.neardup as nd
+    from vector_db_at_home_spark.store import VectorStore
+    from vector_db_at_home_spark.streaming.neardup import (
+        stream_into_store_neardup,
+    )
+
+    novel = '{"t": "totally novel words here nothing matches"}'
+
+    def run(tag, state_dir):
+        # the feed is written ONCE per tag: a restart must replay the
+        # SAME batch 0, not discover a rewritten file as a new batch
+        store = VectorStore(spark, tmp_path / f"store_{tag}", dim=2)
+        feed = str(tmp_path / f"feed_{tag}")
+        import os
+        if not os.path.isdir(feed):
+            spark.createDataFrame(
+                [([0.0, 1.0], novel)], "vec array<float>, doc string",
+            ).coalesce(1).write.parquet(feed)
+        q = stream_into_store_neardup(
+            (spark.readStream.schema("vec array<float>, doc string")
+             .parquet(feed)),
+            store, jaccard_threshold=0.4,
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            state_dir=state_dir,
+        )
+        q.awaitTermination()
+        return store
+
+    def fingerprint(state_dir):
+        out = {}
+        for tbl in ("shingles", "sizes", "bands"):
+            df = spark.read.parquet(f"{state_dir}/{tbl}")
+            out[tbl] = sorted(tuple(r) for r in df.collect())
+        return out
+
+    control_state = str(tmp_path / "state_ctl")
+    run("ctl", control_state)
+    want = fingerprint(control_state)
+
+    crash_state = str(tmp_path / "state_crash")
+    orig = nd._fs_touch
+
+    def boom(spark_, path):
+        if "_appended_batches" in path:
+            raise RuntimeError("crash at marker touch")
+        return orig(spark_, path)
+
+    monkeypatch.setattr(nd, "_fs_touch", boom)
+    with pytest.raises(Exception, match="crash at marker touch"):
+        run("crash", crash_state)
+    # the state delta landed (staged moves completed), marker absent
+    assert fingerprint(crash_state) == want
+    monkeypatch.setattr(nd, "_fs_touch", orig)
+
+    # replay through the SAME checkpoint: exactly-once, store lands once
+    store = run("crash", crash_state)
+    assert store.count() == 1
+    assert fingerprint(crash_state) == want  # zero duplicates, no compact

@@ -196,19 +196,34 @@ def stream_into_store_neardup(stream_df: DataFrame, store: VectorStore,
         # count, then write) on the returned frame
         survivors = survivors.localCheckpoint(eager=True)
         if state_dir is not None:
-            from ..operators.dedup import minhash_corpus_state_append
+            from ..operators.dedup import minhash_corpus_state_delta
+            from ..operators.pipeline import _exactly_once_append
 
             marker = f"{state_dir}/_appended_batches/{scope}/{batch_id}"
+            staging = f"{state_dir}/_staging/{scope}/{batch_id}"
             if not _fs_exists(spark, marker):
-                minhash_corpus_state_append(
-                    spark, state_dir,
-                    survivors.select(
-                        F.col("__bid").alias("doc_id"),
-                        F.coalesce(F.col(doc_col), F.lit("{}")).alias("text"),
+                # staged exactly-once append (r11, same protocol as the
+                # admit loop): a crash between the state append's job
+                # commit and the marker touch used to re-append the
+                # batch's rows on replay (byte-identical, absorbed by
+                # the delta-aggregating readers until compaction) — the
+                # staged per-file moves make the replay a no-op instead
+                _exactly_once_append(
+                    spark, staging,
+                    minhash_corpus_state_delta(
+                        spark, state_dir,
+                        survivors.select(
+                            F.col("__bid").alias("doc_id"),
+                            F.coalesce(F.col(doc_col), F.lit("{}"))
+                            .alias("text"),
+                        ),
+                        "text", "doc_id",
                     ),
-                    "text", "doc_id",
                 )
                 _fs_touch(spark, marker)
+            from ..functions.fsutil import fs_rmtree as _fs_rmtree
+
+            _fs_rmtree(spark, staging)
             if (compact_every_batches is not None
                     and (batch_id + 1) % compact_every_batches == 0):
                 from ..functions.fsutil import fs_ls, fs_rmtree
@@ -217,13 +232,14 @@ def stream_into_store_neardup(stream_df: DataFrame, store: VectorStore,
                 minhash_corpus_state_compact(spark, state_dir)
                 # prune committed markers: only the CURRENT batch can
                 # ever replay under foreachBatch's contract
-                mdir = f"{state_dir}/_appended_batches/{scope}"
-                for name in fs_ls(spark, mdir):
-                    try:
-                        if int(name) < batch_id:
-                            fs_rmtree(spark, f"{mdir}/{name}")
-                    except ValueError:
-                        pass
+                for sub in ("_appended_batches", "_staging"):
+                    mdir = f"{state_dir}/{sub}/{scope}"
+                    for name in fs_ls(spark, mdir):
+                        try:
+                            if int(name) < batch_id:
+                                fs_rmtree(spark, f"{mdir}/{name}")
+                        except ValueError:
+                            pass
         return survivors.drop("__digest", "__bid")
 
     return stream_into_store(
