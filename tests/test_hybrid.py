@@ -129,3 +129,87 @@ def test_hybrid_indexed_matches_corpus_scan(spark, tmp_path):
     full.filter("id = 6").repartition(1).write.partitionBy("bucket") \
         .mode("append").parquet(f"{path}/postings")
     assert indexed() == expect
+
+
+def test_hybrid_two_tower_matches_corpus_scan(spark, tmp_path):
+    """r11: hybrid RRF with BOTH towers on persisted indexes — with
+    exhaustive probes the IVF candidate set provably covers the cosine
+    top-depth, so the exact re-score + shared rrf_fuse tail make the
+    output BIT-IDENTICAL to the corpus-scan hybrid; bounded probes
+    return a well-formed (possibly lower-recall) ranking whose lexical
+    leg is unchanged.  The serving plan scans neither the corpus text
+    nor the full embedding table's vectors on the candidate side."""
+    import numpy as np
+
+    from vector_db_at_home_spark.operators.ann import (
+        ivf_append_saved,
+        ivf_build,
+        ivf_load,
+        ivf_save,
+    )
+    from vector_db_at_home_spark.operators.hybrid import (
+        hybrid_search_rrf,
+        hybrid_search_rrf_two_tower,
+    )
+    from vector_db_at_home_spark.operators.invindex import (
+        invindex_append,
+        invindex_load,
+        invindex_save,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(23)
+    words = ["cat", "dog", "fish", "bird", "tree", "rock", "wind"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(words, 8))) for i in range(120)],
+        "doc_id long, text string",
+    )
+    mat = rng.standard_normal((120, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    qvec = emb.filter("vec_id = 1").select(emb.embedding.alias("qvec"))
+    terms = ["cat", "dog"]
+
+    expect = hybrid_search_rrf(docs, emb, terms, qvec,
+                               k=10, depth=20).collect()
+
+    lex = str(tmp_path / "tt_lex")
+    invindex_save(docs.filter("doc_id % 5 != 0"), "text", "doc_id",
+                  lex, n_buckets=8)
+    invindex_append(spark, lex, docs.filter("doc_id % 5 = 0"),
+                    "text", "doc_id")
+
+    def nvec(col):
+        v = F.transform(col, lambda x: x.cast("double"))
+        nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        return F.when(nrm == 0.0, v).otherwise(
+            F.transform(v, lambda x: x / nrm))
+
+    vec = str(tmp_path / "tt_vec")
+    nbase = emb.select(F.col("vec_id").alias("id"),
+                       nvec(F.col("embedding")).alias("vec"))
+    ivf_save(ivf_build(nbase.filter("id % 5 != 0"), n_cells=6, seed=3),
+             vec)
+    ivf_append_saved(spark, vec, nbase.filter("id % 5 = 0"))
+
+    idx, ivf = invindex_load(spark, lex), ivf_load(spark, vec)
+    exhaustive = hybrid_search_rrf_two_tower(
+        idx, ivf, emb, terms, qvec, k=10, depth=20, n_probes=6)
+    assert exhaustive.collect() == expect
+
+    # the candidate semi-join keeps the vector leg's scan bounded: the
+    # plan carries the broadcast join, not a bare full-table cosine
+    plan = exhaustive._jdf.queryExecution().executedPlan().toString()
+    assert "text" not in plan  # corpus text never enters the plan
+
+    # bounded probes: k rows, valid rank structure, lexical leg intact
+    bounded = hybrid_search_rrf_two_tower(
+        idx, ivf, emb, terms, qvec, k=10, depth=20, n_probes=1).collect()
+    assert len(bounded) == 10
+    exp_lex = {r["id"]: r["lex_rank"] for r in expect
+               if r["lex_rank"] is not None}
+    for r in bounded:
+        if r["lex_rank"] is not None and r["id"] in exp_lex:
+            assert r["lex_rank"] == exp_lex[r["id"]]

@@ -71,13 +71,21 @@ def hybrid_search_rrf(docs: DataFrame, emb: DataFrame, terms: list[str],
 
 def rrf_fuse(tf: DataFrame, emb: DataFrame, qvec, k: int, depth: int,
              vec_id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             vec_candidates: DataFrame | None = None) -> DataFrame:
     """The ranking tail shared by :func:`hybrid_search_rrf` and the
     pruned-index lexical leg (``hybrid_search_rrf_indexed``): given the
     lexical ``tf (id, tf)`` hits, rank both legs, truncate to
     ``depth``, fuse by RRF.  One function so the corpus-scan and
     indexed paths are expression-identical — same windows, same
-    integer ranks, same e6 key."""
+    integer ranks, same e6 key.
+
+    ``vec_candidates`` (optional ``(id)`` frame, r11 — the two-tower
+    path): restrict the vector leg to a candidate set via a broadcast
+    semi-join BEFORE the cosine computes — the exact re-score runs
+    over candidate rows only, with the same expression/window as the
+    full scan, so a candidate set covering the true top-``depth``
+    yields bit-identical output."""
     # distributed top-depth FIRST (TakeOrderedAndProject — per-partition
     # heads merged, no full shuffle), THEN the rank window over the ≤depth
     # survivors; ranking the raw leg directly would single-partition the
@@ -89,8 +97,14 @@ def rrf_fuse(tf: DataFrame, emb: DataFrame, qvec, k: int, depth: int,
         .select("id", "lex_rank")
     )
 
+    vec_src = emb
+    if vec_candidates is not None:
+        vec_src = emb.join(
+            F.broadcast(vec_candidates.select(
+                F.col("id").alias(vec_id_col))),
+            vec_id_col, "left_semi")
     sims = (
-        emb.crossJoin(F.broadcast(qvec))
+        vec_src.crossJoin(F.broadcast(qvec))
         .select(
             F.col(vec_id_col).alias("id"),
             cosine_similarity(F.col(vec_col), F.col("qvec")).alias("sim"),
@@ -138,11 +152,19 @@ def hybrid_search_rrf_indexed(idx, emb: DataFrame, terms: list[str],
     approximate recall is acceptable (those are separate, recalled
     queries).  Crash-window append duplicates collapse via the per-term
     ``(id, pos)`` distinct, exactly like the phrase and BM25 paths."""
+    tf = _indexed_tf(idx, terms, "hybrid_search_rrf_indexed")
+    return rrf_fuse(tf, emb, qvec, k, depth, vec_id_col, vec_col)
+
+
+def _indexed_tf(idx, terms: list[str], caller: str) -> DataFrame:
+    """The pruned lexical leg shared by the indexed hybrid paths:
+    per-doc matched-token counts from each query term's
+    partition-pruned postings read."""
     from ..functions.tokenize import normalize_query_terms
 
     lterms = normalize_query_terms(terms, idx.tokenize_mode)
     if not lterms:
-        raise ValueError("hybrid_search_rrf_indexed requires query terms")
+        raise ValueError(f"{caller} requires query terms")
     from .invindex import _bucket
 
     B = idx.n_buckets
@@ -158,8 +180,56 @@ def hybrid_search_rrf_indexed(idx, emb: DataFrame, terms: list[str],
             .agg(F.count(F.lit(1)).alias("c"))
         )
         per_term = s if per_term is None else per_term.unionByName(s)
-    tf = per_term.groupBy("id").agg(F.sum("c").cast("int").alias("tf"))
-    return rrf_fuse(tf, emb, qvec, k, depth, vec_id_col, vec_col)
+    return per_term.groupBy("id").agg(F.sum("c").cast("int").alias("tf"))
+
+
+def hybrid_search_rrf_two_tower(idx, ivf, emb: DataFrame,
+                                terms: list[str], qvec,
+                                k: int = 10, depth: int = 50,
+                                n_probes: int = 4,
+                                candidate_slack: int = 16,
+                                vec_id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> DataFrame:
+    """Hybrid RRF with BOTH towers through persisted indexes (r11):
+    the lexical leg from the inverted index's partition-pruned postings
+    (exactly :func:`hybrid_search_rrf_indexed`'s leg), the vector leg's
+    CANDIDATES from an IVF index over the L2-NORMALIZED embeddings
+    (cosine order ≡ negative-L2 order on the unit sphere), each
+    candidate re-scored with the SAME exact cosine expression and
+    ranked by the shared :func:`rrf_fuse` tail — so whenever the
+    candidate set covers the true cosine top-``depth``, the output is
+    bit-identical to the corpus-scan :func:`hybrid_search_rrf` (same
+    oracle).  Exhaustive probes (``n_probes >= ivf.n_cells``) guarantee
+    coverage: the IVF leg then returns the global L2 top
+    ``depth + candidate_slack`` over normalized vectors, a superset of
+    the cosine top-``depth`` (the slack absorbs float-noise order swaps
+    between the two formulas at the cut — ties on identical vectors
+    resolve by the same ``id ASC`` in both).  Bounded probes trade
+    recall the standard IVF way.
+
+    At 100 TB: the lexical tower reads ~q/B of the postings store, the
+    vector tower reads the probed cells of the cell-partitioned index
+    plus a broadcast-semi-join point-read of the ≤depth+slack candidate
+    rows from the embedding table (row-group pruned when the table is
+    id-clustered) — neither tower rescans its corpus."""
+    from .ann import ivf_search
+
+    nrm = F.sqrt(F.aggregate(
+        F.transform(F.col("qvec"), lambda x: x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x * x))
+    qs = qvec.select(
+        F.lit(0).cast("long").alias("query_id"),
+        F.when(nrm == 0.0,
+               F.transform(F.col("qvec"), lambda x: x.cast("double")))
+        .otherwise(F.transform(F.col("qvec"),
+                               lambda x: x.cast("double") / nrm))
+        .alias("qvec"),
+    )
+    cand = ivf_search(ivf, qs, k=depth + candidate_slack,
+                      n_probes=n_probes).select("id")
+    tf = _indexed_tf(idx, terms, "hybrid_search_rrf_two_tower")
+    return rrf_fuse(tf, emb, qvec, k, depth, vec_id_col, vec_col,
+                    vec_candidates=cand)
 
 
 def render_hybrid_rrf_sql(terms: list[str], k: int = 10,

@@ -3808,6 +3808,72 @@ def _register_hybrid() -> None:
         terms, k=10, depth=50
     )
 
+    def q_hybrid_two_tower(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hybrid RRF with BOTH towers through persisted indexes
+        (operators/hybrid.py:hybrid_search_rrf_two_tower — r11): the
+        lexical leg from partition-pruned postings reads of the saved
+        inverted index (80/20 save+append), the vector leg's candidates
+        from a saved IVF index over the NORMALIZED embeddings (80/20
+        save + ivf_append_saved), probed exhaustively so the candidate
+        set provably covers the cosine top-depth — the exact re-score
+        and rrf_fuse tail then make the output bit-identical to the
+        corpus-scan hybrid_search_rrf, and the oracle is the SAME SQL.
+        Neither tower rescans its corpus: the 100 TB two-tower serving
+        shape, fully on persisted state."""
+        import tempfile
+
+        from .operators.ann import (
+            ivf_append_saved,
+            ivf_build,
+            ivf_load,
+            ivf_save,
+        )
+        from .operators.hybrid import hybrid_search_rrf_two_tower
+        from .operators.invindex import (
+            invindex_append,
+            invindex_load,
+            invindex_save,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = (
+            emb.filter(F.col("vec_id") == 0)
+            .select(F.col("embedding").alias("qvec"))
+        )
+
+        def nvec(col):
+            v = F.transform(col, lambda x: x.cast("double"))
+            nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+            return F.when(nrm == 0.0, v).otherwise(
+                F.transform(v, lambda x: x / nrm))
+
+        lex_path = tempfile.mkdtemp(prefix="twotower_lex_")
+        invindex_save(docs.filter(F.col("doc_id") % 7 != 0),
+                      "text", "doc_id", lex_path, n_buckets=32)
+        invindex_append(spark, lex_path,
+                        docs.filter(F.col("doc_id") % 7 == 0),
+                        "text", "doc_id")
+        vec_path = tempfile.mkdtemp(prefix="twotower_vec_")
+        nbase = emb.select(F.col("vec_id").alias("id"),
+                           nvec(F.col("embedding")).alias("vec"))
+        ivf_save(ivf_build(nbase.filter(F.col("id") % 7 != 0),
+                           n_cells=16, seed=7), vec_path)
+        ivf_append_saved(spark, vec_path,
+                         nbase.filter(F.col("id") % 7 == 0))
+        idx = invindex_load(spark, lex_path)
+        ivf = ivf_load(spark, vec_path)
+        return _finish_rmtree(
+            hybrid_search_rrf_two_tower(idx, ivf, emb, terms, qvec,
+                                        k=10, depth=50, n_probes=16),
+            lex_path, vec_path,
+        )
+
+    _QUERIES["hybrid_rrf_two_tower"] = q_hybrid_two_tower
+    _ORACLES["hybrid_rrf_two_tower"] = render_hybrid_rrf_sql(
+        terms, k=10, depth=50
+    )
+
 
 _register_hybrid()
 
@@ -5523,6 +5589,10 @@ _TAIL_ORDER = [
     # bm25_topk_indexed over the same invindex family.  Both keep full
     # value oracles here and in the committed three-scale gate.
     "ann_cosine_topk", "phrase_search_indexed",
+    # round-11: hybrid RRF with BOTH towers on persisted indexes —
+    # exhaustive probes make it bit-identical to the corpus-scan
+    # hybrid (same oracle); bounded probes are the recalled tier
+    "hybrid_rrf_two_tower",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
