@@ -66,11 +66,13 @@ def test_registry_queries_leave_no_tempdir_entries(spark):
         "phrase_search_indexed_regex",
         "streaming_dedup_equiv",
         "streaming_vector_neardup_equiv",
+        "hybrid_rrf_two_tower",
     ]
     owned_prefixes = (
         "mh_state_q_", "sh_state_q_", "maxsimidx_", "hybridx_",
         "substring_state_", "knngraph_idx_", "invindex_", "bm25idx_",
         "invindex_rx_", "stream_equiv_", "stream_vec_equiv_",
+        "twotower_lex_", "twotower_vec_",
     )
     qs = queries()
     sf_dir = "/root/testdata/sf0.001"
