@@ -114,7 +114,13 @@ def fs_mkdirs(spark, path: str) -> None:
 
 
 def fs_rmtree(spark, path: str) -> None:
-    """Recursive delete, ignore-missing."""
+    """Recursive delete, ignore-missing.  Deletes PLAIN FILES too — the
+    Hadoop ``delete`` handles both, and the local fallback branches on
+    ``isdir`` (ADVICE r11: ``shutil.rmtree(ignore_errors=True)`` silently
+    no-ops on a file, so in JVM-gateway-less environments a stale
+    watermark FILE would survive the ``ivf_save`` clear and
+    ``fs_write_text``'s delete-before-rename would leave the old file in
+    place, violating their delete contracts)."""
     try:
         fs, p = _hadoop_fs(spark, path)
         if fs.exists(p):
@@ -122,9 +128,16 @@ def fs_rmtree(spark, path: str) -> None:
     except Exception:
         if not _is_local_path(path):
             raise
+        import contextlib
+        import os
         import shutil
 
-        shutil.rmtree(_strip_file_scheme(path), ignore_errors=True)
+        lp = _strip_file_scheme(path)
+        if os.path.isdir(lp):
+            shutil.rmtree(lp, ignore_errors=True)
+        else:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(lp)
 
 
 def fs_write_text(spark, path: str, content: str) -> None:

@@ -211,7 +211,22 @@ def hybrid_search_rrf_two_tower(idx, ivf, emb: DataFrame,
     vector tower reads the probed cells of the cell-partitioned index
     plus a broadcast-semi-join point-read of the ≤depth+slack candidate
     rows from the embedding table (row-group pruned when the table is
-    id-clustered) — neither tower rescans its corpus."""
+    id-clustered) — neither tower rescans its corpus.
+
+    Sizing ``candidate_slack`` (ADVICE r11): the slack absorbs rank
+    swaps AT THE DEPTH CUT between the IVF leg's normalized-L2 ordering
+    and the exact-cosine re-score — the two orderings agree
+    mathematically, so swaps come only from float noise among
+    NEAR-TIED scores straddling the cut.  The bit-parity claim with the
+    corpus-scan path therefore holds whenever fewer than ``slack``
+    candidates are near-tied with the rank-``depth`` score; a corpus
+    with a denser tie cluster at the cut (e.g. many duplicated or
+    quantized embeddings scoring identically) needs ``candidate_slack``
+    sized past that cluster — set it ≥ the multiplicity of the most
+    duplicated embedding value you admit, or re-run with doubled slack
+    and compare top-``k`` when serving corpora with heavy embedding
+    duplication.  (Exact ties on IDENTICAL vectors are safe at any
+    slack: both orderings break them by the same ``id ASC``.)"""
     from .ann import ivf_search
 
     nrm = F.sqrt(F.aggregate(

@@ -73,6 +73,19 @@ def tombstones_resurrect_ids(spark, tomb_dir: str, ids: "DataFrame") -> int:
     Crash-safe two-rename swap, healed by ``recover_compact_crash`` (run
     here and by every ``*_load``).  Returns the number of tombstones
     removed; no-op (0) when the table is absent or disjoint from ``ids``.
+
+    Concurrency contract (ADVICE r11): SINGLE WRITER, NO CONCURRENT
+    READERS during the swap.  Between the two renames the tombstone
+    table is briefly ABSENT — a reader loading the index in that window
+    sees zero tombstones and every deleted doc resurfaces in its
+    results, silently (unlike ``compact_saved_table``'s window, where
+    the missing LIVE table fails the read loudly).  This matches the
+    engine-wide append-only-store discipline — every ``*_append`` /
+    ``*_sync`` / compact here assumes one maintainer process, and the
+    rewrite runs inline in any append whose batch intersects the
+    tombstones — but it is the one window that degrades to wrong
+    results rather than an error, so serve from a separate index copy
+    (or quiesce readers) when running maintenance against live traffic.
     """
     from ..functions.fsutil import fs_exists, fs_rename, fs_rmtree
 

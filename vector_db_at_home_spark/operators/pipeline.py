@@ -913,29 +913,41 @@ def _exactly_once_append(spark, staging_root: str,
     """Append each ``(delta, dataset_dir)`` EXACTLY ONCE across crash
     replays (r11, VERDICT r10 task 6): the delta is first written to
     ``{staging_root}/<i>`` (skipped when that staged write already
-    committed — its ``_SUCCESS`` is the job-commit marker), then its
-    part files MOVE into the dataset via atomic per-file renames, each
-    skipped when the destination already exists.  Staged file names
-    carry a per-attempt UUID, and a replay never re-stages a committed
-    staging dir, so a crash at ANY point — mid-stage, mid-move, or
-    between the last move and the family marker touch — replays to the
-    same final file set with zero duplicate rows.  This closes the r10
-    residual double-append window (parquet job commit → marker touch)
-    that previously relied on delta-aggregating/distinct readers to
-    absorb byte-identical duplicates until compaction."""
+    committed — the protocol-owned ``_STAGED`` marker, touched right
+    after the write returns, is the commit record), then its part files
+    MOVE into the dataset via atomic per-file renames, each skipped when
+    the destination already exists.  Staged file names carry a
+    per-attempt UUID, and a replay never re-stages a committed staging
+    dir, so a crash at ANY point — mid-stage, mid-move, or between the
+    last move and the family marker touch — replays to the same final
+    file set with zero duplicate rows.  This closes the r10 residual
+    double-append window (parquet job commit → marker touch) that
+    previously relied on delta-aggregating/distinct readers to absorb
+    byte-identical duplicates until compaction.
+
+    The staged-commit check keys on our OWN ``_STAGED`` marker, not the
+    committer's ``_SUCCESS`` (ADVICE r11): with
+    ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false`` no
+    ``_SUCCESS`` is ever written, so a ``_SUCCESS``-keyed replay after a
+    mid-move crash would re-stage fresh UUID part files and duplicate
+    every already-moved row.  ``_SUCCESS``, when present, is still
+    honored for staging dirs written before this protocol version."""
     from ..functions.fsutil import (
         fs_exists,
         fs_ls,
         fs_mkdirs,
         fs_rename,
         fs_rmtree,
+        fs_touch,
     )
 
     for i, (delta, dataset_dir) in enumerate(tables):
         stage = f"{staging_root}/{i}"
-        if not fs_exists(spark, f"{stage}/_SUCCESS"):
+        if not (fs_exists(spark, f"{stage}/_STAGED")
+                or fs_exists(spark, f"{stage}/_SUCCESS")):
             fs_rmtree(spark, stage)  # torn previous attempt, if any
             delta.write.mode("overwrite").parquet(stage)
+            fs_touch(spark, f"{stage}/_STAGED")
         fs_mkdirs(spark, dataset_dir)
         for name in fs_ls(spark, stage):
             if name.startswith(("_", ".")):

@@ -38,6 +38,9 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+_FINISH_RMTREE_MAX_ROWS = 100_000
+
+
 def _finish_rmtree(df: DataFrame, *paths: str) -> DataFrame:
     """Materialize a small query result, then remove the per-invocation
     temp state trees it was lazily reading (r11, VERDICT r10 task 3 /
@@ -48,10 +51,29 @@ def _finish_rmtree(df: DataFrame, *paths: str) -> DataFrame:
     returned frame reads the trees lazily), so the result — bounded at
     ≤ a few thousand rows for every such query — is pinned with
     ``localCheckpoint`` first, the same fix ``pipeline.py`` applied in
-    r10."""
+    r10.
+
+    SMALL RESULTS ONLY (VERDICT r11): the eager ``localCheckpoint`` pins
+    the result's blocks in executor memory for the session.  That is
+    correct for the ≤ few-thousand-row results every current call site
+    returns, but the pattern is copied at 15+ sites — so a row-count
+    ceiling refuses a future large-result query pasted into the same
+    wrapper instead of silently holding its blocks; such a query should
+    write to its own managed location and clean up on a lifecycle it
+    owns."""
     import shutil
 
     df = df.localCheckpoint(eager=True)
+    n = df.count()  # free: the checkpoint is already materialized
+    if n > _FINISH_RMTREE_MAX_ROWS:
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
+        raise ValueError(
+            f"_finish_rmtree pinned {n} rows in executor memory "
+            f"(ceiling {_FINISH_RMTREE_MAX_ROWS}); this wrapper is for "
+            "small registry results — large results must manage their "
+            "own temp-state lifecycle instead of localCheckpoint-pinning"
+        )
     for p in paths:
         shutil.rmtree(p, ignore_errors=True)
     return df
@@ -4887,6 +4909,139 @@ def _register_phrase_search() -> None:
 
 
 _register_phrase_search()
+
+
+def _register_batch_serving() -> None:
+    """Batch-query serving through the persisted indexes (r12, VERDICT
+    r11 task 1): the reference's own ``search`` takes an (m, dim) query
+    MATRIX (vector_store.py:275-332) — a real serving workload is a
+    query batch, and one pruned index read amortized over the batch is
+    the point of a distributed engine.  Each entry feeds a (query_id,
+    …) query frame through ONE plan and returns per-query top-k/match
+    blocks, bit-identical per query to the single-query serving calls
+    (pytest-pinned in tests/test_serving_batch.py)."""
+    bm25_queries = [
+        (0, ["vector", "merge", "batch"]),   # = the single-query flagship
+        (1, ["scan", "join"]),
+        (2, ["query window sort", "hash"]),  # multi-token term splits
+        (3, ["the", "the", "dup"]),          # duplicate terms count twice
+    ]
+    phrase_queries = [
+        (0, "the query"),                    # = the single-query flagship
+        (1, "merge part"),
+        (2, "batch batch"),
+        (3, "vector"),                       # single-term degenerate
+    ]
+    maxsim_queries = [
+        (0, ["vector", "merge", "batch"]),   # = the single-query flagship
+        (1, ["scan", "filter"]),
+        (2, ["query", "query"]),             # duplicate scales qval
+        (3, ["stream", "window", "dup"]),
+    ]
+
+    def _build_invindex(spark: SparkSession, sf_dir: str, prefix: str):
+        import tempfile
+
+        from .operators.invindex import (
+            invindex_append,
+            invindex_load,
+            invindex_save,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix=prefix)
+        invindex_save(docs.filter(F.col("doc_id") % 7 != 0),
+                      "text", "doc_id", path, n_buckets=32)
+        invindex_append(spark, path,
+                        docs.filter(F.col("doc_id") % 7 == 0),
+                        "text", "doc_id")
+        return invindex_load(spark, path), path
+
+    def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch BM25 through the persisted inverted index
+        (operators/invindex.py:bm25_search_indexed_batch — r12): four
+        queries (one the single-query flagship's, one with a
+        multi-token term, one with duplicated terms) rank in ONE plan —
+        a single pruned postings read for the union of query terms
+        (literal ``bucket IN`` PartitionFilter), per-term contributions
+        shared, per-query position-pivoted literal-order sums
+        (tfidf.bm25_rank_batch), window top-10 per query.  Every
+        (query_id, id, score_e4) row is bit-identical to the
+        single-query bm25_search_indexed call for that query."""
+        from .operators.invindex import bm25_search_indexed_batch
+
+        idx, path = _build_invindex(spark, sf_dir, "bm25batch_")
+        qdf = spark.createDataFrame(
+            bm25_queries, "query_id long, terms array<string>")
+        return _finish_rmtree(
+            bm25_search_indexed_batch(idx, qdf, k=10), path)
+
+    from .operators.tfidf import render_bm25_batch_sql
+
+    _QUERIES["bm25_topk_batch"] = q_bm25_batch
+    _ORACLES["bm25_topk_batch"] = render_bm25_batch_sql(bm25_queries, k=10)
+
+    def q_phrase_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch exact phrase search through the persisted positional
+        index (operators/invindex.py:phrase_search_indexed_batch —
+        r12): four phrases (incl. a repeated-token phrase and the
+        single-term degenerate) match in ONE set-based plan — the union
+        of phrase terms reads once from the pruned postings store, and
+        a start position matches when all qlen offsets are present
+        (count(DISTINCT off) = qlen ⇔ the k−1 adjacency joins).
+        Per-query rows equal the single-query phrase_search_indexed."""
+        from .operators.invindex import phrase_search_indexed_batch
+
+        idx, path = _build_invindex(spark, sf_dir, "phrasebatch_")
+        qdf = spark.createDataFrame(
+            phrase_queries, "query_id long, phrase string")
+        return _finish_rmtree(phrase_search_indexed_batch(idx, qdf), path)
+
+    from .operators.invindex import render_phrase_batch_sql
+
+    _QUERIES["phrase_search_batch"] = q_phrase_batch
+    _ORACLES["phrase_search_batch"] = render_phrase_batch_sql(
+        phrase_queries)
+
+    def q_maxsim_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch late-interaction MaxSim through the persisted
+        token-vector index (operators/featurize.py:
+        maxsim_search_indexed_batch — r12): the VOCAB table scans once
+        for all four queries (per-(query, term) dots via one broadcast),
+        winning tokens join the pbk-partitioned postings map once, and
+        the all-integer per-query top-10 — including the 0-floor
+        membership tail — is bit-identical per query to the
+        single-query maxsim_search_indexed."""
+        import tempfile
+
+        from .operators.featurize import (
+            maxsim_index_append,
+            maxsim_index_load,
+            maxsim_index_save,
+            maxsim_search_indexed_batch,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="maxsimbatch_")
+        maxsim_index_save(docs.filter(F.col("doc_id") % 7 != 0),
+                          "text", "doc_id", path, dim=16, n_buckets=32)
+        maxsim_index_append(spark, path,
+                            docs.filter(F.col("doc_id") % 7 == 0),
+                            "text", "doc_id")
+        idx = maxsim_index_load(spark, path)
+        qdf = spark.createDataFrame(
+            maxsim_queries, "query_id long, terms array<string>")
+        return _finish_rmtree(
+            maxsim_search_indexed_batch(idx, qdf, k=10), path)
+
+    from .operators.featurize import render_maxsim_batch_sql
+
+    _QUERIES["maxsim_topk_batch"] = q_maxsim_batch
+    _ORACLES["maxsim_topk_batch"] = render_maxsim_batch_sql(
+        maxsim_queries, k=10, dim=16)
+
+
+_register_batch_serving()
 
 
 def _register_token_stats_regex() -> None:
