@@ -142,6 +142,16 @@ class InvIndex:
     n_buckets: int
     tokenize_mode: str = "space"   # pinned at save; appends/queries follow
     doclens: "DataFrame | None" = None   # (id, dl) — BM25 lengths (r9)
+    # Block-max metadata for top-k-safe postings skipping (r12, VERDICT
+    # r11 task 2): per (term, doc-id block) the posting count, max tf
+    # and min dl — enough to upper-bound any doc's BM25 contribution in
+    # the block under the CURRENT corpus stats.  ``gen`` rows are
+    # per-save/append partials (summed/max'd/min'd at read); pre-r12
+    # stores have none and the WAND path falls back to the full read.
+    blockmax: "DataFrame | None" = None  # (term, blk, gen, cnt, max_tf,
+    #                                       min_dl, bucket)
+    block_size: int = 0
+    has_tombstones: bool = False   # pending deletes → WAND falls back
 
 
 def _bucket(col, n_buckets: int):
@@ -163,15 +173,48 @@ def _doclens(docs: DataFrame, text_col: str, id_col: str,
     )
 
 
+def _blockmax_rows(postings: DataFrame, doclens: DataFrame,
+                   block_size: int, gen: str) -> DataFrame:
+    """Per-(term, doc-id block) bounds from a postings batch: posting-doc
+    count (summing these over gens = EXACT df, since save/append batches
+    carry disjoint id sets), max per-doc tf, min dl — the block-max
+    triple that upper-bounds any block doc's BM25 contribution (the
+    saturation term rises with tf and falls with dl, for ANY current
+    corpus stats).  ``gen`` is a batch-deterministic tag so crash-replay
+    rewrites produce byte-identical rows that a dropDuplicates collapses
+    without double-counting df."""
+    tf = postings.groupBy("term", "bucket", "id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    return (
+        tf.join(doclens, "id")
+        .withColumn("blk", F.floor(F.col("id") / block_size).cast("long"))
+        .groupBy("term", "bucket", "blk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+        )
+        .select("term", "blk", F.lit(gen).alias("gen"),
+                "cnt", "max_tf", "min_dl", "bucket")
+    )
+
+
 def invindex_save(docs: DataFrame, text_col: str, id_col: str,
                   path: str, n_buckets: int = 64,
-                  tokenize_mode: str = "space") -> None:
+                  tokenize_mode: str = "space",
+                  block_size: int = 4096) -> None:
     """Persist the positional index: ``{path}/postings`` partitioned by
     ``bucket = pmod(xxhash64(term), n_buckets)`` — a term lookup then
     prunes to ONE parquet partition via Catalyst's constant-folded
     ``bucket = N`` literal — plus ``{path}/docids`` (the indexed-id
-    table the append replay guard anti-joins) and ``{path}/meta.json``
-    (n_buckets, enforced at read)."""
+    table the append replay guard anti-joins), ``{path}/doclens`` (BM25
+    lengths), ``{path}/blockmax`` (r12: per-(term, id-block) df/tf/dl
+    bounds for the top-k-safe WAND skip — see
+    :func:`bm25_search_indexed_wand`) and ``{path}/meta.json``
+    (n_buckets/block_size, enforced at read).  Postings sort within
+    partitions by ``(term, id)`` so the parquet row-group min/max stats
+    carry tight term AND id ranges — the WAND path's literal id-range
+    predicate then skips row groups physically, not just rows."""
     import json
 
     spark = docs.sparkSession
@@ -179,15 +222,21 @@ def invindex_save(docs: DataFrame, text_col: str, id_col: str,
         .withColumn("bucket", _bucket(F.col("term"), n_buckets))
     # repartition on the partition column so each bucket directory is
     # written by few tasks (one file per bucket, not n_tasks slivers)
-    p.repartition(n_buckets, "bucket").write.partitionBy("bucket") \
+    p.repartition(n_buckets, "bucket") \
+        .sortWithinPartitions("term", "id") \
+        .write.partitionBy("bucket") \
         .mode("overwrite").parquet(f"{path}/postings")
-    _doclens(docs, text_col, id_col, tokenize_mode) \
-        .write.mode("overwrite").parquet(f"{path}/doclens")
+    dl = _doclens(docs, text_col, id_col, tokenize_mode)
+    dl.write.mode("overwrite").parquet(f"{path}/doclens")
+    _blockmax_rows(p, dl, block_size, "g0") \
+        .repartition(8, "bucket").write.partitionBy("bucket") \
+        .mode("overwrite").parquet(f"{path}/blockmax")
     docs.select(F.col(id_col).alias("id")).distinct() \
         .write.mode("overwrite").parquet(f"{path}/docids")
     spark.createDataFrame(
         [(json.dumps({"n_buckets": n_buckets,
-                      "tokenize_mode": tokenize_mode}),)],
+                      "tokenize_mode": tokenize_mode,
+                      "block_size": block_size}),)],
         "meta string",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/meta.json")
 
@@ -208,10 +257,12 @@ def invindex_load(spark, path: str) -> InvIndex:
     recover_compact_crash(spark, f"{path}/postings")
     recover_compact_crash(spark, f"{path}/docids")
     recover_compact_crash(spark, f"{path}/doclens")
+    recover_compact_crash(spark, f"{path}/blockmax")
     recover_compact_crash(spark, f"{path}/tombstones")
     meta = json.loads(spark.read.json(f"{path}/meta.json").first().meta)
     n_buckets = int(meta["n_buckets"])
     tokenize_mode = meta.get("tokenize_mode", "space")  # pre-r8 meta
+    block_size = int(meta.get("block_size", 0))         # pre-r12 meta
     # explicit schemas: a store saved from an EMPTY corpus (the
     # streaming-ingest bootstrap) has no part files to infer from
     postings = spark.read.schema("term string, id long, pos int, "
@@ -220,15 +271,26 @@ def invindex_load(spark, path: str) -> InvIndex:
     doclens = (spark.read.schema("id long, dl long")
                .parquet(f"{path}/doclens")
                if fs_exists(spark, f"{path}/doclens") else None)  # pre-r9
+    blockmax = (spark.read.schema(
+        "term string, blk long, gen string, cnt long, max_tf long, "
+        "min_dl long, bucket int").parquet(f"{path}/blockmax")
+        if block_size and fs_exists(spark, f"{path}/blockmax")
+        else None)                                      # pre-r12
     tomb = f"{path}/tombstones"
+    has_tombstones = False
     if fs_exists(spark, tomb):
         dead = spark.read.parquet(tomb).select("id")
+        # the anti-join may be vacuous (resurrections emptied the
+        # table); only a NON-EMPTY pending set forces the WAND fallback
+        has_tombstones = not dead.isEmpty()
         postings = postings.join(dead, "id", "left_anti")
         docids = docids.join(dead, "id", "left_anti")
         if doclens is not None:
             doclens = doclens.join(dead, "id", "left_anti")
     return InvIndex(postings=postings, docids=docids, n_buckets=n_buckets,
-                    tokenize_mode=tokenize_mode, doclens=doclens)
+                    tokenize_mode=tokenize_mode, doclens=doclens,
+                    blockmax=blockmax, block_size=block_size,
+                    has_tombstones=has_tombstones)
 
 
 def invindex_append(spark, path: str, docs: DataFrame, text_col: str,
@@ -354,6 +416,216 @@ def phrase_search_indexed(idx: InvIndex, phrase: str) -> DataFrame:
         )
 
     return _phrase_join(stream, terms)
+
+
+_MAX_BATCH_QUERIES = 65_536
+_MAX_BATCH_TERMS = 65_536
+
+
+def _collect_query_batch(queries: DataFrame, what: str):
+    """Materialize the SMALL query-set frame driver-side (it drives
+    literal partition pruning and the broadcast fan-out), ceiling-
+    guarded so a corpus-sized frame pasted in by mistake refuses loudly
+    instead of collecting unboundedly."""
+    rows = queries.limit(_MAX_BATCH_QUERIES + 1).collect()
+    if len(rows) > _MAX_BATCH_QUERIES:
+        raise ValueError(
+            f"{what}: query batch exceeds the {_MAX_BATCH_QUERIES}-row "
+            "serving ceiling — a query set is the SMALL side; shard "
+            "larger batches across calls"
+        )
+    if not rows:
+        raise ValueError(f"{what}: empty query batch")
+    return rows
+
+
+def _term_buckets(spark, terms: list[str], n_buckets: int) -> dict[str, int]:
+    """Constant-fold ``pmod(xxhash64(t), B)`` for a literal term list in
+    one tiny job, so the batch paths can prune the bucket-partitioned
+    postings with a literal ``bucket IN (…)`` PartitionFilter (the
+    batch analog of the single-query constant-folded ``bucket = N``)."""
+    if len(terms) > _MAX_BATCH_TERMS:
+        raise ValueError(
+            f"batch term union {len(terms)} exceeds the "
+            f"{_MAX_BATCH_TERMS} ceiling"
+        )
+    tdf = spark.createDataFrame([(t,) for t in terms], "t string")
+    return {
+        r.t: r.b
+        for r in tdf.select(
+            "t", _bucket(F.col("t"), n_buckets).alias("b")).collect()
+    }
+
+
+def _pruned_union_postings(idx: InvIndex, uniq: list[str]) -> DataFrame:
+    """ONE postings read for the union of a batch's query terms: bucket
+    IN (literal set) prunes partitions, term IN (literal set) pushes to
+    the parquet scan — the whole batch amortizes a single ~u/B read of
+    the store instead of q separate reads."""
+    spark = idx.postings.sparkSession
+    bmap = _term_buckets(spark, uniq, idx.n_buckets)
+    return idx.postings.filter(
+        F.col("bucket").isin(sorted(set(bmap.values())))
+        & F.col("term").isin(uniq)
+    )
+
+
+def bm25_search_indexed_batch(idx: InvIndex, queries: DataFrame,
+                              k: int = 10) -> DataFrame:
+    """Batch-query BM25 through the loaded index (r12, VERDICT r11 task
+    1 — the reference's own ``search`` is batch: an (m, dim) query
+    matrix, vector_store.py:275): ``queries`` is a SMALL ``(query_id
+    long, terms array<string>)`` frame, the result one ``(query_id, id,
+    score_e4)`` top-k block per query, each row bit-identical to the
+    single-query :func:`bm25_search_indexed` call (pytest-pinned; the
+    scoring tail is ``tfidf.bm25_rank_batch``, position-pivoted with the
+    same literal-order float discipline).
+
+    Serving shape vs q single calls: ONE pruned postings read for the
+    UNION of all queries' terms (literal ``bucket IN`` PartitionFilter +
+    ``term IN`` pushed filter, ~u/B of the store for u union terms),
+    one doclens read for the corpus scalars, one broadcast of the tiny
+    (query_id, qpos, term) fan-out, one window top-k per query — the
+    per-query plan/scheduling overhead and the repeated doclens/stats
+    reads amortize across the whole batch, which is the point of a
+    distributed engine serving query batches at 100 TB."""
+    from ..functions.tokenize import normalize_query_terms
+    from .tfidf import bm25_rank_batch
+
+    spark = idx.postings.sparkSession
+    rows = _collect_query_batch(
+        queries.select("query_id", "terms"), "bm25_search_indexed_batch")
+    qplan = []
+    for r in rows:
+        lt = normalize_query_terms(list(r.terms), idx.tokenize_mode)
+        if not lt:
+            raise ValueError(
+                "bm25_search_indexed_batch: query "
+                f"{r.query_id} has no terms after normalization")
+        qplan.append((r.query_id, lt))
+    uniq = sorted({t for _, lt in qplan for t in lt})
+    maxlen = max(len(lt) for _, lt in qplan)
+    tf = (
+        _pruned_union_postings(idx, uniq)
+        .select("term", "id", "pos")
+        .distinct()                      # crash-window append duplicates
+        .groupBy("term", "id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(F.col("term").alias("t"), "id", "tf")
+    )
+    if idx.doclens is not None:
+        dl = idx.doclens.select("id", "dl").distinct()
+    else:  # pre-r9 fallback, same caveats as bm25_search_indexed
+        dl = (idx.postings.select("id", "pos").distinct()
+              .groupBy("id").agg(F.count(F.lit(1)).alias("dl")))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_toks"),
+    )
+    qterms = spark.createDataFrame(
+        [(qid, i, t) for qid, lt in qplan for i, t in enumerate(lt)],
+        "query_id long, qpos int, t string",
+    )
+    return bm25_rank_batch(tf, dl, stats, qterms, maxlen, k)
+
+
+def phrase_search_indexed_batch(idx: InvIndex,
+                                phrases: DataFrame) -> DataFrame:
+    """Batch-query exact phrase search through the loaded index (r12,
+    VERDICT r11 task 1): ``phrases`` is a SMALL ``(query_id long,
+    phrase string)`` frame; output ``(query_id, id, n_matches)`` — per
+    query, exactly the rows the single-query
+    :func:`phrase_search_indexed` returns (pytest-pinned), ordered
+    ``(query_id, id)``.
+
+    Unlike the single path's k−1 adjacency self-joins, the batch form
+    is ONE set-based plan shared by every phrase: the union of all
+    phrases' terms reads once from the pruned postings store, joins to
+    the broadcast ``(query_id, off, term)`` offsets, and a candidate
+    start position matches when ALL ``qlen`` offsets are present —
+    ``count(DISTINCT off) = qlen`` per ``(query_id, id, start)`` group,
+    which is precisely the adjacency condition (term_i at start+i for
+    every i).  Overlapping occurrences count, single-term phrases
+    degenerate to postings counting — the single-path semantics."""
+    spark = idx.postings.sparkSession
+    rows = _collect_query_batch(
+        phrases.select("query_id", "phrase"),
+        "phrase_search_indexed_batch")
+    qplan = [(r.query_id, _phrase_terms(r.phrase, idx.tokenize_mode))
+             for r in rows]
+    uniq = sorted({t for _, ts in qplan for t in ts})
+    posts = (
+        _pruned_union_postings(idx, uniq)
+        .select("term", "id", "pos")
+        .distinct()                      # crash-window append duplicates
+    )
+    qoff = spark.createDataFrame(
+        [(qid, i, t) for qid, ts in qplan for i, t in enumerate(ts)],
+        "query_id long, off int, term string",
+    )
+    qlen = spark.createDataFrame(
+        [(qid, len(ts)) for qid, ts in qplan],
+        "query_id long, qlen long",
+    )
+    j = posts.join(F.broadcast(qoff), "term").select(
+        "query_id", "off", "id", (F.col("pos") - F.col("off")).alias("start")
+    ).filter(F.col("start") >= 0)
+    g = j.groupBy("query_id", "id", "start").agg(
+        F.countDistinct("off").alias("nm"))
+    return (
+        g.join(F.broadcast(qlen), "query_id")
+        .filter(F.col("nm") == F.col("qlen"))
+        .groupBy("query_id", "id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+        .orderBy("query_id", "id")
+    )
+
+
+def render_phrase_batch_sql(queries: list[tuple[int, str]],
+                            tokenize_mode: str = "space",
+                            text_sql: str = "lower(text)") -> str:
+    """DuckDB oracle for ``phrase_search_indexed_batch`` — the corpus
+    postings CTE of the single-query oracle plus the same offset-join /
+    all-offsets-present condition over a VALUES query literal."""
+    from ..functions.tokenize import TOKEN_REGEX
+
+    if tokenize_mode == "space":
+        toks_sql = f"string_split({text_sql}, ' ')"
+    else:
+        toks_sql = f"regexp_extract_all({text_sql}, '{TOKEN_REGEX}')"
+    qplan = [(qid, _phrase_terms(p, tokenize_mode)) for qid, p in queries]
+    qvals = ", ".join(
+        f"({qid}, {i}, '" + t.replace("'", "''") + "')"
+        for qid, ts in qplan for i, t in enumerate(ts)
+    )
+    uniq = sorted({t for _, ts in qplan for t in ts})
+    lit = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH postings AS (
+  SELECT doc_id AS id, u.i - 1 AS pos, toks[u.i] AS term
+  FROM (SELECT doc_id, {toks_sql} AS toks
+        FROM documents) b,
+       unnest(range(1, len(b.toks) + 1)) AS u(i)
+  WHERE toks[u.i] IN ({lit})
+),
+qoff(query_id, off, term) AS (VALUES {qvals}),
+qlen AS (SELECT query_id, count(*) AS qlen FROM qoff GROUP BY query_id),
+j AS (
+  SELECT q.query_id, q.off, p.id, p.pos - q.off AS start
+  FROM postings p JOIN qoff q USING (term)
+  WHERE p.pos - q.off >= 0
+),
+g AS (
+  SELECT query_id, id, start, count(DISTINCT off) AS nm
+  FROM j GROUP BY query_id, id, start
+)
+SELECT CAST(g.query_id AS BIGINT) AS query_id, g.id,
+       CAST(count(*) AS BIGINT) AS n_matches
+FROM g JOIN qlen USING (query_id)
+WHERE nm = qlen
+GROUP BY g.query_id, g.id
+ORDER BY query_id, id
+"""
 
 
 def bm25_search_indexed(idx: InvIndex, terms: list[str],

@@ -196,6 +196,150 @@ def bm25_rank(tf: DataFrame, dl: DataFrame, stats: DataFrame,
     )
 
 
+def bm25_rank_batch(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+                    qterms: DataFrame, maxlen: int, k: int) -> DataFrame:
+    """Batch-query BM25 scoring tail (r12, VERDICT r11 task 1): given
+    the same ``tf (id, t, tf)`` / ``dl`` / ``stats`` inputs as
+    :func:`bm25_rank` plus a SMALL query-set frame ``qterms (query_id,
+    qpos, t)`` (one row per query-term POSITION — duplicates within a
+    query occupy distinct positions, exactly like the single-query
+    literal list), rank every query in ONE plan: per-term contributions
+    compute once over the shared tf stream, broadcast-join to the query
+    positions, and each ``(query_id, id)`` group pivots per POSITION and
+    sums ``((__c0 + __c1) + …)`` — the identical literal-order float
+    discipline as ``bm25_rank``, with ``qpos`` standing in for the term
+    index, so a batch row is bit-identical to the single-query call for
+    that query (pytest-pinned).  ``maxlen`` = the longest query's term
+    count (positions past a query's length coalesce to exact 0.0, an
+    IEEE no-op on the nonnegative contributions).
+
+    Top-k per query is a ``row_number`` window partitioned by
+    ``query_id`` over the same ``(score_e4 DESC, id ASC)`` key the
+    single path sorts by — at scale each query's candidate list is its
+    partition, so q queries fan out across the cluster instead of
+    serializing q driver round-trips.  Output ``(query_id, id,
+    score_e4)`` ordered ``(query_id, score_e4 DESC, id)``."""
+    from pyspark.sql import Window
+
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "t")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (2 * F.col("n_docs") + 2).cast("double")
+        / (2 * F.col("df") + 1).cast("double")
+    )
+    num = (22 * F.col("tf") * F.col("total_toks")).cast("double")
+    den = (
+        10 * F.col("tf") * F.col("total_toks")
+        + 3 * F.col("total_toks")
+        + 9 * F.col("dl") * F.col("n_docs")
+    ).cast("double")
+    contrib = scored.select("id", "t", ((idf * num) / den).alias("c"))
+    j = contrib.join(F.broadcast(qterms), "t") \
+        .select("query_id", "qpos", "id", "c")
+    agg_cols = [
+        F.coalesce(F.max(F.when(F.col("qpos") == i, F.col("c"))),
+                   F.lit(0.0)).alias(f"__c{i}")
+        for i in range(maxlen)
+    ]
+    pivoted = j.groupBy("query_id", "id").agg(*agg_cols)
+    score = F.col("__c0")
+    for i in range(1, maxlen):
+        score = score + F.col(f"__c{i}")
+    r = pivoted.select(
+        "query_id", "id",
+        F.floor(score * 1e4 + F.lit(0.5)).cast("long").alias("score_e4"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e4").desc(), F.col("id").asc())
+    return (
+        r.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "id", "score_e4")
+        .orderBy("query_id", F.col("score_e4").desc(), F.col("id").asc())
+    )
+
+
+def render_bm25_batch_sql(queries: list[tuple[int, list[str]]],
+                          k: int = 10,
+                          tokenize_mode: str = "space",
+                          text_sql: str = "lower(text)") -> str:
+    """DuckDB oracle for the batch BM25 forms — the single-query oracle
+    generalized with the query set as a VALUES literal and the pivot
+    indexed by query-term POSITION (identical per-position coalesce
+    columns, identical literal-order sum, e4 key, per-query window)."""
+    from ..functions.tokenize import TOKEN_REGEX, normalize_query_terms
+
+    if tokenize_mode == "space":
+        toks_sql = f"string_split({text_sql}, ' ')"
+    else:
+        toks_sql = f"regexp_extract_all({text_sql}, '{TOKEN_REGEX}')"
+    qplan = [(qid, normalize_query_terms(terms, tokenize_mode))
+             for qid, terms in queries]
+    maxlen = max(len(lt) for _, lt in qplan)
+    uniq = sorted({t for _, lt in qplan for t in lt})
+    lit = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    qvals = ", ".join(
+        f"({qid}, {i}, '" + t.replace("'", "''") + "')"
+        for qid, lt in qplan for i, t in enumerate(lt)
+    )
+    pivot_cols = ",\n         ".join(
+        f"coalesce(max(CASE WHEN qpos = {i} THEN c END), 0.0) AS __c{i}"
+        for i in range(maxlen)
+    )
+    score = " + ".join(f"__c{i}" for i in range(maxlen))
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {toks_sql} AS toks FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS total_toks
+  FROM base
+),
+dl AS (SELECT id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+tf AS (
+  SELECT id, t, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT id, unnest(toks) AS t FROM base)
+  WHERE t IN ({lit})
+  GROUP BY id, t
+),
+dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+contrib AS (
+  SELECT tf.id, tf.t,
+         ln(CAST(2 * s.n_docs + 2 AS DOUBLE)
+            / CAST(2 * dfreq.df + 1 AS DOUBLE))
+         * CAST(22 * tf.tf * s.total_toks AS DOUBLE)
+         / CAST(10 * tf.tf * s.total_toks + 3 * s.total_toks
+                + 9 * dl.dl * s.n_docs AS DOUBLE) AS c
+  FROM tf JOIN dfreq USING (t) JOIN dl USING (id), stats s
+),
+qterms(query_id, qpos, t) AS (VALUES {qvals}),
+j AS (
+  SELECT q.query_id, q.qpos, c.id, c.c
+  FROM contrib c JOIN qterms q USING (t)
+),
+pivoted AS (
+  SELECT query_id, id,
+         {pivot_cols}
+  FROM j GROUP BY query_id, id
+),
+r AS (
+  SELECT query_id, id,
+         CAST(floor(({score}) * 1e4 + 0.5) AS BIGINT) AS score_e4
+  FROM pivoted
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, id, score_e4
+FROM r
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY score_e4 DESC, id) <= {k}
+ORDER BY query_id, score_e4 DESC, id
+"""
+
+
 def render_bm25_sql(terms: list[str], k: int = 10,
                     tokenize_mode: str = "space",
                     text_sql: str = "lower(text)") -> str:
