@@ -716,7 +716,9 @@ def test_stream_ingest_vector_neardup_ivf_indexed(spark, tmp_path):
     )
     q.awaitTermination()
     assert store.count() == 5
-    assert spark.read.parquet(f"{idx}/assigned").count() == 4
+    # r12 direct append: the batch's survivor (novel1) lands in the
+    # index at batch COMMIT (finish hook), not at the next batch's sync
+    assert spark.read.parquet(f"{idx}/assigned").count() == 5
 
     # second run: near-dup of novel1 (rejected via the synced index) +
     # one genuinely new direction (admitted)
@@ -736,10 +738,10 @@ def test_stream_ingest_vector_neardup_ivf_indexed(spark, tmp_path):
     assert store.count() == 6
     assert "novel1" in docs and "novel2" in docs
     assert not any(d.startswith("neardup") for d in docs)
-    # the batch-start sync caught novel1 (appended by run 1); novel2
-    # lands in the index at the NEXT sync
+    # novel1 rejected the near-dup THROUGH the index (it was appended
+    # directly at run 1's commit); novel2 lands at run 2's commit
     n_indexed = spark.read.parquet(f"{idx}/assigned").count()
-    assert n_indexed == 5
+    assert n_indexed == 6
 
 
 def test_neardup_compaction_hook_bounds_state(spark, tmp_path):
@@ -866,6 +868,116 @@ def test_neardup_replay_at_compaction_boundary(spark, tmp_path):
     )
     q2.awaitTermination()
     assert store.count() == 2
+
+
+def test_vector_neardup_direct_append_equals_watermark(spark, tmp_path):
+    """r12 (VERDICT r11 task 6): the direct-append path — batch rows
+    handed straight to ivf_append_saved by the post-commit finish hook —
+    must leave a BYTE-IDENTICAL index to the watermark-sync-only path
+    across a 3-batch stream, and must advance the sync watermark so the
+    recovery sync's slice stays empty."""
+    import json
+
+    from vector_db_at_home_spark.operators.ann import (
+        ivf_sync_with_store_watermark,
+    )
+    from vector_db_at_home_spark.store import VectorStore
+    from vector_db_at_home_spark.streaming.neardup import (
+        stream_into_store_vector_neardup,
+    )
+
+    import shutil
+
+    from pyspark.sql import functions as F
+    from vector_db_at_home_spark.operators.ann import ivf_build, ivf_save
+
+    batches = [
+        [([0.0, 1.0, 0.0, 0.0], '{"t": "n1"}')],
+        [([0.0, 0.999, 0.02, 0.0], '{"t": "dup of n1"}'),
+         ([0.0, 0.0, 0.0, 1.0], '{"t": "n2"}')],
+        [([0.5, 0.5, 0.5, 0.5], '{"t": "n3"}'),
+         ([0.0, 0.0, 0.02, 0.999], '{"t": "dup of n2"}')],
+    ]
+
+    def _norm(col):
+        v = F.transform(col, lambda x: x.cast("double"))
+        nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        return F.when(nrm == 0.0, v).otherwise(
+            F.transform(v, lambda x: x / nrm))
+
+    # ONE index build, copied per run: the comparison certifies the two
+    # APPEND paths, so both must start from identical centroids (the
+    # orthogonal seed fixture has exact assignment ties a separately
+    # refit KMeans may break differently)
+    built = False
+
+    def run_stream(tag: str, direct: bool) -> str:
+        nonlocal built
+        store = VectorStore(spark, tmp_path / f"st_{tag}", dim=4)
+        store.insert(
+            [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, -1.0, 0.0]],
+            [{"t": f"seed{i}"} for i in range(4)],
+        )
+        feed = tmp_path / f"feed_{tag}"
+        feed.mkdir()
+        idx = str(tmp_path / f"idx_{tag}")
+        if not built:
+            ivf_save(ivf_build(
+                store.df().select("id", _norm(F.col("vec")).alias("vec")),
+                n_cells=2, seed=7), idx)
+            shutil.copytree(idx, str(tmp_path / "idx_template"))
+            built = True
+        else:
+            shutil.copytree(str(tmp_path / "idx_template"), idx)
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, "vec array<float>, doc string") \
+                .coalesce(1).write.parquet(str(feed / f"b{i}"))
+            q = stream_into_store_vector_neardup(
+                (spark.readStream
+                 .schema("vec array<float>, doc string")
+                 .option("maxFilesPerTrigger", 1)
+                 .parquet(str(feed) + "/*")),
+                store, min_cosine=0.95, index_dir=idx,
+                n_cells=2, n_probes=2,
+                checkpoint_dir=str(tmp_path / f"ck_{tag}"),
+                direct_index_append=direct,
+            )
+            q.awaitTermination()
+        if not direct:
+            # the watermark-only path indexes the LAST batch's rows at
+            # the NEXT sync — run it once so both paths are caught up
+
+            class _View:
+                def df(self_inner):
+                    from pyspark.sql import functions as F
+
+                    def norm(col):
+                        v = F.transform(col, lambda x: x.cast("double"))
+                        nrm = F.sqrt(F.aggregate(
+                            v, F.lit(0.0), lambda a, x: a + x * x))
+                        return F.when(nrm == 0.0, v).otherwise(
+                            F.transform(v, lambda x: x / nrm))
+
+                    return store.df().select(
+                        "id", norm(F.col("vec")).alias("vec"))
+
+            ivf_sync_with_store_watermark(spark, _View(), idx)
+        return idx
+
+    idx_d = run_stream("direct", True)
+    idx_w = run_stream("wm", False)
+
+    def dump(idx):
+        return sorted(
+            (r.id, r.cell, tuple(r.vec))
+            for r in spark.read.parquet(f"{idx}/assigned").collect())
+
+    assert dump(idx_d) == dump(idx_w)          # byte-identical index
+    # direct path advanced the watermark to the last inserted id
+    with open(f"{idx_d}/sync_watermark") as f:
+        wm = json.loads(f.read())["max_id"]
+    assert wm == max(r[0] for r in dump(idx_d))
 
 
 def test_vector_neardup_compaction_hook(spark, tmp_path):

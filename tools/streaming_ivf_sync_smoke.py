@@ -17,6 +17,15 @@ Both forms land byte-identical index rows (pytest
 trajectory only: store-diff grows with the corpus, watermark stays
 flat.
 
+r12 (VERDICT r11 task 6) adds the DIRECT form the hook now defaults
+to: the micro-batch rows are already in hand at batch commit (the
+``finish`` hook's localCheckpoint), so ``ivf_append_saved`` indexes
+them without re-reading even the new store slice, then advances the
+watermark.  Timed here per batch as ``direct_s`` against the same
+growing store (byte-identical rows asserted at the end; pytest
+``test_vector_neardup_direct_append_equals_watermark`` pins the
+streaming wiring).
+
 Run: python tools/streaming_ivf_sync_smoke.py [n_total] [batch] [dim]
 (dim=256 makes the store scan non-trivial — the regime where the
 store-diff form's full rescan per sync diverges from the watermark's
@@ -46,6 +55,8 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 
 from vector_db_at_home_spark.operators.ann import (  # noqa: E402
+    ivf_advance_sync_watermark,
+    ivf_append_saved,
     ivf_build,
     ivf_save,
     ivf_sync_with_store,
@@ -78,17 +89,19 @@ try:
     first = mk_batch(0, BATCH, 0)
     first.repartition(4).write.mode("overwrite").parquet(store_dir)
     idx_diff, idx_wm = f"{work}/idx_diff", f"{work}/idx_wm"
+    idx_direct = f"{work}/idx_direct"
     ivf = ivf_build(first, n_cells=64, seed=1)
     ivf_save(ivf, idx_diff)
     ivf_save(ivf, idx_wm)
+    ivf_save(ivf, idx_direct)
 
     n = BATCH
     b = 1
     while n < N:
         hi = min(n + BATCH, N)
+        batch_df = mk_batch(n, hi, b)
         # one appended file per micro-batch, like stream_into_store
-        mk_batch(n, hi, b).coalesce(1).write.mode("append") \
-            .parquet(store_dir)
+        batch_df.coalesce(1).write.mode("append").parquet(store_dir)
         store = _View(spark.read.parquet(store_dir))
         t0 = time.time()
         nd = ivf_sync_with_store(spark, store, idx_diff)
@@ -96,22 +109,33 @@ try:
         t0 = time.time()
         nw = ivf_sync_with_store_watermark(spark, store, idx_wm)
         t_wm = time.time() - t0
-        assert nd == nw == hi - n, (nd, nw, hi - n)
+        # the hook's finish path: rows in hand (materialized), no store
+        # read at all; watermark advanced so the recovery sync stays a
+        # pruned no-op
+        pinned = batch_df.localCheckpoint(eager=True)
+        t0 = time.time()
+        nx = ivf_append_saved(spark, idx_direct, pinned)
+        ivf_advance_sync_watermark(spark, idx_direct, hi - 1)
+        t_direct = time.time() - t0
+        assert nd == nw == nx == hi - n, (nd, nw, nx, hi - n)
         results["syncs"].append(
             {"index_rows_before": n, "batch_rows": hi - n,
              "store_diff_s": round(t_diff, 3),
-             "watermark_s": round(t_wm, 3)})
+             "watermark_s": round(t_wm, 3),
+             "direct_s": round(t_direct, 3)})
         print(f"index={n:>8,}  store_diff={t_diff:6.2f}s  "
-              f"watermark={t_wm:6.2f}s")
+              f"watermark={t_wm:6.2f}s  direct={t_direct:6.2f}s")
         n = hi
         b += 1
 
     a = spark.read.parquet(f"{idx_diff}/assigned")
     bdf = spark.read.parquet(f"{idx_wm}/assigned")
-    assert a.count() == bdf.count() == N
+    ddf = spark.read.parquet(f"{idx_direct}/assigned")
+    assert a.count() == bdf.count() == ddf.count() == N
     rows_a = a.selectExpr("sum(id) s", "count(distinct id) d").first()
     rows_b = bdf.selectExpr("sum(id) s", "count(distinct id) d").first()
-    assert tuple(rows_a) == tuple(rows_b)
+    rows_d = ddf.selectExpr("sum(id) s", "count(distinct id) d").first()
+    assert tuple(rows_a) == tuple(rows_b) == tuple(rows_d)
     first3 = results["syncs"][:3]
     last3 = results["syncs"][-3:]
     results["store_diff_first3_s"] = round(
@@ -122,6 +146,10 @@ try:
         sum(s["watermark_s"] for s in first3) / 3, 3)
     results["watermark_last3_s"] = round(
         sum(s["watermark_s"] for s in last3) / 3, 3)
+    results["direct_first3_s"] = round(
+        sum(s["direct_s"] for s in first3) / 3, 3)
+    results["direct_last3_s"] = round(
+        sum(s["direct_s"] for s in last3) / 3, 3)
     print(json.dumps({k: v for k, v in results.items() if k != "syncs"}))
 finally:
     shutil.rmtree(work, ignore_errors=True)

@@ -434,6 +434,27 @@ def ivf_append_saved(spark, path: str, new_rows: DataFrame,
     return _assign_and_append_saved(spark, path, ivf, new_rows, stats)
 
 
+def ivf_advance_sync_watermark(spark, path: str, new_max: int) -> None:
+    """Advance ``{path}/sync_watermark`` to ``new_max`` if that is
+    ahead of the stored value (r12): a DIRECT-append caller
+    (``ivf_append_saved`` from the streaming finish hook) that also
+    keeps a watermark-synced index must move the watermark itself,
+    or the recovery sync's ``id > wm`` anti-join slice grows with
+    every directly-appended batch — re-covering rows the direct path
+    already indexed.  Never regresses; same crash discipline as the
+    sync's own write (stale ⇒ the pruned anti-join dedups)."""
+    import json
+
+    from ..functions.fsutil import fs_exists, fs_read_text, fs_write_text
+
+    wm_file = f"{path}/sync_watermark"
+    if fs_exists(spark, wm_file):
+        cur = json.loads(fs_read_text(spark, wm_file)).get("max_id")
+        if cur is not None and int(cur) >= int(new_max):
+            return
+    fs_write_text(spark, wm_file, json.dumps({"max_id": int(new_max)}))
+
+
 def _assign_and_append_saved(spark, path: str, ivf: IVFIndex,
                              new_rows: DataFrame,
                              stats: dict | None,

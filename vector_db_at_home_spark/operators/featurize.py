@@ -650,6 +650,20 @@ class MaxSimIndex:
     docids: "DataFrame"     # (id) — the append replay guard
     n_buckets: int
     dim: int
+    # PLAID-style token-cell layer (r12, VERDICT r11 task 4, opt-in at
+    # save via n_token_cells): token vectors cluster into cells, a
+    # SECOND postings copy partitions by cell, and per-(cell, bucket)
+    # component bounds let a query PROVE whole cells dot ≤ 0 against a
+    # term — those cells' postings are never read (the pbk layout
+    # hash-scatters semantically similar tokens, so its per-token prune
+    # degenerates on realistic derived vocabularies).  ``gen`` rows in
+    # cellstats are per-save/append partials (max/min at read).
+    tokcells: "DataFrame | None" = None       # (tok, cell)
+    postings_cell: "DataFrame | None" = None  # (tok, id, cell)
+    cellstats: "DataFrame | None" = None      # (cell, bucket, gen,
+    #                                             max_val, min_val)
+    centroids: "DataFrame | None" = None      # (cell, c array<double>)
+    n_token_cells: int = 0
 
 
 def _maxsim_doc_tokens(docs: DataFrame, text_col: str,
@@ -666,16 +680,90 @@ def _tok_pbk(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
+def _dense_tokvecs(tv: DataFrame, dim: int) -> DataFrame:
+    """(tok, arr) — the sparse (tok, bucket, val) rows pivoted into a
+    ``dim``-length double array JVM-side (same shape as hashing_embed's
+    densify; no UDF)."""
+    return (
+        tv.groupBy("tok")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("bucket", "val"))).alias("m"))
+        .select(
+            "tok",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("m", i.cast("int")).cast("double"),
+                    F.lit(0.0)),
+            ).alias("arr"),
+        )
+    )
+
+
+def _fit_token_cells(tv: DataFrame, dim: int, n_token_cells: int,
+                     seed: int):
+    """Cluster the vocab's token vectors (seeded KMeans over the
+    densified integers) → (tokcells (tok, cell), centroids (cell, c)).
+    Any assignment keeps the pruned search EXACT (bounds come from the
+    actual per-cell stats); clustering only decides how well positive
+    tokens CONCENTRATE — i.e. how much gets pruned."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = tv.sparkSession
+    dense = _dense_tokvecs(tv, dim)
+    ml = dense.select("tok", array_to_vector(F.col("arr"))
+                      .alias("features"))
+    k = min(n_token_cells, ml.count())
+    model = KMeans(k=int(k), seed=seed, maxIter=20,
+                   featuresCol="features").fit(ml)
+    tokcells = model.transform(ml).select(
+        "tok", F.col("prediction").cast("int").alias("cell"))
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c])
+         for i, c in enumerate(model.clusterCenters())],
+        "cell int, c array<double>",
+    )
+    return tokcells, centroids
+
+
+def _cellstats_rows(tv: DataFrame, tokcells: DataFrame,
+                    gen: str) -> DataFrame:
+    """Per-(cell, bucket) component bounds over a token-vector batch:
+    with ``mx = max val`` and ``mn = min val``, any query's dot against
+    any token in the cell is ≤ Σ_b (qval_b > 0 ? qval_b·mx_b :
+    qval_b·mn_b) — integer-exact, so a cell whose bound is ≤ 0 can be
+    skipped WITHOUT approximation (the 0-floor already discards
+    non-positive dots).  ``gen`` rows are per-batch partials (max/min
+    at read), batch-deterministic for crash-replay dedup."""
+    return (
+        tv.join(tokcells, "tok")
+        .groupBy("cell", "bucket")
+        .agg(F.max("val").alias("max_val"), F.min("val").alias("min_val"))
+        .select("cell", "bucket", F.lit(gen).alias("gen"),
+                "max_val", "min_val")
+    )
+
+
 def maxsim_index_save(docs: DataFrame, text_col: str, id_col: str,
                       path: str, dim: int = 16,
-                      n_buckets: int = 64) -> None:
+                      n_buckets: int = 64,
+                      n_token_cells: int | None = None,
+                      cell_seed: int = 42) -> None:
     """Persist the MaxSim serving state: ``{path}/tokvecs`` (the signed
     trigram-hash vector of every DISTINCT corpus token — vocab-sized,
     corpus-size-independent), ``{path}/postings`` (the (tok, id) map,
     partitioned by ``pbk = pmod(xxhash64(tok), n_buckets)`` so the
     winner-token join can prune via dynamic partition pruning),
     ``{path}/docids`` (the append replay guard) and ``meta.json``
-    (dim + n_buckets, enforced at read)."""
+    (dim + n_buckets, enforced at read).
+
+    ``n_token_cells`` (r12, opt-in): also persist the PLAID-style
+    token-cell layer — ``tokcells`` (seeded KMeans over the token
+    vectors), ``postings_cell`` (a second (tok, id) copy partitioned by
+    CELL), ``cellstats`` (per-(cell, bucket) max/min components — the
+    provable skip bound) and ``centroids`` (for assigning appended
+    tokens).  See :func:`maxsim_search_indexed_pruned`."""
     import json
 
     spark = docs.sparkSession
@@ -687,10 +775,28 @@ def maxsim_index_save(docs: DataFrame, text_col: str, id_col: str,
         .withColumn("pbk", _tok_pbk(F.col("tok"), n_buckets))
     p.repartition(n_buckets, "pbk").write.partitionBy("pbk") \
         .mode("overwrite").parquet(f"{path}/postings")
+    if n_token_cells:
+        tv = spark.read.schema("tok string, bucket int, val long") \
+            .parquet(f"{path}/tokvecs")
+        tokcells, centroids = _fit_token_cells(tv, dim, n_token_cells,
+                                               cell_seed)
+        tokcells.repartition(8).write.mode("overwrite") \
+            .parquet(f"{path}/tokcells")
+        centroids.coalesce(1).write.mode("overwrite") \
+            .parquet(f"{path}/centroids")
+        tc = spark.read.schema("tok string, cell int") \
+            .parquet(f"{path}/tokcells")
+        p.select("tok", "id").join(tc, "tok") \
+            .repartition(max(8, n_token_cells // 4), "cell") \
+            .write.partitionBy("cell") \
+            .mode("overwrite").parquet(f"{path}/postings_cell")
+        _cellstats_rows(tv, tc, "g0").repartition(1) \
+            .write.mode("overwrite").parquet(f"{path}/cellstats")
     docs.select(F.col(id_col).alias("id")).distinct() \
         .write.mode("overwrite").parquet(f"{path}/docids")
     spark.createDataFrame(
-        [(json.dumps({"dim": dim, "n_buckets": n_buckets}),)],
+        [(json.dumps({"dim": dim, "n_buckets": n_buckets,
+                      "n_token_cells": int(n_token_cells or 0)}),)],
         "meta string",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/meta.json")
 

@@ -334,11 +334,25 @@ def invindex_append(spark, path: str, docs: DataFrame, text_col: str,
             return n  # every fresh doc was a resurrection
     p = build_positional_index(fresh, "__text", "id", idx.tokenize_mode) \
         .withColumn("bucket", _bucket(F.col("term"), idx.n_buckets))
-    p.repartition(idx.n_buckets, "bucket").write.partitionBy("bucket") \
+    p.repartition(idx.n_buckets, "bucket") \
+        .sortWithinPartitions("term", "id") \
+        .write.partitionBy("bucket") \
         .mode("append").parquet(f"{path}/postings")
     if idx.doclens is not None:  # pre-r9 stores stay doclens-less
-        _doclens(fresh, "__text", "id", idx.tokenize_mode) \
-            .write.mode("append").parquet(f"{path}/doclens")
+        dl = _doclens(fresh, "__text", "id", idx.tokenize_mode)
+        dl.write.mode("append").parquet(f"{path}/doclens")
+        if idx.blockmax is not None:  # pre-r12 stores stay blockmax-less
+            # gen = docids count BEFORE this batch commits: deterministic
+            # across crash replays (docids writes LAST, so a replayed
+            # attempt sees the same count and rewrites byte-identical
+            # rows the read-side dropDuplicates collapses — df never
+            # double-counts), strictly increasing across committed
+            # appends (fresh > 0 here), so distinct batches never share
+            # a gen.
+            gen = f"g{spark.read.parquet(f'{path}/docids').count()}"
+            _blockmax_rows(p, dl, idx.block_size, gen) \
+                .repartition(8, "bucket").write.partitionBy("bucket") \
+                .mode("append").parquet(f"{path}/blockmax")
     fresh.select("id").write.mode("append").parquet(f"{path}/docids")
     return n
 
@@ -366,10 +380,27 @@ def invindex_compact_saved(spark, path: str,
     from ..functions.fsutil import fs_exists, fs_rename, fs_rmtree
 
     idx = invindex_load(spark, path)  # load IS the recovery point
-    rewrites = [
+    clean_posts = idx.postings.dropDuplicates(["term", "id", "pos"])
+    rewrites = []
+    if idx.doclens is not None and idx.blockmax is not None:
+        # recompute from the tombstone-folded postings under ONE fresh
+        # gen — folds deletes out of the df/tf/dl bounds and makes a
+        # tombstoned store WAND-servable again.  MUST rewrite FIRST:
+        # its plan reads the postings/doclens dirs lazily, so it has to
+        # execute before those tables' swaps rename the source files
+        # away (a crash between its swap and theirs leaves folded
+        # bounds over unfolded postings — safe, because the pending
+        # tombstones keep has_tombstones set and WAND falls back until
+        # compaction reruns).
+        rewrites.append((
+            "blockmax",
+            _blockmax_rows(clean_posts, idx.doclens.distinct(),
+                           idx.block_size, "g0").repartition(8, "bucket"),
+            "bucket"))
+    rewrites += [
         ("postings",
-         idx.postings.dropDuplicates(["term", "id", "pos"])
-         .repartition(target_partitions, "bucket"),
+         clean_posts.repartition(target_partitions, "bucket")
+         .sortWithinPartitions("term", "id"),
          "bucket"),
         ("docids", idx.docids.distinct().repartition(8), None),
     ]
@@ -468,6 +499,210 @@ def _pruned_union_postings(idx: InvIndex, uniq: list[str]) -> DataFrame:
         F.col("bucket").isin(sorted(set(bmap.values())))
         & F.col("term").isin(uniq)
     )
+
+
+_WAND_THETA_BLOCKS = 64      # blocks exactly scored to seed the bound
+_WAND_MAX_RANGES = 4096      # survivor ceiling for the literal id pred
+
+
+def _bm25_pruned_tf(idx: InvIndex, uniq: list[str],
+                    id_pred) -> DataFrame:
+    """Exact per-(term, doc) tf from ONE pruned postings read (bucket
+    IN + term IN literals, optionally narrowed by a literal id-range
+    predicate that parquet row-group min/max stats can skip on — the
+    postings sort by (term, id) within buckets at save/append/compact
+    for exactly this).  Crash-window duplicates collapse at the
+    (term, id, pos) distinct."""
+    posts = _pruned_union_postings(idx, uniq)
+    if id_pred is not None:
+        posts = posts.filter(id_pred)
+    return (
+        posts.select("term", "id", "pos")
+        .distinct()
+        .groupBy("term", "id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(F.col("term").alias("t"), "id", "tf")
+    )
+
+
+def bm25_search_indexed_wand(idx: InvIndex, terms: list[str],
+                             k: int = 10,
+                             theta_blocks: int = _WAND_THETA_BLOCKS,
+                             max_ranges: int = _WAND_MAX_RANGES,
+                             counters: dict | None = None
+                             ) -> DataFrame:
+    """BM25 top-k with Block-Max postings skipping (Ding & Suel 2011's
+    Block-Max WAND, re-expressed set-based for a distributed engine —
+    r12, VERDICT r11 task 2), BIT-IDENTICAL to
+    :func:`bm25_search_indexed` by construction: top-k-safe pruning is
+    EXACT, so the same oracle applies unchanged.
+
+    Why: the plain indexed serve reads EVERY posting of each query term
+    — at corpus scale a common term's postings list IS a scan.  Here
+    postings are skipped whenever their doc-id block provably cannot
+    reach the current top-k:
+
+    1. the tiny ``blockmax`` table (written at save/append, recomputed
+       at compact) gives, per (term, doc-id block), the posting count,
+       max tf and min dl — the BM25 saturation term rises with tf and
+       falls with dl, so ``c(max_tf, min_dl)`` bounds every block doc's
+       per-term contribution under the CURRENT corpus stats, and the
+       per-term counts sum to the EXACT df (batches carry disjoint ids);
+    2. a block's score bound is the multiplicity-weighted sum of its
+       per-term bounds, inflated by 1e-9 relative before the e4 floor —
+       the inflation dominates the double-rounding noise of the bound
+       arithmetic (≤ ~q·1.1e-16 relative for q terms), so
+       ``ub_e4(blk) ≥ score_e4(d)`` for every doc d in blk, RIGOROUSLY;
+    3. the ``theta_blocks`` highest-bound blocks are scored exactly
+       (blocks partition doc ids, so a block read yields COMPLETE
+       per-doc tf); the k-th best score seeds the threshold θ_e4 —
+       a lower bound on the final k-th score, since adding docs can
+       only raise it;
+    4. every block with ``ub_e4 < θ_e4`` is pruned: its docs score
+       strictly below the k-th result, so they cannot enter the top-k
+       even via the id tiebreak.  Survivors coalesce into literal
+       id-range predicates that parquet row-group stats skip
+       physically; the exact scoring tail is the shared
+       ``tfidf.bm25_rank`` with the exact df INJECTED from the
+       metadata (the pruned tf stream no longer sees every doc).
+
+    Fallbacks keep the function total and exact: pre-r12 stores (no
+    blockmax), pre-r9 stores (no doclens), pending tombstones (bounds
+    would overcount deleted docs — compaction restores service), or a
+    survivor set wider than ``max_ranges`` (the adversarial
+    every-block-matters corpus) each degrade to the full pruned read —
+    exactly :func:`bm25_search_indexed`'s plan, never a wrong answer.
+
+    Driver-side state is bounded: ``theta_blocks`` block ids + k seed
+    scores + ≤ ``max_ranges`` survivor block ids.
+
+    ``counters`` (optional dict) receives observability fields the
+    pruning smoke/tests assert on: ``n_blocks`` (blocks holding any
+    query-term posting), ``n_survivors``, ``cnt_total``/``cnt_survivors``
+    (query-term posting-doc counts — the skipped-read proxy), and
+    ``fallback`` (None, or why the full read served)."""
+    from .tfidf import bm25_rank
+
+    from ..functions.tokenize import normalize_query_terms
+
+    def note(**kw):
+        if counters is not None:
+            counters.update(kw)
+
+    lterms = normalize_query_terms(terms, idx.tokenize_mode)
+    if not lterms:
+        raise ValueError("bm25_search_indexed_wand requires query terms")
+    if (idx.blockmax is None or idx.doclens is None
+            or idx.has_tombstones or idx.block_size <= 0):
+        note(fallback="no_blockmax" if idx.blockmax is None
+             or idx.block_size <= 0 else
+             ("tombstones" if idx.has_tombstones else "no_doclens"))
+        return bm25_search_indexed(idx, lterms, k)
+
+    uniq = list(dict.fromkeys(lterms))
+    spark = idx.postings.sparkSession
+    bs = idx.block_size
+    bmap = _term_buckets(spark, uniq, idx.n_buckets)
+    bm = idx.blockmax.filter(
+        F.col("bucket").isin(sorted(set(bmap.values())))
+        & F.col("term").isin(uniq)
+    ).dropDuplicates()           # crash-replay rows are byte-identical
+    per_tb = bm.groupBy("term", "blk").agg(
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.max("max_tf").alias("max_tf"),
+        F.min("min_dl").alias("min_dl"),
+    )
+    dfreq = per_tb.groupBy("term").agg(
+        F.sum("cnt").cast("long").alias("df"))
+
+    dl = idx.doclens.select("id", "dl").distinct()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_toks"),
+    )
+
+    mult = spark.createDataFrame(
+        [(t, lterms.count(t)) for t in uniq], "term string, mult long")
+    idf = F.log(
+        (2 * F.col("n_docs") + 2).cast("double")
+        / (2 * F.col("df") + 1).cast("double")
+    )
+    num = (22 * F.col("max_tf") * F.col("total_toks")).cast("double")
+    den = (
+        10 * F.col("max_tf") * F.col("total_toks")
+        + 3 * F.col("total_toks")
+        + 9 * F.col("min_dl") * F.col("n_docs")
+    ).cast("double")
+    per_blk = (
+        per_tb.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(mult), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("blk",
+                (F.col("mult").cast("double") * (idf * num) / den)
+                .alias("ub_t"))
+        .groupBy("blk")
+        .agg(F.floor(F.sum("ub_t") * (1.0 + 1e-9) * 1e4 + F.lit(0.5))
+             .cast("long").alias("ub_e4"))
+    )
+
+    def rank(tf):
+        return bm25_rank(tf, dl, stats, lterms, k,
+                         dfreq=dfreq.select(F.col("term").alias("t"),
+                                            "df"))
+
+    def ranges_pred(blks: list[int]):
+        blks = sorted(blks)
+        runs = []
+        for b in blks:
+            if runs and b == runs[-1][1] + 1:
+                runs[-1][1] = b
+            else:
+                runs.append([b, b])
+        pred = None
+        for lo, hi in runs:
+            p = F.col("id").between(lo * bs, (hi + 1) * bs - 1)
+            pred = p if pred is None else (pred | p)
+        return pred
+
+    seed_blks = [r.blk for r in per_blk
+                 .orderBy(F.col("ub_e4").desc(), F.col("blk").asc())
+                 .limit(theta_blocks).collect()]
+    if not seed_blks:
+        note(fallback="no_matching_blocks", n_blocks=0)
+        return rank(_bm25_pruned_tf(idx, uniq, None))  # empty result
+    if len(seed_blks) < theta_blocks:
+        # the limit didn't bite: the seed set already covers EVERY block
+        # holding a query-term posting — serve it directly, skipping the
+        # threshold and survivor passes (the small-corpus common case)
+        note(fallback=None, n_blocks=len(seed_blks),
+             n_survivors=len(seed_blks))
+        return rank(_bm25_pruned_tf(idx, uniq, ranges_pred(seed_blks)))
+    seed_rows = rank(
+        _bm25_pruned_tf(idx, uniq, ranges_pred(seed_blks))).collect()
+    if len(seed_rows) < k:
+        # fewer than k matches in the highest-bound blocks: no safe
+        # threshold — serve the full pruned read (still exact)
+        note(fallback="seed_underfilled")
+        return rank(_bm25_pruned_tf(idx, uniq, None))
+    theta_e4 = seed_rows[-1].score_e4
+
+    survivors = [r.blk for r in per_blk
+                 .filter(F.col("ub_e4") >= theta_e4)
+                 .limit(max_ranges + 1).collect()]
+    if len(survivors) > max_ranges:
+        note(fallback="too_many_survivors")
+        return rank(_bm25_pruned_tf(idx, uniq, None))
+    if counters is not None:
+        tot = per_blk.join(per_tb, "blk") \
+            .agg(F.count(F.lit(1)).alias("nb"),
+                 F.sum("cnt").alias("ct")).first()
+        sdf = spark.createDataFrame([(b,) for b in survivors], "blk long")
+        sur = per_tb.join(F.broadcast(sdf), "blk") \
+            .agg(F.sum("cnt").alias("ct")).first()
+        note(fallback=None, theta_e4=theta_e4,
+             n_blocks=per_blk.count(), n_survivors=len(survivors),
+             cnt_total=int(tot.ct or 0), cnt_survivors=int(sur.ct or 0))
+    return rank(_bm25_pruned_tf(idx, uniq, ranges_pred(survivors)))
 
 
 def bm25_search_indexed_batch(idx: InvIndex, queries: DataFrame,

@@ -3896,6 +3896,89 @@ def _register_hybrid() -> None:
         terms, k=10, depth=50
     )
 
+    def q_hybrid_two_tower_bounded(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+        """The BOUNDED-probe regime of the two-tower hybrid (r12,
+        VERDICT r11 task 3): same persisted indexes as the exhaustive
+        flagship, but the vector tower probes n_probes=4 of 16 cells —
+        n_cells/4, the honest ANN serving shape where the IVF read is
+        ~1/4 of the cell-partitioned index instead of all of it.
+        Graded like ann_ivf_recall: the value-hashed leg is the EXACT
+        corpus-scan hybrid top-10 (same SQL oracle), and an in-plan
+        boolean asserts the bounded-probe result recovered ≥ 7 of its
+        10 ids (measured: 10/10 at every test scale under the seeded
+        KMeans — the lexical tower is exact, so fused recall degrades
+        far slower than raw vector recall)."""
+        import tempfile
+
+        from .operators.ann import (
+            ivf_append_saved,
+            ivf_build,
+            ivf_load,
+            ivf_save,
+        )
+        from .operators.hybrid import (
+            hybrid_search_rrf,
+            hybrid_search_rrf_two_tower,
+        )
+        from .operators.invindex import (
+            invindex_append,
+            invindex_load,
+            invindex_save,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = (
+            emb.filter(F.col("vec_id") == 0)
+            .select(F.col("embedding").alias("qvec"))
+        )
+
+        def nvec(col):
+            v = F.transform(col, lambda x: x.cast("double"))
+            nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+            return F.when(nrm == 0.0, v).otherwise(
+                F.transform(v, lambda x: x / nrm))
+
+        lex_path = tempfile.mkdtemp(prefix="ttb_lex_")
+        invindex_save(docs.filter(F.col("doc_id") % 7 != 0),
+                      "text", "doc_id", lex_path, n_buckets=32)
+        invindex_append(spark, lex_path,
+                        docs.filter(F.col("doc_id") % 7 == 0),
+                        "text", "doc_id")
+        vec_path = tempfile.mkdtemp(prefix="ttb_vec_")
+        nbase = emb.select(F.col("vec_id").alias("id"),
+                           nvec(F.col("embedding")).alias("vec"))
+        ivf_save(ivf_build(nbase.filter(F.col("id") % 7 != 0),
+                           n_cells=16, seed=7), vec_path)
+        ivf_append_saved(spark, vec_path,
+                         nbase.filter(F.col("id") % 7 == 0))
+        idx = invindex_load(spark, lex_path)
+        ivf = ivf_load(spark, vec_path)
+        bounded = hybrid_search_rrf_two_tower(
+            idx, ivf, emb, terms, qvec, k=10, depth=50, n_probes=4)
+        exact = hybrid_search_rrf(docs, emb, terms, qvec, k=10, depth=50)
+        n_hits = (
+            exact.select("id")
+            .join(bounded.select("id"), "id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        return _finish_rmtree(
+            exact.crossJoin(F.broadcast(n_hits)).select(
+                "id", "lex_rank", "vec_rank", "rrf_e6",
+                (F.col("n_hits") >= 7).alias("bounded_found_ge_7"),
+            ).orderBy(F.col("rrf_e6").desc(), F.col("id").asc()),
+            lex_path, vec_path,
+        )
+
+    _QUERIES["hybrid_rrf_two_tower_bounded"] = q_hybrid_two_tower_bounded
+    _ORACLES["hybrid_rrf_two_tower_bounded"] = f"""
+WITH exact AS ({render_hybrid_rrf_sql(terms, k=10, depth=50)})
+SELECT id, lex_rank, vec_rank, rrf_e6,
+       CAST(1 AS BOOLEAN) AS bounded_found_ge_7
+FROM exact ORDER BY rrf_e6 DESC, id
+"""
+
 
 _register_hybrid()
 
@@ -4939,7 +5022,8 @@ def _register_batch_serving() -> None:
         (3, ["stream", "window", "dup"]),
     ]
 
-    def _build_invindex(spark: SparkSession, sf_dir: str, prefix: str):
+    def _build_invindex(spark: SparkSession, sf_dir: str, prefix: str,
+                        block_size: int = 4096):
         import tempfile
 
         from .operators.invindex import (
@@ -4951,7 +5035,8 @@ def _register_batch_serving() -> None:
         docs = load_table(spark, sf_dir, "documents")
         path = tempfile.mkdtemp(prefix=prefix)
         invindex_save(docs.filter(F.col("doc_id") % 7 != 0),
-                      "text", "doc_id", path, n_buckets=32)
+                      "text", "doc_id", path, n_buckets=32,
+                      block_size=block_size)
         invindex_append(spark, path,
                         docs.filter(F.col("doc_id") % 7 == 0),
                         "text", "doc_id")
@@ -4980,6 +5065,36 @@ def _register_batch_serving() -> None:
 
     _QUERIES["bm25_topk_batch"] = q_bm25_batch
     _ORACLES["bm25_topk_batch"] = render_bm25_batch_sql(bm25_queries, k=10)
+
+    def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BM25 top-k with Block-Max WAND postings skipping
+        (operators/invindex.py:bm25_search_indexed_wand — r12, VERDICT
+        r11 task 2): per-(term, id-block) tf/dl bounds from the
+        blockmax table written at save/append, the 64 highest-bound
+        blocks scored exactly to seed the threshold, blocks whose bound
+        cannot reach the k-th score pruned via literal id-range
+        predicates (parquet row-group skips over the (term, id)-sorted
+        postings).  Top-k-safe pruning is EXACT, so the result —
+        scored with the shared bm25_rank tail and the exact df injected
+        from the metadata — is bit-identical to bm25_search_indexed
+        and the oracle is the SAME corpus-scan SQL.  block_size=64 and
+        theta_blocks=4 force a multi-block store AND the full
+        seed→threshold→prune path (not the seed-covers-everything
+        shortcut) at every test scale, so that is what the oracle
+        certifies."""
+        from .operators.invindex import bm25_search_indexed_wand
+
+        idx, path = _build_invindex(spark, sf_dir, "bm25wand_",
+                                    block_size=64)
+        return _finish_rmtree(bm25_search_indexed_wand(
+            idx, ["vector", "merge", "batch"], k=10, theta_blocks=4),
+            path)
+
+    from .operators.tfidf import render_bm25_sql as _bm25_sql
+
+    _QUERIES["bm25_topk_wand"] = q_bm25_wand
+    _ORACLES["bm25_topk_wand"] = _bm25_sql(
+        ["vector", "merge", "batch"], k=10)
 
     def q_phrase_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Batch exact phrase search through the persisted positional
@@ -5757,11 +5872,18 @@ _TAIL_ORDER = [
     # hybrid (same oracle); bounded probes are the recalled tier
     "hybrid_rrf_two_tower",
     # round-12: batch-query serving through the persisted indexes
-    # (bm25_topk_batch is SCORED; these two complete the family —
-    # one set-based plan per query batch, per-query rows bit-identical
-    # to the single-query serving calls), and the single-query BM25
-    # flagship demoted by the r12 rotation keeps its full oracle here
-    "phrase_search_batch", "maxsim_topk_batch", "bm25_topk_indexed",
+    # (bm25_topk_batch is SCORED; the batch phrase/maxsim entries
+    # complete the family — one set-based plan per query batch,
+    # per-query rows bit-identical to the single-query serving calls),
+    # Block-Max WAND (bit-identical to the plain indexed serve —
+    # top-k-safe pruning is exact, same corpus-scan oracle), and the
+    # single-query BM25 flagship demoted by the r12 rotation keeps its
+    # full oracle here
+    # plus the bounded-probe regime of the r11 two-tower flagship
+    # (n_probes = n_cells/4, exact-leg-hashed + in-plan ≥7/10 recall
+    # boolean — the ann_ivf_recall grading pattern)
+    "phrase_search_batch", "maxsim_topk_batch", "bm25_topk_wand",
+    "bm25_topk_indexed", "hybrid_rrf_two_tower_bounded",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",

@@ -120,7 +120,7 @@ def stream_into_store(stream_df: DataFrame, store: VectorStore,
                       vec_col: str = "vec", doc_col: str = "doc",
                       checkpoint_dir: str | None = None,
                       trigger: dict | None = None,
-                      prepare=None):
+                      prepare=None, finish=None):
     """Start a streaming query appending ``(vec, doc)`` rows to the store.
 
     ``prepare`` (optional ``DataFrame -> DataFrame``, or
@@ -131,6 +131,18 @@ def stream_into_store(stream_df: DataFrame, store: VectorStore,
     two-arg form additionally sees the stable foreachBatch batch id, which
     is what lets a stateful prepare make its own side effects
     replay-idempotent (a replayed batch re-arrives under the SAME id).
+
+    ``finish`` (optional ``(DataFrame, batch_id) -> None``, r12 —
+    VERDICT r11 task 6) runs AFTER the batch commits (parquet append +
+    replay marker), receiving the inserted rows WITH their assigned
+    ``(id, vec, doc)`` — materialized once via localCheckpoint, so a
+    consumer (e.g. a direct index append) does not re-read the store
+    slice it just wrote.  Because it runs after the marker, a crash
+    inside ``finish`` never re-inserts rows on replay (the marker skips
+    the batch) — a ``finish`` side effect must therefore tolerate
+    having been SKIPPED for a committed batch and catch up from store
+    state (the IVF hook's watermark sync is exactly that recovery
+    path).
 
     ``stream_df`` must carry an ``array<float>`` vector column of the
     store's dimensionality (validated per batch — a bad row fails the batch
@@ -181,12 +193,19 @@ def stream_into_store(stream_df: DataFrame, store: VectorStore,
         out = prepared.withColumn(
             "id", F.row_number().over(w).cast("long") + F.lit(start - 1)
         ).select("id", "vec", "doc")
+        if finish is not None:
+            # pin the assigned rows so the post-commit hook reuses them
+            # instead of recomputing the (nondeterministic-ordered)
+            # window or re-reading the store slice just written
+            out = out.localCheckpoint(eager=True)
         out.write.mode("append").parquet(
             store._snapshot_dir(store._current_version())
         )
         store._invalidate_cache()
         with open(marker, "w") as f:
             f.write("done")
+        if finish is not None:
+            finish(out, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(append_batch).outputMode("append")
     if checkpoint_dir is not None:

@@ -260,7 +260,8 @@ def stream_into_store_vector_neardup(stream_df: DataFrame,
                                      checkpoint_dir: str | None = None,
                                      trigger: dict | None = None,
                                      compact_every_batches: int | None
-                                     = None):
+                                     = None,
+                                     direct_index_append: bool = True):
     """Streaming ingest with EMBEDDING-space near-dup rejection — the
     vector analog of :func:`stream_into_store_neardup` (SemDeDup's admit
     rule run online): a batch row whose cosine against ANY stored vector
@@ -291,6 +292,20 @@ def stream_into_store_vector_neardup(stream_df: DataFrame,
     (same rationale as the text screen: both may be novel; they reject
     each other's re-deliveries once stored).
 
+    ``direct_index_append`` (r12, VERDICT r11 task 6, requires
+    ``index_dir``): the batch's survivors append to the saved IVF
+    DIRECTLY after the store commit — the ``finish`` hook hands the
+    inserted ``(id, vec)`` rows (already materialized) to
+    ``ann.ivf_append_saved``, so the steady-state per-batch index cost
+    never re-reads even the new store slice.  The watermark sync at
+    the top of each screen remains as the RECOVERY path: normally it
+    covers zero rows (one cheap pruned no-op), but a crash between the
+    batch marker and the index append — the one window where a
+    committed batch is missed — is caught up from store state on the
+    next batch, and ``ivf_append_saved``'s index-id anti-join keeps
+    the overlap idempotent.  Index rows are byte-identical to the
+    watermark-only path (pytest-pinned); set False to restore it.
+
     ``compact_every_batches`` (VERDICT r8 task 7, requires
     ``index_dir``): every N committed micro-batches the screen runs
     ``maintenance.ivf_compact_saved`` in-line, folding the sync's
@@ -304,6 +319,8 @@ def stream_into_store_vector_neardup(stream_df: DataFrame,
     import math
 
     from ..operators.ann import (
+        ivf_advance_sync_watermark,
+        ivf_append_saved,
         ivf_build,
         ivf_load,
         ivf_save,
@@ -391,8 +408,31 @@ def stream_into_store_vector_neardup(stream_df: DataFrame,
             ivf_compact_saved(spark, index_dir)
         return survivors
 
+    def index_batch(inserted: DataFrame, batch_id: int) -> None:
+        """Post-commit direct index append (r12): the inserted rows —
+        ids assigned, materialized by the finish hook — normalize and
+        append straight to the saved IVF, then ADVANCE the sync
+        watermark past them (without this the recovery sync's
+        ``id > wm`` anti-join slice would grow with every
+        directly-appended batch).  Skips silently while the index
+        doesn't exist yet (the deferred-fit warmup; the screen's
+        watermark sync backfills the whole store when it first builds,
+        after ivf_save cleared the watermark)."""
+        spark = inserted.sparkSession
+        if not _fs_exists(spark, f"{index_dir}/centroids"):
+            return
+        ivf_append_saved(
+            spark, index_dir,
+            inserted.select("id", norm(F.col("vec")).alias("vec")))
+        mx = inserted.agg(F.max("id")).first()[0]
+        if mx is not None:
+            ivf_advance_sync_watermark(spark, index_dir, int(mx))
+
     return stream_into_store(
         stream_df, store, vec_col=vec_col, doc_col=doc_col,
         checkpoint_dir=checkpoint_dir, trigger=trigger,
         prepare=screen,
+        finish=(index_batch
+                if direct_index_append and index_dir is not None
+                else None),
     )
