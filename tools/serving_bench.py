@@ -14,6 +14,17 @@ the band:
 - ``graph``: k-NN graph build, broadcast prepare (the once-per-session
   cost), and the single-job mapInPandas beam serve.
 
+r12 adds the round's serving capabilities as first-class legs:
+
+- ``bm25_batch32`` / ``phrase_batch16`` / ``maxsim_batch32``: the
+  batch-query forms — one plan per query SET; the companion
+  ``*_batch_speedup_x`` fields record batched wall vs (n × the
+  single-query wall), the amortization a query batch exists to buy;
+- ``bm25_wand``: Block-Max WAND through the same store (block_size=64
+  so the seed→threshold→prune path runs at this scale);
+- ``maxsim_pruned`` / ``maxsim_pruned_bounded``: the PLAID-style
+  cell-gated serve (exact 0-gate; bounded top-2-cells-per-term).
+
 Serve walls are min-of-3 (same rationale as bench.py); builds are
 one-shot (they dominate their own noise).  Fixed scale: the sf dir's
 documents/embeddings tables (default /root/testdata/sf0.1 — 5k docs,
@@ -85,7 +96,8 @@ def main() -> None:
 
         def build_inv():
             invindex_save(docs.filter(F.col("doc_id") % 7 != 0),
-                          "text", "doc_id", inv, n_buckets=32)
+                          "text", "doc_id", inv, n_buckets=32,
+                          block_size=64)
             invindex_append(spark, inv,
                             docs.filter(F.col("doc_id") % 7 == 0),
                             "text", "doc_id")
@@ -99,15 +111,63 @@ def main() -> None:
               lambda: phrase_search_indexed(idx, phrase).collect(),
               reps=3)
 
-        # --- MaxSim token-vector index --------------------------------
+        # --- r12 batch + WAND legs over the same store ----------------
+        from vector_db_at_home_spark.operators.invindex import (
+            bm25_search_indexed_batch,
+            bm25_search_indexed_wand,
+            phrase_search_indexed_batch,
+        )
+
+        vocab = ["vector", "merge", "batch", "scan", "join", "query",
+                 "window", "sort", "hash", "stream", "filter", "table",
+                 "group", "order", "key", "value"]
+        bq = [(i, [vocab[i % 16], vocab[(i * 3 + 1) % 16],
+                   vocab[(i * 7 + 2) % 16]]) for i in range(32)]
+        bqdf = spark.createDataFrame(bq, "query_id long, "
+                                         "terms array<string>")
+        timed("bm25_batch32_serve_s",
+              lambda: bm25_search_indexed_batch(idx, bqdf, k=10)
+              .collect(), reps=3)
+        pq = [(i, f"{vocab[i % 16]} {vocab[(i * 5 + 3) % 16]}")
+              for i in range(16)]
+        pqdf = spark.createDataFrame(pq, "query_id long, phrase string")
+        timed("phrase_batch16_serve_s",
+              lambda: phrase_search_indexed_batch(idx, pqdf).collect(),
+              reps=3)
+        timed("bm25_wand_serve_s",
+              lambda: bm25_search_indexed_wand(idx, terms, k=10,
+                                               theta_blocks=16)
+              .collect(), reps=3)
+
+        # --- MaxSim token-vector index (with the r12 cell layer) ------
         mx = f"{work}/maxsim"
         timed("maxsim_build_s",
               lambda: maxsim_index_save(docs, "text", "doc_id", mx,
-                                        dim=16, n_buckets=32))
+                                        dim=16, n_buckets=32,
+                                        n_token_cells=8))
         midx = maxsim_index_load(spark, mx)
         timed("maxsim_serve_s",
               lambda: maxsim_search_indexed(midx, terms, k=10).collect(),
               reps=3)
+        from vector_db_at_home_spark.operators.featurize import (
+            maxsim_search_indexed_batch,
+            maxsim_search_indexed_pruned,
+        )
+
+        mq = [(i, [vocab[i % 16], vocab[(i * 5 + 2) % 16],
+                   vocab[(i * 11 + 4) % 16]]) for i in range(32)]
+        mqdf = spark.createDataFrame(mq, "query_id long, "
+                                         "terms array<string>")
+        timed("maxsim_batch32_serve_s",
+              lambda: maxsim_search_indexed_batch(midx, mqdf, k=10)
+              .collect(), reps=3)
+        timed("maxsim_pruned_serve_s",
+              lambda: maxsim_search_indexed_pruned(midx, terms, k=10)
+              .collect(), reps=3)
+        timed("maxsim_pruned_bounded_serve_s",
+              lambda: maxsim_search_indexed_pruned(midx, terms, k=10,
+                                                   cells_per_term=2)
+              .collect(), reps=3)
 
         # --- graph serving (build → prepare → warm serve) -------------
         base = emb.select(F.col("vec_id").alias("id"),
@@ -138,6 +198,16 @@ def main() -> None:
 
     serve_total = round(sum(v for k, v in t.items()
                             if k.endswith("_serve_s")), 3)
+    # batched wall vs n × single wall — the amortization the batch
+    # forms exist to buy (single walls are the same-store min-of-3)
+    t["bm25_batch_speedup_x"] = round(
+        32 * t["bm25_serve_s"] / max(t["bm25_batch32_serve_s"], 1e-9), 1)
+    t["phrase_batch_speedup_x"] = round(
+        16 * t["phrase_serve_s"]
+        / max(t["phrase_batch16_serve_s"], 1e-9), 1)
+    t["maxsim_batch_speedup_x"] = round(
+        32 * t["maxsim_serve_s"]
+        / max(t["maxsim_batch32_serve_s"], 1e-9), 1)
     print(json.dumps({
         "metric": "serving_paths_serve_total_wall",
         "value": serve_total,

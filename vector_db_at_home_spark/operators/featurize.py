@@ -812,7 +812,8 @@ def maxsim_index_load(spark, path: str) -> MaxSimIndex:
     from ..functions.fsutil import fs_exists
     from .maintenance import recover_compact_crash
 
-    for tbl in ("tokvecs", "postings", "docids", "tombstones"):
+    for tbl in ("tokvecs", "postings", "docids", "tombstones",
+                "tokcells", "postings_cell", "cellstats", "centroids"):
         recover_compact_crash(spark, f"{path}/{tbl}")
     meta = json.loads(spark.read.json(f"{path}/meta.json").first().meta)
     tokvecs = spark.read.schema("tok string, bucket int, val long") \
@@ -820,14 +821,32 @@ def maxsim_index_load(spark, path: str) -> MaxSimIndex:
     postings = spark.read.schema("tok string, id long, pbk int") \
         .parquet(f"{path}/postings")
     docids = spark.read.schema("id long").parquet(f"{path}/docids")
+    n_token_cells = int(meta.get("n_token_cells", 0))   # pre-r12 meta
+    tokcells = postings_cell = cellstats = centroids = None
+    if n_token_cells and fs_exists(spark, f"{path}/tokcells"):
+        tokcells = spark.read.schema("tok string, cell int") \
+            .parquet(f"{path}/tokcells")
+        postings_cell = spark.read.schema(
+            "tok string, id long, cell int") \
+            .parquet(f"{path}/postings_cell")
+        cellstats = spark.read.schema(
+            "cell int, bucket int, gen string, max_val long, "
+            "min_val long").parquet(f"{path}/cellstats")
+        centroids = spark.read.schema("cell int, c array<double>") \
+            .parquet(f"{path}/centroids")
     tomb = f"{path}/tombstones"
     if fs_exists(spark, tomb):
         dead = spark.read.parquet(tomb).select("id")
         postings = postings.join(dead, "id", "left_anti")
         docids = docids.join(dead, "id", "left_anti")
+        if postings_cell is not None:
+            postings_cell = postings_cell.join(dead, "id", "left_anti")
     return MaxSimIndex(tokvecs=tokvecs, postings=postings, docids=docids,
                        n_buckets=int(meta["n_buckets"]),
-                       dim=int(meta["dim"]))
+                       dim=int(meta["dim"]),
+                       tokcells=tokcells, postings_cell=postings_cell,
+                       cellstats=cellstats, centroids=centroids,
+                       n_token_cells=n_token_cells)
 
 
 def maxsim_index_append(spark, path: str, docs: DataFrame, text_col: str,
@@ -872,13 +891,58 @@ def maxsim_index_append(spark, path: str, docs: DataFrame, text_col: str,
             return n  # every fresh doc was a resurrection
     dtok = _maxsim_doc_tokens(fresh, "__text", "id")
     new_vocab = dtok.select("tok").distinct() \
-        .join(idx.tokvecs.select("tok").distinct(), "tok", "left_anti")
+        .join(idx.tokvecs.select("tok").distinct(), "tok", "left_anti") \
+        .localCheckpoint(eager=True)
     _token_vectors(new_vocab, "tok", idx.dim, "val") \
         .write.mode("append").parquet(f"{path}/tokvecs")
     p = dtok.select("tok", "id").distinct() \
         .withColumn("pbk", _tok_pbk(F.col("tok"), idx.n_buckets))
     p.repartition(idx.n_buckets, "pbk").write.partitionBy("pbk") \
         .mode("append").parquet(f"{path}/postings")
+    if idx.tokcells is not None:
+        # extend the token-cell layer: UNSEEN tokens assign to their
+        # nearest centroid (a layout choice — exactness lives in the
+        # cellstats bounds, which gain a batch gen row covering the new
+        # tokens' components), and ALL fresh postings land in the
+        # cell-partitioned copy.  gen = raw docids count before this
+        # batch commits: deterministic across crash replays (docids
+        # writes LAST), strictly increasing across committed appends.
+        gen = f"g{spark.read.parquet(f'{path}/docids').count()}"
+        # new-token detection keys on TOKCELLS, not tokvecs: a crash
+        # between the tokvecs write above and the tokcells write below
+        # must still assign those tokens on replay (anti-joining
+        # tokvecs there would see them as "seen" and strand them
+        # cell-less — invisible to the pruned read)
+        tc0 = spark.read.schema("tok string, cell int") \
+            .parquet(f"{path}/tokcells")
+        cell_new = dtok.select("tok").distinct() \
+            .join(tc0.select("tok"), "tok", "left_anti") \
+            .localCheckpoint(eager=True)
+        new_tv = _token_vectors(cell_new, "tok", idx.dim, "val")
+        if not cell_new.isEmpty():
+            dense = _dense_tokvecs(new_tv, idx.dim)
+            d2 = F.aggregate(
+                F.zip_with(F.col("arr"), F.col("c"),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda a, x: a + x)
+            assign = (
+                dense.crossJoin(F.broadcast(idx.centroids))
+                .select("tok", F.struct(d2.alias("d"),
+                                        F.col("cell").alias("cell"))
+                        .alias("dc"))
+                .groupBy("tok")
+                .agg(F.min("dc").alias("dc"))
+                .select("tok", F.col("dc.cell").alias("cell"))
+            )
+            assign.repartition(8).write.mode("append") \
+                .parquet(f"{path}/tokcells")
+            _cellstats_rows(new_tv, assign, gen).repartition(1) \
+                .write.mode("append").parquet(f"{path}/cellstats")
+        tc = spark.read.schema("tok string, cell int") \
+            .parquet(f"{path}/tokcells")
+        p.select("tok", "id").join(tc, "tok") \
+            .repartition(8, "cell").write.partitionBy("cell") \
+            .mode("append").parquet(f"{path}/postings_cell")
     fresh.select("id").write.mode("append").parquet(f"{path}/docids")
     return n
 
@@ -907,7 +971,26 @@ def maxsim_index_compact_saved(spark, path: str,
     from ..functions.fsutil import fs_exists, fs_rename, fs_rmtree
 
     idx = maxsim_index_load(spark, path)  # load IS the recovery point
-    rewrites = [
+    rewrites = []
+    if idx.tokcells is not None:
+        # cell-layer rewrites run FIRST: cellstats' plan reads the
+        # tokvecs/tokcells dirs lazily, so it must execute before those
+        # tables' own swaps rename the source files away (the invindex
+        # blockmax rule)
+        clean_tc = idx.tokcells.dropDuplicates(["tok"])
+        rewrites += [
+            ("cellstats",
+             _cellstats_rows(
+                 idx.tokvecs.dropDuplicates(["tok", "bucket"]),
+                 clean_tc, "g0").repartition(1),
+             None),
+            ("postings_cell",
+             idx.postings_cell.dropDuplicates(["tok", "id"])
+             .repartition(8, "cell"),
+             "cell"),
+            ("tokcells", clean_tc.repartition(8), None),
+        ]
+    rewrites += [
         ("tokvecs",
          idx.tokvecs.dropDuplicates(["tok", "bucket"]).repartition(8),
          None),
@@ -988,6 +1071,128 @@ def maxsim_search_indexed(idx: MaxSimIndex, terms: list[str],
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def maxsim_search_indexed_pruned(idx: MaxSimIndex, terms: list[str],
+                                 k: int = 10,
+                                 counters: dict | None = None,
+                                 cells_per_term: int | None = None
+                                 ) -> DataFrame:
+    """MaxSim through the saved index with PLAID-style centroid-gated
+    postings pruning (Santhanam et al. 2022's cell-gating idea,
+    re-expressed as a PROVABLE bound so the result stays EXACT — r12,
+    VERDICT r11 task 4), bit-identical to
+    :func:`maxsim_search_indexed` (same oracle):
+
+    - per (query term, token cell), the integer bound
+      ``Σ_b qval_b>0 ? qval_b·max_val_b : qval_b·min_val_b`` (cellstats)
+      is ≥ the term's dot against EVERY token in the cell; a cell bound
+      ≤ 0 means no token in it can contribute (the 0-floor already
+      discards non-positive dots) — those cells' postings are never
+      read.  The pbk layout can't do this: xxhash scatters the
+      morphologically-similar tokens that share trigram mass with a
+      query term across ALL buckets, so its per-token prune reads ~the
+      whole postings table on realistic derived vocabularies (the r11
+      1M point's honest worst case);
+    - the postings read prunes to the surviving cells via a literal
+      ``cell IN`` PartitionFilter over the cell-partitioned copy;
+    - positive-token dots and the per-(doc, term) max/sum are the
+      UNCHANGED exact pipeline — every positive token's cell survives
+      (its dot ≤ its cell's bound), so scores are identical;
+    - the 0-floor MEMBERSHIP tail (docs that share a hash bucket but
+      win nothing, surfaced with score 0) is the one thing the pruned
+      read cannot see; whenever fewer than ``k`` docs score positive,
+      the query falls back to the full read — top-k EXACTNESS is
+      therefore unconditional, and the fallback is the same degenerate
+      regime where pruning had nothing to win anyway.
+
+    Stores saved without ``n_token_cells`` serve via the full read.
+    ``counters`` receives ``n_cells_alive`` / ``n_cells_total`` /
+    ``fallback`` for the smoke/tests.
+
+    ``cells_per_term`` (optional) switches to the BOUNDED regime —
+    PLAID's actual serving shape: each term reads only its
+    ``cells_per_term`` highest-bound cells (ties break cell ASC), so
+    the postings read is O(q · cells_per_term / n_cells) of the store
+    regardless of how many tiny hash-collision dots are technically
+    positive.  This drops small positive contributions and is therefore
+    APPROXIMATE — rankings carry a measured recall gate
+    (tools/maxsim_serving_smoke.py records recall@k vs the exact serve;
+    the registered bounded query asserts it in-plan), not the exact
+    contract.  The exact 0-gate regime above remains the default: its
+    skip power grows with ``dim`` (fewer collision-positives), the
+    bounded regime is the honest 100 TB path at small dims."""
+    spark = idx.postings.sparkSession
+
+    def note(**kw):
+        if counters is not None:
+            counters.update(kw)
+
+    if idx.tokcells is None:
+        note(fallback="no_cell_layer")
+        return maxsim_search_indexed(idx, terms, k)
+    qdf = spark.createDataFrame([(t.lower(),) for t in terms],
+                                "qt string")
+    qvec = _token_vectors(qdf, "qt", idx.dim, "qval")
+    cs = (
+        idx.cellstats.dropDuplicates()   # crash-replay gen rows
+        .groupBy("cell", "bucket")
+        .agg(F.max("max_val").alias("mx"), F.min("min_val").alias("mn"))
+    )
+    ub = (
+        cs.join(F.broadcast(qvec), "bucket")
+        .groupBy("cell", "qt")
+        .agg(F.sum(F.when(F.col("qval") > 0,
+                          F.col("qval") * F.col("mx"))
+                   .otherwise(F.col("qval") * F.col("mn")))
+             .alias("ub"))
+    )
+    pos_cells = ub.filter(F.col("ub") > 0)
+    if cells_per_term is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("qt").orderBy(
+            F.col("ub").desc(), F.col("cell").asc())
+        pos_cells = pos_cells.withColumn(
+            "__rn", F.row_number().over(w)) \
+            .filter(F.col("__rn") <= cells_per_term)
+    alive = sorted(r.cell for r in pos_cells
+                   .select("cell").distinct().collect())
+    note(n_cells_alive=len(alive), n_cells_total=idx.n_token_cells,
+         alive_cells=alive)
+    if not alive:
+        # no cell can produce a positive dot: every doc would score 0 —
+        # the pure-membership regime; serve it via the full read
+        note(fallback="no_positive_cells")
+        return maxsim_search_indexed(idx, terms, k)
+    dots = (
+        idx.tokvecs.distinct()
+        .join(F.broadcast(qvec), "bucket")
+        .groupBy("tok", "qt")
+        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
+    )
+    pos = dots.filter(F.col("dot") > 0)
+    posts = idx.postings_cell.filter(F.col("cell").isin(alive)) \
+        .select("tok", "id").distinct()
+    per_term = (
+        posts.join(pos, "tok")
+        .groupBy("id", "qt")
+        .agg(F.max("dot").alias("mx"))
+    )
+    s = per_term.groupBy("id").agg(F.sum("mx").alias("score"))
+    # one distributed execution (TakeOrderedAndProject), k rows to the
+    # driver — both the result and the exactness gate: fewer than k
+    # positive-scoring docs means the full path's 0-score membership
+    # tail could enter the top-k, so serve that regime via the full
+    # read instead
+    top = s.orderBy(F.col("score").desc(), F.col("id").asc()) \
+        .limit(k).collect()
+    if len(top) < k:
+        note(fallback="membership_tail")
+        return maxsim_search_indexed(idx, terms, k)
+    note(fallback=None)
+    return spark.createDataFrame([(r.id, r.score) for r in top],
+                                 "id long, score long")
 
 
 _MAX_MAXSIM_BATCH = 65_536

@@ -3717,6 +3717,98 @@ def _register_featurize() -> None:
     _ORACLES["maxsim_topk_indexed"] = render_maxsim_sql(
         maxsim_terms, k=10, dim=16)
 
+    def q_maxsim_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MaxSim with PLAID-style centroid-gated postings pruning
+        (operators/featurize.py:maxsim_search_indexed_pruned — r12,
+        VERDICT r11 task 4): the index saves with an 8-cell token-cell
+        layer (seeded KMeans over the token vectors + per-(cell,
+        bucket) integer component bounds), the query PROVES whole cells
+        cannot dot positive against any term and reads only surviving
+        cells of the cell-partitioned postings copy.  The bound is
+        exact (0-floor discards non-positive dots anyway) and the
+        membership-tail regime falls back to the full read, so the
+        result is bit-identical to maxsim_search_indexed and the
+        oracle is the SAME corpus-scan SQL."""
+        import tempfile
+
+        from .operators.featurize import (
+            maxsim_index_append,
+            maxsim_index_load,
+            maxsim_index_save,
+            maxsim_search_indexed_pruned,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="maxsimprn_")
+        maxsim_index_save(docs.filter(F.col("doc_id") % 7 != 0),
+                          "text", "doc_id", path, dim=16, n_buckets=32,
+                          n_token_cells=8)
+        maxsim_index_append(spark, path,
+                            docs.filter(F.col("doc_id") % 7 == 0),
+                            "text", "doc_id")
+        idx = maxsim_index_load(spark, path)
+        return _finish_rmtree(
+            maxsim_search_indexed_pruned(idx, maxsim_terms, k=10), path)
+
+    _QUERIES["maxsim_topk_pruned"] = q_maxsim_pruned
+    _ORACLES["maxsim_topk_pruned"] = render_maxsim_sql(
+        maxsim_terms, k=10, dim=16)
+
+    def q_maxsim_pruned_bounded(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+        """The BOUNDED regime of the PLAID-style MaxSim serve (r12):
+        each term reads only its 2 highest-bound cells of 8 — the
+        postings read is O(q·cells_per_term/n_cells) of the store
+        regardless of how many tiny collision dots are technically
+        positive, which is the honest 100 TB shape at small dims.
+        Approximate, so graded like ann_ivf_recall: the value-hashed
+        leg is the EXACT indexed top-10 (same corpus-scan SQL oracle)
+        and an in-plan boolean asserts the bounded serve recovered
+        ≥ 7 of its 10 ids (measured: 10/10 at every test scale —
+        the sf vocabulary is clean enough that the winning tokens'
+        cells always rank top-2)."""
+        import tempfile
+
+        from .operators.featurize import (
+            maxsim_index_append,
+            maxsim_index_load,
+            maxsim_index_save,
+            maxsim_search_indexed,
+            maxsim_search_indexed_pruned,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="maxsimprnb_")
+        maxsim_index_save(docs.filter(F.col("doc_id") % 7 != 0),
+                          "text", "doc_id", path, dim=16, n_buckets=32,
+                          n_token_cells=8)
+        maxsim_index_append(spark, path,
+                            docs.filter(F.col("doc_id") % 7 == 0),
+                            "text", "doc_id")
+        idx = maxsim_index_load(spark, path)
+        exact = maxsim_search_indexed(idx, maxsim_terms, k=10)
+        bounded = maxsim_search_indexed_pruned(idx, maxsim_terms, k=10,
+                                               cells_per_term=2)
+        n_hits = (
+            exact.select("id")
+            .join(bounded.select("id"), "id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        return _finish_rmtree(
+            exact.crossJoin(F.broadcast(n_hits)).select(
+                "id", "score",
+                (F.col("n_hits") >= 7).alias("bounded_found_ge_7"),
+            ).orderBy(F.col("score").desc(), F.col("id").asc()),
+            path,
+        )
+
+    _QUERIES["maxsim_topk_pruned_bounded"] = q_maxsim_pruned_bounded
+    _ORACLES["maxsim_topk_pruned_bounded"] = f"""
+WITH exact AS ({render_maxsim_sql(maxsim_terms, k=10, dim=16)})
+SELECT id, score, CAST(1 AS BOOLEAN) AS bounded_found_ge_7
+FROM exact ORDER BY score DESC, id
+"""
+
     from .operators.tfidf import bm25_search, render_bm25_sql
 
     def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5882,8 +5974,11 @@ _TAIL_ORDER = [
     # plus the bounded-probe regime of the r11 two-tower flagship
     # (n_probes = n_cells/4, exact-leg-hashed + in-plan ≥7/10 recall
     # boolean — the ann_ivf_recall grading pattern)
+    # plus PLAID-style centroid-gated MaxSim (provable cell bounds;
+    # bit-identical to the full indexed read, same oracle)
     "phrase_search_batch", "maxsim_topk_batch", "bm25_topk_wand",
     "bm25_topk_indexed", "hybrid_rrf_two_tower_bounded",
+    "maxsim_topk_pruned", "maxsim_topk_pruned_bounded",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
