@@ -151,6 +151,34 @@ def test_maxsim_batch_equals_single_calls(spark, msidx):
     assert got == want
 
 
+def test_hybrid_batch_equals_single_calls(spark, invidx):
+    from vector_db_at_home_spark.operators.hybrid import (
+        hybrid_search_rrf_indexed,
+        hybrid_search_rrf_indexed_batch,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = [(0, ["vector", "merge", "batch"]), (1, ["scan", "join"]),
+               (2, ["query", "window", "sort", "hash"]),
+               (3, ["the", "dup", "stream"])]
+    qdf = spark.createDataFrame(queries,
+                                "query_id long, terms array<string>")
+    qvecs = emb.filter(F.col("vec_id").isin([0, 1, 2, 3])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"))
+    got = [(r.query_id, r.id, r.lex_rank, r.vec_rank, r.rrf_e6)
+           for r in hybrid_search_rrf_indexed_batch(
+               invidx, emb, qdf, qvecs, k=10, depth=50).collect()]
+    want = []
+    for qid, terms in queries:
+        qv = emb.filter(F.col("vec_id") == qid) \
+            .select(F.col("embedding").alias("qvec"))
+        for r in hybrid_search_rrf_indexed(
+                invidx, emb, terms, qv, k=10, depth=50).collect():
+            want.append((qid, r.id, r.lex_rank, r.vec_rank, r.rrf_e6))
+    assert got == want  # bit-identical fused scores AND order, per query
+
+
 def test_maxsim_batch_guards(spark, msidx):
     from vector_db_at_home_spark.operators.featurize import (
         maxsim_search_indexed_batch,

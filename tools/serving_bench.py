@@ -138,6 +138,29 @@ def main() -> None:
               lambda: bm25_search_indexed_wand(idx, terms, k=10,
                                                theta_blocks=16)
               .collect(), reps=3)
+        from vector_db_at_home_spark.operators.hybrid import (
+            hybrid_search_rrf_indexed,
+            hybrid_search_rrf_indexed_batch,
+        )
+
+        emb4 = load_table(spark, SF_DIR, "embeddings")
+        hq = [(i, [vocab[i % 16], vocab[(i * 3 + 1) % 16],
+                   vocab[(i * 7 + 2) % 16]]) for i in range(16)]
+        hqdf = spark.createDataFrame(hq, "query_id long, "
+                                         "terms array<string>")
+        hqv = emb4.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"))
+        qv0 = emb4.filter(F.col("vec_id") == 0) \
+            .select(F.col("embedding").alias("qvec"))
+        timed("hybrid_serve_s",
+              lambda: hybrid_search_rrf_indexed(
+                  idx, emb4, terms, qv0, k=10, depth=50).collect(),
+              reps=3)
+        timed("hybrid_batch16_serve_s",
+              lambda: hybrid_search_rrf_indexed_batch(
+                  idx, emb4, hqdf, hqv, k=10, depth=50).collect(),
+              reps=3)
 
         # --- MaxSim token-vector index (with the r12 cell layer) ------
         mx = f"{work}/maxsim"
@@ -208,6 +231,9 @@ def main() -> None:
     t["maxsim_batch_speedup_x"] = round(
         32 * t["maxsim_serve_s"]
         / max(t["maxsim_batch32_serve_s"], 1e-9), 1)
+    t["hybrid_batch_speedup_x"] = round(
+        16 * t["hybrid_serve_s"]
+        / max(t["hybrid_batch16_serve_s"], 1e-9), 1)
     print(json.dumps({
         "metric": "serving_paths_serve_total_wall",
         "value": serve_total,

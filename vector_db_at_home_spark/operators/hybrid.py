@@ -247,6 +247,174 @@ def hybrid_search_rrf_two_tower(idx, ivf, emb: DataFrame,
                     vec_candidates=cand)
 
 
+def hybrid_search_rrf_indexed_batch(idx, emb: DataFrame,
+                                    queries: DataFrame, qvecs: DataFrame,
+                                    k: int = 10, depth: int = 50,
+                                    vec_id_col: str = "vec_id",
+                                    vec_col: str = "embedding"
+                                    ) -> DataFrame:
+    """Batch-query hybrid RRF with the lexical tower through the
+    persisted inverted index (r12 — completes the batch serving family:
+    BM25, phrase, MaxSim and now the hybrid fuse all take query sets):
+    ``queries`` is a SMALL ``(query_id, terms array<string>)`` frame,
+    ``qvecs`` the matching ``(query_id, qvec)`` query vectors; output
+    one ``(query_id, id, lex_rank, vec_rank, rrf_e6)`` top-k block per
+    query, each row bit-identical to the single-query
+    :func:`hybrid_search_rrf_indexed` call (pytest-pinned — ranks are
+    integers from per-query windows over the same orderings, so the
+    fused score is the same double).
+
+    One plan serves the whole batch: the lexical tower is ONE pruned
+    postings read for the union of all queries' DISTINCT terms
+    (duplicate terms count once, the ``isin`` semantics) fanned out by
+    a broadcast ``(query_id, term)`` join; the vector tower is ONE scan
+    of the embedding table against the broadcast query-vector set (the
+    same amortization ``knn_search`` does); both legs rank with
+    ``row_number`` windows PARTITIONED BY query_id — per-query
+    truncation without per-query plans — and the RRF fuse joins on
+    ``(query_id, id)``."""
+    from pyspark.sql import Window
+
+    from ..functions.tokenize import normalize_query_terms
+    from .invindex import (
+        _collect_query_batch,
+        _pruned_union_postings,
+    )
+
+    spark = queries.sparkSession
+    rows = _collect_query_batch(
+        queries.select("query_id", "terms"),
+        "hybrid_search_rrf_indexed_batch")
+    qplan = []
+    for r in rows:
+        lt = normalize_query_terms(list(r.terms), idx.tokenize_mode)
+        if not lt:
+            raise ValueError(
+                "hybrid_search_rrf_indexed_batch: query "
+                f"{r.query_id} has no terms after normalization")
+        qplan.append((r.query_id, sorted(set(lt))))   # isin: once each
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in qplan for t in ts],
+        "query_id long, term string",
+    )
+    uniq = sorted({t for _, ts in qplan for t in ts})
+    per_term = (
+        _pruned_union_postings(idx, uniq)
+        .select("term", "id", "pos")
+        .distinct()                      # crash-window append duplicates
+        .groupBy("term", "id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tf = (
+        per_term.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "id")
+        .agg(F.sum("c").cast("int").alias("tf"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("tf").desc(), F.col("id").asc())
+    lex = tf.withColumn("lex_rank", F.row_number().over(w_lex)) \
+        .filter(F.col("lex_rank") <= depth) \
+        .select("query_id", "id", "lex_rank")
+
+    sims = (
+        emb.crossJoin(F.broadcast(qvecs.select("query_id", "qvec")))
+        .select(
+            "query_id",
+            F.col(vec_id_col).alias("id"),
+            cosine_similarity(F.col(vec_col), F.col("qvec")).alias("sim"),
+        )
+    )
+    w_vec = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("id").asc())
+    vec = sims.withColumn("vec_rank", F.row_number().over(w_vec)) \
+        .filter(F.col("vec_rank") <= depth) \
+        .select("query_id", "id", "vec_rank")
+
+    score = (
+        F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0))
+    )
+    fused = lex.join(vec, ["query_id", "id"], "full_outer").select(
+        "query_id", "id", "lex_rank", "vec_rank",
+        F.floor(score * 1e6 + F.lit(0.5)).cast("long").alias("rrf_e6"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_e6").desc(), F.col("id").asc())
+    return (
+        fused.withColumn("__rn", F.row_number().over(w_f))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "id", "lex_rank", "vec_rank", "rrf_e6")
+        .orderBy("query_id", F.col("rrf_e6").desc(), F.col("id").asc())
+    )
+
+
+def render_hybrid_rrf_batch_sql(queries: list[tuple[int, list[str]]],
+                                k: int = 10, depth: int = 50) -> str:
+    """DuckDB oracle for the batch hybrid — the single-query oracle
+    generalized: query vectors are the embeddings whose ``vec_id``
+    equals the query_id (the registry's convention), the term sets a
+    VALUES literal, every window partitioned by query_id."""
+    from ..functions.tokenize import normalize_query_terms
+
+    qvals = ", ".join(
+        f"({qid}, '" + t.replace("'", "''") + "')"
+        for qid, terms in queries
+        for t in sorted(set(normalize_query_terms(terms, "space")))
+    )
+    ids = ", ".join(str(qid) for qid, _ in queries)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id IN ({ids})),
+qterms(query_id, term) AS (VALUES {qvals}),
+dtok AS (
+  SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT qt.query_id, d.id, CAST(count(*) AS INTEGER) AS tf
+  FROM dtok d JOIN qterms qt USING (term)
+  GROUP BY qt.query_id, d.id
+),
+lex AS (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY tf DESC, id) AS lex_rank
+  FROM tf QUALIFY lex_rank <= {depth}
+),
+sims AS (
+  SELECT q.query_id, e.vec_id AS id,
+         (SELECT sum(u.a * u.b)
+          FROM (SELECT unnest(e.embedding) AS a, unnest(q.qvec) AS b) u)
+         / (sqrt((SELECT sum(u.a * u.a)
+                  FROM (SELECT unnest(e.embedding) AS a) u))
+            * sqrt((SELECT sum(u.b * u.b)
+                    FROM (SELECT unnest(q.qvec) AS b) u))) AS sim
+  FROM embeddings e CROSS JOIN q
+),
+vec AS (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, id) AS vec_rank
+  FROM sims QUALIFY vec_rank <= {depth}
+),
+fused AS (
+  SELECT coalesce(lex.query_id, vec.query_id) AS query_id,
+         coalesce(lex.id, vec.id) AS id, lex_rank, vec_rank,
+         CAST(floor((coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
+                     + coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank), 0))
+                    * 1e6 + 0.5) AS BIGINT) AS rrf_e6
+  FROM lex FULL OUTER JOIN vec
+       ON lex.query_id = vec.query_id AND lex.id = vec.id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, id, lex_rank, vec_rank,
+       rrf_e6
+FROM fused
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY rrf_e6 DESC, id) <= {k}
+ORDER BY query_id, rrf_e6 DESC, id
+"""
+
+
 def render_hybrid_rrf_sql(terms: list[str], k: int = 10,
                           depth: int = 50) -> str:
     """DuckDB oracle for ``hybrid_search_rrf`` over the test tables

@@ -3988,6 +3988,56 @@ def _register_hybrid() -> None:
         terms, k=10, depth=50
     )
 
+    hybrid_batch_queries = [
+        (0, ["vector", "merge", "batch"]),   # = the single-query flagship
+        (1, ["scan", "join"]),
+        (2, ["query", "window", "sort", "hash"]),
+        (3, ["the", "dup", "stream"]),
+    ]
+
+    def q_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batch-query hybrid RRF through the persisted inverted index
+        (operators/hybrid.py:hybrid_search_rrf_indexed_batch — r12,
+        completing the batch serving family): four (terms, qvec) query
+        pairs fuse in ONE plan — one pruned postings read for the union
+        of the batch's terms, one embedding-table scan against the
+        broadcast query-vector set, per-query rank windows, RRF fuse on
+        (query_id, id).  Query i's vector is embedding vec_id=i; each
+        batch row is bit-identical to the single-query
+        hybrid_search_rrf_indexed call (pytest-pinned)."""
+        from .operators.hybrid import hybrid_search_rrf_indexed_batch
+        from .operators.invindex import (
+            invindex_append,
+            invindex_load,
+            invindex_save,
+        )
+        import tempfile
+
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        qids = [qid for qid, _ in hybrid_batch_queries]
+        qvecs = emb.filter(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"))
+        path = tempfile.mkdtemp(prefix="hybridbatch_")
+        invindex_save(docs.filter(F.col("doc_id") % 7 != 0),
+                      "text", "doc_id", path, n_buckets=32)
+        invindex_append(spark, path,
+                        docs.filter(F.col("doc_id") % 7 == 0),
+                        "text", "doc_id")
+        idx = invindex_load(spark, path)
+        qdf = spark.createDataFrame(
+            hybrid_batch_queries, "query_id long, terms array<string>")
+        return _finish_rmtree(
+            hybrid_search_rrf_indexed_batch(idx, emb, qdf, qvecs,
+                                            k=10, depth=50), path)
+
+    from .operators.hybrid import render_hybrid_rrf_batch_sql
+
+    _QUERIES["hybrid_rrf_batch"] = q_hybrid_batch
+    _ORACLES["hybrid_rrf_batch"] = render_hybrid_rrf_batch_sql(
+        hybrid_batch_queries, k=10, depth=50)
+
     def q_hybrid_two_tower_bounded(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
         """The BOUNDED-probe regime of the two-tower hybrid (r12,
@@ -5979,6 +6029,7 @@ _TAIL_ORDER = [
     "phrase_search_batch", "maxsim_topk_batch", "bm25_topk_wand",
     "bm25_topk_indexed", "hybrid_rrf_two_tower_bounded",
     "maxsim_topk_pruned", "maxsim_topk_pruned_bounded",
+    "hybrid_rrf_batch",
     # relational shapes demoted in round 4 — each re-walks machinery green
     # in a scored query (see NOTE above); all keep full value oracles
     "q4_order_priority", "q10_returned_items", "q17_small_qty_revenue",
