@@ -907,7 +907,9 @@ def maxsim_index_append(spark, path: str, docs: DataFrame, text_col: str,
         # cell-partitioned copy.  gen = raw docids count before this
         # batch commits: deterministic across crash replays (docids
         # writes LAST), strictly increasing across committed appends.
-        gen = f"g{spark.read.parquet(f'{path}/docids').count()}"
+        n_prior = spark.read.schema("id long") \
+            .parquet(f"{path}/docids").count()
+        gen = f"g{n_prior}"
         # new-token detection keys on TOKCELLS, not tokvecs: a crash
         # between the tokvecs write above and the tokcells write below
         # must still assign those tokens on replay (anti-joining

@@ -349,7 +349,9 @@ def invindex_append(spark, path: str, docs: DataFrame, text_col: str,
             # double-counts), strictly increasing across committed
             # appends (fresh > 0 here), so distinct batches never share
             # a gen.
-            gen = f"g{spark.read.parquet(f'{path}/docids').count()}"
+            n_prior = spark.read.schema("id long") \
+                .parquet(f"{path}/docids").count()
+            gen = f"g{n_prior}"
             _blockmax_rows(p, dl, idx.block_size, gen) \
                 .repartition(8, "bucket").write.partitionBy("bucket") \
                 .mode("append").parquet(f"{path}/blockmax")
@@ -650,16 +652,18 @@ def bm25_search_indexed_wand(idx: InvIndex, terms: list[str],
                          dfreq=dfreq.select(F.col("term").alias("t"),
                                             "df"))
 
-    def ranges_pred(blks: list[int]):
-        blks = sorted(blks)
-        runs = []
-        for b in blks:
+    def blk_runs(blks: list[int]) -> list[list[int]]:
+        runs: list[list[int]] = []
+        for b in sorted(blks):
             if runs and b == runs[-1][1] + 1:
                 runs[-1][1] = b
             else:
                 runs.append([b, b])
+        return runs
+
+    def ranges_pred(blks: list[int]):
         pred = None
-        for lo, hi in runs:
+        for lo, hi in blk_runs(blks):
             p = F.col("id").between(lo * bs, (hi + 1) * bs - 1)
             pred = p if pred is None else (pred | p)
         return pred
@@ -691,6 +695,12 @@ def bm25_search_indexed_wand(idx: InvIndex, terms: list[str],
                  .limit(max_ranges + 1).collect()]
     if len(survivors) > max_ranges:
         note(fallback="too_many_survivors")
+        return rank(_bm25_pruned_tf(idx, uniq, None))
+    # an alternating survivor pattern coalesces poorly: cap the OR
+    # chain so the filter expression stays shallow — past it the full
+    # read is cheaper than a thousand-branch predicate (still exact)
+    if len(blk_runs(survivors)) > 512:
+        note(fallback="too_many_ranges")
         return rank(_bm25_pruned_tf(idx, uniq, None))
     if counters is not None:
         tot = per_blk.join(per_tb, "blk") \
