@@ -263,12 +263,14 @@ def test_bm25_indexed_prunes_partitions(spark, tmp_path):
     # shape bm25_search has always had for its corpus scan; here both
     # reads are ~1/B of the store)
     assert len(pruned) == 4
-    # remaining scans: the doclens long-pair reads (no bucket filter,
-    # by design — identified by their 2-long ReadSchema; the scan line
-    # truncates the path)
+    # remaining scans: the doclens long-pair reads and the O(#gens)
+    # dlstats corpus-scalar read (r12 — replaces a full doclens
+    # aggregate; no bucket filter on either, by design)
     for line in scans:
         if line not in pruned:
-            assert "struct<id:bigint,dl:bigint>" in line, line
+            assert ("struct<id:bigint,dl:bigint>" in line
+                    or "struct<gen:string,n_docs:bigint,total_toks:bigint>"
+                    in line), line
 
 
 def test_hybrid_indexed_prunes_partitions(spark, tmp_path):
@@ -419,3 +421,64 @@ def test_invindex_readmit_tombstoned_id(spark, tmp_path):
     assert raw.count() == raw.dropDuplicates(
         ["term", "id", "pos"]).count()
     assert invindex_append(spark, path, readd, "text", "doc_id") == 0
+
+
+def test_dlstats_partials_track_doclens_exactly(spark, tmp_path):
+    """r12: the O(#gens) dlstats partials must sum to EXACTLY the
+    doclens aggregate after save, after append, and after a
+    delete+compact cycle — they replace a per-query full doclens
+    aggregate in the serving paths, so any drift is a scoring bug."""
+    from pyspark.sql import functions as F
+
+    from vector_db_at_home_spark.operators.invindex import (
+        bm25_search_indexed,
+        invindex_compact_saved,
+        invindex_load,
+        invindex_append,
+        invindex_save,
+        invindex_sync_deletes,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} w{i % 5} common") for i in range(20)]
+        + [(98, ""), (99, "   ")],            # token-less docs count too
+        "doc_id long, text string",
+    )
+
+    def totals(idx):
+        dl = idx.doclens.select("id", "dl").distinct()
+        row = dl.agg(F.count(F.lit(1)).alias("n"),
+                     F.coalesce(F.sum("dl"), F.lit(0)).alias("s")).first()
+        st = idx.dlstats.dropDuplicates().agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n"),
+            F.coalesce(F.sum("total_toks"), F.lit(0)).alias("s")).first()
+        return (row.n, row.s), (st.n, st.s)
+
+    path = str(tmp_path / "inv_dlstats")
+    invindex_save(docs.filter("doc_id < 10"), "text", "doc_id", path,
+                  n_buckets=4)
+    got, st = totals(invindex_load(spark, path))
+    assert st == got
+
+    invindex_append(spark, path, docs.filter("doc_id >= 10"),
+                    "text", "doc_id")
+    idx = invindex_load(spark, path)
+    got, st = totals(idx)
+    assert st == got
+
+    # pending tombstones invalidate the partials: serving must fall back
+    # (scores already pinned vs the corpus scan elsewhere) and compaction
+    # must fold one fresh gen that matches the filtered doclens again
+    class _Store:
+        def df(self_inner):
+            return docs.filter("doc_id != 3")
+    invindex_sync_deletes(spark, _Store(), path, id_col="doc_id")
+    idx = invindex_load(spark, path)
+    assert idx.has_tombstones
+    # falls back to the doclens aggregate — same result either way
+    assert bm25_search_indexed(idx, ["common"], k=5).count() == 5
+    invindex_compact_saved(spark, path)
+    idx = invindex_load(spark, path)
+    assert not idx.has_tombstones
+    got, st = totals(idx)
+    assert st == got

@@ -270,7 +270,8 @@ def _band_key(rows: int) -> list[str]:
 
 
 def _signature_bands(sh: DataFrame, num_perm: int,
-                     bands: int) -> tuple[DataFrame, DataFrame]:
+                     bands: int,
+                     include_sz: bool = False) -> tuple[DataFrame, DataFrame]:
     """``(band_rows, sizes)`` from hashed shingles: signatures AND set
     sizes in ONE partial-aggregating groupBy (the verify stage needs
     |shingles(doc)| anyway, and a separate count pass would re-shuffle the
@@ -291,7 +292,18 @@ def _signature_bands(sh: DataFrame, num_perm: int,
     unbounded-row OOM shape the round-4 collect_set verify fusion was
     rejected for).  At sf0.1 the whole signature stage is ~0.06 s on top
     of the shingle pass (tools/profile_minhash.py) — not the bottleneck.
-    The 64-buffer expression form stays."""
+    The 64-buffer expression form stays.
+
+    ``include_sz=True`` (r12) additionally carries the doc's shingle-set
+    size ``sz`` on every band row (+8 B/row through the band self-join)
+    so the caller's verify tail never joins a separate sizes table:
+    Catalyst column pruning rewrites the "shared" sizes branch of the
+    ONE groupBy into its own ``partial_count``-only aggregate (measured
+    in the r12 plan capture: a second full pass over the shingle
+    exchange + an extra groupBy(id) shuffle + two join stages), so the
+    documented sharing never actually happened at runtime.  The state
+    writers keep ``include_sz=False`` — the persisted band-table format
+    is unchanged."""
     rows = num_perm // bands
     agg_cols = [
         F.min(F.col(qa) + mult * F.col(qb)).alias(f"h{i}")
@@ -301,6 +313,7 @@ def _signature_bands(sh: DataFrame, num_perm: int,
     sizes = sig_sz.select("id", "sz")
     band_rows = sig_sz.select(
         "id",
+        *(["sz"] if include_sz else []),
         F.explode(
             F.array(
                 *[
@@ -315,7 +328,8 @@ def _signature_bands(sh: DataFrame, num_perm: int,
                 ]
             )
         ).alias("bk"),
-    ).select("id", *[f"bk.{c}" for c in _band_key(rows)])
+    ).select("id", *(["sz"] if include_sz else []),
+             *[f"bk.{c}" for c in _band_key(rows)])
     return band_rows, sizes
 
 
@@ -330,8 +344,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     Candidate pairs come from equal band hashes (band = r consecutive
     signature slots, r = num_perm / bands); each candidate is then verified
     against the true shingle sets, so the output has NO false positives —
-    LSH only bounds recall.  Shuffles: one for signatures, one for the band
-    self-join, one for the verify join.  The full cross product never forms.
+    LSH only bounds recall.  Shuffles: the shingle distinct, one id-keyed
+    exchange shared by the signature aggregate and both verify sides, the
+    band self-join, and the verify join.  The full cross product never
+    forms.
 
     Scale levers (both replicated exactly by the DuckDB oracle):
 
@@ -357,14 +373,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     lengths — the safer 100 TB default for a 7% local win.
     """
     # hashed shingles feed both the signature pass and the exact-verify
-    # pass.  No cache: the shingle subplan ends in an exchange (the
-    # repartition/distinct shuffle inside ``hashed_shingles``) that is
-    # IDENTICAL in both consumer paths, so AQE's exchange reuse computes the
-    # explode+md5 once and serves the second consumer from the same shuffle
-    # files.  Measured at sf0.1: 6.3-6.7 s uncached vs 9.7-13.2 s with a
-    # ``.cache()`` on the exploded table (block-manager writes of the wide
-    # shingle rows cost more than the reuse saves), and nothing pins
-    # executor memory after the query completes — the hygiene is
+    # pass.  No cache: the shingle subplan ends in exchanges (the h60
+    # distinct shuffle inside ``hashed_shingles``, then the id-keyed
+    # repartition below) that are IDENTICAL in every consumer path, so
+    # exchange reuse serves all consumers from the same shuffle files.
+    # Measured at sf0.1 (round 4-7): 6.3-6.7 s uncached vs 9.7-13.2 s
+    # with a ``.cache()`` on the exploded table (block-manager writes of
+    # the wide shingle rows cost more than the reuse saves), and nothing
+    # pins executor memory after the query completes — the hygiene is
     # structural, not a caller contract.
     #
     # CAVEAT (measured): exchange-reuse canonicalization does NOT dedupe
@@ -376,7 +392,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     from pyspark.sql import Window
 
     sh = hashed_shingles(df, text_col, id_col, n, max_doc_freq)
-    band_rows, sizes = _signature_bands(sh, num_perm, bands)
+    # ONE id-keyed exchange feeds all three shingle consumers (signature
+    # aggregate, verify side a, verify side b) — r12, guide §2.3/§2.4.
+    # Before it, each consumer re-read the h60 exchange and re-ran the
+    # distinct + doc-frequency window per reference (2 × ~2.5 s CPU at
+    # sf0.1), and one consumer even re-ran the md5 explode (AQE exchange
+    # reuse missed one of the four identical subplans — r12 plan
+    # capture).  The id exchange also carries 48 B raw shingle rows where
+    # the signature path's partial-aggregate shuffle carried ~520 B rows
+    # (64 min-buffers per doc per upstream partition, h60-partitioned so
+    # a doc's shingles spread over most partitions and partial
+    # aggregation barely reduced the row count): at corpus scale this is
+    # ~8× fewer shuffle bytes, locally it halves the dedup stage count.
+    sh = sh.repartition(F.col("id"))
+    band_rows, _ = _signature_bands(sh, num_perm, bands, include_sz=True)
     key = _band_key(num_perm // bands)
     if max_band_bucket is not None:
         # hot-bucket guard as a window count — the window's band-key
@@ -388,23 +417,42 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
             .filter(F.col("bucket_n") <= max_band_bucket)
             .drop("bucket_n")
         )
-    a = band_rows.select(F.col("id").alias("id_a"), *key)
-    b = band_rows.select(F.col("id").alias("id_b"), *key)
+    # sz rides the band rows (+8 B/row) so the verify tail needs no
+    # separate sizes table: the "shared" sizes branch was rewritten by
+    # column pruning into its own partial_count aggregate at runtime —
+    # a second pass over the shingle exchange, one more groupBy(id)
+    # shuffle and two result joins, all removed here (r12).
+    a = band_rows.select(F.col("id").alias("id_a"),
+                         F.col("sz").alias("sz_a"), *key)
+    b = band_rows.select(F.col("id").alias("id_b"),
+                         F.col("sz").alias("sz_b"), *key)
     candidates = (
         a.join(b, key)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "sz_a", "sz_b")
         .distinct()
     )
     # exact-Jaccard verification restricted to candidates; shingle identity
     # is the 60-bit hash (cross-engine identical, so the oracle replicates
-    # collisions too, in the 2^-60 event one occurs)
-    sa = sh.select(F.col("id").alias("id_a"), "h60")
-    sb = sh.select(F.col("id").alias("id_b"), "h60")
+    # collisions too, in the 2^-60 event one occurs).  The h60 projection
+    # keeps a no-op arithmetic dependency on h1..h4 (exact: the sum fits a
+    # long and ``x + 0`` is the integer identity) so Catalyst cannot prune
+    # the verify branch's copy of the shingle subtree down to (id, h60):
+    # pruned, its exchanges canonicalize differently from the signature
+    # branch's and the md5 explode + distinct + doc-frequency window all
+    # re-execute for the verify side (r12 plan capture measured the
+    # duplicate at ~5 s CPU / rep at sf0.1); un-pruned, every consumer
+    # reads the ONE id-keyed exchange above.
+    h60_full = (
+        F.col("h60")
+        + (F.col("h1") + F.col("h2") + F.col("h3") + F.col("h4")) * F.lit(0)
+    ).alias("h60")
+    sa = sh.select(F.col("id").alias("id_a"), h60_full)
+    sb = sh.select(F.col("id").alias("id_b"), h60_full)
     inter = (
         candidates.join(sa, "id_a")
         .join(sb, ["id_b", "h60"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = (
@@ -412,9 +460,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     )
     result = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .filter(jac >= threshold)
+        inter.filter(jac >= threshold)
         .select(
             "id_a", "id_b",
             F.floor(jac * 1e6 + F.lit(0.5)).cast("long").alias("jaccard_e6"),

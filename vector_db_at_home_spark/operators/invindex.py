@@ -152,6 +152,13 @@ class InvIndex:
     #                                       min_dl, bucket)
     block_size: int = 0
     has_tombstones: bool = False   # pending deletes → WAND falls back
+    # (gen, n_docs, total_toks) — one EXACT partial per save/append
+    # batch (disjoint id sets, so their sums are the corpus scalars);
+    # O(#gens) rows, so serving reads these instead of aggregating the
+    # whole doclens table per query (r12).  Pending tombstones invalidate
+    # the totals → consumers fall back to the doclens aggregate; compact
+    # rewrites one folded gen.
+    dlstats: "DataFrame | None" = None
 
 
 def _bucket(col, n_buckets: int):
@@ -170,6 +177,40 @@ def _doclens(docs: DataFrame, text_col: str, id_col: str,
         F.col(id_col).alias("id"),
         F.size(tokens_col(F.lower(F.col(text_col)), tokenize_mode))
         .cast("long").alias("dl"),
+    )
+
+
+def _dlstats_row(dl: DataFrame, gen: str) -> DataFrame:
+    """One exact (gen, n_docs, total_toks) partial for a doclens batch —
+    deterministic for a given batch, so crash replays rewrite
+    byte-identical rows a full-row dropDuplicates collapses."""
+    return dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl").cast("long"), F.lit(0)).alias("total_toks"),
+    ).select(F.lit(gen).alias("gen"), "n_docs", "total_toks")
+
+
+def _dl_stats_frame(idx: "InvIndex", dl: DataFrame) -> DataFrame:
+    """The 1-row corpus scalars (n_docs, total_toks) for BM25 — from the
+    O(#gens) dlstats table when the store carries one and no tombstones
+    are pending (identical values by construction: exact per-batch
+    partials over disjoint id sets), else the full doclens aggregate.
+    At corpus scale this turns a per-query full-table aggregate into a
+    read of a few metadata rows (r12, guide §1.2)."""
+    if (idx.dlstats is not None and idx.doclens is not None
+            and not idx.has_tombstones):
+        # dlstats describes the doclens table: without it (pre-r9
+        # degraded mode derives dl from postings, dropping token-less
+        # docs) the totals would disagree with the dl frame in use
+        return idx.dlstats.dropDuplicates().agg(
+            F.coalesce(F.sum("n_docs").cast("long"), F.lit(0))
+            .alias("n_docs"),
+            F.coalesce(F.sum("total_toks").cast("long"), F.lit(0))
+            .alias("total_toks"),
+        )
+    return dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_toks"),
     )
 
 
@@ -228,6 +269,8 @@ def invindex_save(docs: DataFrame, text_col: str, id_col: str,
         .mode("overwrite").parquet(f"{path}/postings")
     dl = _doclens(docs, text_col, id_col, tokenize_mode)
     dl.write.mode("overwrite").parquet(f"{path}/doclens")
+    _dlstats_row(dl, "g0").write.mode("overwrite") \
+        .parquet(f"{path}/dlstats")
     _blockmax_rows(p, dl, block_size, "g0") \
         .repartition(8, "bucket").write.partitionBy("bucket") \
         .mode("overwrite").parquet(f"{path}/blockmax")
@@ -258,6 +301,7 @@ def invindex_load(spark, path: str) -> InvIndex:
     recover_compact_crash(spark, f"{path}/docids")
     recover_compact_crash(spark, f"{path}/doclens")
     recover_compact_crash(spark, f"{path}/blockmax")
+    recover_compact_crash(spark, f"{path}/dlstats")
     recover_compact_crash(spark, f"{path}/tombstones")
     meta = json.loads(spark.read.json(f"{path}/meta.json").first().meta)
     n_buckets = int(meta["n_buckets"])
@@ -276,6 +320,10 @@ def invindex_load(spark, path: str) -> InvIndex:
         "min_dl long, bucket int").parquet(f"{path}/blockmax")
         if block_size and fs_exists(spark, f"{path}/blockmax")
         else None)                                      # pre-r12
+    dlstats = (spark.read.schema("gen string, n_docs long, "
+                                 "total_toks long")
+               .parquet(f"{path}/dlstats")
+               if fs_exists(spark, f"{path}/dlstats") else None)  # pre-r12
     tomb = f"{path}/tombstones"
     has_tombstones = False
     if fs_exists(spark, tomb):
@@ -290,7 +338,7 @@ def invindex_load(spark, path: str) -> InvIndex:
     return InvIndex(postings=postings, docids=docids, n_buckets=n_buckets,
                     tokenize_mode=tokenize_mode, doclens=doclens,
                     blockmax=blockmax, block_size=block_size,
-                    has_tombstones=has_tombstones)
+                    has_tombstones=has_tombstones, dlstats=dlstats)
 
 
 def invindex_append(spark, path: str, docs: DataFrame, text_col: str,
@@ -339,8 +387,18 @@ def invindex_append(spark, path: str, docs: DataFrame, text_col: str,
         .write.partitionBy("bucket") \
         .mode("append").parquet(f"{path}/postings")
     if idx.doclens is not None:  # pre-r9 stores stay doclens-less
+        from ..functions.fsutil import fs_exists
+
         dl = _doclens(fresh, "__text", "id", idx.tokenize_mode)
         dl.write.mode("append").parquet(f"{path}/doclens")
+        if fs_exists(spark, f"{path}/dlstats"):
+            # same gen determinism as blockmax below: docids counts the
+            # state BEFORE this batch commits, so a crash replay rewrites
+            # a byte-identical row the read-side dropDuplicates collapses
+            n_prior_dl = spark.read.schema("id long") \
+                .parquet(f"{path}/docids").count()
+            _dlstats_row(dl, f"g{n_prior_dl}").write.mode("append") \
+                .parquet(f"{path}/dlstats")
         if idx.blockmax is not None:  # pre-r12 stores stay blockmax-less
             # gen = docids count BEFORE this batch commits: deterministic
             # across crash replays (docids writes LAST, so a replayed
@@ -407,6 +465,13 @@ def invindex_compact_saved(spark, path: str,
         ("docids", idx.docids.distinct().repartition(8), None),
     ]
     if idx.doclens is not None:
+        if fs_exists(spark, f"{path}/dlstats"):
+            # one folded gen from the tombstone-filtered doclens; like
+            # blockmax, staged BEFORE the doclens swap renames its
+            # source files away
+            rewrites.append(
+                ("dlstats",
+                 _dlstats_row(idx.doclens.distinct(), "g0"), None))
         rewrites.append(
             ("doclens", idx.doclens.distinct().repartition(8), None))
     for name, df, part_col in rewrites:
@@ -505,6 +570,9 @@ def _pruned_union_postings(idx: InvIndex, uniq: list[str]) -> DataFrame:
 
 _WAND_THETA_BLOCKS = 64      # blocks exactly scored to seed the bound
 _WAND_MAX_RANGES = 4096      # survivor ceiling for the literal id pred
+_WAND_MAX_DRIVER_TB = 1_000_000   # (term, blk) metadata rows collected to
+#   drive the block math (~50 MB of Rows at the cap); a query whose terms
+#   touch more blocks falls back to the full pruned read (r12)
 
 
 def _bm25_pruned_tf(idx: InvIndex, uniq: list[str],
@@ -575,8 +643,12 @@ def bm25_search_indexed_wand(idx: InvIndex, terms: list[str],
     every-block-matters corpus) each degrade to the full pruned read —
     exactly :func:`bm25_search_indexed`'s plan, never a wrong answer.
 
-    Driver-side state is bounded: ``theta_blocks`` block ids + k seed
-    scores + ≤ ``max_ranges`` survivor block ids.
+    Driver-side state is bounded: the per-(term, block) metadata rows
+    (≤ ``_WAND_MAX_DRIVER_TB``, past which the full pruned read serves)
+    + k seed scores — collected ONCE so the seeding / threshold /
+    survivor selection runs as driver math instead of ~40 tiny AQE
+    stages per serve (r12; profiled at 1M docs: 15.3 s → the pruning
+    overhead swamped the full 4.3 s read it skips).
 
     ``counters`` (optional dict) receives observability fields the
     pruning smoke/tests assert on: ``n_blocks`` (blocks holding any
@@ -609,46 +681,93 @@ def bm25_search_indexed_wand(idx: InvIndex, terms: list[str],
         F.col("bucket").isin(sorted(set(bmap.values())))
         & F.col("term").isin(uniq)
     ).dropDuplicates()           # crash-replay rows are byte-identical
-    per_tb = bm.groupBy("term", "blk").agg(
-        F.sum("cnt").cast("long").alias("cnt"),
-        F.max("max_tf").alias("max_tf"),
-        F.min("min_dl").alias("min_dl"),
-    )
-    dfreq = per_tb.groupBy("term").agg(
-        F.sum("cnt").cast("long").alias("df"))
-
-    dl = idx.doclens.select("id", "dl").distinct()
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_toks"),
-    )
-
-    mult = spark.createDataFrame(
-        [(t, lterms.count(t)) for t in uniq], "term string, mult long")
-    idf = F.log(
-        (2 * F.col("n_docs") + 2).cast("double")
-        / (2 * F.col("df") + 1).cast("double")
-    )
-    num = (22 * F.col("max_tf") * F.col("total_toks")).cast("double")
-    den = (
-        10 * F.col("max_tf") * F.col("total_toks")
-        + 3 * F.col("total_toks")
-        + 9 * F.col("min_dl") * F.col("n_docs")
-    ).cast("double")
-    per_blk = (
-        per_tb.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(mult), "term")
-        .crossJoin(F.broadcast(stats))
-        .select("blk",
-                (F.col("mult").cast("double") * (idf * num) / den)
-                .alias("ub_t"))
-        .groupBy("blk")
-        .agg(F.floor(F.sum("ub_t") * (1.0 + 1e-9) * 1e4 + F.lit(0.5))
-             .cast("long").alias("ub_e4"))
+    # r12 (guide §1.2 — fix the distributed algorithm first): ONE query's
+    # block-max metadata is (query terms × blocks touched) rows — tiny
+    # next to the postings it prunes.  The r12-initial form expressed the
+    # seeding / threshold / survivor selection as DataFrame plans over
+    # this metadata: ~40 AQE stages and 5 driver round-trips per serve,
+    # profiled at 1M docs as WAND 15.3 s vs 4.3 s for the full pruned
+    # read it was meant to beat.  The metadata collects ONCE
+    # (ceiling-guarded; past the ceiling the full pruned read serves —
+    # exact as every other fallback) and the block math runs on the
+    # driver; the cluster executes only the real reads (seed blocks,
+    # survivor blocks).  Pruning decisions cannot change the RESULT:
+    # safety needs only ub(blk) ≥ every block doc's score, and the 1e-9
+    # relative inflation dominates the ≤ q·2⁻⁵² rounding of this double
+    # math exactly as it did the JVM expressions it replaces.
+    tb_rows = (
+        bm.groupBy("term", "blk").agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+        )
+        .limit(_WAND_MAX_DRIVER_TB + 1)
+        .collect()
     )
 
-    def rank(tf):
-        return bm25_rank(tf, dl, stats, lterms, k,
+    dl_base = idx.doclens.select("id", "dl")
+    dl = dl_base.distinct()
+    # r12 (guide §1.2/§5): the corpus stats are ONE row — collect them
+    # once and inject the literal instead of re-aggregating the whole
+    # doclens table inside every consumer subtree.  The lazy ``stats``
+    # aggregate appeared in the block-bound plan AND in each of the two
+    # bm25_rank calls (seed pass + final pass), so a 1M-doc serve
+    # scanned doclens ~4× for the same two numbers (wand_smoke r12:
+    # wand 8.0 s vs full 4.6 s — slower than the scan it prunes).
+    # ``_dl_stats_frame`` reads the O(#gens) dlstats partials when the
+    # store carries them (save/append maintain exact per-batch sums), so
+    # even this ONE aggregate stops scaling with the corpus.  Identical
+    # values by construction either way.
+    _st = _dl_stats_frame(idx, dl).first()
+    stats = spark.createDataFrame(
+        [(int(_st.n_docs), int(_st.total_toks or 0))],
+        "n_docs bigint, total_toks bigint",
+    )
+
+    if len(tb_rows) > _WAND_MAX_DRIVER_TB:
+        note(fallback="blockmax_too_wide")
+        # metadata wider than the driver budget (a query whose terms
+        # touch tens of millions of blocks): the plain pruned read is
+        # the same exact result without driver state
+        return bm25_search_indexed(idx, lterms, k)
+    n_docs_v, total_toks_v = int(_st.n_docs), int(_st.total_toks or 0)
+    mult = {t: lterms.count(t) for t in uniq}
+    df_by_term: dict[str, int] = {}
+    for r in tb_rows:
+        df_by_term[r.term] = df_by_term.get(r.term, 0) + int(r.cnt)
+    import math as _math
+
+    ub_by_blk: dict[int, float] = {}
+    cnt_by_blk: dict[int, int] = {}
+    for r in tb_rows:
+        # identical arithmetic to the former JVM expressions: exact
+        # integer numerator/denominator converted to double, one log,
+        # one divide — and identical to the per-doc scoring bound in
+        # bm25_rank with (max_tf, min_dl) substituted for (tf, dl)
+        idf_v = _math.log((2 * n_docs_v + 2) / (2 * df_by_term[r.term] + 1))
+        num_v = float(22 * int(r.max_tf) * total_toks_v)
+        den_v = float(10 * int(r.max_tf) * total_toks_v
+                      + 3 * total_toks_v
+                      + 9 * int(r.min_dl) * n_docs_v)
+        blk = int(r.blk)
+        ub_by_blk[blk] = ub_by_blk.get(blk, 0.0) \
+            + mult[r.term] * (idf_v * num_v) / den_v
+        cnt_by_blk[blk] = cnt_by_blk.get(blk, 0) + int(r.cnt)
+    ub_e4 = {b: int(_math.floor(u * (1.0 + 1e-9) * 1e4 + 0.5))
+             for b, u in ub_by_blk.items()}
+    dfreq = spark.createDataFrame(
+        sorted(df_by_term.items()), "term string, df long")
+
+    def rank(tf, pred=None):
+        # r12: prune the doclens side of the scoring join with the SAME
+        # id-range predicate as the postings read.  bm25_rank inner-joins
+        # tf⋈dl on id and every tf id lies inside the ranges, so rows of
+        # dl outside them can never match — filtering first is
+        # result-identical and turns the doclens leg from a full corpus
+        # scan (+ distinct shuffle) into a block-ranges read that parquet
+        # row-group stats can skip physically (guide §3.2/§6).
+        dlp = dl if pred is None else dl_base.filter(pred).distinct()
+        return bm25_rank(tf, dlp, stats, lterms, k,
                          dfreq=dfreq.select(F.col("term").alias("t"),
                                             "df"))
 
@@ -668,21 +787,22 @@ def bm25_search_indexed_wand(idx: InvIndex, terms: list[str],
             pred = p if pred is None else (pred | p)
         return pred
 
-    seed_blks = [r.blk for r in per_blk
-                 .orderBy(F.col("ub_e4").desc(), F.col("blk").asc())
-                 .limit(theta_blocks).collect()]
-    if not seed_blks:
+    if not ub_e4:
         note(fallback="no_matching_blocks", n_blocks=0)
         return rank(_bm25_pruned_tf(idx, uniq, None))  # empty result
-    if len(seed_blks) < theta_blocks:
-        # the limit didn't bite: the seed set already covers EVERY block
-        # holding a query-term posting — serve it directly, skipping the
-        # threshold and survivor passes (the small-corpus common case)
-        note(fallback=None, n_blocks=len(seed_blks),
-             n_survivors=len(seed_blks))
-        return rank(_bm25_pruned_tf(idx, uniq, ranges_pred(seed_blks)))
+    blks_by_bound = sorted(ub_e4, key=lambda b: (-ub_e4[b], b))
+    cnt_total = sum(cnt_by_blk.values())
+    if len(blks_by_bound) <= theta_blocks:
+        # the seed set already covers EVERY block holding a query-term
+        # posting — serve it directly, skipping the threshold and
+        # survivor passes (the small-corpus common case)
+        note(fallback=None, n_blocks=len(blks_by_bound),
+             n_survivors=len(blks_by_bound))
+        pred = ranges_pred(blks_by_bound)
+        return rank(_bm25_pruned_tf(idx, uniq, pred), pred)
+    seed_pred = ranges_pred(blks_by_bound[:theta_blocks])
     seed_rows = rank(
-        _bm25_pruned_tf(idx, uniq, ranges_pred(seed_blks))).collect()
+        _bm25_pruned_tf(idx, uniq, seed_pred), seed_pred).collect()
     if len(seed_rows) < k:
         # fewer than k matches in the highest-bound blocks: no safe
         # threshold — serve the full pruned read (still exact)
@@ -690,9 +810,7 @@ def bm25_search_indexed_wand(idx: InvIndex, terms: list[str],
         return rank(_bm25_pruned_tf(idx, uniq, None))
     theta_e4 = seed_rows[-1].score_e4
 
-    survivors = [r.blk for r in per_blk
-                 .filter(F.col("ub_e4") >= theta_e4)
-                 .limit(max_ranges + 1).collect()]
+    survivors = [b for b in blks_by_bound if ub_e4[b] >= theta_e4]
     if len(survivors) > max_ranges:
         note(fallback="too_many_survivors")
         return rank(_bm25_pruned_tf(idx, uniq, None))
@@ -702,17 +820,12 @@ def bm25_search_indexed_wand(idx: InvIndex, terms: list[str],
     if len(blk_runs(survivors)) > 512:
         note(fallback="too_many_ranges")
         return rank(_bm25_pruned_tf(idx, uniq, None))
-    if counters is not None:
-        tot = per_blk.join(per_tb, "blk") \
-            .agg(F.count(F.lit(1)).alias("nb"),
-                 F.sum("cnt").alias("ct")).first()
-        sdf = spark.createDataFrame([(b,) for b in survivors], "blk long")
-        sur = per_tb.join(F.broadcast(sdf), "blk") \
-            .agg(F.sum("cnt").alias("ct")).first()
-        note(fallback=None, theta_e4=theta_e4,
-             n_blocks=per_blk.count(), n_survivors=len(survivors),
-             cnt_total=int(tot.ct or 0), cnt_survivors=int(sur.ct or 0))
-    return rank(_bm25_pruned_tf(idx, uniq, ranges_pred(survivors)))
+    note(fallback=None, theta_e4=theta_e4,
+         n_blocks=len(ub_e4), n_survivors=len(survivors),
+         cnt_total=cnt_total,
+         cnt_survivors=sum(cnt_by_blk[b] for b in survivors))
+    surv_pred = ranges_pred(survivors)
+    return rank(_bm25_pruned_tf(idx, uniq, surv_pred), surv_pred)
 
 
 def bm25_search_indexed_batch(idx: InvIndex, queries: DataFrame,
@@ -933,8 +1046,5 @@ def bm25_search_indexed(idx: InvIndex, terms: list[str],
     else:  # pre-r9 fallback: dl = total postings rows per doc
         dl = (idx.postings.select("id", "pos").distinct()
               .groupBy("id").agg(F.count(F.lit(1)).alias("dl")))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_toks"),
-    )
+    stats = _dl_stats_frame(idx, dl)
     return bm25_rank(tf, dl, stats, lterms, k)

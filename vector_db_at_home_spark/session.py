@@ -37,6 +37,30 @@ def get_spark(app_name: str = "vector_db_at_home_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # r12 (optimization guide §2.2/§6): file-split and AQE-coalesce
+        # floors.  Both knobs only bite when the data is SMALL relative to
+        # the cluster — at 100 TB bytes-per-core exceeds maxPartitionBytes
+        # and every post-shuffle partition exceeds 1 MB, so both are inert
+        # at scale; they are env-overridable for cluster profiles.
+        #
+        # openCostInBytes models "opening a file costs as much as scanning
+        # N bytes".  The 4 MB default serializes CPU-heavy scans of small
+        # inputs: an 11 MB decimal-aggregating lineitem scan planned 3
+        # tasks on 32 cores (measured r12, q1 scan stage 1.4 s CPU in 3
+        # tasks).  256 KB matches local-FS parquet-footer open cost and
+        # lets spark.sql.files.minPartitionNum (= default parallelism)
+        # split small CPU-bound scans across the cluster.
+        .config("spark.sql.files.openCostInBytes",
+                os.environ.get("SPARK_GRAFT_OPEN_COST", str(256 * 1024)))
+        # AQE coalescing targets BYTES, which under-provisions partitions
+        # whose downstream work fans out (measured r12: the minhash verify
+        # join read a 687 KB candidate-pair shuffle coalesced to ONE
+        # partition and ran its ~2 s join+aggregate tail serially).  With
+        # parallelismFirst (default true) the floor is minPartitionSize,
+        # not the advisory size; 64 KB keeps small-but-expensive shuffles
+        # parallel while leaving large-scale coalescing untouched.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_MIN_COALESCE", str(64 * 1024)))
     )
     if master is not None:
         builder = builder.master(master)
