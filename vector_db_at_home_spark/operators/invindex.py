@@ -568,7 +568,12 @@ def _pruned_union_postings(idx: InvIndex, uniq: list[str]) -> DataFrame:
     )
 
 
-_WAND_THETA_BLOCKS = 64      # blocks exactly scored to seed the bound
+_WAND_THETA_BLOCKS = 8       # blocks exactly scored to seed the bound —
+#   any seed subset yields a VALID θ (the k-th seed score lower-bounds
+#   the final k-th), so the default only trades seed-read bytes against
+#   survivor count.  64 read theta×block_size ≈ 262k doc ids (95% of the
+#   1M-smoke query postings) to seed a k=10 threshold; 8 reads ~33k and
+#   the smoke's survivor set is unchanged (r12 profile)
 _WAND_MAX_RANGES = 4096      # survivor ceiling for the literal id pred
 _WAND_MAX_DRIVER_TB = 1_000_000   # (term, blk) metadata rows collected to
 #   drive the block math (~50 MB of Rows at the cap); a query whose terms

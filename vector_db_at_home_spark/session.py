@@ -57,10 +57,13 @@ def get_spark(app_name: str = "vector_db_at_home_spark",
         # join read a 687 KB candidate-pair shuffle coalesced to ONE
         # partition and ran its ~2 s join+aggregate tail serially).  With
         # parallelismFirst (default true) the floor is minPartitionSize,
-        # not the advisory size; 64 KB keeps small-but-expensive shuffles
-        # parallel while leaving large-scale coalescing untouched.
+        # not the advisory size; 256 KB keeps small-but-expensive shuffles
+        # parallel without shattering trivial ones into per-task dispatch
+        # overhead (64 KB measured +0.4-0.7 s of idle 20-30-task stages on
+        # the pruned serving reads), and leaves large-scale coalescing
+        # untouched.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-                os.environ.get("SPARK_GRAFT_MIN_COALESCE", str(64 * 1024)))
+                os.environ.get("SPARK_GRAFT_MIN_COALESCE", str(256 * 1024)))
     )
     if master is not None:
         builder = builder.master(master)
