@@ -249,6 +249,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_value(SF_DIR),
+                # scaling legibility (r13, VERDICT r12 task 2): the
+                # EFFECTIVE master and scheduler width, so the driver's
+                # low-core comparison can machine-check that
+                # $SPARK_GRAFT_CPUS was honored (r12's
+                # suspect_cpus_ignored flag was a confirmed false
+                # positive — session.py builds local[N] from the env and
+                # the 8-core artifact's stage tails ran 8-wide)
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
                 "calib_before_s": round(calib_before, 3),
                 "calib_mid_s": round(min(mids), 3),
                 "calib_after_s": round(calib_after, 3),

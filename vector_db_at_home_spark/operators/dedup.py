@@ -510,11 +510,18 @@ def minhash_lsh_pairs_incremental(new_df: DataFrame, corpus_df: DataFrame,
         )
         sh_new = sh_new.join(hot, "h60", "left_anti")
         sh_cor = sh_cor.join(hot, "h60", "left_anti")
-    # no caches: each side's shingle subplan ends in the distinct's
-    # exchange, identical across its signature and verify references —
-    # AQE exchange reuse computes each explode once (see minhash_lsh_pairs)
-    bn, sz_new = _signature_bands(sh_new, num_perm, bands)
-    bc, sz_cor = _signature_bands(sh_cor, num_perm, bands)
+    # r13 (VERDICT r12 task 4): the headline path's r12 fix, ported — one
+    # explicit id-keyed exchange PER SIDE shared by that side's signature
+    # aggregate and verify consumer (guide §2.3/§2.4; raw 48 B shingle
+    # rows instead of ~520 B partial-agg signature buffers), sz riding
+    # the band rows so the separate sizes subtrees and their two result
+    # joins are gone, and the verify projections keeping the no-op
+    # h1..h4 dependency so column pruning cannot de-canonicalize the
+    # verify branch's copy of each exchange (see minhash_lsh_pairs).
+    sh_new = sh_new.repartition(F.col("id"))
+    sh_cor = sh_cor.repartition(F.col("id"))
+    bn, _ = _signature_bands(sh_new, num_perm, bands, include_sz=True)
+    bc, _ = _signature_bands(sh_cor, num_perm, bands, include_sz=True)
     key = _band_key(num_perm // bands)
     if max_band_bucket is not None:
         wb = Window.partitionBy(*key)
@@ -524,20 +531,28 @@ def minhash_lsh_pairs_incremental(new_df: DataFrame, corpus_df: DataFrame,
             .drop("bucket_n")
         )
     candidates = (
-        bn.select(F.col("id").alias("new_id"), *key)
-        .join(bc.select(F.col("id").alias("corpus_id"), *key), key)
-        .select("new_id", "corpus_id")
+        bn.select(F.col("id").alias("new_id"),
+                  F.col("sz").alias("sz_a"), *key)
+        .join(bc.select(F.col("id").alias("corpus_id"),
+                        F.col("sz").alias("sz_b"), *key), key)
+        .select("new_id", "corpus_id", "sz_a", "sz_b")
         .distinct()
     )
+    h60_full = (
+        F.col("h60")
+        + (F.col("h1") + F.col("h2") + F.col("h3") + F.col("h4")) * F.lit(0)
+    ).alias("h60")
     inter = (
         candidates.join(
-            sh_new.select(F.col("id").alias("new_id"), "h60"), "new_id"
+            sh_new.select(F.col("id").alias("new_id"), h60_full), "new_id"
         )
         .join(
-            sh_cor.select(F.col("id").alias("corpus_id"), "h60"),
+            sh_cor.select(F.col("id").alias("corpus_id"), h60_full),
             ["corpus_id", "h60"],
         )
-        .groupBy("new_id", "corpus_id")
+        # sz_a/sz_b are functionally dependent on the ids, so grouping
+        # semantics are unchanged
+        .groupBy("new_id", "corpus_id", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = (
@@ -545,11 +560,7 @@ def minhash_lsh_pairs_incremental(new_df: DataFrame, corpus_df: DataFrame,
         / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     )
     result = (
-        inter.join(sz_new.select(F.col("id").alias("new_id"),
-                                 F.col("sz").alias("sz_a")), "new_id")
-        .join(sz_cor.select(F.col("id").alias("corpus_id"),
-                            F.col("sz").alias("sz_b")), "corpus_id")
-        .filter(jac >= threshold)
+        inter.filter(jac >= threshold)
         .select(
             "new_id", "corpus_id",
             F.floor(jac * 1e6 + F.lit(0.5)).cast("long").alias("jaccard_e6"),

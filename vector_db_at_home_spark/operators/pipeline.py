@@ -761,6 +761,7 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
     replay whose ivf family already applied, no new measurement exists
     and ``stats`` is left without the key."""
     import json as _json
+    import time as _time
     from .dedup import (
         cosine_admit_blocked,
         minhash_lsh_pairs_incremental_prepared,
@@ -771,6 +772,20 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
 
     marker = (f"{root}/_admitted/{batch_id}"
               if batch_id is not None else None)
+
+    # r13 observability (guide §1): per-stage wall clocks land in
+    # ``stats["stage_walls"]`` so the admit loop can be profiled without
+    # an event log — measurement only, no behavior change
+    _walls: dict[str, float] = {}
+    if stats is not None:
+        stats["stage_walls"] = _walls
+    _t = _time.time()
+
+    def _lap(name: str) -> None:
+        nonlocal _t
+        now = _time.time()
+        _walls[name] = round(now - _t, 3)
+        _t = now
 
     def _recorded():
         ids = spark.read.schema("doc_id long").parquet(f"{marker}/ids")
@@ -794,6 +809,7 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
     counts: list[tuple[str, int]] = []
     batch = batch_docs.localCheckpoint(eager=True)
     counts.append(("0_batch", batch.count()))
+    _lap("0_batch")
 
     # 1_exact — vs stored digests ∪ within-batch min-id
     bd = batch.select("doc_id", F.md5("text").alias("digest"))
@@ -808,6 +824,7 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
         .localCheckpoint(eager=True)
     )
     counts.append(("1_exact", k.count()))
+    _lap("1_exact")
 
     # 2_neardup — vs the persisted MinHash state
     drop_near = minhash_lsh_pairs_incremental_prepared(
@@ -817,6 +834,7 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
     k = k.join(F.broadcast(drop_near), "doc_id", "left_anti") \
         .localCheckpoint(eager=True)
     counts.append(("2_neardup", k.count()))
+    _lap("2_neardup")
 
     # 3_substring — span profile vs corpus ∪ batch through the state
     drop_sub = substring_dedup_incremental(
@@ -825,6 +843,7 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
     k = k.join(F.broadcast(drop_sub), "doc_id", "left_anti") \
         .localCheckpoint(eager=True)
     counts.append(("3_substring", k.count()))
+    _lap("3_substring")
 
     # 4/5 — stateless filters
     toks = F.split(F.col("text"), " ")
@@ -839,10 +858,12 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
         & (punct_ratio <= max_punct_ratio)
     ).select("doc_id"), "doc_id", "left_semi").localCheckpoint(eager=True)
     counts.append(("4_quality", k.count()))
+    _lap("4_quality")
     k = k.join(batch.filter(F.col("lang").isin(list(langs)))
                .select("doc_id"), "doc_id", "left_semi") \
         .localCheckpoint(eager=True)
     counts.append(("5_lang", k.count()))
+    _lap("5_lang")
 
     # 6_semantic — cosine admit vs the stored embedding set: "exact" =
     # the blocked batch×corpus GEMM (exact, O(batch·corpus) FLOPs);
@@ -876,6 +897,7 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
         k = k.join(F.broadcast(drop_sem), "doc_id", "left_anti") \
             .localCheckpoint(eager=True)
     counts.append(("6_semantic", k.count()))
+    _lap("6_semantic")
 
     # decision record FIRST (phase 1) — the screens above ran against
     # untouched state, so until _DECIDED lands a crash replays them
@@ -889,8 +911,10 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
         _fst(spark, f"{marker}/_DECIDED")
     # apply + commit (phases 2-3): the survivors join every state table
     # at O(batch), each family behind its own applied marker
+    _lap("decide_marker")
     _admit_write_back(spark, root, marker, batch, batch_emb, k,
                       stats=stats, auto_refit_drift=auto_refit_drift)
+    _lap("write_back")
     return k, counts
 
 

@@ -5901,6 +5901,12 @@ _SCORED_ORDER = [
     "doc_hash_split", "mixture_resample_docs", "hybrid_search_rrf_indexed",
     "multimodal_stats", "sketch_user_cardinality", "clean_corpus_v2",
 ]
+# FROZEN as of r13 (VERDICT r12 task 1): the driver scores exactly these
+# 50 slots and ANY rotation — even swapping in a strictly-better query —
+# reports a "dropped" entry and regresses the round.  The r12 rotation
+# (bm25_topk_batch in, bm25_topk_indexed to the tail) executed VERDICT
+# r11 task 1 but still tripped the gate; no further rotations in
+# optimization rounds.  Additions land in _TAIL_ORDER only.
 
 _TAIL_ORDER = [
     # demoted r7 to put the round's flagship families on the scored
