@@ -18,9 +18,24 @@ def test_entry_returns_rows(spark):
 
 
 def test_every_query_runs_at_sf0001(spark):
-    for name, fn in entrymod.queries().items():
+    # r13 (guide §2.6): the ~160 queries are independent jobs — running
+    # them from a small thread pool lets the next query's tasks back-fill
+    # the scheduler gaps of the current one (sequential: 456 s of the
+    # suite's 2500 s; the assertions are unchanged, every query still
+    # executes).  Queries that build per-invocation state do so under
+    # mkdtemp-unique dirs and the shared record fixture materializes
+    # atomically (unique tmp + rename), so concurrent invocation is safe.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(item):
+        name, fn = item
         df = fn(spark, "/root/testdata/sf0.001")
         assert df.count() >= 0, name
+        return name
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for _ in pool.map(run, entrymod.queries().items()):
+            pass
 
 
 def test_oracle_keys_subset_of_queries():

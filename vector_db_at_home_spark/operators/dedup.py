@@ -603,6 +603,16 @@ def minhash_corpus_state_build(corpus_df: DataFrame, path: str,
 
     spark = corpus_df.sparkSession
     sh_all = hashed_shingles(corpus_df, text_col, id_col, n, None)
+    # r13 (guide §1.2): the build fans ONE shingle derivation into four
+    # separate ACTIONS (the hot-list write, then the bands / sizes /
+    # shingles table writes) and exchange reuse does not span jobs — so
+    # the md5 explode + distinct ran up to 4× per build.  Checkpoint the
+    # hashed shingles once; every downstream job is then an aggregate or
+    # broadcast anti-join over the materialized 48 B/row table.  Content
+    # is unchanged (the checkpoint is plan-transparent), and the build is
+    # the bulk one-time path where materializing the shingle set is the
+    # cheaper side of the trade at any scale.
+    sh_all = sh_all.localCheckpoint(eager=True)
     if max_doc_freq is not None:
         hot = (
             sh_all.groupBy("h60").agg(F.count(F.lit(1)).alias("dfc"))
@@ -681,7 +691,18 @@ def minhash_lsh_pairs_incremental_prepared(spark, state_path: str,
         spark, state_path)
     sh_new = hashed_shingles(new_df, text_col, id_col, meta["n"], None) \
         .join(F.broadcast(hot), "h60", "left_anti")
-    bn, sz_new = _signature_bands(sh_new, meta["num_perm"], meta["bands"])
+    # r13 (VERDICT r12 task 4): the headline path's fix applied to the
+    # BATCH side — one id-keyed exchange shared by the batch's signature
+    # aggregate and its verify consumer (guide §2.3/§2.4), sz riding the
+    # batch band rows so the separate sz_new subtree and its result join
+    # are gone, and the verify projection keeping the no-op h1..h4
+    # dependency so pruning cannot de-canonicalize its copy of the
+    # exchange (see minhash_lsh_pairs).  The CORPUS side reads persisted
+    # parquet tables — no recomputed subtree exists there, and the state
+    # layout is unchanged (sz_b still joins from {path}/sizes).
+    sh_new = sh_new.repartition(F.col("id"))
+    bn, _ = _signature_bands(sh_new, meta["num_perm"], meta["bands"],
+                             include_sz=True)
     key = _band_key(meta["num_perm"] // meta["bands"])
     if key[-1] not in cor_bands.columns:
         raise ValueError(
@@ -690,18 +711,24 @@ def minhash_lsh_pairs_incremental_prepared(spark, state_path: str,
             "minhash_corpus_state_build to the raw-slot layout"
         )
     candidates = (
-        bn.select(F.col("id").alias("new_id"), *key)
+        bn.select(F.col("id").alias("new_id"),
+                  F.col("sz").alias("sz_a"), *key)
         .join(cor_bands.select(F.col("id").alias("corpus_id"), *key), key)
-        .select("new_id", "corpus_id")
+        .select("new_id", "corpus_id", "sz_a")
         .distinct()
     )
+    h60_full = (
+        F.col("h60")
+        + (F.col("h1") + F.col("h2") + F.col("h3") + F.col("h4")) * F.lit(0)
+    ).alias("h60")
     inter = (
         candidates.join(
-            sh_new.select(F.col("id").alias("new_id"), "h60"), "new_id"
+            sh_new.select(F.col("id").alias("new_id"), h60_full), "new_id"
         )
         .join(cor_sh.select(F.col("id").alias("corpus_id"), "h60"),
               ["corpus_id", "h60"])
-        .groupBy("new_id", "corpus_id")
+        # sz_a is functionally dependent on new_id — grouping unchanged
+        .groupBy("new_id", "corpus_id", "sz_a")
         # count DISTINCT h60, not rows: shingle sets are distinct per id in
         # a clean state (identical result), but a crash between a state
         # append and its replay marker can leave one batch's shingle rows
@@ -714,10 +741,8 @@ def minhash_lsh_pairs_incremental_prepared(spark, state_path: str,
         / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     )
     return (
-        inter.join(sz_new.select(F.col("id").alias("new_id"),
-                                 F.col("sz").alias("sz_a")), "new_id")
-        .join(cor_sizes.select(F.col("id").alias("corpus_id"),
-                               F.col("sz").alias("sz_b")), "corpus_id")
+        inter.join(cor_sizes.select(F.col("id").alias("corpus_id"),
+                                    F.col("sz").alias("sz_b")), "corpus_id")
         .filter(jac >= threshold)
         .select(
             "new_id", "corpus_id",
@@ -766,6 +791,14 @@ def minhash_corpus_state_delta(spark, state_path: str,
     meta, _cs, _cb, _cz, hot = _read_minhash_state(spark, state_path)
     sh = hashed_shingles(admitted_df, text_col, id_col, meta["n"], None) \
         .join(F.broadcast(hot), "h60", "left_anti")
+    # r13 (guide §1.2): the three delta tables are written by three
+    # SEPARATE jobs, and exchange reuse does not span jobs — without a
+    # checkpoint each write re-ran the batch's md5 explode + distinct +
+    # hot anti-join (3× the shingle pass per admitted batch, measured in
+    # the admit-loop profile).  The checkpoint is O(batch shingles) and
+    # recomputing it on a crash replay yields identical rows, so the
+    # delta determinism contract is unchanged.
+    sh = sh.localCheckpoint(eager=True)
     band_rows, sizes = _signature_bands(sh, meta["num_perm"], meta["bands"])
     return [
         (sh.select("id", "h60"), f"{state_path}/shingles"),

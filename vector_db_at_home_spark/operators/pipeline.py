@@ -788,11 +788,17 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
         _t = now
 
     def _recorded():
+        from ..functions.fsutil import fs_read_text as _fsr
+
         ids = spark.read.schema("doc_id long").parquet(f"{marker}/ids")
-        recorded = _json.loads(
-            spark.read.text(f"{marker}/counts.json")
-            .agg(F.concat_ws("", F.collect_list("value"))).first()[0]
-        )
+        try:  # r13 layout: counts.json is a plain driver-written file
+            txt = _fsr(spark, f"{marker}/counts.json")
+        except Exception:  # pre-r13 marker: a Spark text-write directory
+            txt = (
+                spark.read.text(f"{marker}/counts.json")
+                .agg(F.concat_ws("", F.collect_list("value"))).first()[0]
+            )
+        recorded = _json.loads(txt)
         return ids, [(s, int(n)) for s, n in recorded]
 
     if marker is not None and fs_exists(spark, f"{marker}/_COMMITTED"):
@@ -904,10 +910,18 @@ def clean_corpus_admit_batch(spark: SparkSession, root: str,
     # exactly; after it, replays skip straight to the apply phase
     if marker is not None:
         from ..functions.fsutil import fs_touch as _fst
+        from ..functions.fsutil import fs_write_text as _fsw
 
-        k.write.mode("overwrite").parquet(f"{marker}/ids")
-        spark.createDataFrame([(_json.dumps(counts),)], "value string") \
-            .coalesce(1).write.mode("overwrite").text(f"{marker}/counts.json")
+        # r13 (guide §5/§6): the decision record is a tiny long-id list —
+        # write ~one file per 5M survivors instead of one near-empty part
+        # file per upstream partition, and write counts.json driver-side
+        # (atomic tmp+rename): it is ONE json line, and the Spark job
+        # that used to ship it through a coalesce(1) text write was pure
+        # scheduling overhead in every shard admit.
+        n_surv = int(counts[-1][1])
+        k.coalesce(max(1, -(-n_surv // 5_000_000))) \
+            .write.mode("overwrite").parquet(f"{marker}/ids")
+        _fsw(spark, f"{marker}/counts.json", _json.dumps(counts))
         _fst(spark, f"{marker}/_DECIDED")
     # apply + commit (phases 2-3): the survivors join every state table
     # at O(batch), each family behind its own applied marker
@@ -1008,6 +1022,22 @@ def _admit_write_back(spark, root: str, marker: str | None,
 
     admitted = batch_docs.join(k, "doc_id", "left_semi") \
         .localCheckpoint(eager=True)
+    # r13 (guide §6): size the per-batch state delta files by the batch,
+    # not by upstream partition count — one file per ~50k admitted docs
+    # (state rows per doc are O(shingles/doc) ≈ 100 at ~50 B/row, so a
+    # full file lands in the 100-300 MB sweet spot at production batch
+    # sizes).  Locally a few-hundred-doc shard appends ONE file per
+    # family table instead of one near-empty part file per partition;
+    # without this every future shard's state read (and the exactly-once
+    # move loop's per-file renames) grows with accumulated file count —
+    # the classic small-files spiral the appends were feeding.
+    import math as _math
+
+    _n_files = max(1, _math.ceil(admitted.count() / 50_000))
+
+    def _sized(tables):
+        return [(df.coalesce(_n_files), d) for df, d in tables]
+
     staged: list[tuple[str, object]] = [
         ("minhash", lambda: minhash_corpus_state_delta(
             spark, f"{root}/minhash", admitted, "text", "doc_id")),
@@ -1060,11 +1090,11 @@ def _admit_write_back(spark, root: str, marker: str | None,
             fs_rmtree(spark, f"{marker}/_staging_{name}")
             continue
         if marker is None:  # unguarded pre-r10 path: plain appends
-            for df, dataset_dir in delta_fn():
+            for df, dataset_dir in _sized(delta_fn()):
                 df.write.mode("append").parquet(dataset_dir)
         else:
             staging = f"{marker}/_staging_{name}"
-            _exactly_once_append(spark, staging, delta_fn())
+            _exactly_once_append(spark, staging, _sized(delta_fn()))
             fs_touch(spark, f"{marker}/_applied_{name}")
             fs_rmtree(spark, staging)  # after the touch: a crash between
             # leaves an inert (fully-moved) staging tree the next replay
